@@ -1,0 +1,33 @@
+"""datacompy_spark — a PySpark-native DataFrame comparison & data-quality engine.
+
+A from-scratch Spark-first rebuild of the capabilities of
+capitalone/datacompy, plus large-scale training-data pipeline operators
+(dedup, similarity search, text analysis, multimodal plumbing).
+"""
+
+from datacompy_spark.operators.compare import SparkCompare, ColumnStat
+from datacompy_spark.functions.comparators import (
+    BaseComparator,
+    ArrayComparator,
+    BooleanComparator,
+    NumericComparator,
+    StringComparator,
+    ComplexComparator,
+    columns_equal,
+)
+from datacompy_spark.plans.report import ReportData, build_report_data
+
+__version__ = "0.1.0"
+__all__ = [
+    "SparkCompare",
+    "ColumnStat",
+    "BaseComparator",
+    "ArrayComparator",
+    "BooleanComparator",
+    "NumericComparator",
+    "StringComparator",
+    "ComplexComparator",
+    "columns_equal",
+    "ReportData",
+    "build_report_data",
+]

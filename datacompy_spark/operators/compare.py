@@ -1,0 +1,617 @@
+"""SparkCompare — the core DataFrame comparison engine.
+
+Semantics parity target: capitalone/datacompy ``spark.py`` (SparkSQLCompare).
+Architecture is deliberately NOT a port:
+
+* The null-safe full outer join (ref ``spark.py:450-466``, built as a SQL
+  string over temp views) is a pure DataFrame-API join on ``eqNullSafe``
+  conditions — Catalyst still plans it as a sort-merge join (null-safe
+  equality is an equi-join key) and AQE may convert to broadcast.
+* ALL statistics — left/right/both row classes, per-column match counts,
+  null diffs, max diffs, all-match row count (ref ``spark.py:573-636``, which
+  runs 2N+1 separate actions) — fold into ONE aggregate over the joined frame:
+  one shuffle + one action computes the entire comparison. At 100 TB this is
+  the difference between one pass over the data and dozens.
+* Statistics are computed lazily on first access and memoized; the derived
+  frames (``intersect_rows``/``df1_unq_rows``/``df2_unq_rows``) stay lazy
+  DataFrames (never collected unless the caller asks for samples).
+
+Scale design notes (local[32] test, 1000-executor target):
+* single full-outer shuffle on the join keys; AQE handles skew/broadcast;
+* stats aggregation is a partial (map-side) aggregate → single-row result:
+  driver memory is O(columns), never O(rows);
+* report samples are ``limit``-bounded before any ``toPandas``.
+"""
+
+from __future__ import annotations
+
+import logging
+from functools import cached_property, reduce
+from typing import Any, Dict, List, Mapping, Optional, Sequence, TypedDict, Union
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datacompy_spark.functions.comparators import (
+    BaseComparator,
+    columns_equal,
+    _NUMERIC_TYPES,
+    _STRING_TYPES,
+)
+
+LOG = logging.getLogger(__name__)
+
+MASK_VALUE = "*******"  # ref ``spark.py:246`` sensitive-column replacement
+
+
+class ColumnStat(TypedDict):
+    """Per-column statistics contract (ref ``base.py:40-53``)."""
+
+    column: str
+    match_column: str
+    match_cnt: int
+    unequal_cnt: int
+    dtype1: str
+    dtype2: str
+    all_match: bool
+    max_diff: float
+    null_diff: int
+    rel_tol: float
+    abs_tol: float
+
+
+Tolerance = Union[int, float, Mapping[str, float]]
+
+
+def _ordered_unique(items: Sequence[str]) -> List[str]:
+    """Insertion-ordered dedup (ref uses OrderedSet, ``spark.py:365-375``)."""
+    seen = set()
+    out = []
+    for it in items:
+        if it not in seen:
+            seen.add(it)
+            out.append(it)
+    return out
+
+
+def normalize_tolerance(tol: Tolerance, columns: Sequence[str], lower: bool) -> Dict[str, float]:
+    """Resolve a scalar-or-dict tolerance spec to per-column floats.
+
+    Parity: ref ``base.py:737-829`` — dict form requires a ``"default"`` key
+    semantics via fallback 0; keys are case-folded when column names are.
+    """
+    if isinstance(tol, (int, float)):
+        if tol < 0:
+            raise ValueError("tolerance must be non-negative")
+        return {c: float(tol) for c in columns}
+    if not isinstance(tol, Mapping):
+        raise TypeError(f"tolerance must be a number or a dict, got {type(tol)}")
+    folded = {(k.lower() if lower else k): float(v) for k, v in tol.items()}
+    for v in folded.values():
+        if v < 0:
+            raise ValueError("tolerance must be non-negative")
+    default = folded.get("default", 0.0)
+    return {c: folded.get(c, default) for c in columns}
+
+
+class SparkCompare:
+    """Compare two Spark DataFrames joined on one or more key columns.
+
+    Public API parity: ref ``spark.py:132-189`` constructor and the method
+    surface of ``base.py:121-212`` (matches/subset/all_mismatch/
+    sample_mismatch/report/...).
+
+    Parameters mirror the reference: ``abs_tol``/``rel_tol`` accept a float or
+    a per-column dict with a ``"default"`` key; ``ignore_spaces`` trims string
+    values AND string join keys; ``ignore_case`` upper-cases compared string
+    values (never join keys); ``cast_column_names_lower`` lower-cases all
+    column names first (ref ``spark.py:161-173``).
+
+    ``dup_order_by`` (extension): explicit ordering columns for duplicate-key
+    ordinal pairing. The reference orders duplicates by
+    ``monotonically_increasing_id`` (``spark.py:392-407``) which is
+    partition-dependent; passing a deterministic ordering makes results
+    reproducible across runs/cluster layouts.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        df1: DataFrame,
+        df2: DataFrame,
+        join_columns: Union[str, Sequence[str]],
+        abs_tol: Tolerance = 0,
+        rel_tol: Tolerance = 0,
+        df1_name: str = "df1",
+        df2_name: str = "df2",
+        ignore_spaces: bool = False,
+        ignore_case: bool = False,
+        cast_column_names_lower: bool = True,
+        custom_comparators: Optional[Sequence[BaseComparator]] = None,
+        cache_intermediates: bool = False,
+        dup_order_by: Optional[Sequence[str]] = None,
+    ) -> None:
+        self.spark = spark
+        if df1_name == df2_name:
+            raise ValueError("df1_name and df2_name must differ")
+        self.df1_name = df1_name
+        self.df2_name = df2_name
+        self.ignore_spaces = ignore_spaces
+        self.ignore_case = ignore_case
+        self.cast_column_names_lower = cast_column_names_lower
+        self.custom_comparators = list(custom_comparators or [])
+        self.cache_intermediates = cache_intermediates
+
+        if isinstance(join_columns, (str, int, float)):
+            join_columns = [str(join_columns)]
+        self.join_columns = [
+            str(c).lower() if cast_column_names_lower else str(c) for c in join_columns
+        ]
+        if not self.join_columns:
+            raise ValueError("join_columns may not be empty")
+
+        self.df1 = self._prep_df(df1, "df1")
+        self.df2 = self._prep_df(df2, "df2")
+
+        self._dup_order_by = list(dup_order_by or [])
+        self.abs_tol = normalize_tolerance(
+            abs_tol, self._compare_columns, cast_column_names_lower
+        )
+        self.rel_tol = normalize_tolerance(
+            rel_tol, self._compare_columns, cast_column_names_lower
+        )
+        self._masked_columns: List[str] = []
+        self._build()
+
+    # ------------------------------------------------------------------ setup
+
+    def _prep_df(self, df: DataFrame, which: str) -> DataFrame:
+        if not isinstance(df, DataFrame):
+            raise TypeError(f"{which} must be a pyspark DataFrame, got {type(df)}")
+        if self.cast_column_names_lower:
+            df = df.toDF(*[c.lower() for c in df.columns])
+        if len(set(df.columns)) != len(df.columns):
+            raise ValueError(f"{which} has duplicate column names after case folding")
+        missing = [c for c in self.join_columns if c not in df.columns]
+        if missing:
+            raise ValueError(f"{which} is missing join columns: {missing}")
+        return df
+
+    @property
+    def _intersect_columns(self) -> List[str]:
+        """Columns present in both frames, in df1 order (ref ``spark.py:365-375``)."""
+        cols2 = set(self.df2.columns)
+        return [c for c in self.df1.columns if c in cols2]
+
+    @property
+    def _compare_columns(self) -> List[str]:
+        return [c for c in self._intersect_columns if c not in self.join_columns]
+
+    def intersect_columns(self) -> List[str]:
+        return self._intersect_columns
+
+    def df1_unq_columns(self) -> List[str]:
+        cols2 = set(self.df2.columns)
+        return [c for c in self.df1.columns if c not in cols2]
+
+    def df2_unq_columns(self) -> List[str]:
+        cols1 = set(self.df1.columns)
+        return [c for c in self.df2.columns if c not in cols1]
+
+    # ---------------------------------------------------------------- the plan
+
+    def _has_duplicate_keys(self, df: DataFrame) -> bool:
+        """Dupe probe (ref ``spark.py:328-332``) without a second full count:
+        groupBy keys → any group >1, limit 1."""
+        return (
+            df.groupBy(*self.join_columns)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .count()
+            > 0
+        )
+
+    def _with_ordinal(self, df: DataFrame) -> DataFrame:
+        """Attach a 0-based per-key ordinal so the k-th duplicate on the left
+        pairs with the k-th on the right (ref ``spark.py:386-412,1114-1170``).
+
+        The reference string-casts keys and substitutes a ``'DATACOMPY_NULL'``
+        sentinel for NULLs before grouping (``spark.py:1136-1147``); Spark
+        windows already treat NULL as an ordinary partition value, so no
+        sentinel (and no sentinel-collision probe) is needed here.
+        """
+        if self._dup_order_by:
+            order = [F.col(c) for c in self._dup_order_by]
+        else:
+            df = df.withColumn("__dc_idx", F.monotonically_increasing_id())
+            order = [F.col("__dc_idx")]
+        w = Window.partitionBy(*[F.col(c) for c in self.join_columns]).orderBy(*order)
+        df = df.withColumn("__dc_ordinal", F.row_number().over(w) - 1)
+        return df.drop("__dc_idx")
+
+    def _build(self) -> None:
+        df1, df2 = self.df1, self.df2
+        n1, n2 = self.df1_name, self.df2_name
+
+        self.has_duplicates = self._has_duplicate_keys(df1) or self._has_duplicate_keys(df2)
+        join_keys = list(self.join_columns)
+        if self.has_duplicates:
+            LOG.info("duplicate join keys detected; pairing duplicates by ordinal")
+            df1 = self._with_ordinal(df1)
+            df2 = self._with_ordinal(df2)
+            join_keys = join_keys + ["__dc_ordinal"]
+
+        # Internal rename: join keys get engine-private suffixes, value columns
+        # get the public {col}_{df_name} suffixes (ref ``spark.py:429-448``).
+        def suffixed(df: DataFrame, tag: str, public: str) -> DataFrame:
+            mapping = {}
+            for c in df.columns:
+                if c in join_keys:
+                    mapping[c] = f"{c}__{tag}"
+                else:
+                    mapping[c] = f"{c}_{public}"
+            return df.withColumnsRenamed(mapping).withColumn(
+                f"__present_{tag}", F.lit(True)
+            )
+
+        left = suffixed(df1, "lhs", n1)
+        right = suffixed(df2, "rhs", n2)
+
+        def key_expr(side: DataFrame, c: str, tag: str) -> Column:
+            col = side[f"{c}__{tag}"]
+            if c not in df1.columns:  # engine-private ordinal key
+                return col
+            dt = df1.schema[c].dataType
+            if self.ignore_spaces and isinstance(dt, _STRING_TYPES):
+                # join keys are trimmed but never case-folded (ref spark.py:416-427)
+                return F.trim(col)
+            return col
+
+        cond = [
+            key_expr(left, c, "lhs").eqNullSafe(key_expr(right, c, "rhs"))
+            for c in join_keys
+        ]
+        outer = left.join(right, on=cond, how="full_outer")
+
+        merge = (
+            F.when(F.col("__present_rhs").isNull(), F.lit("left_only"))
+            .when(F.col("__present_lhs").isNull(), F.lit("right_only"))
+            .otherwise(F.lit("both"))
+        )
+        restored_keys = [
+            F.when(
+                F.col("__present_lhs").isNotNull(), F.col(f"{c}__lhs")
+            ).otherwise(F.col(f"{c}__rhs")).alias(c)
+            for c in self.join_columns
+        ]
+        value_cols = [
+            c
+            for c in outer.columns
+            if not c.startswith("__present_")
+            and not any(c == f"{k}__lhs" or c == f"{k}__rhs" for k in join_keys)
+        ]
+        outer = outer.select(*restored_keys, *[F.col(c) for c in value_cols], merge.alias("_merge"))
+
+        # Per-column match expressions — one boolean Column each, all attached
+        # in a single withColumns batch (ref ``spark.py:549-570``).
+        match_exprs = {}
+        for c in self._compare_columns:
+            match_exprs[f"{c}_match"] = F.when(
+                F.col("_merge") != "both", F.lit(None).cast("boolean")
+            ).otherwise(
+                columns_equal(
+                    outer,
+                    f"{c}_{n1}",
+                    f"{c}_{n2}",
+                    rel_tol=self.rel_tol[c],
+                    abs_tol=self.abs_tol[c],
+                    ignore_spaces=self.ignore_spaces,
+                    ignore_case=self.ignore_case,
+                    comparators=self.custom_comparators,
+                )
+            )
+        outer = outer.withColumns(match_exprs)
+        if self.cache_intermediates:
+            outer = outer.persist()
+        self._outer = outer
+
+    # ---------------------------------------------------------- derived frames
+
+    @cached_property
+    def intersect_rows(self) -> DataFrame:
+        """Rows present in both frames: join keys + suffixed value pairs +
+        ``{col}_match`` booleans (ref ``spark.py:528,549-570``)."""
+        cols = list(self.join_columns)
+        for c in self._compare_columns:
+            cols += [f"{c}_{self.df1_name}", f"{c}_{self.df2_name}", f"{c}_match"]
+        for c in self.df1_unq_columns():
+            cols.append(f"{c}_{self.df1_name}")
+        for c in self.df2_unq_columns():
+            cols.append(f"{c}_{self.df2_name}")
+        return self._outer.filter(F.col("_merge") == "both").select(*cols)
+
+    def _unq_rows(self, side: str) -> DataFrame:
+        tag, name, src = (
+            ("left_only", self.df1_name, self.df1)
+            if side == "df1"
+            else ("right_only", self.df2_name, self.df2)
+        )
+        sel = []
+        for c in src.columns:
+            sel.append(
+                F.col(c if c in self.join_columns else f"{c}_{name}").alias(c)
+            )
+        return self._outer.filter(F.col("_merge") == tag).select(*sel)
+
+    @cached_property
+    def df1_unq_rows(self) -> DataFrame:
+        """Rows only in df1, original column names (ref ``spark.py:510-522``)."""
+        return self._unq_rows("df1")
+
+    @cached_property
+    def df2_unq_rows(self) -> DataFrame:
+        return self._unq_rows("df2")
+
+    # ------------------------------------------------------------- statistics
+
+    def _maxdiff_capable(self, c: str) -> bool:
+        dt1 = self.df1.schema[c].dataType
+        dt2 = self.df2.schema[c].dataType
+        ok = _NUMERIC_TYPES + _STRING_TYPES + (T.BooleanType,)
+        return isinstance(dt1, ok) and isinstance(dt2, ok)
+
+    @cached_property
+    def _stats(self) -> Dict[str, Any]:
+        """THE single statistics action: one aggregate over the joined frame
+        computes row classes, matching-row count, and per-column
+        match/null-diff/max-diff — replacing the reference's per-column action
+        loop (``spark.py:594-636``, A1+A3+A4 in SURVEY §2.4)."""
+        both = F.col("_merge") == "both"
+        n1, n2 = self.df1_name, self.df2_name
+        aggs = [
+            F.sum(F.when(F.col("_merge") == "left_only", 1).otherwise(0)).alias("__left_only"),
+            F.sum(F.when(F.col("_merge") == "right_only", 1).otherwise(0)).alias("__right_only"),
+            F.sum(F.when(both, 1).otherwise(0)).alias("__both"),
+        ]
+        match_cols = [F.col(f"{c}_match") for c in self._compare_columns]
+        if match_cols:
+            all_match = reduce(lambda a, b: a & b, match_cols)
+        else:
+            all_match = F.lit(True)
+        aggs.append(
+            F.sum(F.when(both & all_match, 1).otherwise(0)).alias("__rows_all_match")
+        )
+        for c in self._compare_columns:
+            c1, c2 = F.col(f"{c}_{n1}"), F.col(f"{c}_{n2}")
+            aggs.append(
+                F.sum(F.when(both & F.col(f"{c}_match"), 1).otherwise(0)).alias(f"__match__{c}")
+            )
+            aggs.append(
+                F.sum(
+                    F.when(both & (c1.isNull() != c2.isNull()), 1).otherwise(0)
+                ).alias(f"__nulldiff__{c}")
+            )
+            if self._maxdiff_capable(c):
+                d1, d2 = c1.try_cast("double"), c2.try_cast("double")
+                diff = F.abs(d1 - d2)
+                # exclude NaN rows from max_diff (ref ``spark.py:1058-1060``)
+                guarded = F.when(
+                    both & d1.isNotNull() & d2.isNotNull() & ~F.isnan(d1) & ~F.isnan(d2),
+                    diff,
+                )
+                aggs.append(F.max(guarded).alias(f"__maxdiff__{c}"))
+        row = self._outer.agg(*aggs).collect()[0].asDict()
+        return {k: (0 if v is None else v) for k, v in row.items()}
+
+    @cached_property
+    def _input_counts(self) -> Dict[str, int]:
+        return {"df1": self.df1.count(), "df2": self.df2.count()}
+
+    @property
+    def df1_row_count(self) -> int:
+        return self._input_counts["df1"]
+
+    @property
+    def df2_row_count(self) -> int:
+        return self._input_counts["df2"]
+
+    @property
+    def df1_unq_rows_count(self) -> int:
+        return int(self._stats["__left_only"])
+
+    @property
+    def df2_unq_rows_count(self) -> int:
+        return int(self._stats["__right_only"])
+
+    @property
+    def intersect_rows_count(self) -> int:
+        return int(self._stats["__both"])
+
+    def count_matching_rows(self) -> int:
+        """Intersect rows where every compared column matches
+        (ref ``spark.py:659-679``)."""
+        return int(self._stats["__rows_all_match"])
+
+    @cached_property
+    def column_stats(self) -> List[ColumnStat]:
+        """Per-column stats (ref ``spark.py:617-636``). Note the reference
+        quirk kept for parity: ``all_match`` additionally requires identical
+        declared dtypes (``spark.py:625-630``)."""
+        stats: List[ColumnStat] = []
+        s = self._stats
+        n_both = int(s["__both"])
+        for c in self._compare_columns:
+            dtype1 = self.df1.schema[c].dataType.simpleString()
+            dtype2 = self.df2.schema[c].dataType.simpleString()
+            match_cnt = int(s[f"__match__{c}"])
+            unequal = n_both - match_cnt
+            stats.append(
+                ColumnStat(
+                    column=c,
+                    match_column=f"{c}_match",
+                    match_cnt=match_cnt,
+                    unequal_cnt=unequal,
+                    dtype1=dtype1,
+                    dtype2=dtype2,
+                    all_match=(unequal == 0) and (dtype1 == dtype2),
+                    max_diff=float(s.get(f"__maxdiff__{c}", 0) or 0),
+                    null_diff=int(s[f"__nulldiff__{c}"]),
+                    rel_tol=self.rel_tol[c],
+                    abs_tol=self.abs_tol[c],
+                )
+            )
+        return stats
+
+    # ------------------------------------------------------------ check API
+
+    def all_columns_match(self) -> bool:
+        """Both unique-column sets empty (ref ``spark.py:638-646``)."""
+        return not self.df1_unq_columns() and not self.df2_unq_columns()
+
+    def all_rows_overlap(self) -> bool:
+        """No rows unique to either side (ref ``spark.py:648-657``)."""
+        return self.df1_unq_rows_count == 0 and self.df2_unq_rows_count == 0
+
+    def intersect_rows_match(self) -> bool:
+        """Non-empty intersection whose rows all match; empty → False
+        (ref ``spark.py:681-686``)."""
+        if self.intersect_rows_count == 0:
+            return False
+        return self.count_matching_rows() == self.intersect_rows_count
+
+    def matches(self, ignore_extra_columns: bool = False) -> bool:
+        """Ref ``spark.py:688-700``."""
+        if not ignore_extra_columns and not self.all_columns_match():
+            return False
+        return self.all_rows_overlap() and self.intersect_rows_match()
+
+    def subset(self) -> bool:
+        """df2 ⊆ df1 (ref ``spark.py:702-718``)."""
+        return (
+            not self.df2_unq_columns()
+            and self.df2_unq_rows_count == 0
+            and self.intersect_rows_match()
+        )
+
+    def only_join_columns(self) -> bool:
+        """Schema is exactly the join key on both sides (ref ``base.py:463-465``)."""
+        jc = set(self.join_columns)
+        return set(self.df1.columns) == jc and set(self.df2.columns) == jc
+
+    @property
+    def columns_with_mismatches(self) -> List[str]:
+        """Non-join columns with any unequal value (ref ``base.py:467-490``)."""
+        return [cs["column"] for cs in self.column_stats if cs["unequal_cnt"] > 0]
+
+    # -------------------------------------------------------------- mismatches
+
+    def _any_mismatch_pred(self) -> Column:
+        match_cols = [F.col(f"{c}_match") for c in self._compare_columns]
+        if not match_cols:
+            return F.lit(False)
+        return ~reduce(lambda a, b: a & b, match_cols)
+
+    def sample_mismatch(
+        self, column: str, sample_count: int = 10, for_display: bool = False
+    ) -> DataFrame:
+        """First ``sample_count`` mismatching rows for one column
+        (ref ``spark.py:720-791``). Join-columns-only schemas return the
+        union of unique rows instead (ref ``spark.py:786-790``)."""
+        if self.only_join_columns():
+            return self.df1_unq_rows.union(self.df2_unq_rows).limit(sample_count)
+        if column in self.join_columns:
+            raise ValueError(f"{column} is a join column; cannot sample mismatches")
+        n1, n2 = self.df1_name, self.df2_name
+        out = (
+            self.intersect_rows.filter(~F.col(f"{column}_match"))
+            .select(*self.join_columns, f"{column}_{n1}", f"{column}_{n2}")
+            .limit(sample_count)
+        )
+        if for_display:
+            out = out.toDF(
+                *self.join_columns, f"{column} ({n1})", f"{column} ({n2})"
+            )
+        return out
+
+    def all_mismatch(self, ignore_matching_cols: bool = False) -> DataFrame:
+        """Every intersect row with ≥1 mismatching column
+        (ref ``spark.py:793-867``); ``ignore_matching_cols`` drops columns
+        that matched everywhere."""
+        if self.only_join_columns():
+            return self.df1_unq_rows.union(self.df2_unq_rows)
+        keep = self._compare_columns
+        if ignore_matching_cols:
+            mismatched = set(self.columns_with_mismatches)
+            keep = [c for c in keep if c in mismatched]
+        n1, n2 = self.df1_name, self.df2_name
+        cols = list(self.join_columns)
+        for c in keep:
+            cols += [f"{c}_{n1}", f"{c}_{n2}"]
+        return self.intersect_rows.filter(self._any_mismatch_pred()).select(*cols)
+
+    # ------------------------------------------------------------ sensitive
+
+    def hide_sensitive_columns(self, columns: Sequence[str]) -> None:
+        """Mask values with ``'*******'`` in the three derived frames
+        (ref ``spark.py:224-271``); unpersists any cached joined frame first
+        so no unmasked partitions linger in executor memory."""
+        cols = [
+            c.lower() if self.cast_column_names_lower else c for c in columns
+        ]
+        bad = [c for c in cols if c in self.join_columns]
+        if bad:
+            raise ValueError(f"cannot mask join columns: {bad}")
+        # force stats before masking so counts reflect real values
+        _ = self._stats
+
+        def mask(df: DataFrame, suffixes: Sequence[str]) -> DataFrame:
+            targets = set()
+            for c in cols:
+                targets.add(c)
+                for sfx in suffixes:
+                    targets.add(f"{c}_{sfx}")
+            return df.select(
+                *[
+                    F.lit(MASK_VALUE).alias(c) if c in targets else F.col(c)
+                    for c in df.columns
+                ]
+            )
+
+        if self.cache_intermediates:
+            self._outer.unpersist()
+        self.__dict__["intersect_rows"] = mask(
+            self.intersect_rows, [self.df1_name, self.df2_name]
+        )
+        self.__dict__["df1_unq_rows"] = mask(self.df1_unq_rows, [])
+        self.__dict__["df2_unq_rows"] = mask(self.df2_unq_rows, [])
+        self._masked_columns = cols
+
+    def reveal_sensitive_columns(self) -> None:
+        """Undo masking by rebuilding the derived frames (ref ``base.py:445-461``
+        does a full recompare; our frames are lazy so a rebuild is free)."""
+        for k in ("intersect_rows", "df1_unq_rows", "df2_unq_rows"):
+            self.__dict__.pop(k, None)
+        self._masked_columns = []
+
+    # ---------------------------------------------------------------- report
+
+    def build_report_data(self, sample_count: int = 10, column_count: int = 10):
+        from datacompy_spark.plans.report import build_report_data
+
+        return build_report_data(self, sample_count=sample_count, column_count=column_count)
+
+    def report(
+        self,
+        sample_count: int = 10,
+        column_count: int = 10,
+        html_file: Optional[str] = None,
+    ) -> str:
+        """Render the human-readable comparison report (ref ``base.py:405-443``)."""
+        data = self.build_report_data(sample_count=sample_count, column_count=column_count)
+        text = data.render()
+        if html_file:
+            with open(html_file, "w") as fh:
+                fh.write(data.to_html())
+        return text

@@ -1,0 +1,248 @@
+"""End-to-end SparkCompare scenarios — FIXTURES.md F2/F3/F4/F5/F7 shapes."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from datacompy_spark import SparkCompare
+
+
+@pytest.fixture()
+def f2(spark):
+    df1 = spark.createDataFrame(
+        [(1, "alice", 10.0), (2, "bob", 20.0), (3, "carol", 30.0)],
+        "id bigint, name string, amount double",
+    )
+    df2 = spark.createDataFrame(
+        [(1, "alice", 10.0), (2, "bob", 20.005), (4, "dave", 40.0)],
+        "id bigint, name string, amount double",
+    )
+    return df1, df2
+
+
+class TestBasics:
+    def test_known_diff(self, spark, f2):
+        c = SparkCompare(spark, *f2, join_columns="id")
+        assert not c.matches()
+        assert c.df1_unq_rows_count == 1
+        assert c.df2_unq_rows_count == 1
+        assert c.intersect_rows_count == 2
+        assert c.count_matching_rows() == 1
+        assert c.columns_with_mismatches == ["amount"]
+        assert c.all_columns_match()
+        assert not c.all_rows_overlap()
+        assert not c.intersect_rows_match()
+
+    def test_abs_tol_turns_match(self, spark, f2):
+        c = SparkCompare(spark, *f2, join_columns="id", abs_tol=0.01)
+        assert c.count_matching_rows() == 2
+        assert c.intersect_rows_match()
+        assert not c.matches()  # still has unique rows
+
+    def test_identical(self, spark, f2):
+        df1, _ = f2
+        c = SparkCompare(spark, df1, df1.select(*df1.columns), join_columns="id")
+        assert c.matches()
+        assert c.intersect_rows_match()
+        assert c.subset()
+
+    def test_per_column_tolerance_dict(self, spark, f2):
+        c = SparkCompare(
+            spark, *f2, join_columns="id", abs_tol={"amount": 0.01, "default": 0}
+        )
+        assert c.count_matching_rows() == 2
+        c2 = SparkCompare(
+            spark, *f2, join_columns="id", abs_tol={"default": 0.000001}
+        )
+        assert c2.count_matching_rows() == 1
+
+    def test_unq_rows_content(self, spark, f2):
+        c = SparkCompare(spark, *f2, join_columns="id")
+        assert [r["id"] for r in c.df1_unq_rows.collect()] == [3]
+        assert [r["id"] for r in c.df2_unq_rows.collect()] == [4]
+        assert c.df1_unq_rows.columns == ["id", "name", "amount"]
+
+    def test_column_stats_contract(self, spark, f2):
+        c = SparkCompare(spark, *f2, join_columns="id")
+        st = {s["column"]: s for s in c.column_stats}
+        assert set(st) == {"name", "amount"}
+        assert st["amount"]["unequal_cnt"] == 1
+        assert st["amount"]["max_diff"] == pytest.approx(0.005, abs=1e-9)
+        assert st["name"]["all_match"]
+
+
+class TestColumnSets:
+    def test_unique_columns(self, spark):
+        df1 = spark.createDataFrame([(1, "x", 9)], "id bigint, shared string, only_1 int")
+        df2 = spark.createDataFrame([(1, "x", 8)], "id bigint, shared string, only_2 int")
+        c = SparkCompare(spark, df1, df2, join_columns="id")
+        assert c.df1_unq_columns() == ["only_1"]
+        assert c.df2_unq_columns() == ["only_2"]
+        assert not c.all_columns_match()
+        assert not c.matches()
+        assert c.matches(ignore_extra_columns=True)
+
+    def test_case_folding(self, spark):
+        df1 = spark.createDataFrame([(1, "x")], "ID bigint, Name string")
+        df2 = spark.createDataFrame([(1, "x")], "id bigint, name string")
+        c = SparkCompare(spark, df1, df2, join_columns="ID")
+        assert c.matches()
+
+    def test_join_column_missing_raises(self, spark, f2):
+        with pytest.raises(ValueError, match="missing join columns"):
+            SparkCompare(spark, *f2, join_columns="nope")
+
+    def test_same_names_raise(self, spark, f2):
+        with pytest.raises(ValueError, match="must differ"):
+            SparkCompare(spark, *f2, join_columns="id", df1_name="x", df2_name="x")
+
+
+class TestNullKeys:
+    def test_null_join_keys_pair(self, spark):
+        df1 = spark.createDataFrame([(None, "a"), (1, "b")], "id bigint, v string")
+        df2 = spark.createDataFrame([(None, "a"), (1, "c")], "id bigint, v string")
+        c = SparkCompare(spark, df1, df2, join_columns="id")
+        # NULL keys join to each other (null-safe join)
+        assert c.intersect_rows_count == 2
+        assert c.count_matching_rows() == 1
+
+    def test_datacompy_null_sentinel_not_needed(self, spark):
+        # the reference errors on literal 'DATACOMPY_NULL' + NULL keys
+        # (spark.py:1146-1147); our window-based ordinal has no sentinel,
+        # so this just works.
+        df1 = spark.createDataFrame(
+            [("DATACOMPY_NULL", 1.0), (None, 2.0), (None, 3.0)], "k string, v double"
+        )
+        df2 = spark.createDataFrame(
+            [("DATACOMPY_NULL", 1.0), (None, 2.0), (None, 3.5)], "k string, v double"
+        )
+        c = SparkCompare(spark, df1, df2, join_columns="k", dup_order_by=["v"])
+        assert c.intersect_rows_count == 3
+        assert c.count_matching_rows() == 2
+
+
+class TestDuplicates:
+    def test_equal_dupes_pair(self, spark):
+        df1 = spark.createDataFrame([(1, "a"), (1, "b"), (2, "c")], "id bigint, v string")
+        df2 = spark.createDataFrame([(1, "a"), (1, "b"), (2, "c")], "id bigint, v string")
+        c = SparkCompare(spark, df1, df2, join_columns="id", dup_order_by=["v"])
+        assert c.has_duplicates
+        assert c.matches()
+
+    def test_unbalanced_dupes(self, spark):
+        df1 = spark.createDataFrame(
+            [(1, "a"), (1, "b"), (1, "c")], "id bigint, v string"
+        )
+        df2 = spark.createDataFrame([(1, "a"), (1, "b")], "id bigint, v string")
+        c = SparkCompare(spark, df1, df2, join_columns="id", dup_order_by=["v"])
+        # third duplicate on the left becomes a df1-unique row
+        assert c.intersect_rows_count == 2
+        assert c.df1_unq_rows_count == 1
+        assert c.df2_unq_rows_count == 0
+        assert c.count_matching_rows() == 2
+
+
+class TestMismatchOutputs:
+    def test_sample_mismatch(self, spark, f2):
+        c = SparkCompare(spark, *f2, join_columns="id")
+        s = c.sample_mismatch("amount", 10)
+        rows = s.collect()
+        assert len(rows) == 1
+        assert rows[0]["id"] == 2
+        assert s.columns == ["id", "amount_df1", "amount_df2"]
+        disp = c.sample_mismatch("amount", 10, for_display=True)
+        assert disp.columns == ["id", "amount (df1)", "amount (df2)"]
+
+    def test_all_mismatch(self, spark, f2):
+        c = SparkCompare(spark, *f2, join_columns="id")
+        m = c.all_mismatch()
+        assert m.columns == ["id", "name_df1", "name_df2", "amount_df1", "amount_df2"]
+        assert [r["id"] for r in m.collect()] == [2]
+        m2 = c.all_mismatch(ignore_matching_cols=True)
+        assert m2.columns == ["id", "amount_df1", "amount_df2"]
+
+    def test_join_columns_only(self, spark):
+        df1 = spark.createDataFrame([(1,), (2,)], "id bigint")
+        df2 = spark.createDataFrame([(1,), (3,)], "id bigint")
+        c = SparkCompare(spark, df1, df2, join_columns="id")
+        assert c.only_join_columns()
+        # mismatches reroute to the union of unique rows (ref spark.py:786-790)
+        assert sorted(r["id"] for r in c.all_mismatch().collect()) == [2, 3]
+        assert c.intersect_rows_count == 1
+        assert c.count_matching_rows() == 1
+        assert c.intersect_rows_match()
+
+
+class TestSensitive:
+    def test_hide_and_reveal(self, spark, f2):
+        c = SparkCompare(spark, *f2, join_columns="id")
+        c.hide_sensitive_columns(["name"])
+        vals = {r["name_df1"] for r in c.intersect_rows.collect()}
+        assert vals == {"*******"}
+        assert {r["name"] for r in c.df1_unq_rows.collect()} == {"*******"}
+        # stats computed pre-mask stay intact
+        assert c.count_matching_rows() == 1
+        c.reveal_sensitive_columns()
+        assert {r["name"] for r in c.df1_unq_rows.collect()} == {"carol"}
+
+    def test_cannot_mask_join_columns(self, spark, f2):
+        c = SparkCompare(spark, *f2, join_columns="id")
+        with pytest.raises(ValueError, match="join columns"):
+            c.hide_sensitive_columns(["id"])
+
+
+class TestEmptyIntersection:
+    def test_empty_intersection_never_matches(self, spark):
+        df1 = spark.createDataFrame([(1, "a")], "id bigint, v string")
+        df2 = spark.createDataFrame([(2, "b")], "id bigint, v string")
+        c = SparkCompare(spark, df1, df2, join_columns="id")
+        assert c.intersect_rows_count == 0
+        assert not c.intersect_rows_match()  # empty → False (ref spark.py:681-686)
+        assert not c.matches()
+
+
+class TestReport:
+    def test_report_smoke(self, spark, f2):
+        c = SparkCompare(spark, *f2, join_columns="id")
+        text = c.report()
+        assert "Column Summary" in text
+        assert "Row Summary" in text
+        assert "amount" in text
+        data = c.build_report_data()
+        d = data.to_dict()
+        assert d["row_summary"]["common_rows"] == 2
+        assert data.to_json()
+        html = data.to_html()
+        assert html.startswith("<!DOCTYPE html>")
+
+    def test_report_html_file(self, spark, f2, tmp_path):
+        c = SparkCompare(spark, *f2, join_columns="id")
+        out = tmp_path / "r.html"
+        c.report(html_file=str(out))
+        assert out.read_text().startswith("<!DOCTYPE html>")
+
+
+class TestTestdata:
+    def test_lineitem_self_compare(self, spark, lineitem):
+        c = SparkCompare(
+            spark,
+            lineitem,
+            lineitem.select(*lineitem.columns),
+            join_columns=["l_orderkey", "l_linenumber"],
+        )
+        assert c.matches()
+
+    def test_lineitem_perturbed(self, spark, lineitem):
+        df2 = lineitem.withColumn(
+            "l_extendedprice",
+            F.when(F.col("l_orderkey") % 10 == 3, F.col("l_extendedprice") + 0.001)
+            .otherwise(F.col("l_extendedprice")),
+        )
+        c = SparkCompare(
+            spark, lineitem, df2, join_columns=["l_orderkey", "l_linenumber"]
+        )
+        assert not c.intersect_rows_match()
+        c2 = SparkCompare(
+            spark, lineitem, df2,
+            join_columns=["l_orderkey", "l_linenumber"], abs_tol=0.01,
+        )
+        assert c2.matches()
