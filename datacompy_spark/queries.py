@@ -1,0 +1,489 @@
+"""Driver-contract queries: Spark implementations + DuckDB oracle SQL twins.
+
+Each query exercises one operator family from SURVEY.md §2 on the shared
+testdata tables. The Spark side runs through the real engine
+(``SparkCompare`` / the pipeline operators); the oracle side re-expresses
+the same semantics in ANSI SQL that DuckDB executes over the same parquet.
+
+CROSS-ENGINE RULES (the driver hash-compares values after sorting columns
+by name):
+* every computed column carries the SAME alias in both engines;
+* float literals are written ``x::DOUBLE`` in SQL so both engines do
+  identical IEEE double arithmetic;
+* null-safe equality is ``eqNullSafe`` / ``IS NOT DISTINCT FROM``;
+* derivations of the "right-hand" comparison frame are deterministic
+  functions of the shared tables, expressed identically in both engines.
+
+Data caveat driving key choice: ``(l_orderkey, l_linenumber)`` is ~24%
+duplicated in the testdata; ``(l_orderkey, l_linenumber, l_partkey,
+l_suppkey)`` is unique at sf0.01+ — the main comparison scenario joins on
+the 4-column key, and the dedicated duplicate-key query exercises the
+ordinal path explicitly with a total-order tiebreak.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datacompy_spark.operators.compare import SparkCompare
+from datacompy_spark.sources.loaders import load_table
+
+# --------------------------------------------------------------------------
+# shared lineitem comparison scenario (FIXTURES.md F7)
+# --------------------------------------------------------------------------
+
+LI_KEYS = ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"]
+LI_VALS = [
+    "l_quantity",
+    "l_extendedprice",
+    "l_discount",
+    "l_tax",
+    "l_returnflag",
+    "l_linestatus",
+    "l_shipdate",
+]
+LI_COLS = [
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+    "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+    "l_returnflag", "l_linestatus", "l_shipdate",
+]
+_LI_NUMERIC = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+_LI_ABS_TOL = {"l_extendedprice": 0.01, "default": 0.0}
+
+_LI_DF2_SELECT = """
+  SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+    CASE WHEN l_orderkey % 10 = 3 THEN l_extendedprice + 0.001::DOUBLE ELSE l_extendedprice END AS l_extendedprice,
+    CASE WHEN l_orderkey % 17 = 0 THEN NULL ELSE l_discount END AS l_discount,
+    CASE WHEN l_orderkey % 11 = 0 THEN l_tax + 0.5::DOUBLE ELSE l_tax END AS l_tax,
+    CASE WHEN l_orderkey % 13 = 0 THEN lower(l_returnflag) ELSE l_returnflag END AS l_returnflag,
+    l_linestatus, l_shipdate
+  FROM lineitem WHERE l_orderkey % 50 <> 1"""
+
+
+def _li_pair(spark: SparkSession, sf_dir: str):
+    """df1 = lineitem minus every 50th order; df2 = lineitem minus a different
+    50th, with deterministic perturbations covering each comparator family:
+    within-tolerance numeric, outside-tolerance numeric, nulled values,
+    string case change."""
+    li = load_table(spark, sf_dir, "lineitem")
+    df1 = li.filter(F.col("l_orderkey") % 50 != 0)
+    df2 = (
+        li.filter(F.col("l_orderkey") % 50 != 1)
+        .withColumn(
+            "l_extendedprice",
+            F.when(F.col("l_orderkey") % 10 == 3, F.col("l_extendedprice") + F.lit(0.001))
+            .otherwise(F.col("l_extendedprice")),
+        )
+        .withColumn(
+            "l_discount",
+            F.when(F.col("l_orderkey") % 17 == 0, F.lit(None).cast("double"))
+            .otherwise(F.col("l_discount")),
+        )
+        .withColumn(
+            "l_tax",
+            F.when(F.col("l_orderkey") % 11 == 0, F.col("l_tax") + F.lit(0.5))
+            .otherwise(F.col("l_tax")),
+        )
+        .withColumn(
+            "l_returnflag",
+            F.when(F.col("l_orderkey") % 13 == 0, F.lower(F.col("l_returnflag")))
+            .otherwise(F.col("l_returnflag")),
+        )
+    )
+    return df1, df2
+
+
+def _li_compare(spark: SparkSession, sf_dir: str) -> SparkCompare:
+    df1, df2 = _li_pair(spark, sf_dir)
+    return SparkCompare(spark, df1, df2, join_columns=LI_KEYS, abs_tol=_LI_ABS_TOL)
+
+
+def _li_key_cond(t1: str = "df1", t2: str = "df2") -> str:
+    return " AND ".join(
+        f"{t1}.{k} IS NOT DISTINCT FROM {t2}.{k}" for k in LI_KEYS
+    )
+
+
+def _li_ctes() -> str:
+    """Shared DuckDB CTEs: df1, df2 (perturbed), j (suffixed outer join)."""
+    keys = ",\n    ".join(
+        f"COALESCE(df1.{k}, df2.{k}) AS {k}" for k in LI_KEYS
+    )
+    pairs = ",\n    ".join(
+        f"df1.{c} AS {c}_df1, df2.{c} AS {c}_df2" for c in LI_VALS
+    )
+    return f"""
+WITH df1 AS (SELECT * FROM lineitem WHERE l_orderkey % 50 <> 0),
+df2 AS ({_LI_DF2_SELECT}
+),
+j AS (
+  SELECT
+    df1.l_orderkey IS NOT NULL AS in1, df2.l_orderkey IS NOT NULL AS in2,
+    {keys},
+    {pairs}
+  FROM df1 FULL OUTER JOIN df2 ON {_li_key_cond()}
+)"""
+
+
+def _li_match_sql(c: str) -> str:
+    """DuckDB predicate mirroring the engine's comparator for column c."""
+    a, b = f"{c}_df1", f"{c}_df2"
+    atol = _LI_ABS_TOL.get(c, _LI_ABS_TOL["default"])
+    if c in _LI_NUMERIC and atol > 0:
+        return (
+            f"(({a} IS NOT DISTINCT FROM {b}) OR ({a} IS NOT NULL AND {b} IS NOT NULL"
+            f" AND abs({a} - {b}) <= {atol}::DOUBLE))"
+        )
+    return f"({a} IS NOT DISTINCT FROM {b})"
+
+
+def _li_all_match_sql() -> str:
+    return " AND ".join(_li_match_sql(c) for c in LI_VALS)
+
+
+# --------------------------------------------------------------------- Q1
+
+def q_cmp_row_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row classification from the null-safe full outer join (J1/P3/P4)."""
+    c = _li_compare(spark, sf_dir)
+    k = LI_KEYS
+    return (
+        c.df1_unq_rows.select(*k, F.lit("left_only").alias("row_class"))
+        .unionAll(c.df2_unq_rows.select(*k, F.lit("right_only").alias("row_class")))
+        .unionAll(c.intersect_rows.select(*k, F.lit("both").alias("row_class")))
+    )
+
+
+SQL_CMP_ROW_CLASSES = (
+    _li_ctes()
+    + f"""
+SELECT {', '.join(LI_KEYS)},
+  CASE WHEN NOT in2 THEN 'left_only' WHEN NOT in1 THEN 'right_only' ELSE 'both' END AS row_class
+FROM j"""
+)
+
+
+# --------------------------------------------------------------------- Q2
+
+def q_cmp_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column match/null-diff/max-diff statistics (A1+A3+A4, single agg)."""
+    c = _li_compare(spark, sf_dir)
+    rows = [
+        (s["column"], s["match_cnt"], s["unequal_cnt"], s["null_diff"], float(s["max_diff"]))
+        for s in c.column_stats
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("col_name", T.StringType()),
+            T.StructField("match_cnt", T.LongType()),
+            T.StructField("unequal_cnt", T.LongType()),
+            T.StructField("null_diff", T.LongType()),
+            T.StructField("max_diff", T.DoubleType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def _sql_cmp_column_stats() -> str:
+    parts = []
+    for c in LI_VALS:
+        a, b = f"{c}_df1", f"{c}_df2"
+        if c in _LI_NUMERIC:
+            maxd = f"COALESCE(max(CASE WHEN in1 AND in2 AND {a} IS NOT NULL AND {b} IS NOT NULL THEN abs({a} - {b}) END), 0.0::DOUBLE)"
+        else:
+            maxd = "0.0::DOUBLE"
+        parts.append(
+            f"""SELECT '{c}' AS col_name,
+  sum(CASE WHEN in1 AND in2 AND {_li_match_sql(c)} THEN 1 ELSE 0 END)::BIGINT AS match_cnt,
+  sum(CASE WHEN in1 AND in2 AND NOT {_li_match_sql(c)} THEN 1 ELSE 0 END)::BIGINT AS unequal_cnt,
+  sum(CASE WHEN in1 AND in2 AND (({a} IS NULL) <> ({b} IS NULL)) THEN 1 ELSE 0 END)::BIGINT AS null_diff,
+  {maxd} AS max_diff
+FROM j"""
+        )
+    return _li_ctes() + "\n" + "\nUNION ALL\n".join(parts)
+
+
+SQL_CMP_COLUMN_STATS = _sql_cmp_column_stats()
+
+
+# --------------------------------------------------------------------- Q3
+
+def q_cmp_unique_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unique-row extraction with original column names (P4/P8)."""
+    c = _li_compare(spark, sf_dir)
+    cols = c.df1.columns
+    return (
+        c.df1_unq_rows.select(F.lit("df1").alias("side"), *cols)
+        .unionAll(c.df2_unq_rows.select(F.lit("df2").alias("side"), *cols))
+    )
+
+
+def _sql_cmp_unique_rows() -> str:
+    cols = ", ".join(LI_COLS)
+    return f"""
+WITH df1 AS (SELECT * FROM lineitem WHERE l_orderkey % 50 <> 0),
+df2 AS ({_LI_DF2_SELECT}
+)
+SELECT 'df1' AS side, {cols} FROM df1
+WHERE NOT EXISTS (SELECT 1 FROM df2 WHERE {_li_key_cond('df2', 'df1')})
+UNION ALL
+SELECT 'df2' AS side, {cols} FROM df2
+WHERE NOT EXISTS (SELECT 1 FROM df1 WHERE {_li_key_cond('df1', 'df2')})"""
+
+
+SQL_CMP_UNIQUE_ROWS = _sql_cmp_unique_rows()
+
+
+# --------------------------------------------------------------------- Q4
+
+def q_cmp_all_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every intersect row with >=1 mismatching column (L2/P6/A2)."""
+    return _li_compare(spark, sf_dir).all_mismatch()
+
+
+def _sql_cmp_all_mismatch() -> str:
+    pairs = ", ".join(f"{c}_df1, {c}_df2" for c in LI_VALS)
+    return (
+        _li_ctes()
+        + f"""
+SELECT {', '.join(LI_KEYS)}, {pairs}
+FROM j WHERE in1 AND in2 AND NOT ({_li_all_match_sql()})"""
+    )
+
+
+SQL_CMP_ALL_MISMATCH = _sql_cmp_all_mismatch()
+
+
+# --------------------------------------------------------------------- Q5
+
+def q_cmp_matches_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The boolean check API as one summary row (SURVEY §2.11)."""
+    c = _li_compare(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("n_df1", T.LongType()),
+            T.StructField("n_df2", T.LongType()),
+            T.StructField("n_common", T.LongType()),
+            T.StructField("n_left_only", T.LongType()),
+            T.StructField("n_right_only", T.LongType()),
+            T.StructField("n_matching_rows", T.LongType()),
+            T.StructField("matches", T.BooleanType()),
+            T.StructField("all_rows_overlap", T.BooleanType()),
+            T.StructField("intersect_rows_match", T.BooleanType()),
+        ]
+    )
+    row = (
+        c.df1_row_count,
+        c.df2_row_count,
+        c.intersect_rows_count,
+        c.df1_unq_rows_count,
+        c.df2_unq_rows_count,
+        c.count_matching_rows(),
+        c.matches(),
+        c.all_rows_overlap(),
+        c.intersect_rows_match(),
+    )
+    return spark.createDataFrame([row], schema)
+
+
+SQL_CMP_MATCHES_SUMMARY = (
+    _li_ctes()
+    + f""",
+agg AS (
+  SELECT
+    sum(CASE WHEN in1 THEN 1 ELSE 0 END)::BIGINT AS n_df1,
+    sum(CASE WHEN in2 THEN 1 ELSE 0 END)::BIGINT AS n_df2,
+    sum(CASE WHEN in1 AND in2 THEN 1 ELSE 0 END)::BIGINT AS n_common,
+    sum(CASE WHEN in1 AND NOT in2 THEN 1 ELSE 0 END)::BIGINT AS n_left_only,
+    sum(CASE WHEN in2 AND NOT in1 THEN 1 ELSE 0 END)::BIGINT AS n_right_only,
+    sum(CASE WHEN in1 AND in2 AND {_li_all_match_sql()} THEN 1 ELSE 0 END)::BIGINT AS n_matching_rows
+  FROM j)
+SELECT n_df1, n_df2, n_common, n_left_only, n_right_only, n_matching_rows,
+  (n_left_only = 0 AND n_right_only = 0 AND n_common > 0 AND n_matching_rows = n_common) AS matches,
+  (n_left_only = 0 AND n_right_only = 0) AS all_rows_overlap,
+  (n_common > 0 AND n_matching_rows = n_common) AS intersect_rows_match
+FROM agg"""
+)
+
+
+# --------------------------------------------------------------------- Q6
+
+_DUP_ORDER = ["l_linenumber", "l_partkey", "l_suppkey"]  # total order within key group
+_DUP_VALS = [
+    "l_partkey", "l_suppkey", "l_linenumber", "l_quantity", "l_extendedprice",
+    "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate",
+]
+
+
+def q_cmp_dupes_by_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-key ordinal pairing (J2/W1): join lineitem on the non-unique
+    l_orderkey alone; the k-th line on the left pairs with the k-th on the
+    right, ordered by a deterministic total order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    df1 = li
+    df2 = li.filter(F.col("l_linenumber") <= 5).withColumn(
+        "l_quantity",
+        F.when(
+            (F.col("l_orderkey") % 9 == 0) & (F.col("l_linenumber") == 1),
+            F.col("l_quantity") + F.lit(1.0),
+        ).otherwise(F.col("l_quantity")),
+    )
+    c = SparkCompare(
+        spark, df1, df2, join_columns=["l_orderkey"], dup_order_by=_DUP_ORDER
+    )
+    all_match = reduce(lambda a, b: a & b, [F.col(f"{v}_match") for v in _DUP_VALS])
+    inter = c.intersect_rows.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_both"),
+        F.sum(F.when(all_match, 1).otherwise(0)).alias("n_row_match"),
+    )
+    left = c.df1_unq_rows.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_left_only")
+    )
+    return inter.join(left, on="l_orderkey", how="full_outer").select(
+        "l_orderkey",
+        F.coalesce(F.col("n_both"), F.lit(0)).alias("n_both"),
+        F.coalesce(F.col("n_row_match"), F.lit(0)).alias("n_row_match"),
+        F.coalesce(F.col("n_left_only"), F.lit(0)).alias("n_left_only"),
+    )
+
+
+def _sql_cmp_dupes() -> str:
+    order = ", ".join(_DUP_ORDER)
+    eq = " AND ".join(f"(d1.{v} IS NOT DISTINCT FROM d2.{v})" for v in _DUP_VALS)
+    return f"""
+WITH d1 AS (
+  SELECT *, row_number() OVER (PARTITION BY l_orderkey ORDER BY {order}) - 1 AS ord
+  FROM lineitem),
+d2 AS (
+  SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+    CASE WHEN l_orderkey % 9 = 0 AND l_linenumber = 1 THEN l_quantity + 1.0::DOUBLE ELSE l_quantity END AS l_quantity,
+    l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate,
+    row_number() OVER (PARTITION BY l_orderkey ORDER BY {order}) - 1 AS ord
+  FROM lineitem WHERE l_linenumber <= 5)
+SELECT COALESCE(d1.l_orderkey, d2.l_orderkey) AS l_orderkey,
+  sum(CASE WHEN d1.l_orderkey IS NOT NULL AND d2.l_orderkey IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_both,
+  sum(CASE WHEN d1.l_orderkey IS NOT NULL AND d2.l_orderkey IS NOT NULL AND {eq} THEN 1 ELSE 0 END)::BIGINT AS n_row_match,
+  sum(CASE WHEN d2.l_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_left_only
+FROM d1 FULL OUTER JOIN d2
+  ON d1.l_orderkey IS NOT DISTINCT FROM d2.l_orderkey AND d1.ord = d2.ord
+GROUP BY 1"""
+
+
+SQL_CMP_DUPES = _sql_cmp_dupes()
+
+
+# --------------------------------------------------------------------- Q7
+
+def q_cmp_string_timestamp_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-type string↔timestamp comparison with TRY_CAST for malformed
+    strings (C4, ref string.py:315-321)."""
+    ev = load_table(spark, sf_dir, "events")
+    df1 = ev.select("event_id", "ts")
+    df2 = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 7 == 0, F.lit("not-a-timestamp"))
+        .otherwise(F.col("ts").cast("string"))
+        .alias("ts"),
+    )
+    c = SparkCompare(spark, df1, df2, join_columns=["event_id"])
+    return c.intersect_rows.select("event_id", F.col("ts_match").alias("ts_match"))
+
+
+SQL_CMP_STRING_TS_CAST = """
+WITH df2 AS (
+  SELECT event_id,
+    CASE WHEN event_id % 7 = 0 THEN 'not-a-timestamp' ELSE ts::VARCHAR END AS ts_s
+  FROM events)
+SELECT e.event_id, (TRY_CAST(d.ts_s AS TIMESTAMP) IS NOT DISTINCT FROM e.ts) AS ts_match
+FROM events e JOIN df2 d USING (event_id)"""
+
+
+# --------------------------------------------------------------------- Q8
+
+def q_cmp_bool_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """boolean↔numeric comparison: True↔1 / False↔0 (C2, ref boolean.py:170-274)."""
+    ev = load_table(spark, sf_dir, "events")
+    df1 = ev.select("event_id", (F.col("value") > F.lit(0.5)).alias("flag"))
+    base = (F.col("value") > F.lit(0.5)).cast("int")
+    df2 = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 11 == 0, F.lit(1) - base).otherwise(base).alias("flag"),
+    )
+    c = SparkCompare(spark, df1, df2, join_columns=["event_id"])
+    return c.intersect_rows.select("event_id", F.col("flag_match").alias("flag_match"))
+
+
+SQL_CMP_BOOL_NUMERIC = """
+WITH df1 AS (SELECT event_id, (value > 0.5::DOUBLE) AS flag FROM events),
+df2 AS (
+  SELECT event_id,
+    CASE WHEN event_id % 11 = 0 THEN 1 - (value > 0.5::DOUBLE)::INT
+         ELSE (value > 0.5::DOUBLE)::INT END AS flag
+  FROM events)
+SELECT df1.event_id,
+  CASE WHEN df1.flag IS NULL AND df2.flag IS NULL THEN TRUE
+       WHEN df1.flag IS NULL OR df2.flag IS NULL THEN FALSE
+       WHEN df1.flag THEN df2.flag = 1
+       ELSE df2.flag = 0 END AS flag_match
+FROM df1 JOIN df2 USING (event_id)"""
+
+
+# --------------------------------------------------------------------- Q9
+
+def q_cmp_array_equal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive null-safe array equality (C1, ref array.py:129-160)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    df1 = emb.select("vec_id", "embedding")
+    df2 = emb.select(
+        "vec_id",
+        F.when(F.col("label") % 5 == 0, F.reverse(F.col("embedding")))
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+    )
+    c = SparkCompare(spark, df1, df2, join_columns=["vec_id"])
+    return c.intersect_rows.select(
+        "vec_id", F.col("embedding_match").alias("embedding_match")
+    )
+
+
+SQL_CMP_ARRAY_EQUAL = """
+WITH df2 AS (
+  SELECT vec_id,
+    CASE WHEN label % 5 = 0 THEN list_reverse(embedding) ELSE embedding END AS embedding
+  FROM embeddings)
+SELECT e.vec_id, (e.embedding IS NOT DISTINCT FROM d.embedding) AS embedding_match
+FROM embeddings e JOIN df2 d USING (vec_id)"""
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "cmp_row_classes": q_cmp_row_classes,
+    "cmp_column_stats": q_cmp_column_stats,
+    "cmp_unique_rows": q_cmp_unique_rows,
+    "cmp_all_mismatch": q_cmp_all_mismatch,
+    "cmp_matches_summary": q_cmp_matches_summary,
+    "cmp_dupes_by_ordinal": q_cmp_dupes_by_ordinal,
+    "cmp_string_timestamp_cast": q_cmp_string_timestamp_cast,
+    "cmp_bool_numeric": q_cmp_bool_numeric,
+    "cmp_array_equal": q_cmp_array_equal,
+}
+
+ORACLES: Dict[str, str] = {
+    "cmp_row_classes": SQL_CMP_ROW_CLASSES,
+    "cmp_column_stats": SQL_CMP_COLUMN_STATS,
+    "cmp_unique_rows": SQL_CMP_UNIQUE_ROWS,
+    "cmp_all_mismatch": SQL_CMP_ALL_MISMATCH,
+    "cmp_matches_summary": SQL_CMP_MATCHES_SUMMARY,
+    "cmp_dupes_by_ordinal": SQL_CMP_DUPES,
+    "cmp_string_timestamp_cast": SQL_CMP_STRING_TS_CAST,
+    "cmp_bool_numeric": SQL_CMP_BOOL_NUMERIC,
+    "cmp_array_equal": SQL_CMP_ARRAY_EQUAL,
+}

@@ -1,0 +1,97 @@
+"""Source loading: format inference + scale-aware parquet/csv/json readers.
+
+Parity: reference CLI backends (``cli/backends.py:56-105`` format inference,
+``:290-303`` Spark loaders). Extension: transparent handling of
+nanosecond-precision parquet timestamps, which vanilla Spark rejects with
+PARQUET_TYPE_ILLEGAL — we read them as longs and truncate to microseconds
+(exactly what DuckDB/Arrow do when downcasting ns → us).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_EXT_FORMAT = {
+    ".csv": "csv",
+    ".parquet": "parquet",
+    ".pq": "parquet",
+    ".json": "json",
+    ".jsonl": "jsonl",
+    ".ndjson": "jsonl",
+    # .tsv deliberately unmapped (ref cli/backends.py:84-88): require explicit
+    # format + delimiter rather than guessing.
+}
+
+
+def infer_format(path: str) -> Optional[str]:
+    """Extension → format (ref ``cli/backends.py:56-100``)."""
+    _, ext = os.path.splitext(path.rstrip("/"))
+    return _EXT_FORMAT.get(ext.lower())
+
+
+def _nanos_timestamp_fields(path: str) -> list[str]:
+    """Driver-side metadata probe: which columns are timestamp[ns]?"""
+    try:
+        import pyarrow.parquet as pq
+
+        schema = pq.read_schema(path)
+        return [f.name for f in schema if str(f.type) == "timestamp[ns]"]
+    except Exception:
+        return []
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan; ns-timestamps are truncated to us so downstream
+    comparisons agree with Arrow/DuckDB semantics."""
+    ns_cols = _nanos_timestamp_fields(path)
+    if not ns_cols:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        df = spark.read.parquet(path)
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    for c in ns_cols:
+        # integer `div`, NOT `/`: ns values exceed 2^53, double division would
+        # lose the low microsecond bit
+        df = df.withColumn(c, F.expr(f"timestamp_micros(CAST(`{c}` div 1000 AS BIGINT))"))
+    return df
+
+
+def read_csv(
+    spark: SparkSession, path: str, delimiter: str = ",", header: bool = True
+) -> DataFrame:
+    """CSV scan with schema inference (ref ``cli/backends.py:290-300``)."""
+    return spark.read.csv(path, header=header, inferSchema=True, sep=delimiter)
+
+
+def read_json(spark: SparkSession, path: str, lines: Optional[bool] = None) -> DataFrame:
+    """JSON scan; ``.json`` is multiLine, ``.jsonl``/``.ndjson`` line-mode
+    (ref ``cli/backends.py:103-105,303``)."""
+    if lines is None:
+        lines = infer_format(path) == "jsonl"
+    return spark.read.json(path, multiLine=not lines)
+
+
+def load(spark: SparkSession, ref: str, fmt: Optional[str] = None, **options) -> DataFrame:
+    """Load a table reference: a file path (format inferred from extension)
+    or a catalog table name (ref ``cli/backends.py:341-366`` table refs)."""
+    fmt = fmt or infer_format(ref)
+    if fmt == "parquet":
+        return read_parquet(spark, ref)
+    if fmt == "csv":
+        return read_csv(spark, ref, **options)
+    if fmt in ("json", "jsonl"):
+        return read_json(spark, ref, lines=(fmt == "jsonl"))
+    if fmt is None and "." not in os.path.basename(ref):
+        return spark.table(ref)
+    raise ValueError(f"cannot infer format for {ref!r}; pass fmt= explicitly")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one of the driver's testdata tables."""
+    return read_parquet(spark, f"{sf_dir}/{name}.parquet")

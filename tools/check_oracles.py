@@ -1,0 +1,135 @@
+"""Replay the driver's correctness gate locally: run every queries() entry on
+Spark and its oracle_sql() twin on DuckDB, compare row counts + sorted values.
+
+Usage: python tools/check_oracles.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Column-name-sorted, row-sorted, type-normalized frame for comparison."""
+    df = df.reindex(sorted(df.columns), axis=1)
+    out = {}
+    for c in df.columns:
+        s = df[c]
+        if s.dtype == object and len(s) and isinstance(s.dropna().iloc[0] if s.dropna().size else None, (list, tuple)):
+            s = s.map(lambda v: tuple(v) if v is not None else None)
+        try:
+            import numpy as np
+            if isinstance(s.dtype, object) and s.map(lambda v: isinstance(v, np.ndarray) if v is not None else False).any():
+                s = s.map(lambda v: tuple(v.tolist()) if v is not None else None)
+        except Exception:
+            pass
+        out[c] = s
+    df = pd.DataFrame(out)
+    return df.sort_values(by=list(df.columns), ignore_index=True, key=lambda col: col.map(str))
+
+
+def values_close(a: pd.DataFrame, b: pd.DataFrame) -> bool:
+    if a.shape != b.shape or list(a.columns) != list(b.columns):
+        return False
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if av.dtype.kind == "f" or bv.dtype.kind == "f":
+            ok = [
+                (pd.isna(x) and pd.isna(y))
+                or (
+                    not pd.isna(x)
+                    and not pd.isna(y)
+                    and (x == y or math.isclose(float(x), float(y), rel_tol=1e-12, abs_tol=1e-12))
+                )
+                for x, y in zip(av, bv)
+            ]
+            if not all(ok):
+                return False
+        else:
+            if not av.map(str).equals(bv.map(str)):
+                return False
+    return True
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '16')}]")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .appName("oracle-check")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as e
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    failures = []
+    for name, fn in sorted(qs.items()):
+        if only and name not in only:
+            continue
+        try:
+            got = fn(spark, sf_dir).toPandas()
+        except Exception as ex:
+            print(f"FAIL  {name}: spark error: {ex}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"weak  {name}: rows={len(got)} (no oracle, rows-only check)")
+            continue
+        try:
+            want = con.execute(oracles[name]).df()
+        except Exception as ex:
+            print(f"FAIL  {name}: duckdb error: {ex}")
+            failures.append(name)
+            continue
+        g, w = canon(got), canon(want)
+        if len(g) != len(w):
+            print(f"FAIL  {name}: rows spark={len(g)} duckdb={len(w)}")
+            failures.append(name)
+        elif list(g.columns) != list(w.columns):
+            print(f"FAIL  {name}: cols spark={list(g.columns)} duckdb={list(w.columns)}")
+            failures.append(name)
+        elif not values_close(g, w):
+            diff_preview = ""
+            for i in range(len(g)):
+                if not g.iloc[i].map(str).equals(w.iloc[i].map(str)):
+                    diff_preview = f" first diff row {i}: spark={g.iloc[i].to_dict()} duckdb={w.iloc[i].to_dict()}"
+                    break
+            print(f"FAIL  {name}: value mismatch.{diff_preview}")
+            failures.append(name)
+        else:
+            print(f"ok    {name}: rows={len(g)}")
+    spark.stop()
+    if failures:
+        print(f"\n{len(failures)} FAILURES: {failures}")
+        return 1
+    print("\nall queries match their oracles")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
