@@ -1,0 +1,83 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {"q1": sec, ...}, "sf": ...}
+
+The headline metric mirrors the reference's published benchmark unit of work —
+one full compare + report (BASELINE.md: compare+report seconds) — on the
+lineitem comparison scenario. Individual driver-contract queries are timed
+separately in "queries".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .appName("datacompy-spark-bench")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from datacompy_spark.operators.compare import SparkCompare
+    from datacompy_spark.queries import QUERIES, _li_compare
+
+    # warm up JVM/codegen through the same code path on a tiny table so the
+    # headline measures the engine, not first-call compilation
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    SparkCompare(spark, nation, nation.select(*nation.columns), join_columns="n_nationkey").report()
+
+    timings = {}
+
+    # headline: full compare + report, the reference's benchmark unit of work
+    t0 = time.perf_counter()
+    cmp_ = _li_compare(spark, sf_dir)
+    cmp_.report(sample_count=10)
+    headline = time.perf_counter() - t0
+    timings["compare_report"] = round(headline, 4)
+
+    spark.catalog.clearCache()
+    for name, fn in QUERIES.items():
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        spark.catalog.clearCache()  # drop per-query exception caches
+
+    print(
+        json.dumps(
+            {
+                "metric": "compare_report_sec",
+                "value": timings["compare_report"],
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -131,6 +131,7 @@ class SparkCompare:
         custom_comparators: Optional[Sequence[BaseComparator]] = None,
         cache_intermediates: bool = False,
         dup_order_by: Optional[Sequence[str]] = None,
+        assume_unique: bool = False,
     ) -> None:
         self.spark = spark
         if df1_name == df2_name:
@@ -142,6 +143,7 @@ class SparkCompare:
         self.cast_column_names_lower = cast_column_names_lower
         self.custom_comparators = list(custom_comparators or [])
         self.cache_intermediates = cache_intermediates
+        self.assume_unique = assume_unique
 
         if isinstance(join_columns, (str, int, float)):
             join_columns = [str(join_columns)]
@@ -201,18 +203,6 @@ class SparkCompare:
 
     # ---------------------------------------------------------------- the plan
 
-    def _has_duplicate_keys(self, df: DataFrame) -> bool:
-        """Dupe probe (ref ``spark.py:328-332``) without a second full count:
-        groupBy keys → any group >1, limit 1."""
-        return (
-            df.groupBy(*self.join_columns)
-            .count()
-            .filter(F.col("count") > 1)
-            .limit(1)
-            .count()
-            > 0
-        )
-
     def _with_ordinal(self, df: DataFrame) -> DataFrame:
         """Attach a 0-based per-key ordinal so the k-th duplicate on the left
         pairs with the k-th on the right (ref ``spark.py:386-412,1114-1170``).
@@ -232,23 +222,35 @@ class SparkCompare:
         return df.drop("__dc_idx")
 
     def _build(self) -> None:
+        """Assemble the (lazy) comparison plan.
+
+        Scale design vs the reference (``spark.py:328-412``): the reference
+        runs a duplicate-key probe (two counts per side = extra shuffles +
+        driver barriers) and only then decides whether to attach pairing
+        ordinals. Here the ordinal is ALWAYS attached — for unique keys it is
+        0 everywhere and the join is unchanged — and duplicate presence falls
+        out of the single statistics aggregate. Crucially the ordinal enters
+        the join as a range-pair condition (``o1 <= o2 AND o1 >= o2``) rather
+        than an equality, which keeps it OUT of the hash-partitioning keys:
+        the sort-merge join reuses the window's key-partitioning instead of
+        re-shuffling on (keys, ordinal). Net cost of dup-safety: one
+        in-partition sort, zero extra shuffles, zero extra actions.
+        ``assume_unique=True`` skips the ordinal entirely (caller guarantees
+        key uniqueness)."""
         df1, df2 = self.df1, self.df2
         n1, n2 = self.df1_name, self.df2_name
 
-        self.has_duplicates = self._has_duplicate_keys(df1) or self._has_duplicate_keys(df2)
-        join_keys = list(self.join_columns)
-        if self.has_duplicates:
-            LOG.info("duplicate join keys detected; pairing duplicates by ordinal")
+        paired = not self.assume_unique
+        if paired:
             df1 = self._with_ordinal(df1)
             df2 = self._with_ordinal(df2)
-            join_keys = join_keys + ["__dc_ordinal"]
 
         # Internal rename: join keys get engine-private suffixes, value columns
         # get the public {col}_{df_name} suffixes (ref ``spark.py:429-448``).
         def suffixed(df: DataFrame, tag: str, public: str) -> DataFrame:
             mapping = {}
             for c in df.columns:
-                if c in join_keys:
+                if c in self.join_columns or c == "__dc_ordinal":
                     mapping[c] = f"{c}__{tag}"
                 else:
                     mapping[c] = f"{c}_{public}"
@@ -261,18 +263,22 @@ class SparkCompare:
 
         def key_expr(side: DataFrame, c: str, tag: str) -> Column:
             col = side[f"{c}__{tag}"]
-            if c not in df1.columns:  # engine-private ordinal key
-                return col
-            dt = df1.schema[c].dataType
+            dt = self.df1.schema[c].dataType
             if self.ignore_spaces and isinstance(dt, _STRING_TYPES):
                 # join keys are trimmed but never case-folded (ref spark.py:416-427)
                 return F.trim(col)
             return col
 
-        cond = [
-            key_expr(left, c, "lhs").eqNullSafe(key_expr(right, c, "rhs"))
-            for c in join_keys
-        ]
+        cond = reduce(
+            lambda a, b: a & b,
+            [
+                key_expr(left, c, "lhs").eqNullSafe(key_expr(right, c, "rhs"))
+                for c in self.join_columns
+            ],
+        )
+        if paired:
+            ol, orr = left["__dc_ordinal__lhs"], right["__dc_ordinal__rhs"]
+            cond = cond & (ol <= orr) & (ol >= orr)
         outer = left.join(right, on=cond, how="full_outer")
 
         merge = (
@@ -286,13 +292,26 @@ class SparkCompare:
             ).otherwise(F.col(f"{c}__rhs")).alias(c)
             for c in self.join_columns
         ]
+        internal = {f"{k}__{t}" for k in list(self.join_columns) + ["__dc_ordinal"] for t in ("lhs", "rhs")}
         value_cols = [
             c
             for c in outer.columns
-            if not c.startswith("__present_")
-            and not any(c == f"{k}__lhs" or c == f"{k}__rhs" for k in join_keys)
+            if not c.startswith("__present_") and c not in internal
         ]
-        outer = outer.select(*restored_keys, *[F.col(c) for c in value_cols], merge.alias("_merge"))
+        extras = []
+        if paired:
+            # max pairing ordinal → duplicate detection, for free in the stats agg
+            extras.append(
+                F.greatest(
+                    F.coalesce(F.col("__dc_ordinal__lhs"), F.lit(0)),
+                    F.coalesce(F.col("__dc_ordinal__rhs"), F.lit(0)),
+                ).alias("__dc_ord")
+            )
+        else:
+            extras.append(F.lit(0).alias("__dc_ord"))
+        outer = outer.select(
+            *restored_keys, *[F.col(c) for c in value_cols], merge.alias("_merge"), *extras
+        )
 
         # Per-column match expressions — one boolean Column each, all attached
         # in a single withColumns batch (ref ``spark.py:549-570``).
@@ -315,7 +334,27 @@ class SparkCompare:
         outer = outer.withColumns(match_exprs)
         if self.cache_intermediates:
             outer = outer.persist()
+            self._outer_persisted = True
+        else:
+            self._outer_persisted = False
         self._outer = outer
+
+    @cached_property
+    def _exceptions(self) -> DataFrame:
+        """The cached *diff*: rows that are unique to one side or have at
+        least one mismatching column. Report sampling and mismatch extraction
+        make several passes — but only ever over these rows, so this is what
+        gets persisted. At scale the diff is normally a tiny fraction of the
+        join (the reference caches the full intersect frame instead,
+        ``spark.py:532-537``)."""
+        from pyspark import StorageLevel
+
+        pred = (F.col("_merge") != "both") | self._any_mismatch_pred()
+        return self._outer.filter(pred).persist(StorageLevel.MEMORY_AND_DISK)
+
+    def _ensure_cached(self) -> None:
+        """Kick off materialization of the exceptions cache."""
+        self._exceptions  # noqa: B018 — building the property persists it
 
     # ---------------------------------------------------------- derived frames
 
@@ -343,7 +382,8 @@ class SparkCompare:
             sel.append(
                 F.col(c if c in self.join_columns else f"{c}_{name}").alias(c)
             )
-        return self._outer.filter(F.col("_merge") == tag).select(*sel)
+        # unique rows are by definition exceptions → serve from the small cache
+        return self._exceptions.filter(F.col("_merge") == tag).select(*sel)
 
     @cached_property
     def df1_unq_rows(self) -> DataFrame:
@@ -374,6 +414,7 @@ class SparkCompare:
             F.sum(F.when(F.col("_merge") == "left_only", 1).otherwise(0)).alias("__left_only"),
             F.sum(F.when(F.col("_merge") == "right_only", 1).otherwise(0)).alias("__right_only"),
             F.sum(F.when(both, 1).otherwise(0)).alias("__both"),
+            F.max(F.col("__dc_ord")).alias("__max_ord"),
         ]
         match_cols = [F.col(f"{c}_match") for c in self._compare_columns]
         if match_cols:
@@ -405,17 +446,22 @@ class SparkCompare:
         row = self._outer.agg(*aggs).collect()[0].asDict()
         return {k: (0 if v is None else v) for k, v in row.items()}
 
-    @cached_property
-    def _input_counts(self) -> Dict[str, int]:
-        return {"df1": self.df1.count(), "df2": self.df2.count()}
+    @property
+    def has_duplicates(self) -> bool:
+        """True iff either side has duplicate join keys — observed from the
+        pairing ordinals during the single statistics pass (the reference
+        runs a dedicated two-count probe per side, ``spark.py:328-332``)."""
+        return int(self._stats["__max_ord"]) > 0
 
     @property
     def df1_row_count(self) -> int:
-        return self._input_counts["df1"]
+        """Derived from the single-agg pass — the (possibly ordinal-paired)
+        outer join is 1:1, so |df1| = left_only + both. No extra scan."""
+        return int(self._stats["__left_only"]) + int(self._stats["__both"])
 
     @property
     def df2_row_count(self) -> int:
-        return self._input_counts["df2"]
+        return int(self._stats["__right_only"]) + int(self._stats["__both"])
 
     @property
     def df1_unq_rows_count(self) -> int:
@@ -525,7 +571,9 @@ class SparkCompare:
             raise ValueError(f"{column} is a join column; cannot sample mismatches")
         n1, n2 = self.df1_name, self.df2_name
         out = (
-            self.intersect_rows.filter(~F.col(f"{column}_match"))
+            self._exceptions.filter(
+                (F.col("_merge") == "both") & ~F.col(f"{column}_match")
+            )
             .select(*self.join_columns, f"{column}_{n1}", f"{column}_{n2}")
             .limit(sample_count)
         )
@@ -549,7 +597,9 @@ class SparkCompare:
         cols = list(self.join_columns)
         for c in keep:
             cols += [f"{c}_{n1}", f"{c}_{n2}"]
-        return self.intersect_rows.filter(self._any_mismatch_pred()).select(*cols)
+        return self._exceptions.filter(
+            (F.col("_merge") == "both") & self._any_mismatch_pred()
+        ).select(*cols)
 
     # ------------------------------------------------------------ sensitive
 
@@ -579,8 +629,13 @@ class SparkCompare:
                 ]
             )
 
-        if self.cache_intermediates:
+        # no unmasked partitions may linger in executor memory
+        if self._outer_persisted:
             self._outer.unpersist()
+            self._outer_persisted = False
+        exc = self.__dict__.get("_exceptions")
+        if exc is not None:
+            exc.unpersist()
         self.__dict__["intersect_rows"] = mask(
             self.intersect_rows, [self.df1_name, self.df2_name]
         )

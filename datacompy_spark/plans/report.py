@@ -197,6 +197,7 @@ def build_report_data(
     """Assemble the full report tree from a finished comparison
     (ref ``base.py:259-403``). All counts come from the engine's single-agg
     statistics pass — no extra count actions here."""
+    cmp._ensure_cached()  # sampling below makes several passes over the join
     n_both = cmp.intersect_rows_count
     matched = cmp.count_matching_rows()
     col_stats = cmp.column_stats
