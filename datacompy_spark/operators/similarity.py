@@ -1,0 +1,158 @@
+"""Similarity search over embedding columns.
+
+* ``knn_bruteforce`` — exact top-k cosine: broadcast the (small) query set,
+  score every corpus vector JVM-side, rank per query with a window. The
+  baseline and the verifier for approximate paths.
+* ``knn_lsh`` — random-hyperplane LSH: corpus and queries are bucketed by
+  sign-bit keys; candidates come only from matching buckets (multi-probe via
+  several independent tables), then exact cosine ranks them. The scale path:
+  the corpus side is shuffled once per table on uniform keys, queries stay
+  broadcast-sized.
+
+Hyperplanes are derived deterministically from md5 (see
+``hyperplanes_from_seed``) so results — and the DuckDB oracle — are exactly
+reproducible with no RNG state.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import List
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from datacompy_spark.functions.vector import cosine, dot, norm
+
+
+def hyperplanes_from_seed(n_planes: int, dim: int, seed: str = "lsh") -> List[List[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1): component (p, i) is
+    md5-derived, so any engine (or the SQL oracle) regenerates the exact same
+    planes from the seed string."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for i in range(dim):
+            h = hashlib.md5(f"{seed}#{p}#{i}".encode()).hexdigest()
+            v = int(h[:15], 16) / float(1 << 60)  # [0, 1)
+            row.append(round(2.0 * v - 1.0, 9))
+        planes.append(row)
+    return planes
+
+
+def knn_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Output: (query_id, neighbor_id, rank, cos_sim), rank 1..k by descending
+    cosine with ascending-id tiebreak (fully deterministic)."""
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            norm(F.col(vec_col)).alias("qn"),
+        )
+    )
+    # corpus norms are computed once per corpus row, not once per (query, row)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("cn"),
+    )
+    scored = c.join(q, F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "neighbor_id",
+        (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def _bucket_key(vec_col, planes: List[List[float]]):
+    """Packed sign-bit bucket id for one hyperplane table."""
+    key = F.lit(0).cast("long")
+    for j, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(x) for x in plane])
+        key = key + F.when(
+            dot(vec_col, lit_plane) >= 0, F.shiftleft(F.lit(1).cast("long"), j)
+        ).otherwise(F.lit(0).cast("long"))
+    return key
+
+
+def knn_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_tables: int = 4,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: str = "lsh",
+) -> DataFrame:
+    """Approximate top-k cosine via random-hyperplane LSH.
+
+    Each of ``n_tables`` independent tables buckets vectors by ``n_planes``
+    sign bits; a query only scores corpus vectors sharing a bucket in at
+    least one table. Recall rises with tables, cost falls with planes."""
+    tables = [
+        hyperplanes_from_seed(n_planes, dim, f"{seed}#{t}") for t in range(n_tables)
+    ]
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("cn"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qn"),
+    )
+
+    def banded(df: DataFrame, vec: str) -> DataFrame:
+        return df.select(
+            "*",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("tbl"),
+                            _bucket_key(F.col(vec), planes).alias("bucket"),
+                        )
+                        for t, planes in enumerate(tables)
+                    ]
+                )
+            ).alias("bk"),
+        ).select(*df.columns, "bk.tbl", "bk.bucket")
+
+    cb = banded(c, "cv")
+    qb = F.broadcast(banded(q, "qv"))
+    cand = (
+        cb.join(qb, ["tbl", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )

@@ -464,6 +464,8 @@ FROM embeddings e JOIN df2 d USING (vec_id)"""
 # registry
 # --------------------------------------------------------------------------
 
+from datacompy_spark.queries_pipeline import PIPELINE_ORACLES, PIPELINE_QUERIES  # noqa: E402
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cmp_row_classes": q_cmp_row_classes,
     "cmp_column_stats": q_cmp_column_stats,
@@ -474,6 +476,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cmp_string_timestamp_cast": q_cmp_string_timestamp_cast,
     "cmp_bool_numeric": q_cmp_bool_numeric,
     "cmp_array_equal": q_cmp_array_equal,
+    **PIPELINE_QUERIES,
 }
 
 ORACLES: Dict[str, str] = {
@@ -486,4 +489,5 @@ ORACLES: Dict[str, str] = {
     "cmp_string_timestamp_cast": SQL_CMP_STRING_TS_CAST,
     "cmp_bool_numeric": SQL_CMP_BOOL_NUMERIC,
     "cmp_array_equal": SQL_CMP_ARRAY_EQUAL,
+    **PIPELINE_ORACLES,
 }

@@ -1,0 +1,359 @@
+"""Driver-contract queries for the training-data pipeline operators
+(dedup, similarity search, text analysis, events rollup) + DuckDB oracles.
+
+Same cross-engine rules as ``queries.py``. Float outputs are restricted to
+expressions verified bit-identical across engines (sequential double folds,
+double divisions of exact integers, min/max selection — never re-ordered
+double summation).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datacompy_spark.functions import text as TX
+from datacompy_spark.functions import hashing as H
+from datacompy_spark.functions import vector as V
+from datacompy_spark.operators import dedup as D
+from datacompy_spark.operators import similarity as S
+from datacompy_spark.operators import textops as TO
+from datacompy_spark.sources.loaders import load_table
+
+# ------------------------------------------------------------------ dedup
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on normalized content (one shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_dedup(docs, "doc_id", "text")
+
+
+SQL_DEDUP_EXACT = f"""
+SELECT md5({TX.normalize_sql('text')}) AS content_hash,
+       min(doc_id) AS keep_id,
+       count(*) AS n_docs
+FROM documents GROUP BY 1"""
+
+
+def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH(4 bands) near-dup pairs, Jaccard-verified ≥ 0.3."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=16, bands=4, shingle_k=3, threshold=0.3
+    )
+
+
+def _sql_dedup_minhash() -> str:
+    toks = TX.tokens_sql("text")
+    sh = f"list_distinct({H.word_shingles_sql(toks, 3)})"
+    sig = H.minhash_signature_sql("shingles", 16)
+    band_keys = H.lsh_band_keys_sql("signature", 4, 4)
+    band_structs = ", ".join(
+        f"{{'band': {b}, 'bkey': {k}}}" for b, k in enumerate(band_keys)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, {sh} AS shingles FROM documents),
+sigs AS (
+  SELECT doc_id, shingles, {sig} AS signature FROM base),
+banded AS (
+  SELECT doc_id, shingles, u.band AS band, u.bkey AS bkey
+  FROM sigs, unnest([{band_structs}]) AS t(u)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+scored AS (
+  SELECT c.id_a, c.id_b,
+    len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
+    (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)))::DOUBLE AS jaccard
+  FROM cand c
+  JOIN base sa ON sa.doc_id = c.id_a
+  JOIN base sb ON sb.doc_id = c.id_b)
+SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.3::DOUBLE"""
+
+
+SQL_DEDUP_MINHASH = _sql_dedup_minhash()
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit simhash signatures (fuzzy-bag fingerprint) per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_signatures(docs, "doc_id", "text")
+
+
+SQL_DEDUP_SIMHASH = f"""
+SELECT doc_id, {H.simhash_sql(TX.tokens_sql('text'))} AS simhash
+FROM documents"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked pairwise char-3-gram Jaccard ≥ 0.5 within (lang, length/50)
+    buckets — the exact pairwise stage runs per-bucket, never all-pairs."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "block", F.concat_ws("#", F.col("lang"), F.expr("n_chars div 50"))
+    )
+    return D.ngram_jaccard_pairs(docs, "doc_id", "text", "block", n=3, threshold=0.5)
+
+
+def _sql_dedup_ngram() -> str:
+    grams = (
+        f"list_transform({H.char_ngrams_sql(TX.normalize_sql('text'), 3)},"
+        f" g -> {H.md5_long_sql('g')})"
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang || '#' || (n_chars // 50)::VARCHAR AS block, {grams} AS grams
+  FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  len(list_intersect(a.grams, b.grams))::DOUBLE /
+  (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))::DOUBLE AS jaccard
+FROM base a JOIN base b ON a.block = b.block AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
+  (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))::DOUBLE >= 0.5::DOUBLE"""
+
+
+SQL_DEDUP_NGRAM = _sql_dedup_ngram()
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding cosine near-dups ≥ 0.3, blocked by label (the synthetic
+    embeddings top out at ~0.47 within-label cosine, so 0.3 exercises a
+    non-trivial survivor set)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return D.embedding_near_dups(emb, "vec_id", "embedding", "label", threshold=0.3)
+
+
+SQL_DEDUP_EMBEDDING = f"""
+WITH pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    {V.cosine_sql('a.embedding', 'b.embedding', 64)} AS cos_sim
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id)
+SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.3::DOUBLE"""
+
+
+# ------------------------------------------------------------- similarity
+
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for probe vectors (vec_id % 97 = 0)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 97 == 0)
+    return S.knn_bruteforce(emb, probes, "vec_id", "embedding", k=5)
+
+
+SQL_KNN_BRUTEFORCE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 97 = 0),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+    {V.cosine_sql('q.qv', 'c.embedding', 64)} AS cos_sim
+  FROM q JOIN embeddings c ON c.vec_id <> q.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, rank::INT AS rank, cos_sim FROM ranked WHERE rank <= 5"""
+
+
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN: 4 tables × 8 sign bits, exact re-rank."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 97 == 0)
+    return S.knn_lsh(
+        emb, probes, "vec_id", "embedding", k=5, n_tables=4, n_planes=8, dim=64
+    )
+
+
+def _sql_knn_lsh() -> str:
+    tables = [S.hyperplanes_from_seed(8, 64, f"lsh#{t}") for t in range(4)]
+
+    def bucket_expr(vec: str, planes) -> str:
+        terms = []
+        for j, plane in enumerate(planes):
+            lits = ", ".join(repr(x) for x in plane)
+            d = (
+                f"list_sum(list_transform(generate_series(1, 64),"
+                f" i -> {vec}[i]::DOUBLE * ([{lits}]::DOUBLE[])[i]))"
+            )
+            terms.append(f"CASE WHEN {d} >= 0 THEN (1::BIGINT << {j}) ELSE 0::BIGINT END")
+        return "(" + " + ".join(terms) + ")"
+
+    # bucket keys are computed as plain columns first: DuckDB cannot bind
+    # table columns captured by lambdas nested inside an unnest() argument
+    bucket_cols = ", ".join(
+        f"{bucket_expr('embedding', planes)} AS bucket{t}"
+        for t, planes in enumerate(tables)
+    )
+    band_structs = ", ".join(
+        f"{{'tbl': {t}, 'bucket': bucket{t}}}" for t in range(len(tables))
+    )
+    return f"""
+WITH keyed AS (
+  SELECT vec_id, embedding, {bucket_cols} FROM embeddings),
+banded AS (
+  SELECT vec_id, embedding, u.tbl AS tbl, u.bucket AS bucket
+  FROM keyed, unnest([{band_structs}]) AS t(u)),
+qb AS (SELECT * FROM banded WHERE vec_id % 97 = 0),
+cand AS (
+  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id,
+                  qb.embedding AS qv, cb.embedding AS cv
+  FROM qb JOIN banded cb
+    ON qb.tbl = cb.tbl AND qb.bucket = cb.bucket AND qb.vec_id <> cb.vec_id),
+scored AS (
+  SELECT query_id, neighbor_id, {V.cosine_sql('qv', 'cv', 64)} AS cos_sim FROM cand),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, rank::INT AS rank, cos_sim FROM ranked WHERE rank <= 5"""
+
+
+SQL_KNN_LSH = _sql_knn_lsh()
+
+
+# ------------------------------------------------------------------- text
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return TO.text_stats(docs, "doc_id", "text")
+
+
+def _sql_text_stats() -> str:
+    m = TX.quality_metrics_sql("text")
+    cols = ", ".join(f"{expr} AS {name}" for name, expr in m.items())
+    return f"SELECT doc_id, {cols} FROM documents"
+
+
+SQL_TEXT_STATS = _sql_text_stats()
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return TO.detect_language(docs, "doc_id", "text")
+
+
+SQL_LANG_ID = f"SELECT doc_id, {TX.language_id_sql('text')} AS lang_pred FROM documents"
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return TO.token_counts(docs, "doc_id", "text")
+
+
+SQL_TOKEN_COUNT = f"""
+SELECT doc_id,
+  len({TX.tokens_sql('text')})::BIGINT AS ws_tokens,
+  {TX.regex_token_count_sql('text')}::BIGINT AS re_tokens
+FROM documents"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return TO.fingerprint(docs, "doc_id", "text", ngram=5)
+
+
+def _sql_doc_fingerprint() -> str:
+    norm = TX.normalize_sql("text")
+    grams = H.char_ngrams_sql(norm, 5)
+    return f"""
+SELECT doc_id,
+  md5({norm}) AS content_md5,
+  list_min(list_transform({grams}, g -> md5(g))) AS min_ngram_md5,
+  {H.simhash_sql(TX.tokens_sql('text'))} AS simhash
+FROM documents"""
+
+
+SQL_DOC_FINGERPRINT = _sql_doc_fingerprint()
+
+
+# ------------------------------------------------------------------ events
+
+def q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-hour rollup by event type (batch twin of the streaming
+    windowed aggregation in datacompy_spark.streaming)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        F.col("event_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+  count(*) AS n_events,
+  count(DISTINCT user_id) AS n_users,
+  min(value) AS min_value,
+  max(value) AS max_value
+FROM events GROUP BY 1, 2"""
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min timeout) per user — the batch twin of
+    a stateful streaming session-window operator."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_session = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        ev.withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+SQL_EVENTS_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id,
+    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+           OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+         THEN 1 ELSE 0 END AS new_session
+  FROM events)
+SELECT user_id, sum(new_session)::BIGINT AS n_sessions, count(*) AS n_events
+FROM g GROUP BY 1"""
+
+
+# --------------------------------------------------------------- registry
+
+PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_pairs": q_dedup_minhash_pairs,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "knn_cosine_bruteforce": q_knn_bruteforce,
+    "knn_lsh": q_knn_lsh,
+    "text_stats": q_text_stats,
+    "lang_id": q_lang_id,
+    "token_count": q_token_count,
+    "doc_fingerprint": q_doc_fingerprint,
+    "events_hourly_rollup": q_events_hourly_rollup,
+    "events_sessionize": q_events_sessionize,
+}
+
+PIPELINE_ORACLES: Dict[str, str] = {
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_minhash_pairs": SQL_DEDUP_MINHASH,
+    "dedup_simhash": SQL_DEDUP_SIMHASH,
+    "dedup_ngram_jaccard": SQL_DEDUP_NGRAM,
+    "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING,
+    "knn_cosine_bruteforce": SQL_KNN_BRUTEFORCE,
+    "knn_lsh": SQL_KNN_LSH,
+    "text_stats": SQL_TEXT_STATS,
+    "lang_id": SQL_LANG_ID,
+    "token_count": SQL_TOKEN_COUNT,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "events_hourly_rollup": SQL_EVENTS_HOURLY,
+    "events_sessionize": SQL_EVENTS_SESSIONIZE,
+}

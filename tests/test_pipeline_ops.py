@@ -1,0 +1,151 @@
+"""Tests for dedup / similarity / text operators with planted ground truth."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datacompy_spark.operators import dedup as D
+from datacompy_spark.operators import similarity as S
+from datacompy_spark.operators import textops as TO
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "The quick  brown FOX jumps over the lazy dog!"),  # exact dup after normalize
+        (3, "the quick brown fox jumps over the lazy cat"),    # near dup (1 word)
+        (4, "completely different content about spark engines"),
+        (5, "el rapido zorro marron salta sobre el perro perezoso de la casa"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+class TestExactDedup:
+    def test_groups(self, spark, docs):
+        out = {r["keep_id"]: r["n_docs"] for r in D.exact_dedup(docs, "doc_id", "text").collect()}
+        assert out[1] == 2  # docs 1 and 2 normalize identically
+        assert out[3] == 1
+        assert sum(out.values()) == 5
+
+
+class TestMinHash:
+    def test_near_dup_found(self, spark, docs):
+        # 8 bands x 2 rows: P(candidate) at jaccard 0.75 is 1-(1-0.75^2)^8 ≈ 0.9996
+        pairs = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in D.minhash_lsh_pairs(
+                docs, "doc_id", "text", num_hashes=16, bands=8, threshold=0.3
+            ).collect()
+        }
+        assert (1, 2) in pairs and pairs[(1, 2)] == 1.0  # identical shingle sets
+        assert (1, 3) in pairs and 0.3 <= pairs[(1, 3)] < 1.0
+        assert all({a, b} != {1, 4} and {a, b} != {4, 5} for a, b in pairs)
+
+    def test_signature_shape(self, spark, docs):
+        sig = D.minhash_signatures(docs, "doc_id", "text", num_hashes=16).collect()
+        assert all(len(r["signature"]) == 16 for r in sig)
+
+
+class TestSimHash:
+    def test_identical_and_near(self, spark, docs):
+        sigs = {r["doc_id"]: r["simhash"] for r in D.simhash_signatures(docs, "doc_id", "text").collect()}
+        assert sigs[1] == sigs[2]  # same normalized tokens
+        assert bin(sigs[1] ^ sigs[3]).count("1") < bin(sigs[1] ^ sigs[4]).count("1")
+
+    def test_near_dup_pairs(self, spark, docs):
+        pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+                 D.simhash_near_dups(docs, "doc_id", "text", max_hamming=10).collect()}
+        assert pairs.get((1, 2)) == 0
+
+
+class TestNgramJaccard:
+    def test_blocked_pairs(self, spark, docs):
+        blocked = docs.withColumn("block", F.lit("all"))
+        pairs = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in D.ngram_jaccard_pairs(
+                blocked, "doc_id", "text", "block", n=3, threshold=0.5
+            ).collect()
+        }
+        assert pairs[(1, 2)] == 1.0
+        assert (1, 3) in pairs
+        assert (1, 4) not in pairs
+
+
+class TestEmbeddingOps:
+    def test_neardup_and_knn(self, spark):
+        import math
+
+        def vec(seed, dim=8):
+            return [math.sin(seed * (i + 1)) for i in range(dim)]
+
+        rows = [
+            (1, vec(1.0), 0),
+            (2, vec(1.0), 0),            # exact duplicate of 1
+            (3, [x * 0.99 for x in vec(1.0)], 0),  # scaled → cosine 1.0
+            (4, vec(7.0), 0),
+            (5, vec(13.0), 1),
+        ]
+        emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>, label int")
+        dups = {(r["id_a"], r["id_b"]) for r in
+                D.embedding_near_dups(emb, "vec_id", "embedding", "label", 0.999).collect()}
+        assert (1, 2) in dups and (1, 3) in dups and (1, 4) not in dups
+
+        knn = S.knn_bruteforce(emb, emb.filter("vec_id = 1"), "vec_id", "embedding", k=2).collect()
+        assert [r["neighbor_id"] for r in sorted(knn, key=lambda r: r["rank"])] == [2, 3]
+
+    def test_lsh_recall_on_clustered_data(self, spark):
+        # LSH recall guarantees apply to genuinely-near neighbors (the driver
+        # embeddings top out at cosine ~0.47, where sign-bit buckets rarely
+        # collide — by design). Plant tight clusters (cosine > 0.99) instead.
+        import random
+
+        rng = random.Random(7)
+        rows = []
+        vid = 0
+        for cluster in range(10):
+            center = [rng.gauss(0, 1) for _ in range(64)]
+            for _ in range(5):
+                noisy = [x + rng.gauss(0, 0.02) for x in center]
+                rows.append((vid, noisy))
+                vid += 1
+        emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+        probes = emb.filter(F.col("vec_id") % 5 == 0)
+        exact = {
+            (r["query_id"], r["neighbor_id"])
+            for r in S.knn_bruteforce(emb, probes, "vec_id", "embedding", k=4).collect()
+        }
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in S.knn_lsh(
+                emb, probes, "vec_id", "embedding", k=4, n_tables=4, n_planes=8
+            ).collect()
+        }
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.8, f"LSH recall {recall} too low on clustered data"
+
+
+class TestTextOps:
+    def test_stats(self, spark, docs):
+        st = {r["doc_id"]: r for r in TO.text_stats(docs, "doc_id", "text").collect()}
+        assert st[1]["n_words"] == 9
+        assert st[1]["n_distinct_words"] == 8  # 'the' twice
+        assert st[1]["stopword_hits"] == 1  # only 'the' is in the EN list
+        assert abs(st[1]["type_token_ratio"] - 8 / 9) < 1e-12
+
+    def test_lang_id(self, spark, docs):
+        langs = {r["doc_id"]: r["lang_pred"] for r in TO.detect_language(docs, "doc_id", "text").collect()}
+        assert langs[1] == "en"
+        assert langs[5] == "es"
+
+    def test_token_counts(self, spark, docs):
+        tc = {r["doc_id"]: r for r in TO.token_counts(docs, "doc_id", "text").collect()}
+        assert tc[1]["ws_tokens"] == 9
+        assert tc[2]["re_tokens"] == 10  # 9 words + '!'
+
+    def test_fingerprint_stability(self, spark, docs):
+        fp = {r["doc_id"]: r for r in TO.fingerprint(docs, "doc_id", "text").collect()}
+        assert fp[1]["content_md5"] == fp[2]["content_md5"]
+        assert fp[1]["min_ngram_md5"] == fp[2]["min_ngram_md5"]
+        assert fp[1]["simhash"] == fp[2]["simhash"]
+        assert fp[1]["content_md5"] != fp[3]["content_md5"]
