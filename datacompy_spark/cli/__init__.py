@@ -1,0 +1,157 @@
+"""Command-line interface: ``python -m datacompy_spark compare ...``.
+
+Parity target: reference ``datacompy/cli/`` — declarative option spec mapped
+onto the comparison constructor (``cli/parser.py:55-115``), backend loading
+(``cli/backends.py``), report emission (``cli/output.py:46-101``), threshold
+evaluation (``cli/compare.py:124-157``), and the exit-code contract
+(``cli/__init__.py:70-73``): 0 match / 1 differ / 2 error / 130 interrupt.
+Spark is the only backend here, so the registry collapses to one strategy.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from typing import Optional, Sequence
+
+
+class CLIError(Exception):
+    """User/config error → exit code 2."""
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="datacompy-spark",
+        description="Compare two tabular datasets on a join key with Spark.",
+    )
+    sub = p.add_subparsers(dest="command", required=True)
+    c = sub.add_parser("compare", help="compare two datasets")
+    c.add_argument("--left", required=True, help="left input: file path or table name")
+    c.add_argument("--right", required=True, help="right input: file path or table name")
+    c.add_argument(
+        "--on",
+        required=True,
+        help="comma-separated join column list",
+    )
+    c.add_argument("--left-name", default="left", help="display name for left")
+    c.add_argument("--right-name", default="right", help="display name for right")
+    c.add_argument("--abs-tol", type=float, default=0.0)
+    c.add_argument("--rel-tol", type=float, default=0.0)
+    c.add_argument("--ignore-spaces", action="store_true")
+    c.add_argument("--ignore-case", action="store_true")
+    c.add_argument("--no-lowercase-columns", action="store_true",
+                   help="keep column-name case (default folds to lowercase)")
+    c.add_argument("--format", choices=["text", "json", "html"], default="text")
+    c.add_argument("--output", help="also write the report to this file")
+    c.add_argument("--quiet", action="store_true", help="suppress stdout report")
+    c.add_argument("--sample-count", type=int, default=10)
+    c.add_argument("--column-count", type=int, default=10)
+    c.add_argument(
+        "--max-unequal-rows",
+        type=int,
+        default=None,
+        help="pass (exit 0) iff differing rows <= N",
+    )
+    c.add_argument(
+        "--include-unique-in-threshold",
+        action="store_true",
+        help="count rows unique to either side against --max-unequal-rows",
+    )
+    c.add_argument("--input-format", choices=["csv", "parquet", "json", "jsonl"])
+    c.add_argument("--delimiter", default=",", help="CSV delimiter")
+    c.add_argument("--assume-unique", action="store_true",
+                   help="skip duplicate-key pairing (caller guarantees uniqueness)")
+    return p
+
+
+def _within_threshold(args, report_data) -> bool:
+    """Threshold semantics (ref ``cli/compare.py:124-157``): reads the built
+    ReportData, never re-counts."""
+    rs = report_data.row_summary
+    if report_data.column_summary.df1_unq_columns or report_data.column_summary.df2_unq_columns:
+        return False
+    unequal = rs.unequal_rows
+    if args.include_unique_in_threshold:
+        unequal += rs.df1_unq_rows + rs.df2_unq_rows
+    if args.max_unequal_rows is None:
+        return rs.unequal_rows == 0 and rs.df1_unq_rows == 0 and rs.df2_unq_rows == 0
+    return unequal <= args.max_unequal_rows
+
+
+def run_compare(args) -> int:
+    from pyspark.sql import SparkSession
+
+    from datacompy_spark.operators.compare import SparkCompare
+    from datacompy_spark.sources.loaders import load
+
+    created = SparkSession.getActiveSession() is None
+    spark = SparkSession.builder.appName("datacompy-spark-cli").getOrCreate()
+    try:
+        kwargs = {}
+        if args.input_format == "csv":
+            kwargs["delimiter"] = args.delimiter
+        try:
+            df1 = load(spark, args.left, fmt=args.input_format, **kwargs)
+            df2 = load(spark, args.right, fmt=args.input_format, **kwargs)
+        except Exception as ex:
+            raise CLIError(f"failed to load inputs: {ex}") from ex
+
+        join_columns = [c.strip() for c in args.on.split(",") if c.strip()]
+        if not join_columns:
+            raise CLIError("--on must name at least one column")
+        try:
+            cmp_ = SparkCompare(
+                spark,
+                df1,
+                df2,
+                join_columns=join_columns,
+                abs_tol=args.abs_tol,
+                rel_tol=args.rel_tol,
+                df1_name=args.left_name,
+                df2_name=args.right_name,
+                ignore_spaces=args.ignore_spaces,
+                ignore_case=args.ignore_case,
+                cast_column_names_lower=not args.no_lowercase_columns,
+                assume_unique=args.assume_unique,
+            )
+        except (ValueError, TypeError) as ex:
+            raise CLIError(str(ex)) from ex
+
+        data = cmp_.build_report_data(
+            sample_count=args.sample_count, column_count=args.column_count
+        )
+        rendered = {
+            "text": data.render,
+            "html": data.to_html,
+            "json": lambda: data.to_json(indent=2),
+        }[args.format]()
+        if not args.quiet:
+            print(rendered)
+        if args.output:
+            with open(args.output, "w") as fh:
+                fh.write(rendered)
+        return 0 if _within_threshold(args, data) else 1
+    finally:
+        # borrow-don't-stop semantics (ref cli/backends.py:250-288): only stop
+        # a session this invocation created
+        if created:
+            spark.stop()
+
+
+def main(argv: Optional[Sequence[str]] = None) -> int:
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    try:
+        if args.command == "compare":
+            return run_compare(args)
+        raise CLIError(f"unknown command {args.command!r}")
+    except CLIError as ex:
+        print(f"error: {ex}", file=sys.stderr)
+        return 2
+    except KeyboardInterrupt:
+        return 130
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

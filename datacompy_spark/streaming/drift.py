@@ -1,0 +1,131 @@
+"""Structured Streaming operators: windowed profiling, drift detection,
+streaming dedup, session windows.
+
+The reference library has NO streaming surface (SURVEY §2.9) — this module is
+the greenfield extension: the comparison semantics of the batch engine
+re-expressed over unbounded data. Every builder returns a transformation that
+works identically on a batch DataFrame or a streaming DataFrame (the standard
+Spark unification), so the batch twin doubles as the correctness oracle for
+the streaming path.
+
+Scale design: all aggregations are watermark-bounded (state is dropped once
+the watermark passes), keyed by (window, ...) so state distributes over the
+cluster; nothing holds unbounded state.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_profile(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    group_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Per-window numeric profile: count, mean, min, max, null count.
+
+    On a stream: watermarked tumbling-window aggregation (late rows beyond
+    ``watermark`` are dropped, state is bounded). On a batch frame: the exact
+    same result with the watermark as a no-op."""
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    keys = [F.window(F.col(ts_col), window).alias("win")] + [
+        F.col(c) for c in (group_cols or [])
+    ]
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col(value_col).isNull(), 1).otherwise(0)).alias("n_nulls"),
+        F.avg(value_col).alias("mean_value"),
+        F.min(value_col).alias("min_value"),
+        F.max(value_col).alias("max_value"),
+    )
+
+
+def profile_drift(
+    current: DataFrame,
+    baseline: DataFrame,
+    on: Sequence[str],
+    rel_tol: float = 0.2,
+) -> DataFrame:
+    """Join a live profile against a baseline profile and flag windows whose
+    mean shifted beyond ``rel_tol`` (relative) or whose null-rate changed.
+
+    This is the streaming analogue of the batch engine's tolerant column
+    comparison: same `|a-b| <= rel_tol*|b|` shape as the NumericComparator."""
+    cur = current.select(
+        *on,
+        F.col("n_rows").alias("cur_rows"),
+        F.col("mean_value").alias("cur_mean"),
+        F.col("n_nulls").alias("cur_nulls"),
+    )
+    base = baseline.select(
+        *on,
+        F.col("n_rows").alias("base_rows"),
+        F.col("mean_value").alias("base_mean"),
+        F.col("n_nulls").alias("base_nulls"),
+    )
+    joined = cur.join(F.broadcast(base), list(on), "left_outer")
+    mean_drift = F.when(
+        F.col("base_mean").isNull(), F.lit(True)
+    ).otherwise(
+        F.abs(F.col("cur_mean") - F.col("base_mean"))
+        > F.lit(rel_tol) * F.abs(F.col("base_mean"))
+    )
+    null_rate_cur = F.col("cur_nulls").cast("double") / F.col("cur_rows")
+    null_rate_base = F.col("base_nulls").cast("double") / F.col("base_rows")
+    null_drift = F.when(F.col("base_rows").isNull(), F.lit(True)).otherwise(
+        F.abs(null_rate_cur - null_rate_base) > F.lit(rel_tol)
+    )
+    return joined.select(
+        *on,
+        "cur_rows",
+        "cur_mean",
+        "base_mean",
+        mean_drift.alias("mean_drifted"),
+        null_drift.alias("null_rate_drifted"),
+    )
+
+
+def streaming_dedup(
+    df: DataFrame,
+    id_cols: Sequence[str],
+    ts_col: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exactly-once key dedup over a stream: keeps the first arrival of each
+    key; state for keys older than the watermark is dropped (bounded memory —
+    the streaming counterpart of batch ``exact_dedup``)."""
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+        return df.dropDuplicatesWithinWatermark(list(id_cols))
+    return df.dropDuplicates(list(id_cols))
+
+
+def sessionize(
+    df: DataFrame,
+    ts_col: str,
+    user_col: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Session-window aggregation (gap-based): events per user-session.
+
+    Streaming: ``session_window`` keeps per-user open-session state until the
+    watermark closes it. Batch: identical semantics, no state."""
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return df.groupBy(
+        F.session_window(F.col(ts_col), gap).alias("session"),
+        F.col(user_col),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("first_event"),
+        F.max(ts_col).alias("last_event"),
+    )

@@ -1,0 +1,119 @@
+"""Streaming operators driven through real micro-batch execution
+(file source → availableNow trigger → memory sink) with the batch twin as
+oracle; multimodal mapInPandas plumbing with deterministic fallbacks."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datacompy_spark.operators import multimodal as MM
+from datacompy_spark.sources.loaders import load_table
+from datacompy_spark.streaming import drift as SD
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory, spark, sf_dir):
+    """Micro-batch-friendly copy of events (ns timestamps pre-converted)."""
+    d = str(tmp_path_factory.mktemp("stream") / "events")
+    load_table(spark, sf_dir, "events").coalesce(2).write.parquet(d)
+    return d
+
+
+def run_stream(spark, stream_df, name):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if stream_df.isStreaming else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+class TestWindowedProfile:
+    def test_stream_matches_batch(self, spark, events_dir):
+        batch = spark.read.parquet(events_dir)
+        stream = spark.readStream.schema(batch.schema).parquet(events_dir)
+        prof_stream = SD.windowed_profile(stream, "ts", "value", "1 hour", group_cols=["event_type"])
+        got = run_stream(spark, prof_stream, "profile_stream")
+        want = SD.windowed_profile(batch, "ts", "value", "1 hour", group_cols=["event_type"])
+        g = {(r["win"]["start"], r["event_type"]): (r["n_rows"], r["n_nulls"]) for r in got.collect()}
+        w = {(r["win"]["start"], r["event_type"]): (r["n_rows"], r["n_nulls"]) for r in want.collect()}
+        assert g == w and len(g) > 0
+
+    def test_drift_flags(self, spark, events_dir):
+        batch = spark.read.parquet(events_dir)
+        base = SD.windowed_profile(batch, "ts", "value", "1 hour")
+        shifted = batch.withColumn("value", F.col("value") * 10)
+        cur = SD.windowed_profile(shifted, "ts", "value", "1 hour")
+        flags = SD.profile_drift(cur, base, on=["win"], rel_tol=0.2).collect()
+        assert len(flags) > 0
+        assert all(r["mean_drifted"] for r in flags if r["base_mean"] is not None)
+        same = SD.profile_drift(base, base, on=["win"], rel_tol=0.2).collect()
+        assert not any(r["mean_drifted"] for r in same)
+
+
+class TestStreamingDedup:
+    def test_dedup_stream(self, spark, events_dir):
+        batch = spark.read.parquet(events_dir)
+        dup_dir = events_dir + "_dup"
+        batch.union(batch).coalesce(2).write.parquet(dup_dir)
+        stream = spark.readStream.schema(batch.schema).parquet(dup_dir)
+        deduped = SD.streaming_dedup(stream, ["event_id"], "ts")
+        q = (
+            deduped.writeStream.format("memory").queryName("dedup_stream")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        got = spark.table("dedup_stream").count()
+        assert got == batch.count()
+
+
+class TestSessionize:
+    def test_stream_matches_batch(self, spark, events_dir):
+        batch = spark.read.parquet(events_dir)
+        stream = spark.readStream.schema(batch.schema).parquet(events_dir)
+        got = run_stream(spark, SD.sessionize(stream, "ts", "user_id"), "sessions_stream")
+        want = SD.sessionize(batch, "ts", "user_id")
+        assert got.count() == want.count() > 0
+        # per-user session counts identical
+        g = {r["user_id"]: r["n"] for r in got.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+        w = {r["user_id"]: r["n"] for r in want.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+        assert g == w
+
+
+class TestMultimodal:
+    @pytest.fixture()
+    def blobs(self, spark):
+        rows = [(i, f"fake-image-bytes-{i}".encode()) for i in range(20)]
+        return spark.createDataFrame(rows, "id bigint, data binary")
+
+    def test_metadata_attach(self, spark, blobs):
+        out = MM.attach_media_metadata(blobs, "data", "image", "png")
+        row = out.filter("id = 3").collect()[0]["media_meta"]
+        assert row["media_type"] == "image"
+        assert row["size_bytes"] == len(b"fake-image-bytes-3")
+        assert row["width"] is None
+
+    def test_image_features_deterministic(self, spark, blobs):
+        f1 = {r["id"]: r["features"] for r in MM.image_features(blobs, "id", "data").collect()}
+        f2 = {r["id"]: r["features"] for r in MM.image_features(blobs, "id", "data").collect()}
+        assert f1 == f2
+        assert all(len(v) == MM.IMAGE_FEATURE_DIM for v in f1.values())
+        assert f1[0] != f1[1]
+        # no codec stack in this container → fallback path
+        assert all(not r["decoded"] for r in MM.image_features(blobs, "id", "data").collect())
+
+    def test_bucketing_partitions(self, spark, blobs):
+        out = MM.bucket_by_content(blobs, "data", buckets=8)
+        assert out.rdd.getNumPartitions() == 8
+        assert out.count() == 20
+
+    def test_audio_features_schema(self, spark, blobs):
+        out = MM.audio_features(blobs, "id", "data")
+        assert out.schema.simpleString() == "struct<id:bigint,features:array<double>,decoded:boolean>"
+        assert out.count() == 20
+
+    def test_video_stub_raises(self, spark, blobs):
+        with pytest.raises(NotImplementedError, match="codec"):
+            MM.sample_video_frames(blobs, "id", "data")
