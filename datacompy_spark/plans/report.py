@@ -91,9 +91,17 @@ class ReportData:
     def to_json(self, **kwargs) -> str:
         return json.dumps(self.to_dict(), default=str, **kwargs)
 
-    def render(self) -> str:
-        """Plain-text report (section structure mirrors the reference's
-        ``templates/report_template.j2``; prose is our own)."""
+    def render(self, template_path: Optional[str] = None) -> str:
+        """Plain-text report. With ``template_path``, renders that Jinja2
+        template instead, passing the full report tree as ``report`` plus
+        every top-level field (custom-template hook, ref ``base.py:493-533``)."""
+        if template_path:
+            import jinja2
+
+            with open(template_path) as fh:
+                template = jinja2.Template(fh.read())
+            ctx = {f: getattr(self, f) for f in self.__dataclass_fields__}
+            return template.render(report=self, **ctx)
         L: List[str] = []
         bar = "-" * 60
 
