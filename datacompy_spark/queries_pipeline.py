@@ -324,6 +324,91 @@ SELECT user_id, sum(new_session)::BIGINT AS n_sessions, count(*) AS n_events
 FROM g GROUP BY 1"""
 
 
+def q_cmp_ignore_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String normalization flags: ignore_spaces (trim) + ignore_case (upper)
+    applied to compared values (ref string.py:488-511)."""
+    cust = load_table(spark, sf_dir, "customer")
+    df1 = cust.select("c_custkey", "c_name", "c_mktsegment")
+    df2 = cust.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 3 == 0, F.upper(F.col("c_name")))
+        .when(F.col("c_custkey") % 3 == 1, F.concat(F.col("c_name"), F.lit("  ")))
+        .otherwise(F.col("c_name"))
+        .alias("c_name"),
+        F.col("c_mktsegment"),
+    )
+    from datacompy_spark.operators.compare import SparkCompare
+
+    c = SparkCompare(
+        spark, df1, df2, join_columns=["c_custkey"],
+        ignore_spaces=True, ignore_case=True,
+    )
+    return c.intersect_rows.select(
+        "c_custkey",
+        F.col("c_name_match").alias("c_name_match"),
+        F.col("c_mktsegment_match").alias("c_mktsegment_match"),
+    )
+
+
+SQL_CMP_IGNORE_FLAGS = """
+WITH df2 AS (
+  SELECT c_custkey,
+    CASE WHEN c_custkey % 3 = 0 THEN upper(c_name)
+         WHEN c_custkey % 3 = 1 THEN c_name || '  '
+         ELSE c_name END AS c_name,
+    c_mktsegment
+  FROM customer)
+SELECT c.c_custkey,
+  (upper(trim(c.c_name)) IS NOT DISTINCT FROM upper(trim(d.c_name))) AS c_name_match,
+  (upper(trim(c.c_mktsegment)) IS NOT DISTINCT FROM upper(trim(d.c_mktsegment))) AS c_mktsegment_match
+FROM customer c JOIN df2 d USING (c_custkey)"""
+
+
+def q_stream_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING windowed-profile operator executed through Structured
+    Streaming micro-batches (file source → availableNow → memory sink); the
+    oracle is plain batch SQL — stream must equal batch exactly. Output
+    avoids re-ordered double sums (count/min/max only) for cross-engine
+    bit-parity."""
+    import uuid
+
+    from datacompy_spark.streaming.drift import windowed_profile
+
+    ev = load_table(spark, sf_dir, "events")
+    # file streaming source needs a micro-batch-readable copy (ns timestamps
+    # already normalized by the loader)
+    tmp = f"/tmp/dcs_stream_{uuid.uuid4().hex[:8]}"
+    ev.coalesce(4).write.parquet(tmp)
+    stream = spark.readStream.schema(ev.schema).parquet(tmp)
+    prof = windowed_profile(stream, "ts", "value", "1 hour", group_cols=["event_type"])
+    name = f"profile_{uuid.uuid4().hex[:8]}"
+    q = (
+        prof.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)  # results live in the memory sink
+    return spark.table(name).select(
+        F.col("win.start").alias("window_start"),
+        "event_type",
+        "n_rows",
+        "n_nulls",
+        "min_value",
+        "max_value",
+    )
+
+
+SQL_STREAM_HOURLY_PROFILE = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+  count(*) AS n_rows,
+  sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+  min(value) AS min_value,
+  max(value) AS max_value
+FROM events GROUP BY 1, 2"""
+
+
 # --------------------------------------------------------------- registry
 
 PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -340,6 +425,8 @@ PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_doc_fingerprint,
     "events_hourly_rollup": q_events_hourly_rollup,
     "events_sessionize": q_events_sessionize,
+    "cmp_ignore_flags": q_cmp_ignore_flags,
+    "stream_hourly_profile": q_stream_hourly_profile,
 }
 
 PIPELINE_ORACLES: Dict[str, str] = {
@@ -356,4 +443,6 @@ PIPELINE_ORACLES: Dict[str, str] = {
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "events_hourly_rollup": SQL_EVENTS_HOURLY,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
+    "cmp_ignore_flags": SQL_CMP_IGNORE_FLAGS,
+    "stream_hourly_profile": SQL_STREAM_HOURLY_PROFILE,
 }

@@ -1,0 +1,53 @@
+"""Source loader tests: format inference, csv/json/jsonl, ns-timestamps."""
+
+import pytest
+
+from datacompy_spark.sources import loaders as L
+
+
+class TestInferFormat:
+    def test_known_extensions(self):
+        assert L.infer_format("/x/a.csv") == "csv"
+        assert L.infer_format("/x/a.parquet") == "parquet"
+        assert L.infer_format("/x/a.json") == "json"
+        assert L.infer_format("/x/a.ndjson") == "jsonl"
+        assert L.infer_format("/x/a.jsonl") == "jsonl"
+
+    def test_tsv_deliberately_unmapped(self):
+        # ref cli/backends.py:84-88: .tsv requires explicit format+delimiter
+        assert L.infer_format("/x/a.tsv") is None
+
+
+class TestLoad:
+    def test_csv_with_delimiter(self, spark, tmp_path):
+        p = tmp_path / "t.csv"
+        p.write_text("id|v\n1|a\n2|b\n")
+        df = L.load(spark, str(p), fmt="csv", delimiter="|")
+        assert df.count() == 2 and df.columns == ["id", "v"]
+
+    def test_jsonl(self, spark, tmp_path):
+        p = tmp_path / "t.jsonl"
+        p.write_text('{"id": 1, "v": "a"}\n{"id": 2, "v": "b"}\n')
+        df = L.load(spark, str(p))
+        assert df.count() == 2 and set(df.columns) == {"id", "v"}
+
+    def test_multiline_json(self, spark, tmp_path):
+        p = tmp_path / "t.json"
+        p.write_text('[{"id": 1, "v": "a"}, {"id": 2, "v": "b"}]')
+        df = L.load(spark, str(p))
+        assert df.count() == 2
+
+    def test_unknown_format_raises(self, spark):
+        with pytest.raises(ValueError, match="cannot infer format"):
+            L.load(spark, "/x/file.xyz")
+
+    def test_ns_timestamp_parquet(self, spark, sf_dir):
+        import duckdb
+
+        df = L.load_table(spark, sf_dir, "events")
+        assert df.schema["ts"].dataType.simpleString() == "timestamp"
+        got = df.orderBy("event_id").limit(3).collect()
+        want = duckdb.connect().execute(
+            f"SELECT ts FROM '{sf_dir}/events.parquet' ORDER BY event_id LIMIT 3"
+        ).fetchall()
+        assert [r["ts"] for r in got] == [w[0] for w in want]
