@@ -58,6 +58,16 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="count rows unique to either side against --max-unequal-rows",
     )
+    c.add_argument(
+        "--export-mismatches",
+        metavar="PATH",
+        help="write all mismatching rows (join keys + value pairs) to PATH as parquet",
+    )
+    c.add_argument(
+        "--export-unique",
+        metavar="PATH",
+        help="write rows unique to either side to PATH as parquet (side column added)",
+    )
     c.add_argument("--input-format", choices=["csv", "parquet", "json", "jsonl"])
     c.add_argument("--delimiter", default=",", help="CSV delimiter")
     c.add_argument("--assume-unique", action="store_true",
@@ -121,6 +131,23 @@ def run_compare(args) -> int:
         data = cmp_.build_report_data(
             sample_count=args.sample_count, column_count=args.column_count
         )
+        if args.export_mismatches:
+            cmp_.all_mismatch().write.mode("overwrite").parquet(args.export_mismatches)
+        if args.export_unique:
+            from pyspark.sql import functions as F
+
+            cols = cmp_.df1.columns
+            (
+                cmp_.df1_unq_rows.select(F.lit(args.left_name).alias("side"), *cols)
+                .unionByName(
+                    cmp_.df2_unq_rows.select(
+                        F.lit(args.right_name).alias("side"), *cmp_.df2.columns
+                    ),
+                    allowMissingColumns=True,
+                )
+                .write.mode("overwrite")
+                .parquet(args.export_unique)
+            )
         rendered = {
             "text": data.render,
             "html": data.to_html,

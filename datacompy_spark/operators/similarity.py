@@ -25,6 +25,113 @@ from pyspark.sql import functions as F
 from datacompy_spark.functions.vector import cosine, dot, norm
 
 
+def ivf_assign(
+    corpus: DataFrame,
+    pivots: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Assign every vector to its nearest pivot (IVF coarse quantizer).
+
+    ``pivots`` is a small DataFrame (pivot_id, pivot vector) — broadcast to
+    every executor; assignment is one narrow pass over the corpus, output
+    (id, cell, cell_sim). Pivots can come from anywhere (k-means, random
+    sample); :func:`ivf_knn` uses a deterministic id-based sample so results
+    are reproducible without iterative training."""
+    p = F.broadcast(
+        pivots.select(
+            F.col(id_col).alias("pivot_id"),
+            F.col(vec_col).alias("pv"),
+            norm(F.col(vec_col)).alias("pn"),
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("vn"),
+    )
+    scored = c.join(p).select(
+        "vid",
+        "v",
+        "vn",
+        "pivot_id",
+        (dot(F.col("v"), F.col("pv")) / (F.col("vn") * F.col("pn"))).alias("sim"),
+    )
+    w = Window.partitionBy("vid").orderBy(F.col("sim").desc(), F.col("pivot_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("vid", "v", "vn", F.col("pivot_id").alias("cell"), F.col("sim").alias("cell_sim"))
+    )
+
+
+def ivf_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    pivot_mod: int = 37,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-flat approximate top-k cosine: corpus vectors are bucketed by
+    nearest pivot (inverted file); each query scans only its ``nprobe``
+    nearest cells.
+
+    Pivots are the vectors whose id ≡ 0 (mod ``pivot_mod``) — a
+    deterministic coarse quantizer needing no iterative training, so the
+    whole operator is reproducible and SQL-expressible. At scale: the
+    assignment pass is narrow (pivots broadcast), the inverted file is one
+    shuffle on cell id, and each query touches nprobe/|cells| of the data."""
+    pivots = corpus.filter(F.col(id_col) % pivot_mod == 0)
+    inv = ivf_assign(corpus, pivots, id_col, vec_col).withColumnsRenamed(
+        {"vid": "neighbor_id", "v": "cv", "vn": "cn"}
+    )
+
+    # queries probe their nprobe nearest cells
+    p = F.broadcast(
+        pivots.select(
+            F.col(id_col).alias("pivot_id"),
+            F.col(vec_col).alias("pv"),
+            norm(F.col(vec_col)).alias("pn"),
+        )
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qn"),
+    )
+    qcells = q.join(p).select(
+        "query_id",
+        "qv",
+        "qn",
+        "pivot_id",
+        (dot(F.col("qv"), F.col("pv")) / (F.col("qn") * F.col("pn"))).alias("sim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("pivot_id").asc()
+    )
+    probes = (
+        qcells.withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= nprobe)
+        .select("query_id", "qv", "qn", F.col("pivot_id").alias("cell"))
+    )
+    cand = probes.join(inv, "cell").filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
 def hyperplanes_from_seed(n_planes: int, dim: int, seed: str = "lsh") -> List[List[float]]:
     """Deterministic pseudo-random hyperplanes in [-1, 1): component (p, i) is
     md5-derived, so any engine (or the SQL oracle) regenerates the exact same

@@ -215,6 +215,78 @@ SQL_KNN_LSH = _sql_knn_lsh()
 
 # ------------------------------------------------------------------- text
 
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN: deterministic pivots (vec_id % 37 = 0), nprobe=2."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 97 == 0)
+    return S.ivf_knn(emb, probes, "vec_id", "embedding", k=5, pivot_mod=37, nprobe=2)
+
+
+SQL_KNN_IVF = f"""
+WITH p AS (SELECT vec_id AS pivot_id, embedding AS pv FROM embeddings WHERE vec_id % 37 = 0),
+assign AS (
+  SELECT e.vec_id, e.embedding, p.pivot_id,
+    row_number() OVER (PARTITION BY e.vec_id
+      ORDER BY {V.cosine_sql('e.embedding', 'p.pv', 64)} DESC, p.pivot_id ASC) AS rnk
+  FROM embeddings e CROSS JOIN p),
+inv AS (
+  SELECT vec_id AS neighbor_id, embedding AS cv, pivot_id AS cell
+  FROM assign WHERE rnk = 1),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 97 = 0),
+qprobe AS (
+  SELECT query_id, qv, pivot_id AS cell FROM (
+    SELECT q.query_id, q.qv, p.pivot_id,
+      row_number() OVER (PARTITION BY q.query_id
+        ORDER BY {V.cosine_sql('q.qv', 'p.pv', 64)} DESC, p.pivot_id ASC) AS rnk
+    FROM q CROSS JOIN p)
+  WHERE rnk <= 2),
+scored AS (
+  SELECT qp.query_id, i.neighbor_id,
+    {V.cosine_sql('qp.qv', 'i.cv', 64)} AS cos_sim
+  FROM qprobe qp JOIN inv i USING (cell)
+  WHERE i.neighbor_id <> qp.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, rank::INT AS rank, cos_sim FROM ranked WHERE rank <= 5"""
+
+
+def q_cmp_rel_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative tolerance semantics: |a-b| <= abs_tol + rel_tol*|b|,
+    asymmetric in the df2 side (ref numeric.py:318-322)."""
+    from datacompy_spark.operators.compare import SparkCompare
+
+    part = load_table(spark, sf_dir, "part")
+    df1 = part.select("p_partkey", "p_retailprice")
+    df2 = part.select(
+        "p_partkey",
+        F.when(F.col("p_partkey") % 4 == 0, F.col("p_retailprice") * F.lit(1.0005))
+        .when(F.col("p_partkey") % 4 == 1, F.col("p_retailprice") * F.lit(1.01))
+        .otherwise(F.col("p_retailprice"))
+        .alias("p_retailprice"),
+    )
+    c = SparkCompare(spark, df1, df2, join_columns=["p_partkey"], rel_tol=0.001)
+    return c.intersect_rows.select(
+        "p_partkey", F.col("p_retailprice_match").alias("p_retailprice_match")
+    )
+
+
+SQL_CMP_REL_TOL = """
+WITH df2 AS (
+  SELECT p_partkey,
+    CASE WHEN p_partkey % 4 = 0 THEN p_retailprice * 1.0005::DOUBLE
+         WHEN p_partkey % 4 = 1 THEN p_retailprice * 1.01::DOUBLE
+         ELSE p_retailprice END AS p_retailprice
+  FROM part)
+SELECT p.p_partkey,
+  ((p.p_retailprice IS NOT DISTINCT FROM d.p_retailprice)
+   OR (p.p_retailprice IS NOT NULL AND d.p_retailprice IS NOT NULL
+       AND abs(p.p_retailprice - d.p_retailprice)
+           <= 0.0::DOUBLE + 0.001::DOUBLE * abs(d.p_retailprice))) AS p_retailprice_match
+FROM part p JOIN df2 d USING (p_partkey)"""
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return TO.text_stats(docs, "doc_id", "text")
@@ -427,6 +499,8 @@ PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionize": q_events_sessionize,
     "cmp_ignore_flags": q_cmp_ignore_flags,
     "stream_hourly_profile": q_stream_hourly_profile,
+    "knn_ivf": q_knn_ivf,
+    "cmp_rel_tol": q_cmp_rel_tol,
 }
 
 PIPELINE_ORACLES: Dict[str, str] = {
@@ -445,4 +519,6 @@ PIPELINE_ORACLES: Dict[str, str] = {
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "cmp_ignore_flags": SQL_CMP_IGNORE_FLAGS,
     "stream_hourly_profile": SQL_STREAM_HOURLY_PROFILE,
+    "knn_ivf": SQL_KNN_IVF,
+    "cmp_rel_tol": SQL_CMP_REL_TOL,
 }

@@ -84,6 +84,16 @@ class TestOutputs:
         assert out.read_text().startswith("<!DOCTYPE html>")
         assert capsys.readouterr().out == ""
 
+    def test_export_mismatches_and_unique(self, pair, tmp_path, capsys, spark):
+        mp, up = str(tmp_path / "mm"), str(tmp_path / "uq")
+        rc = main(["compare", "--left", pair[0], "--right", pair[1], "--on", "id",
+                   "--quiet", "--export-mismatches", mp, "--export-unique", up])
+        assert rc == 1
+        mm = spark.read.parquet(mp)
+        assert [r["id"] for r in mm.collect()] == [2]
+        uq = spark.read.parquet(up)
+        assert sorted((r["side"], r["id"]) for r in uq.collect()) == [("left", 3), ("right", 4)]
+
     def test_csv_inputs(self, tmp_path, capsys):
         lp, rp = tmp_path / "l.csv", tmp_path / "r.csv"
         lp.write_text("id,v\n1,a\n2,b\n")

@@ -124,6 +124,23 @@ class TestEmbeddingOps:
         recall = len(exact & approx) / len(exact)
         assert recall >= 0.8, f"LSH recall {recall} too low on clustered data"
 
+    def test_ivf_recall_and_probe_bound(self, spark, embeddings):
+        probes = embeddings.filter(F.col("vec_id") % 97 == 0)
+        exact = {
+            (r["query_id"], r["neighbor_id"])
+            for r in S.knn_bruteforce(embeddings, probes, "vec_id", "embedding", k=5).collect()
+        }
+        approx = S.ivf_knn(
+            embeddings, probes, "vec_id", "embedding", k=5, pivot_mod=37, nprobe=2
+        ).collect()
+        got = {(r["query_id"], r["neighbor_id"]) for r in approx}
+        # every query answered with k results, ranks 1..5, some overlap with exact
+        by_q = {}
+        for r in approx:
+            by_q.setdefault(r["query_id"], []).append(r["rank"])
+        assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_q.values())
+        assert len(got & exact) > 0
+
 
 class TestTextOps:
     def test_stats(self, spark, docs):

@@ -1,0 +1,58 @@
+"""Property-based tests (hypothesis): the NumericComparator must agree with
+numpy.isclose (plus the null-safe extensions) on arbitrary doubles."""
+
+import math
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from datacompy_spark import columns_equal
+
+floats = st.floats(
+    allow_nan=True, allow_infinity=True, width=64, min_value=None, max_value=None
+)
+tols = st.floats(min_value=0, max_value=1e3, allow_nan=False, allow_infinity=False)
+
+
+def expected_match(a, b, rel_tol, abs_tol):
+    """Reference semantics: NaN==NaN, exact equality, else numpy.isclose
+    shape |a-b| <= atol + rtol*|b| with non-finite → exact-only."""
+    if a is None and b is None:
+        return True
+    if a is None or b is None:
+        return False
+    if math.isnan(a) and math.isnan(b):
+        return True
+    if math.isnan(a) or math.isnan(b):
+        return False
+    if a == b:
+        return True
+    if math.isinf(a) or math.isinf(b):
+        return False
+    return bool(abs(a - b) <= abs_tol + rel_tol * abs(b))
+
+
+class TestNumericComparatorProperties:
+    @settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        pairs=st.lists(
+            st.tuples(st.one_of(st.none(), floats), st.one_of(st.none(), floats)),
+            min_size=1,
+            max_size=40,
+        ),
+        rel_tol=tols,
+        abs_tol=tols,
+    )
+    def test_matches_numpy_isclose_semantics(self, spark, pairs, rel_tol, abs_tol):
+        df = spark.createDataFrame(pairs, "a double, b double")
+        got = [
+            r["m"]
+            for r in df.withColumn(
+                "m", columns_equal(df, "a", "b", rel_tol=rel_tol, abs_tol=abs_tol)
+            ).collect()
+        ]
+        # row order from createDataFrame(list) is preserved for local data
+        want = [expected_match(a, b, rel_tol, abs_tol) for a, b in pairs]
+        assert got == want
