@@ -47,6 +47,35 @@ def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def word_frequencies(
+    df: DataFrame, text_col: str, salt_buckets: int = 0
+) -> DataFrame:
+    """Corpus word frequencies: explode tokens → count per word.
+
+    ``salt_buckets > 0`` demonstrates explicit two-stage salted aggregation
+    for pathological key skew: count per (word, salt) first, then sum per
+    word — the hot key's rows spread over ``salt_buckets`` reducers in
+    stage 1. (Spark's map-side partial aggregation already covers ordinary
+    skew; explicit salting is for when a single key exceeds one reducer's
+    budget even after partial agg.) Results are identical either way."""
+    words = df.select(F.explode(tokens(F.col(text_col))).alias("word")).filter(
+        F.col("word") != ""
+    )
+    if salt_buckets > 0:
+        # the salt must be independent of the key (that's what spreads a hot
+        # key across reducers) — a per-row ordinal works and stays deterministic
+        return (
+            words.withColumn(
+                "__salt", F.monotonically_increasing_id() % F.lit(salt_buckets)
+            )
+            .groupBy("word", "__salt")
+            .agg(F.count(F.lit(1)).alias("n_partial"))
+            .groupBy("word")
+            .agg(F.sum("n_partial").alias("n"))
+        )
+    return words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str, ngram: int = 5) -> DataFrame:
     """Content fingerprints: full-text md5, winnowing-style minimum
     character-n-gram hash, and a 60-bit simhash — the three standard handles

@@ -481,6 +481,57 @@ SELECT date_trunc('hour', ts) AS window_start, event_type,
 FROM events GROUP BY 1, 2"""
 
 
+def q_word_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus word frequencies via explicit two-stage salted aggregation
+    (skew-safe path; identical result to the direct groupBy)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TO.word_frequencies(docs, "text", salt_buckets=8)
+
+
+SQL_WORD_FREQUENCIES = f"""
+SELECT w AS word, count(*) AS n
+FROM (SELECT unnest({TX.tokens_sql('text')}) AS w FROM documents)
+WHERE w <> '' GROUP BY 1"""
+
+
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event gets the most recent prior click's
+    value for the same user (union-merge implementation, one shuffle)."""
+    from datacompy_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = asof_join(
+        purchases, clicks, on=["user_id"], ts_col="ts",
+        carry_cols=["value"], tiebreak_col="event_id",
+    )
+    return out.select("event_id", "user_id", "ts", "asof_ts", "asof_value")
+
+
+SQL_EVENTS_ASOF = """
+WITH u AS (
+  SELECT user_id, ts AS t, 0 AS tag, event_id AS tb, value AS cv, ts AS cts,
+         NULL::BIGINT AS pid
+  FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT user_id, ts, 1, event_id, NULL, NULL, event_id
+  FROM events WHERE event_type = 'purchase'),
+w AS (
+  SELECT *,
+    last_value(cts IGNORE NULLS) OVER win AS asof_ts,
+    last_value(cv IGNORE NULLS) OVER win AS asof_value
+  FROM u
+  WINDOW win AS (PARTITION BY user_id ORDER BY t, tag, tb
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT pid AS event_id, user_id, t AS ts, asof_ts, asof_value
+FROM w WHERE tag = 1"""
+
+
 # --------------------------------------------------------------- registry
 
 PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -501,6 +552,8 @@ PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_hourly_profile": q_stream_hourly_profile,
     "knn_ivf": q_knn_ivf,
     "cmp_rel_tol": q_cmp_rel_tol,
+    "word_frequencies": q_word_frequencies,
+    "events_asof_join": q_events_asof_join,
 }
 
 PIPELINE_ORACLES: Dict[str, str] = {
@@ -521,4 +574,6 @@ PIPELINE_ORACLES: Dict[str, str] = {
     "stream_hourly_profile": SQL_STREAM_HOURLY_PROFILE,
     "knn_ivf": SQL_KNN_IVF,
     "cmp_rel_tol": SQL_CMP_REL_TOL,
+    "word_frequencies": SQL_WORD_FREQUENCIES,
+    "events_asof_join": SQL_EVENTS_ASOF,
 }

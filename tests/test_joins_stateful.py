@@ -1,0 +1,98 @@
+"""As-of join semantics + stateful streaming running totals."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from datacompy_spark.operators.joins import asof_join
+from datacompy_spark.sources.loaders import load_table
+from datacompy_spark.streaming.stateful import running_totals
+
+
+def ts(m):
+    return datetime.datetime(2024, 1, 1, 0, m)
+
+
+class TestAsofJoin:
+    @pytest.fixture()
+    def frames(self, spark):
+        quotes = spark.createDataFrame(
+            [(1, ts(0), 10.0), (1, ts(5), 11.0), (1, ts(10), 12.0), (2, ts(3), 99.0)],
+            "uid bigint, t timestamp, px double",
+        )
+        trades = spark.createDataFrame(
+            [(1, ts(4), "A"), (1, ts(5), "B"), (1, ts(12), "C"),
+             (2, ts(1), "D"), (3, ts(9), "E")],
+            "uid bigint, t timestamp, trade string",
+        )
+        return trades, quotes
+
+    def test_backward_asof(self, spark, frames):
+        trades, quotes = frames
+        out = {
+            r["trade"]: (r["asof_t"], r["asof_px"])
+            for r in asof_join(
+                trades, quotes, on=["uid"], ts_col="t", carry_cols=["px"]
+            ).collect()
+        }
+        assert out["A"] == (ts(0), 10.0)    # most recent quote before 0:04
+        assert out["B"] == (ts(5), 11.0)    # equal ts counts as prior (<=)
+        assert out["C"] == (ts(10), 12.0)
+        assert out["D"] == (None, None)     # quote for uid 2 arrives later
+        assert out["E"] == (None, None)     # uid 3 has no quotes at all
+
+    def test_asof_on_events(self, spark, sf_dir):
+        # every purchase gets the most recent prior click's value, per user
+        ev = load_table(spark, sf_dir, "events")
+        purchases = ev.filter(F.col("event_type") == "purchase")
+        clicks = ev.filter(F.col("event_type") == "click")
+        out = asof_join(
+            purchases, clicks, on=["user_id"], ts_col="ts",
+            carry_cols=["value"], tiebreak_col="event_id",
+        )
+        assert out.count() == purchases.count()
+        row = out.filter(F.col("asof_ts").isNotNull()).first()
+        assert row["asof_ts"] <= row["ts"]
+
+
+class TestStatefulRunningTotals:
+    def test_stream_matches_batch(self, spark, sf_dir, tmp_path):
+        ev = load_table(spark, sf_dir, "events")
+        d = str(tmp_path / "ev")
+        ev.coalesce(4).write.parquet(d)
+        batch = spark.read.parquet(d)
+        # maxFilesPerTrigger=1 → 4 separate micro-batches → state must carry
+        # across batches for totals to come out right
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        q = (
+            running_totals(stream, "event_type", "value")
+            .writeStream.format("memory")
+            .queryName("running_totals")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        # update mode emits one row per key per touching batch; the LAST row
+        # per key is the final running total
+        import pandas as pd
+
+        got_df = spark.table("running_totals").toPandas()
+        got = {
+            k: (int(g["n_events"].iloc[-1]), g["total_value"].iloc[-1], int(g["n_nulls"].iloc[-1]))
+            for k, g in got_df.groupby("key")
+        }
+        want = {
+            r["key"]: (r["n_events"], r["total_value"], r["n_nulls"])
+            for r in running_totals(batch, "event_type", "value").collect()
+        }
+        assert set(got) == set(want)
+        for k in want:
+            assert got[k][0] == want[k][0]
+            assert got[k][2] == want[k][2]
+            assert abs(got[k][1] - want[k][1]) < 1e-6
