@@ -265,6 +265,75 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame, max_iter: int = 15
+) -> DataFrame:
+    """Connected components over an undirected pair list (id_a, id_b) via
+    iterative min-label propagation: every node's label converges to the
+    smallest id reachable from it.
+
+    Each iteration is one join + one min-aggregate (two shuffles), and
+    terminates early when no label changes; ``max_iter`` bounds worst-case
+    chain graphs. Near-dup clusters are small and dense, so convergence is
+    typically 2-3 iterations. Output: (node, component) where component is
+    the cluster's minimum id."""
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .persist()
+    )
+    labels.count()
+    for _ in range(max_iter):
+        # labels flowing across edges
+        prop = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .select(F.col("dst").alias("node"), F.col("component"))
+        )
+        new_labels = (
+            labels.select("node", "component")
+            .unionAll(prop)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .persist()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("component", "old"), "node")
+            .filter(F.col("component") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def assign_components(
+    df: DataFrame, id_col: str, pairs: DataFrame, max_iter: int = 15
+) -> DataFrame:
+    """Component id for EVERY row of ``df``: near-dup cluster minimum for
+    paired ids, own id for singletons — the final dedup verdict table
+    (survivors are rows where component == id)."""
+    cc = connected_components(pairs, max_iter=max_iter)
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(cc.withColumnRenamed("node", "doc_id"), "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+        )
+    )
+
+
 def embedding_near_dups(
     df: DataFrame,
     id_col: str,

@@ -481,6 +481,40 @@ SELECT date_trunc('hour', ts) AS window_start, event_type,
 FROM events GROUP BY 1, 2"""
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup capstone: MinHash near-dup pairs → connected components →
+    a component id for every document (survivor = component == doc_id)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=16, bands=4, shingle_k=3, threshold=0.3
+    )
+    return D.assign_components(docs, "doc_id", pairs)
+
+
+def _sql_dedup_components() -> str:
+    # reuse the full minhash-pair SQL as the edge list, then a recursive CTE
+    # computes per-node minimum reachable id (DuckDB dedups UNION rows, so
+    # the recursion reaches a fixpoint)
+    pair_sql = _sql_dedup_minhash().strip()
+    return f"""
+WITH RECURSIVE pairs AS ({pair_sql}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+labels AS (
+  SELECT src AS node, least(src, min(dst)) AS component FROM reach GROUP BY src)
+SELECT d.doc_id, COALESCE(l.component, d.doc_id) AS component
+FROM documents d LEFT JOIN labels l ON l.node = d.doc_id"""
+
+
+SQL_DEDUP_COMPONENTS = _sql_dedup_components()
+
+
 def q_word_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus word frequencies via explicit two-stage salted aggregation
     (skew-safe path; identical result to the direct groupBy)."""
@@ -554,6 +588,7 @@ PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cmp_rel_tol": q_cmp_rel_tol,
     "word_frequencies": q_word_frequencies,
     "events_asof_join": q_events_asof_join,
+    "dedup_components": q_dedup_components,
 }
 
 PIPELINE_ORACLES: Dict[str, str] = {
@@ -576,4 +611,5 @@ PIPELINE_ORACLES: Dict[str, str] = {
     "cmp_rel_tol": SQL_CMP_REL_TOL,
     "word_frequencies": SQL_WORD_FREQUENCIES,
     "events_asof_join": SQL_EVENTS_ASOF,
+    "dedup_components": SQL_DEDUP_COMPONENTS,
 }

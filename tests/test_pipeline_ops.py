@@ -72,6 +72,27 @@ class TestNgramJaccard:
         assert (1, 4) not in pairs
 
 
+class TestConnectedComponents:
+    def test_multi_hop_chain(self, spark):
+        # chain 1-2-3-4 plus island 10-11; transitivity must label the whole
+        # chain with its minimum even though 1 and 4 never pair directly
+        pairs = spark.createDataFrame(
+            [(2, 1, 0.9), (2, 3, 0.9), (4, 3, 0.9), (10, 11, 0.9)],
+            "id_a bigint, id_b bigint, jaccard double",
+        )
+        cc = {r["node"]: r["component"] for r in D.connected_components(pairs).collect()}
+        assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    def test_assign_components_singletons(self, spark):
+        docs = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id bigint")
+        pairs = spark.createDataFrame(
+            [(1, 5, 0.9)], "id_a bigint, id_b bigint, jaccard double"
+        )
+        out = {r["doc_id"]: r["component"] for r in
+               D.assign_components(docs, "doc_id", pairs).collect()}
+        assert out == {1: 1, 2: 2, 3: 3, 4: 4, 5: 1, 6: 6}
+
+
 class TestEmbeddingOps:
     def test_neardup_and_knn(self, spark):
         import math
