@@ -34,6 +34,76 @@ def expected_match(a, b, rel_tol, abs_tol):
     return bool(abs(a - b) <= abs_tol + rel_tol * abs(b))
 
 
+class TestStringComparatorProperties:
+    # alphabet: printable ASCII + accents; exotic Unicode case-folding and
+    # non-space whitespace are out of scope (Spark trim strips ' ' only,
+    # and JVM vs Python case maps diverge on locale-special codepoints)
+    _alphabet = st.sampled_from(list(" abcXYZ09!é Ü"))
+
+    @settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        pairs=st.lists(
+            st.tuples(
+                st.one_of(st.none(), st.text(alphabet=_alphabet, max_size=12)),
+                st.one_of(st.none(), st.text(alphabet=_alphabet, max_size=12)),
+            ),
+            min_size=1,
+            max_size=30,
+        ),
+        ignore_spaces=st.booleans(),
+        ignore_case=st.booleans(),
+    )
+    def test_matches_python_normalization(self, spark, pairs, ignore_spaces, ignore_case):
+        df = spark.createDataFrame(pairs, "a string, b string")
+        got = [
+            r["m"]
+            for r in df.withColumn(
+                "m",
+                columns_equal(
+                    df, "a", "b", ignore_spaces=ignore_spaces, ignore_case=ignore_case
+                ),
+            ).collect()
+        ]
+
+        def norm(s):
+            if s is None:
+                return None
+            if ignore_spaces:
+                s = s.strip(" ")  # Spark trim strips spaces, not all whitespace
+            if ignore_case:
+                s = s.upper()
+            return s
+
+        want = [norm(a) == norm(b) for a, b in pairs]
+        assert got == want
+
+
+class TestToleranceNormalization:
+    @settings(max_examples=50, deadline=None)
+    @given(
+        tol=st.one_of(
+            st.floats(min_value=0, max_value=1e6, allow_nan=False),
+            st.dictionaries(
+                st.sampled_from(["A", "b", "C", "default"]),
+                st.floats(min_value=0, max_value=1e6, allow_nan=False),
+                max_size=4,
+            ),
+        )
+    )
+    def test_normalize_tolerance_total(self, tol):
+        from datacompy_spark.operators.compare import normalize_tolerance
+
+        cols = ["a", "b", "c"]
+        out = normalize_tolerance(tol, cols, lower=True)
+        assert set(out) == set(cols)
+        assert all(v >= 0 for v in out.values())
+        if isinstance(tol, dict):
+            default = {k.lower(): v for k, v in tol.items()}.get("default", 0.0)
+            folded = {k.lower(): v for k, v in tol.items()}
+            for c in cols:
+                assert out[c] == folded.get(c, default)
+
+
 class TestNumericComparatorProperties:
     @settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
     @given(
