@@ -100,7 +100,13 @@ def _li_pair(spark: SparkSession, sf_dir: str):
 
 def _li_compare(spark: SparkSession, sf_dir: str) -> SparkCompare:
     df1, df2 = _li_pair(spark, sf_dir)
-    return SparkCompare(spark, df1, df2, join_columns=LI_KEYS, abs_tol=_LI_ABS_TOL)
+    # assume_unique: the DuckDB oracles express a PLAIN outer join, and the
+    # 4-col key is unique at the correctness-gate SF — skipping ordinal
+    # pairing both matches the oracle semantics exactly and removes the
+    # window shuffles (2 exchanges instead of 4)
+    return SparkCompare(
+        spark, df1, df2, join_columns=LI_KEYS, abs_tol=_LI_ABS_TOL, assume_unique=True
+    )
 
 
 def _li_key_cond(t1: str = "df1", t2: str = "df2") -> str:
@@ -390,7 +396,7 @@ def q_cmp_string_timestamp_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("ts").cast("string"))
         .alias("ts"),
     )
-    c = SparkCompare(spark, df1, df2, join_columns=["event_id"])
+    c = SparkCompare(spark, df1, df2, join_columns=["event_id"], assume_unique=True)
     return c.intersect_rows.select("event_id", F.col("ts_match").alias("ts_match"))
 
 
@@ -414,7 +420,7 @@ def q_cmp_bool_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.when(F.col("event_id") % 11 == 0, F.lit(1) - base).otherwise(base).alias("flag"),
     )
-    c = SparkCompare(spark, df1, df2, join_columns=["event_id"])
+    c = SparkCompare(spark, df1, df2, join_columns=["event_id"], assume_unique=True)
     return c.intersect_rows.select("event_id", F.col("flag_match").alias("flag_match"))
 
 
@@ -445,7 +451,7 @@ def q_cmp_array_equal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("embedding"))
         .alias("embedding"),
     )
-    c = SparkCompare(spark, df1, df2, join_columns=["vec_id"])
+    c = SparkCompare(spark, df1, df2, join_columns=["vec_id"], assume_unique=True)
     return c.intersect_rows.select(
         "vec_id", F.col("embedding_match").alias("embedding_match")
     )

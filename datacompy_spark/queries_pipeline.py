@@ -266,7 +266,9 @@ def q_cmp_rel_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("p_retailprice"))
         .alias("p_retailprice"),
     )
-    c = SparkCompare(spark, df1, df2, join_columns=["p_partkey"], rel_tol=0.001)
+    c = SparkCompare(
+        spark, df1, df2, join_columns=["p_partkey"], rel_tol=0.001, assume_unique=True
+    )
     return c.intersect_rows.select(
         "p_partkey", F.col("p_retailprice_match").alias("p_retailprice_match")
     )
@@ -413,7 +415,7 @@ def q_cmp_ignore_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     c = SparkCompare(
         spark, df1, df2, join_columns=["c_custkey"],
-        ignore_spaces=True, ignore_case=True,
+        ignore_spaces=True, ignore_case=True, assume_unique=True,
     )
     return c.intersect_rows.select(
         "c_custkey",
