@@ -139,13 +139,32 @@ def minhash_lsh_pairs(
     )
     sa = base.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
     sb = base.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
-    scored = cand.join(sa, "id_a").join(sb, "id_b")
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    scored = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            inter.alias("n_inter"),
+            (F.size(F.col("sh_a")) + F.size(F.col("sh_b"))).alias("n_total"),
+        )
+        # lineage barrier: without it Catalyst pushes the threshold filter
+        # into the join condition and the set intersection evaluates TWICE
+        # per pair (condition + projection). Rows here are 4 ints — cheap to
+        # materialize at any scale.
+        .localCheckpoint(eager=False)
+    )
     return (
-        scored.withColumn("jaccard", inter.cast("double") / union.cast("double"))
+        scored.select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_total") - F.col("n_inter")).cast("double")
+            ).alias("jaccard"),
+        )
         .filter(F.col("jaccard") >= F.lit(threshold))
-        .select("id_a", "id_b", "jaccard")
     )
 
 
@@ -253,7 +272,11 @@ def ngram_jaccard_pairs(
         (F.size(F.col("a.grams")) + F.size(F.col("b.grams"))).alias("n_total"),
     )
     return (
-        paired.select(
+        # lineage barrier (see minhash note): keeps the threshold filter from
+        # being pushed into the join, which would re-run array_intersect per
+        # pair in the join condition
+        paired.localCheckpoint(eager=False)
+        .select(
             "id_a",
             "id_b",
             (
@@ -354,17 +377,18 @@ def embedding_near_dups(
     ).persist()
     base.count()  # materialize before the self-join
     a, b = base.alias("a"), base.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.block") == F.col("b.block")) & (F.col("a.vid") < F.col("b.vid")),
-        )
-        .select(
-            F.col("a.vid").alias("id_a"),
-            F.col("b.vid").alias("id_b"),
-            (dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))).alias(
-                "cos_sim"
-            ),
-        )
-        .filter(F.col("cos_sim") >= F.lit(threshold))
+    scored = a.join(
+        b,
+        (F.col("a.block") == F.col("b.block")) & (F.col("a.vid") < F.col("b.vid")),
+    ).select(
+        F.col("a.vid").alias("id_a"),
+        F.col("b.vid").alias("id_b"),
+        (dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))).alias(
+            "cos_sim"
+        ),
+    )
+    # barrier: otherwise the threshold filter is pushed into the join and the
+    # dot product evaluates twice per pair
+    return scored.localCheckpoint(eager=False).filter(
+        F.col("cos_sim") >= F.lit(threshold)
     )
