@@ -91,6 +91,11 @@ def normalize_tolerance(tol: Tolerance, columns: Sequence[str], lower: bool) -> 
     for v in folded.values():
         if v < 0:
             raise ValueError("tolerance must be non-negative")
+    unknown = [k for k in folded if k != "default" and k not in columns]
+    if unknown:
+        # a silently-ignored misspelled column would loosen nothing and the
+        # user would never know (ref base.py:758-829 validates likewise)
+        raise ValueError(f"tolerance dict names unknown columns: {unknown}")
     default = folded.get("default", 0.0)
     return {c: folded.get(c, default) for c in columns}
 

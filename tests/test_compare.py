@@ -95,6 +95,10 @@ class TestColumnSets:
         with pytest.raises(ValueError, match="must differ"):
             SparkCompare(spark, *f2, join_columns="id", df1_name="x", df2_name="x")
 
+    def test_unknown_tolerance_column_raises(self, spark, f2):
+        with pytest.raises(ValueError, match="unknown columns"):
+            SparkCompare(spark, *f2, join_columns="id", abs_tol={"amonut": 0.1})
+
 
 class TestNullKeys:
     def test_null_join_keys_pair(self, spark):
