@@ -19,6 +19,59 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    lower_ms: int,
+    upper_ms: int,
+    suffixes: tuple = ("_l", "_r"),
+) -> DataFrame:
+    """Temporal range join: pairs (l, r) sharing ``on`` keys with
+    ``l.ts + lower_ms <= r.ts <= l.ts + upper_ms``.
+
+    A naive theta join on the interval predicate degenerates to a per-key
+    cross product. Here both sides are bucketed by ``W = upper - lower``
+    milliseconds; any qualifying pair lands in the same or adjacent bucket,
+    so the plan is an EQUI-join on (keys, bucket) — one hash shuffle — with
+    the exact interval applied as a post-filter. Each left row probes at
+    most two buckets (exploded), so the work is O(matches), not O(pairs).
+    """
+    if upper_ms <= lower_ms:
+        raise ValueError("upper_ms must exceed lower_ms")
+    w = upper_ms - lower_ms
+    on = list(on)
+
+    lm = F.unix_millis(F.col(left_ts))
+    rm = F.unix_millis(F.col(right_ts))
+
+    l = left.select(
+        *[F.col(c) for c in on],
+        *[F.col(c).alias(f"{c}{suffixes[0]}") for c in left.columns if c not in on],
+        lm.alias("__lms"),
+        F.explode(
+            F.array(
+                F.floor((lm + F.lit(lower_ms)) / F.lit(w)),
+                F.floor((lm + F.lit(upper_ms)) / F.lit(w)),
+            )
+        ).alias("__bucket"),
+    )  # the two probe buckets always differ by exactly 1 (width == span),
+    # and a right row lives in exactly one bucket → no duplicate pairs
+    r = right.select(
+        *[F.col(c) for c in on],
+        *[F.col(c).alias(f"{c}{suffixes[1]}") for c in right.columns if c not in on],
+        rm.alias("__rms"),
+        F.floor(rm / F.lit(w)).alias("__bucket"),
+    )
+    joined = l.join(r, on + ["__bucket"]).filter(
+        (F.col("__rms") >= F.col("__lms") + F.lit(lower_ms))
+        & (F.col("__rms") <= F.col("__lms") + F.lit(upper_ms))
+    )
+    return joined.drop("__bucket", "__lms", "__rms")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -483,6 +483,37 @@ SELECT date_trunc('hour', ts) AS window_start, event_type,
 FROM events GROUP BY 1, 2"""
 
 
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed temporal range join: click→purchase conversion pairs within
+    10 minutes for the same user (equi-join on (user, time-bucket), never a
+    per-key cross product)."""
+    from datacompy_spark.operators.joins import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    out = range_join(
+        purchases, clicks, on=["user_id"], left_ts="ts", right_ts="ts",
+        lower_ms=-600_000, upper_ms=0,
+    )
+    return out.select("user_id", "purchase_id_l", "click_id_r").toDF(
+        "user_id", "purchase_id", "click_id"
+    )
+
+
+SQL_EVENTS_RANGE_JOIN = """
+SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND epoch_ms(c.ts) >= epoch_ms(p.ts) - 600000
+ AND epoch_ms(c.ts) <= epoch_ms(p.ts)"""
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup capstone: MinHash near-dup pairs → connected components →
     a component id for every document (survivor = component == doc_id)."""
@@ -590,6 +621,7 @@ PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cmp_rel_tol": q_cmp_rel_tol,
     "word_frequencies": q_word_frequencies,
     "events_asof_join": q_events_asof_join,
+    "events_range_join": q_events_range_join,
     "dedup_components": q_dedup_components,
 }
 
@@ -613,5 +645,6 @@ PIPELINE_ORACLES: Dict[str, str] = {
     "cmp_rel_tol": SQL_CMP_REL_TOL,
     "word_frequencies": SQL_WORD_FREQUENCIES,
     "events_asof_join": SQL_EVENTS_ASOF,
+    "events_range_join": SQL_EVENTS_RANGE_JOIN,
     "dedup_components": SQL_DEDUP_COMPONENTS,
 }

@@ -56,6 +56,32 @@ class TestAsofJoin:
         assert row["asof_ts"] <= row["ts"]
 
 
+class TestRangeJoin:
+    def test_boundaries_inclusive(self, spark):
+        from datacompy_spark.operators.joins import range_join
+
+        left = spark.createDataFrame([(1, ts(10), "P")], "uid bigint, t timestamp, p string")
+        right = spark.createDataFrame(
+            [(1, ts(0), "tooearly"), (1, ts(5), "edge_low"), (1, ts(8), "in"),
+             (1, ts(10), "edge_high"), (1, ts(11), "late"), (2, ts(9), "otheruser")],
+            "uid bigint, t timestamp, c string",
+        )
+        out = range_join(
+            left, right, on=["uid"], left_ts="t", right_ts="t",
+            lower_ms=-5 * 60_000, upper_ms=0,
+        )
+        got = sorted(r["c_r"] for r in out.collect())
+        assert got == ["edge_high", "edge_low", "in"]
+
+    def test_invalid_bounds(self, spark):
+        from datacompy_spark.operators.joins import range_join
+
+        df = spark.createDataFrame([(1, ts(0))], "uid bigint, t timestamp")
+        with pytest.raises(ValueError, match="upper_ms"):
+            range_join(df, df, on=["uid"], left_ts="t", right_ts="t",
+                       lower_ms=0, upper_ms=0)
+
+
 class TestStatefulRunningTotals:
     def test_stream_matches_batch(self, spark, sf_dir, tmp_path):
         ev = load_table(spark, sf_dir, "events")
