@@ -11,7 +11,6 @@ Spark is the only backend here, so the registry collapses to one strategy.
 from __future__ import annotations
 
 import argparse
-import json
 import sys
 from typing import Optional, Sequence
 

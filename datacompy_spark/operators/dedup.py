@@ -33,7 +33,6 @@ from datacompy_spark.functions.hashing import (
     word_shingles,
 )
 from datacompy_spark.functions.text import normalize, tokens
-from datacompy_spark.functions.vector import cosine
 
 # NOTE on staging: expensive scalar expressions (normalize → regexes, md5)
 # are materialized as real columns in their own projections before any

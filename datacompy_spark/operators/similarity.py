@@ -22,7 +22,7 @@ from typing import List
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from datacompy_spark.functions.vector import cosine, dot, norm
+from datacompy_spark.functions.vector import dot, norm
 
 
 def ivf_assign(

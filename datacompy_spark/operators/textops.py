@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from datacompy_spark.functions.hashing import char_ngrams, simhash
+from datacompy_spark.functions.hashing import char_ngrams
 from datacompy_spark.functions.text import (
     language_id,
     normalize,
