@@ -289,6 +289,42 @@ SELECT p.p_partkey,
 FROM part p JOIN df2 d USING (p_partkey)"""
 
 
+def q_cmp_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DecimalType end-to-end through the engine: exact decimal equality and
+    the int/decimal→double pre-cast tolerance path (ref numeric.py:287-304).
+    Double→decimal(12,2) casts round identically in Spark and DuckDB
+    (verified: both HALF_UP on the binary double value)."""
+    from datacompy_spark.operators.compare import SparkCompare
+
+    part = load_table(spark, sf_dir, "part")
+    dec = F.col("p_retailprice").cast("decimal(12,2)")
+    df1 = part.select("p_partkey", dec.alias("price"))
+    df2 = part.select(
+        "p_partkey",
+        F.when(F.col("p_partkey") % 5 == 0, dec + F.lit(0.01).cast("decimal(12,2)"))
+        .when(F.col("p_partkey") % 7 == 0, F.lit(None).cast("decimal(13,2)"))
+        .otherwise(dec.cast("decimal(13,2)"))
+        .alias("price"),
+    )
+    c = SparkCompare(spark, df1, df2, join_columns=["p_partkey"], assume_unique=True)
+    return c.intersect_rows.select(
+        "p_partkey", F.col("price_match").alias("price_match")
+    )
+
+
+SQL_CMP_DECIMAL = """
+WITH df1 AS (
+  SELECT p_partkey, p_retailprice::DECIMAL(12,2) AS price FROM part),
+df2 AS (
+  SELECT p_partkey,
+    CASE WHEN p_partkey % 5 = 0 THEN p_retailprice::DECIMAL(12,2) + 0.01::DECIMAL(12,2)
+         WHEN p_partkey % 7 = 0 THEN NULL
+         ELSE p_retailprice::DECIMAL(12,2) END AS price
+  FROM part)
+SELECT df1.p_partkey, (df1.price IS NOT DISTINCT FROM df2.price) AS price_match
+FROM df1 JOIN df2 USING (p_partkey)"""
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return TO.text_stats(docs, "doc_id", "text")
@@ -619,6 +655,7 @@ PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_hourly_profile": q_stream_hourly_profile,
     "knn_ivf": q_knn_ivf,
     "cmp_rel_tol": q_cmp_rel_tol,
+    "cmp_decimal": q_cmp_decimal,
     "word_frequencies": q_word_frequencies,
     "events_asof_join": q_events_asof_join,
     "events_range_join": q_events_range_join,
@@ -643,6 +680,7 @@ PIPELINE_ORACLES: Dict[str, str] = {
     "stream_hourly_profile": SQL_STREAM_HOURLY_PROFILE,
     "knn_ivf": SQL_KNN_IVF,
     "cmp_rel_tol": SQL_CMP_REL_TOL,
+    "cmp_decimal": SQL_CMP_DECIMAL,
     "word_frequencies": SQL_WORD_FREQUENCIES,
     "events_asof_join": SQL_EVENTS_ASOF,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
