@@ -42,6 +42,11 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--no-lowercase-columns", action="store_true",
                    help="keep column-name case (default folds to lowercase)")
     c.add_argument("--format", choices=["text", "json", "html"], default="text")
+    c.add_argument(
+        "--template",
+        help="custom Jinja2 report template: a file path or a name resolved "
+        "against the built-in templates directory (.j2 optional)",
+    )
     c.add_argument("--output", help="also write the report to this file")
     c.add_argument("--quiet", action="store_true", help="suppress stdout report")
     c.add_argument("--sample-count", type=int, default=10)
@@ -78,13 +83,14 @@ def _within_threshold(args, report_data) -> bool:
     """Threshold semantics (ref ``cli/compare.py:124-157``): reads the built
     ReportData, never re-counts."""
     rs = report_data.row_summary
-    if report_data.column_summary.df1_unq_columns or report_data.column_summary.df2_unq_columns:
+    cs = report_data.column_summary
+    if cs.df1_unique_columns or cs.df2_unique_columns:
         return False
     unequal = rs.unequal_rows
     if args.include_unique_in_threshold:
-        unequal += rs.df1_unq_rows + rs.df2_unq_rows
+        unequal += rs.df1_unique + rs.df2_unique
     if args.max_unequal_rows is None:
-        return rs.unequal_rows == 0 and rs.df1_unq_rows == 0 and rs.df2_unq_rows == 0
+        return rs.unequal_rows == 0 and rs.df1_unique == 0 and rs.df2_unique == 0
     return unequal <= args.max_unequal_rows
 
 
@@ -147,11 +153,14 @@ def run_compare(args) -> int:
                 .write.mode("overwrite")
                 .parquet(args.export_unique)
             )
-        rendered = {
-            "text": data.render,
-            "html": data.to_html,
-            "json": lambda: data.to_json(indent=2),
-        }[args.format]()
+        try:
+            rendered = {
+                "text": lambda: data.render(template_path=args.template),
+                "html": lambda: data.to_html(args.template),
+                "json": lambda: data.to_json(indent=2),
+            }[args.format]()
+        except FileNotFoundError as ex:
+            raise CLIError(str(ex)) from ex
         if not args.quiet:
             print(rendered)
         if args.output:

@@ -162,6 +162,10 @@ class SparkCompare:
         self.df2 = self._prep_df(df2, "df2")
 
         self._dup_order_by = list(dup_order_by or [])
+        # raw inputs kept for report display: the reference prints the
+        # user-supplied scalar/dict verbatim (report.py:113-119)
+        self.abs_tol_input = abs_tol
+        self.rel_tol_input = rel_tol
         self.abs_tol = normalize_tolerance(
             abs_tol, self._compare_columns, cast_column_names_lower
         )
@@ -268,7 +272,11 @@ class SparkCompare:
 
         def key_expr(side: DataFrame, c: str, tag: str) -> Column:
             col = side[f"{c}__{tag}"]
-            dt = self.df1.schema[c].dataType
+            # trim decision is per-side: each frame may declare a different
+            # dtype for the same join key (ref spark.py:416-427 trims each
+            # side by its own schema)
+            owner = self.df1 if tag == "lhs" else self.df2
+            dt = owner.schema[c].dataType
             if self.ignore_spaces and isinstance(dt, _STRING_TYPES):
                 # join keys are trimmed but never case-folded (ref spark.py:416-427)
                 return F.trim(col)
@@ -487,17 +495,34 @@ class SparkCompare:
 
     @cached_property
     def column_stats(self) -> List[ColumnStat]:
-        """Per-column stats (ref ``spark.py:617-636``). Note the reference
-        quirk kept for parity: ``all_match`` additionally requires identical
-        declared dtypes (``spark.py:625-630``)."""
+        """Per-column stats over EVERY intersect column (ref
+        ``spark.py:582-636``): join columns appear as always-matching entries
+        (``match_cnt == row_cnt``, zero diffs — ``spark.py:588-600``), value
+        columns from the single statistics aggregate. Reference quirks kept
+        for parity: ``all_match`` additionally requires identical declared
+        dtypes (``spark.py:625-630``), and for join-columns-only schemas the
+        join-column row count includes the unique rows
+        (``spark.py:589-596``)."""
         stats: List[ColumnStat] = []
         s = self._stats
         n_both = int(s["__both"])
-        for c in self._compare_columns:
+        for c in self._intersect_columns:
             dtype1 = self.df1.schema[c].dataType.simpleString()
             dtype2 = self.df2.schema[c].dataType.simpleString()
-            match_cnt = int(s[f"__match__{c}"])
-            unequal = n_both - match_cnt
+            if c in self.join_columns:
+                row_cnt = n_both
+                if self.only_join_columns():
+                    row_cnt += self.df1_unq_rows_count + self.df2_unq_rows_count
+                match_cnt, unequal = row_cnt, 0
+                max_diff, null_diff = 0.0, 0
+                rel_tol = self.rel_tol.get(c, self.rel_tol.get("default", 0.0))
+                abs_tol = self.abs_tol.get(c, self.abs_tol.get("default", 0.0))
+            else:
+                match_cnt = int(s[f"__match__{c}"])
+                unequal = n_both - match_cnt
+                max_diff = float(s.get(f"__maxdiff__{c}", 0) or 0)
+                null_diff = int(s[f"__nulldiff__{c}"])
+                rel_tol, abs_tol = self.rel_tol[c], self.abs_tol[c]
             stats.append(
                 ColumnStat(
                     column=c,
@@ -507,10 +532,10 @@ class SparkCompare:
                     dtype1=dtype1,
                     dtype2=dtype2,
                     all_match=(unequal == 0) and (dtype1 == dtype2),
-                    max_diff=float(s.get(f"__maxdiff__{c}", 0) or 0),
-                    null_diff=int(s[f"__nulldiff__{c}"]),
-                    rel_tol=self.rel_tol[c],
-                    abs_tol=self.abs_tol[c],
+                    max_diff=max_diff,
+                    null_diff=null_diff,
+                    rel_tol=rel_tol,
+                    abs_tol=abs_tol,
                 )
             )
         return stats
@@ -554,7 +579,11 @@ class SparkCompare:
     @property
     def columns_with_mismatches(self) -> List[str]:
         """Non-join columns with any unequal value (ref ``base.py:467-490``)."""
-        return [cs["column"] for cs in self.column_stats if cs["unequal_cnt"] > 0]
+        return [
+            cs["column"]
+            for cs in self.column_stats
+            if cs["unequal_cnt"] > 0 and cs["column"] not in self.join_columns
+        ]
 
     # -------------------------------------------------------------- mismatches
 
@@ -641,6 +670,17 @@ class SparkCompare:
         exc = self.__dict__.get("_exceptions")
         if exc is not None:
             exc.unpersist()
+        else:
+            exc = self._exceptions  # build lazily so we can mask it below
+            exc.unpersist()
+        # sample_mismatch/all_mismatch/report() all read _exceptions — mask it
+        # too or sensitive values leak through those paths (ref
+        # ``spark.py:720-791`` reads the masked intersect frame).
+        from pyspark import StorageLevel
+
+        self.__dict__["_exceptions"] = mask(
+            exc, [self.df1_name, self.df2_name]
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         self.__dict__["intersect_rows"] = mask(
             self.intersect_rows, [self.df1_name, self.df2_name]
         )
@@ -651,6 +691,9 @@ class SparkCompare:
     def reveal_sensitive_columns(self) -> None:
         """Undo masking by rebuilding the derived frames (ref ``base.py:445-461``
         does a full recompare; our frames are lazy so a rebuild is free)."""
+        exc = self.__dict__.pop("_exceptions", None)
+        if exc is not None:
+            exc.unpersist()
         for k in ("intersect_rows", "df1_unq_rows", "df2_unq_rows"):
             self.__dict__.pop(k, None)
         self._masked_columns = []
@@ -667,11 +710,13 @@ class SparkCompare:
         sample_count: int = 10,
         column_count: int = 10,
         html_file: Optional[str] = None,
+        template_path: Optional[str] = None,
     ) -> str:
-        """Render the human-readable comparison report (ref ``base.py:405-443``)."""
+        """Render the human-readable comparison report (ref ``base.py:405-443``);
+        ``template_path`` selects a custom Jinja2 template (ref ``base.py:493-533``)."""
         data = self.build_report_data(sample_count=sample_count, column_count=column_count)
-        text = data.render()
+        text = data.render(template_path=template_path)
         if html_file:
             with open(html_file, "w") as fh:
-                fh.write(data.to_html())
+                fh.write(data.to_html(template_path))
         return text

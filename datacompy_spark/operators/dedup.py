@@ -294,11 +294,15 @@ def connected_components(
     iterative min-label propagation: every node's label converges to the
     smallest id reachable from it.
 
-    Each iteration is one join + one min-aggregate (two shuffles), and
-    terminates early when no label changes; ``max_iter`` bounds worst-case
-    chain graphs. Near-dup clusters are small and dense, so convergence is
-    typically 2-3 iterations. Output: (node, component) where component is
-    the cluster's minimum id."""
+    Each iteration propagates labels across edges (one join + min-agg) and
+    then SHORTCUTS by propagating labels across labels (pointer doubling:
+    node→label→label-of-label), so convergence is O(log diameter) — a chain
+    of 2^15 nodes converges within the default ``max_iter`` instead of
+    silently returning partial labels. Terminates early when no label
+    changes; warns if ``max_iter`` is exhausted without convergence (the
+    DuckDB oracle computes the exact transitive closure, so an unconverged
+    return would silently diverge). Output: (node, component) where
+    component is the cluster's minimum id."""
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -312,17 +316,34 @@ def connected_components(
         .persist()
     )
     labels.count()
+    converged = False
     for _ in range(max_iter):
         # labels flowing across edges
         prop = (
             edges.join(labels, edges["src"] == labels["node"])
             .select(F.col("dst").alias("node"), F.col("component"))
         )
-        new_labels = (
+        # materialize + truncate lineage BEFORE the self-join below: the
+        # doubling step references `stepped` twice, so without a barrier the
+        # logical plan doubles every iteration (exponential analysis cost)
+        stepped = (
             labels.select("node", "component")
             .unionAll(prop)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        # pointer doubling: replace each label with its label's label, so
+        # long chains collapse in O(log diameter) rounds, not O(diameter)
+        lab_of_lab = stepped.select(
+            F.col("node").alias("__c"), F.col("component").alias("__cc")
+        )
+        new_labels = (
+            stepped.join(lab_of_lab, stepped["component"] == F.col("__c"), "left")
+            .select(
+                "node",
+                F.coalesce(F.col("__cc"), F.col("component")).alias("component"),
+            )
             .persist()
         )
         changed = (
@@ -334,8 +355,18 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"connected_components: label propagation did not converge in "
+            f"{max_iter} iterations; component ids may be partial",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 

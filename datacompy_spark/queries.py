@@ -197,6 +197,17 @@ def q_cmp_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_cmp_column_stats() -> str:
     parts = []
+    # join columns appear as always-matching entries with zero diffs
+    # (reference parity, spark.py:588-600)
+    for c in LI_KEYS:
+        parts.append(
+            f"""SELECT '{c}' AS col_name,
+  sum(CASE WHEN in1 AND in2 THEN 1 ELSE 0 END)::BIGINT AS match_cnt,
+  0::BIGINT AS unequal_cnt,
+  0::BIGINT AS null_diff,
+  0.0::DOUBLE AS max_diff
+FROM j"""
+        )
     for c in LI_VALS:
         a, b = f"{c}_df1", f"{c}_df2"
         if c in _LI_NUMERIC:

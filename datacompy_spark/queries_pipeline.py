@@ -513,7 +513,7 @@ def q_stream_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_STREAM_HOURLY_PROFILE = """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
   count(*) AS n_rows,
-  sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+  sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
   min(value) AS min_value,
   max(value) AS max_value
 FROM events GROUP BY 1, 2"""

@@ -50,11 +50,21 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     ns_cols = _nanos_timestamp_fields(path)
     if not ns_cols:
         return spark.read.parquet(path)
+    try:
+        prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong")
+    except Exception:
+        prev = None
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try:
+        # .schema forces analysis (and schema capture) while the flag is set,
+        # so restoring the conf afterwards cannot affect this (lazy) scan
         df = spark.read.parquet(path)
+        df.schema
     finally:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+        if prev is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
     for c in ns_cols:
         # integer `div`, NOT `/`: ns values exceed 2^53, double division would
         # lose the low microsecond bit
@@ -81,13 +91,17 @@ def load(spark: SparkSession, ref: str, fmt: Optional[str] = None, **options) ->
     """Load a table reference: a file path (format inferred from extension)
     or a catalog table name (ref ``cli/backends.py:341-366`` table refs)."""
     fmt = fmt or infer_format(ref)
+    if fmt == "table":
+        return spark.table(ref)
     if fmt == "parquet":
         return read_parquet(spark, ref)
     if fmt == "csv":
         return read_csv(spark, ref, **options)
     if fmt in ("json", "jsonl"):
         return read_json(spark, ref, lines=(fmt == "jsonl"))
-    if fmt is None and "." not in os.path.basename(ref):
+    if fmt is None and os.path.sep not in ref and not os.path.exists(ref):
+        # not a path and no known file extension: a catalog table name,
+        # possibly qualified ``db.schema.table`` (ref cli/backends.py:341-366)
         return spark.table(ref)
     raise ValueError(f"cannot infer format for {ref!r}; pass fmt= explicitly")
 

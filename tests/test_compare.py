@@ -64,7 +64,10 @@ class TestBasics:
     def test_column_stats_contract(self, spark, f2):
         c = SparkCompare(spark, *f2, join_columns="id")
         st = {s["column"]: s for s in c.column_stats}
-        assert set(st) == {"name", "amount"}
+        # join columns are included as always-matching entries (ref parity)
+        assert set(st) == {"id", "name", "amount"}
+        assert st["id"]["unequal_cnt"] == 0
+        assert st["id"]["match_cnt"] == c.intersect_rows_count
         assert st["amount"]["unequal_cnt"] == 1
         assert st["amount"]["max_diff"] == pytest.approx(0.005, abs=1e-9)
         assert st["name"]["all_match"]
@@ -216,13 +219,13 @@ class TestReport:
         assert d["row_summary"]["common_rows"] == 2
         assert data.to_json()
         html = data.to_html()
-        assert html.startswith("<!DOCTYPE html>")
+        assert html.startswith("<html><head>")  # reference format (report.py:282-299)
 
     def test_report_html_file(self, spark, f2, tmp_path):
         c = SparkCompare(spark, *f2, join_columns="id")
         out = tmp_path / "r.html"
         c.report(html_file=str(out))
-        assert out.read_text().startswith("<!DOCTYPE html>")
+        assert out.read_text().startswith("<html><head>")
 
 
 class TestTestdata:
@@ -250,3 +253,58 @@ class TestTestdata:
             join_columns=["l_orderkey", "l_linenumber"], abs_tol=0.01,
         )
         assert c2.matches()
+
+
+class TestSensitiveNoLeak:
+    """ADVICE r1: masking must also cover the _exceptions-backed paths —
+    sample_mismatch/all_mismatch/report read the exceptions cache, which the
+    reference serves from the masked intersect frame (spark.py:720-791)."""
+
+    def test_sample_and_all_mismatch_masked(self, spark, f2):
+        c = SparkCompare(spark, *f2, join_columns="id")
+        c.hide_sensitive_columns(["amount"])
+        sm = c.sample_mismatch("amount").collect()
+        assert sm, "expected at least one mismatch row"
+        for r in sm:
+            assert r["amount_df1"] == "*******"
+            assert r["amount_df2"] == "*******"
+        am = c.all_mismatch().collect()
+        for r in am:
+            assert r["amount_df1"] == "*******"
+            assert r["amount_df2"] == "*******"
+
+    def test_report_masked(self, spark, f2):
+        c = SparkCompare(spark, *f2, join_columns="id")
+        c.hide_sensitive_columns(["amount"])
+        text = c.report()
+        assert "20.005" not in text
+        assert "*******" in text
+
+    def test_reveal_restores_exceptions(self, spark, f2):
+        c = SparkCompare(spark, *f2, join_columns="id")
+        c.hide_sensitive_columns(["amount"])
+        c.reveal_sensitive_columns()
+        vals = {r["amount_df2"] for r in c.sample_mismatch("amount").collect()}
+        assert 20.005 in vals
+
+    def test_mask_before_exceptions_built(self, spark, f2):
+        # masking before any mismatch accessor is called must still cover
+        # the lazily-built exceptions frame
+        c = SparkCompare(spark, *f2, join_columns="id")
+        c.hide_sensitive_columns(["amount"])
+        for r in c.sample_mismatch("amount").collect():
+            assert r["amount_df1"] == "*******"
+
+
+class TestKeyExprPerSide:
+    def test_trim_decided_by_owning_side(self, spark):
+        # df1 key is a padded numeric STRING, df2 key is bigint. The
+        # reference trims each side by its own dtype (spark.py:416-427):
+        # left gets trimmed (string), right stays bigint, and ' 01 ' vs 1
+        # matches via numeric coercion. The old code looked up df1's dtype
+        # for BOTH sides.
+        df1 = spark.createDataFrame([(" 01 ", "x"), ("2", "y")], "id string, v string")
+        df2 = spark.createDataFrame([(1, "x"), (2, "y")], "id bigint, v string")
+        c = SparkCompare(spark, df1, df2, join_columns="id", ignore_spaces=True)
+        assert c.intersect_rows_count == 2
+        assert c.count_matching_rows() == 2

@@ -51,3 +51,42 @@ class TestLoad:
             f"SELECT ts FROM '{sf_dir}/events.parquet' ORDER BY event_id LIMIT 3"
         ).fetchall()
         assert [r["ts"] for r in got] == [w[0] for w in want]
+
+
+class TestCatalogTables:
+    def test_unqualified_table_name(self, spark):
+        spark.createDataFrame([(1, "a")], "id bigint, v string").createOrReplaceTempView(
+            "ldr_plain"
+        )
+        assert L.load(spark, "ldr_plain").count() == 1
+
+    def test_qualified_table_name(self, spark):
+        # global temp views live under the two-part name global_temp.<name> —
+        # the dotted-ref path the reference accepts (cli/backends.py:341-366)
+        df = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, v string")
+        df.createOrReplaceGlobalTempView("ldr_qualified")
+        assert L.load(spark, "global_temp.ldr_qualified").count() == 2
+
+    def test_explicit_table_format(self, spark):
+        spark.createDataFrame([(3, "c")], "id bigint, v string").createOrReplaceTempView(
+            "ldr_fmt"
+        )
+        assert L.load(spark, "ldr_fmt", fmt="table").count() == 1
+
+    def test_existing_file_without_extension_still_errors(self, spark, tmp_path):
+        p = tmp_path / "noext"
+        p.write_text("id,v\n1,a\n")
+        with pytest.raises(ValueError, match="cannot infer format"):
+            L.load(spark, str(p))
+
+
+class TestConfRestore:
+    def test_nanos_flag_restored_to_prior_value(self, spark, sf_dir):
+        key = "spark.sql.legacy.parquet.nanosAsLong"
+        spark.conf.set(key, "true")
+        try:
+            df = L.read_parquet(spark, f"{sf_dir}/events.parquet")
+            df.limit(1).collect()
+            assert spark.conf.get(key) == "true"
+        finally:
+            spark.conf.unset(key)

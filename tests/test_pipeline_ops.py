@@ -187,3 +187,32 @@ class TestTextOps:
         assert fp[1]["min_ngram_md5"] == fp[2]["min_ngram_md5"]
         assert fp[1]["simhash"] == fp[2]["simhash"]
         assert fp[1]["content_md5"] != fp[3]["content_md5"]
+
+
+    def test_long_chain_converges_via_pointer_doubling(self, spark):
+        # a 60-node chain has diameter 59; naive propagation needs 59 rounds,
+        # pointer doubling needs ~log2(59) ≈ 6 — max_iter=8 proves doubling
+        import warnings
+
+        pairs = spark.createDataFrame(
+            [(i, i + 1, 0.9) for i in range(1, 60)],
+            "id_a bigint, id_b bigint, jaccard double",
+        )
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", RuntimeWarning)
+            cc = {r["node"]: r["component"]
+                  for r in D.connected_components(pairs, max_iter=8).collect()}
+        assert set(cc.values()) == {1}
+        assert len(cc) == 60
+
+    def test_nonconvergence_warns(self, spark):
+        import warnings
+
+        pairs = spark.createDataFrame(
+            [(i, i + 1, 0.9) for i in range(1, 40)],
+            "id_a bigint, id_b bigint, jaccard double",
+        )
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            D.connected_components(pairs, max_iter=1)
+        assert any("did not converge" in str(w.message) for w in rec)

@@ -1,0 +1,70 @@
+"""Report-format parity with the reference renderer.
+
+The fixture ``tests/snapshots/ref_pandas_with_mismatches.txt`` is the
+reference repo's published golden report for its known-diff scenario
+(``tests/snapshots/pandas_with_mismatches.txt``). Our Spark engine renders
+the same scenario; output must match byte-for-byte after accounting for the
+one legitimate engine difference — dtype names (``int64``/``float64`` vs
+``bigint``/``double``) and the fixed-width padding those names drive.
+"""
+
+import pathlib
+import re
+
+import pytest
+
+from datacompy_spark import SparkCompare
+
+REF_SNAP = pathlib.Path(__file__).parent / "snapshots" / "ref_pandas_with_mismatches.txt"
+
+_DTYPES = {"float64": "double", "int64": "bigint", "object": "string"}
+
+
+def _norm(text: str) -> list:
+    """Collapse fixed-width gutters and map engine dtype names, so the
+    comparison checks content + structure independent of dtype-name width."""
+    out = []
+    for line in text.strip().splitlines():
+        toks = re.split(r"  +", line.strip())
+        toks = [_DTYPES.get(t, t) for t in toks]
+        if all(set(t) == {"-"} for t in toks if t):  # separator rows: width varies
+            toks = ["-" * len(toks)]
+        out.append(toks)
+    return out
+
+
+@pytest.fixture()
+def ref_scenario(spark):
+    df1 = spark.createDataFrame(
+        [(1, 10, 1.0), (2, 20, 2.0), (3, 30, 3.0)], "id bigint, val bigint, score double"
+    )
+    df2 = spark.createDataFrame(
+        [(1, 10, 1.0), (2, 99, 2.5), (3, 30, 3.0)], "id bigint, val bigint, score double"
+    )
+    return SparkCompare(spark, df1, df2, join_columns="id")
+
+
+def test_reference_report_format(ref_scenario):
+    ours = ref_scenario.report()
+    assert _norm(ours) == _norm(REF_SNAP.read_text())
+
+
+def test_report_data_contract(ref_scenario):
+    """Typed tree mirrors the reference's ReportData contract
+    (ref ``report.py:50-331``)."""
+    data = ref_scenario.build_report_data()
+    assert data.row_summary.equal_rows == 2
+    assert data.row_summary.unequal_rows == 1
+    assert data.column_summary.df1_unique_columns == ()
+    assert data.column_comparison.unequal_values == 2
+    # join column present as an always-equal entry
+    assert data.column_comparison.equal_columns == 1
+    ms = data.mismatch_stats
+    assert ms.has_mismatches and ms.has_samples
+    assert [s.column for s in ms.stats] == ["score", "val"]  # sorted by name
+    assert len(ms.samples) == 2
+    d = data.to_dict()
+    assert d["row_summary"]["common_rows"] == 3
+    import json
+
+    json.dumps(d, default=str)  # JSON-serializable

@@ -41,3 +41,23 @@ def test_custom_template(cmp_, tmp_path):
     )
     out = cmp_.build_report_data().render(template_path=str(tpl))
     assert out == "df1 vs df2: common=2 unequal=1"
+
+
+def test_template_name_resolution(cmp_):
+    """Reference-style resolution: bare name, name+.j2, absolute path
+    (ref base.py:493-533)."""
+    data = cmp_.build_report_data()
+    full = data.render()
+    assert data.render(template_path="report_template") == full
+    assert data.render(template_path="report_template.j2") == full
+    with pytest.raises(FileNotFoundError):
+        data.render(template_path="no_such_template")
+    with pytest.raises(FileNotFoundError):
+        data.render(template_path="/absolute/missing.j2")
+
+
+def test_report_header_matches_reference(cmp_):
+    text = cmp_.report()
+    assert text.startswith("DataComPy Comparison\n-------------------\n")
+    assert "DataFrame Summary" in text
+    assert "Default Absolute Tolerance: 0" in text

@@ -31,7 +31,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             s = s.map(lambda v: tuple(v) if v is not None else None)
         try:
             import numpy as np
-            if isinstance(s.dtype, object) and s.map(lambda v: isinstance(v, np.ndarray) if v is not None else False).any():
+            if s.dtype == object and s.map(lambda v: isinstance(v, np.ndarray) if v is not None else False).any():
                 s = s.map(lambda v: tuple(v.tolist()) if v is not None else None)
         except Exception:
             pass
@@ -45,6 +45,13 @@ def values_close(a: pd.DataFrame, b: pd.DataFrame) -> bool:
         return False
     for c in a.columns:
         av, bv = a[c], b[c]
+        # The driver hashes raw values, so an int 0 vs float 0.0 column is a
+        # real mismatch (e.g. DuckDB HUGEINT sums arriving as float64). Flag
+        # float-vs-integer dtype drift instead of coercing it away.
+        kinds = {av.dtype.kind, bv.dtype.kind}
+        if "f" in kinds and kinds & {"i", "u"}:
+            print(f"      dtype drift on '{c}': spark={av.dtype} duckdb={bv.dtype}")
+            return False
         if av.dtype.kind == "f" or bv.dtype.kind == "f":
             ok = [
                 (pd.isna(x) and pd.isna(y))
