@@ -74,6 +74,23 @@ def _shingled(df: DataFrame, id_col: str, text_col: str, shingle_k: int) -> Data
     )
 
 
+def collapse_exact_content(df: DataFrame, id_col: str, text_col: str):
+    """Split a corpus into exact-content duplicate groups: returns
+    ``(members, reps)`` where ``members`` is (doc_id, chash) for every
+    document and ``reps`` is one (chash, doc_id, toks) row per distinct
+    token sequence (survivor = min id). The hot-bucket guard for LSH: k
+    identical documents enter candidate generation as ONE row instead of
+    k rows sharing every band bucket (k² candidates)."""
+    staged = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
+    ).select("doc_id", "toks", F.md5(F.concat_ws("\x1f", "toks")).alias("chash"))
+    members = staged.select("doc_id", "chash")
+    reps = staged.groupBy("chash").agg(
+        F.min("doc_id").alias("doc_id"), F.min_by("toks", "doc_id").alias("toks")
+    )
+    return members, reps
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 16, shingle_k: int = 3
 ) -> DataFrame:
@@ -95,16 +112,43 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding, Jaccard-verified.
 
-    Stages: (1) per-doc shingle set + signature (narrow); (2) explode band
-    keys and self-join per (band, key) bucket — the only shuffle, on
-    uniformly-distributed md5 keys; (3) exact Jaccard on the candidate pairs'
-    distinct shingle sets; emit pairs ≥ threshold, deduped across bands."""
+    Stages: (0) collapse exact-content duplicates (identical token
+    sequences) to one representative each — k identical documents share
+    every band bucket, so without this an adversarial corpus turns each
+    bucket join into k² candidates; LSH only ever sees distinct content,
+    and the duplicate groups are re-expanded into output pairs afterwards
+    (identical content ⇒ Jaccard exactly 1.0, and a member pair qualifies
+    iff its representative pair does, so output is unchanged);
+    (1) per-representative shingle set + signature (narrow); (2) explode
+    band keys and self-join per (band, key) bucket — a shuffle on
+    uniformly-distributed md5 keys; (3) exact Jaccard on the candidate
+    pairs' distinct shingle sets; emit pairs ≥ threshold, deduped across
+    bands."""
     rows_per_band = num_hashes // bands
-    # Persist the per-document sketches: Spark re-evaluates projection
+    # ---- stage 0: exact-content collapse --------------------------------
+    members, reps = collapse_exact_content(df, id_col, text_col)
+    members = members.persist()
+    members.count()
+    # Persist the per-representative sketches: Spark re-evaluates projection
     # expressions per JOINED ROW in self-joins, so without materialization the
     # shingling/minhash work would run once per candidate pair instead of
     # once per document.
-    base = _shingled(df, id_col, text_col, shingle_k).persist()
+    base = (
+        reps.select(
+            "doc_id",
+            "chash",
+            F.array_distinct(word_shingles(F.col("toks"), shingle_k)).alias(
+                "shingles"
+            ),
+        )
+        .select(
+            "doc_id",
+            "chash",
+            "shingles",
+            shingle_hashes(F.col("shingles")).alias("shash"),
+        )
+        .persist()
+    )
     base.count()  # materialize BEFORE the self-join: two lazy scans of the
     # same unpopulated cache race and each recomputes the sketches
     sig = base.withColumn(
@@ -154,17 +198,41 @@ def minhash_lsh_pairs(
         # materialize at any scale.
         .localCheckpoint(eager=False)
     )
-    return (
-        scored.select(
-            "id_a",
-            "id_b",
-            (
-                F.col("n_inter").cast("double")
-                / (F.col("n_total") - F.col("n_inter")).cast("double")
-            ).alias("jaccard"),
+    rep_pairs = scored.select(
+        "id_a",
+        "id_b",
+        (
+            F.col("n_inter").cast("double")
+            / (F.col("n_total") - F.col("n_inter")).cast("double")
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= F.lit(threshold))
+    # ---- re-expand exact-duplicate groups into output pairs -------------
+    # cross-group: every member pair across a qualifying representative pair
+    # carries that pair's Jaccard (identical content ⇒ identical shingles)
+    ch_a = base.select(F.col("doc_id").alias("id_a"), F.col("chash").alias("ch_a"))
+    ch_b = base.select(F.col("doc_id").alias("id_b"), F.col("chash").alias("ch_b"))
+    m_a = members.select(F.col("chash").alias("ch_a"), F.col("doc_id").alias("m_a"))
+    m_b = members.select(F.col("chash").alias("ch_b"), F.col("doc_id").alias("m_b"))
+    cross = (
+        rep_pairs.join(ch_a, "id_a")
+        .join(ch_b, "id_b")
+        .join(m_a, "ch_a")
+        .join(m_b, "ch_b")
+        .select(
+            F.least("m_a", "m_b").alias("id_a"),
+            F.greatest("m_a", "m_b").alias("id_b"),
+            "jaccard",
         )
-        .filter(F.col("jaccard") >= F.lit(threshold))
     )
+    # within-group: identical token sequences are Jaccard 1.0 by definition
+    w_a = members.select("chash", F.col("doc_id").alias("id_a"))
+    w_b = members.select("chash", F.col("doc_id").alias("id_b"))
+    within = (
+        w_a.join(w_b, (w_a["chash"] == w_b["chash"]) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
+        .filter(F.lit(1.0) >= F.lit(threshold))
+    )
+    return cross.unionAll(within)
 
 
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -225,6 +293,59 @@ def simhash_near_dups(
     )
 
 
+def _ngram_base(
+    df: DataFrame, id_col: str, text_col: str, block_col: str, n: int
+) -> DataFrame:
+    """(doc_id, block, grams): each distinct char n-gram hashed to a 60-bit
+    int once per document, sorted ascending — the hash order IS the global
+    gram order the prefix filter needs, and pairwise intersections run over
+    int arrays (no per-pair string hashing). normalize() is staged as its
+    own column: inlined, its regexes would re-run once per n-gram inside the
+    char_ngrams lambda."""
+    from datacompy_spark.functions.hashing import md5_long
+
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(block_col).alias("block"),
+        normalize(F.col(text_col)).alias("norm"),
+    ).select(
+        "doc_id",
+        "block",
+        F.array_sort(
+            F.transform(char_ngrams(F.col("norm"), n), lambda g: md5_long(g))
+        ).alias("grams"),
+    )
+
+
+def _prefix_filter_candidates(base: DataFrame, threshold: float) -> DataFrame:
+    """PPJoin candidate generation over (doc_id, block, grams-sorted-asc):
+    inverted-index equi-join on (block, prefix-gram) with the J ≥ t length
+    filter. Exposed separately so scale tests can assert the candidate set
+    stays O(near-matches) rather than O(block²)."""
+    sz = F.size(F.col("grams"))
+    pref_len = (sz - F.ceil(F.lit(threshold) * sz) + 1).cast("int")
+    pref = base.select(
+        "doc_id",
+        "block",
+        sz.alias("sz"),
+        F.explode(F.slice(F.col("grams"), 1, pref_len)).alias("gram"),
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # length filter: J ≥ t forces t·|a| ≤ |b| ≤ |a|/t
+            & (F.col("b.sz") * F.lit(threshold) <= F.col("a.sz"))
+            & (F.col("a.sz") * F.lit(threshold) <= F.col("b.sz")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -233,42 +354,40 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Blocked pairwise character-n-gram Jaccard similarity: all pairs within
-    a blocking key (e.g. language, length bucket) scored exactly."""
-    from datacompy_spark.functions.hashing import md5_long
+    """Exact character-n-gram Jaccard pairs (≥ ``threshold``) within a
+    blocking key, found via PPJoin-style prefix filtering instead of a
+    within-block all-pairs join.
 
-    # hash each distinct n-gram to a 60-bit int once per document: the
-    # pairwise intersections then run over int arrays (no per-pair string
-    # hashing/allocation) — identical sets, cross-engine reproducible.
-    # normalize() is staged as its own column: inlined, its regexes would
-    # re-run once per n-gram inside the char_ngrams lambda.
-    base = (
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            F.col(block_col).alias("block"),
-            normalize(F.col(text_col)).alias("norm"),
-        )
-        .select(
-            "doc_id",
-            "block",
-            F.transform(char_ngrams(F.col("norm"), n), lambda g: md5_long(g)).alias(
-                "grams"
-            ),
-        )
-        .persist()
-    )  # without the persist the gram hashing re-runs per joined pair
-    base.count()  # materialize before the self-join
-    a, b = base.alias("a"), base.alias("b")
+    Prefix-filtering principle (Chaudhuri et al. SSJoin / Xiao et al.
+    PPJoin): order every gram set by a global total order (ascending 60-bit
+    gram hash); any pair with Jaccard ≥ t must share at least one gram inside
+    each side's first ``|x| − ⌈t·|x|⌉ + 1`` grams. So candidates come from an
+    inverted-index equi-join on (block, prefix-gram) — work scales with
+    postings-list sizes, O(near-matches), not with block population squared.
+    A length filter (``t·|a| ≤ |b| ≤ |a|/t``, necessary for J ≥ t) prunes the
+    posting join further. Candidates are then verified with the exact set
+    intersection, so output is identical to the naive all-pairs scan.
+
+    Plan shape: stage grams once (persisted) → explode prefixes → equi-join
+    on (block, gram) → dedup candidate ids → fetch both gram arrays → exact
+    verify behind a lineage barrier."""
+    base = _ngram_base(df, id_col, text_col, block_col, n).persist()
+    # without the persist the gram hashing re-runs per joined pair
+    base.count()  # materialize before the self-joins
+    cand = _prefix_filter_candidates(base, threshold)
+    ga = base.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("g_a"))
+    gb = base.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("g_b"))
     # materialize the intersection size once per pair (it feeds both the
     # numerator and the union-size denominator)
-    paired = a.join(
-        b,
-        (F.col("a.block") == F.col("b.block")) & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(
-        F.col("a.doc_id").alias("id_a"),
-        F.col("b.doc_id").alias("id_b"),
-        F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams"))).alias("n_inter"),
-        (F.size(F.col("a.grams")) + F.size(F.col("b.grams"))).alias("n_total"),
+    paired = (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect(F.col("g_a"), F.col("g_b"))).alias("n_inter"),
+            (F.size(F.col("g_a")) + F.size(F.col("g_b"))).alias("n_total"),
+        )
     )
     return (
         # lineage barrier (see minhash note): keeps the threshold filter from
@@ -387,6 +506,21 @@ def assign_components(
     )
 
 
+def _projection_weights(dim: int) -> list:
+    """Deterministic md5-seeded unit vector used as the 1-D sub-bucketing
+    projection — reproducible anywhere, no RNG state."""
+    import hashlib
+    import math
+
+    raw = [
+        int(hashlib.md5(f"embproj#{i}".encode()).hexdigest()[:15], 16) / float(1 << 60)
+        - 0.5
+        for i in range(dim)
+    ]
+    nrm = math.sqrt(sum(x * x for x in raw)) or 1.0
+    return [x / nrm for x in raw]
+
+
 def embedding_near_dups(
     df: DataFrame,
     id_col: str,
@@ -394,22 +528,72 @@ def embedding_near_dups(
     block_col: str,
     threshold: float = 0.99,
 ) -> DataFrame:
-    """Cosine near-duplicate pairs among embeddings, blocked by ``block_col``
-    (e.g. a cluster/label id) so the pairwise stage is per-block."""
+    """Cosine near-duplicate pairs (≥ ``threshold``) among embeddings,
+    blocked by ``block_col`` and SUB-bucketed by a quantized 1-D projection
+    so block population never meets an all-pairs join.
+
+    Exactness of the sub-bucketing: for unit vectors â, b̂ and a unit
+    projection p, Cauchy-Schwarz gives ``|p·â − p·b̂| ≤ ‖â − b̂‖ =
+    √(2 − 2·cos) ≤ √(2(1−t)) = w``. Quantizing the normalized projection at
+    width w therefore puts every qualifying pair in the same or an adjacent
+    bucket — the probe side emits its own and both neighbor buckets, the
+    build side its own, and the exact cosine verify filters candidates, so
+    output is identical to the naive per-block all-pairs scan. Per-bucket
+    population scales with local density along the projection, not with
+    block size; tighter thresholds shrink w and prune harder.
+
+    Plan shape: one narrow projection (vector + norm + projection computed
+    once per row, persisted) → 3-probe equi-join on (block, bucket) → exact
+    cosine verify behind a lineage barrier."""
     from datacompy_spark.functions.vector import dot, norm
 
-    # norms are per-vector: compute them once per row, not once per pair
+    dim = df.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    w = F.array(*[F.lit(x) for x in _projection_weights(dim)])
+    width = (2.0 * (1.0 - min(threshold, 0.999999))) ** 0.5
+    proj = F.aggregate(
+        F.zip_with(F.col(vec_col).cast("array<double>"), w, lambda x, wi: x * wi),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    # norms/projections are per-vector: compute them once per row, not per pair
     base = df.select(
         F.col(id_col).alias("vid"),
         F.col(block_col).alias("block"),
         F.col(vec_col).alias("v"),
         norm(F.col(vec_col)).alias("nrm"),
+        proj.alias("proj"),
+    ).select(
+        "vid",
+        "block",
+        "v",
+        "nrm",
+        # zero-norm vectors can never clear a positive cosine threshold;
+        # park them in bucket 0 instead of dividing by zero
+        F.when(
+            F.col("nrm") > 0,
+            F.floor(F.col("proj") / F.col("nrm") / F.lit(width)),
+        )
+        .otherwise(F.lit(0))
+        .alias("bucket"),
     ).persist()
     base.count()  # materialize before the self-join
-    a, b = base.alias("a"), base.alias("b")
+    a = base.alias("a")
+    # probe side emits its own bucket and both neighbors; each qualifying
+    # pair meets on exactly one bucket value, so no candidate dedup is needed
+    b = base.select(
+        "vid",
+        "block",
+        "v",
+        "nrm",
+        F.explode(
+            F.array(F.col("bucket") - 1, F.col("bucket"), F.col("bucket") + 1)
+        ).alias("bucket"),
+    ).alias("b")
     scored = a.join(
         b,
-        (F.col("a.block") == F.col("b.block")) & (F.col("a.vid") < F.col("b.vid")),
+        (F.col("a.block") == F.col("b.block"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vid") < F.col("b.vid")),
     ).select(
         F.col("a.vid").alias("id_a"),
         F.col("b.vid").alias("id_b"),

@@ -69,3 +69,142 @@ class TestKnnTopology:
         probes = embeddings.filter(F.col("vec_id") % 97 == 0)
         p = plan_of(knn_bruteforce(embeddings, probes, "vec_id", "embedding", k=3))
         assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p
+
+
+def _py_normalize(s: str) -> str:
+    import re as _re
+
+    return _re.sub(" +", " ", _re.sub("[^a-z0-9 ]", " ", s.lower())).strip()
+
+
+def _py_ngrams(s: str, n: int = 3) -> frozenset:
+    s = _py_normalize(s)
+    if len(s) < n:
+        return frozenset([s])
+    return frozenset(s[i : i + n] for i in range(len(s) - n + 1))
+
+
+class TestDedupScaleShapes:
+    """Guards for the scale properties of the dedup operators: candidate
+    generation must stay O(near-matches), never O(block²), and the pruned
+    paths must still return exactly the naive all-pairs answer."""
+
+    def test_ngram_ppjoin_matches_bruteforce(self, spark):
+        # word-salad corpus with planted near-dups across two blocks; the
+        # PPJoin path must reproduce the naive all-pairs scan exactly
+        vocab = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+        rows = []
+        for i in range(30):
+            words = [vocab[(i * 7 + j * 3) % len(vocab)] for j in range(12)]
+            rows.append((i, " ".join(words), f"b{i % 2}"))
+            # planted near-dup: same text with one word changed
+            rows.append((100 + i, " ".join(words[:-1] + [vocab[i % len(vocab)]]), f"b{i % 2}"))
+        df = spark.createDataFrame(rows, "doc_id bigint, text string, block string")
+
+        from datacompy_spark.operators.dedup import ngram_jaccard_pairs
+
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(
+                df, "doc_id", "text", "block", n=3, threshold=0.5
+            ).collect()
+        }
+        want = {}
+        by_block = {}
+        for i, text, blk in rows:
+            by_block.setdefault(blk, []).append((i, _py_ngrams(text)))
+        for blk, docs in by_block.items():
+            for x in range(len(docs)):
+                for y in range(x + 1, len(docs)):
+                    (ia, ga), (ib, gb) = docs[x], docs[y]
+                    ia, ib = min(ia, ib), max(ia, ib)
+                    j = len(ga & gb) / len(ga | gb)
+                    if j >= 0.5:
+                        want[(ia, ib)] = j
+        assert set(got) == set(want)
+        for k in want:
+            assert abs(got[k] - want[k]) < 1e-9
+
+    def test_ngram_candidates_pruned_within_block(self, spark):
+        # 120 documents share ONE block but have pairwise-disjoint gram sets:
+        # the prefix-filter join must emit ZERO candidates where a naive
+        # within-block join would score C(120,2) = 7140 pairs
+        import itertools
+
+        codes = list(itertools.combinations("abcdefghijklmnopqrstuvwxyz", 2))[:120]
+        rows = [(i, "".join(c) * 10, "all") for i, c in enumerate(codes)]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string, block string")
+
+        from datacompy_spark.operators.dedup import (
+            _ngram_base,
+            _prefix_filter_candidates,
+        )
+
+        base = _ngram_base(df, "doc_id", "text", "block", 3)
+        assert _prefix_filter_candidates(base, 0.5).count() == 0
+
+    def test_minhash_identical_docs_collapse(self, spark):
+        # 300 identical documents: LSH candidate generation must see ONE
+        # representative (not 300 rows sharing every band bucket → 44850
+        # bucket-join candidates), while the output still contains every
+        # member pair at Jaccard exactly 1.0
+        from datacompy_spark.operators.dedup import (
+            collapse_exact_content,
+            minhash_lsh_pairs,
+        )
+
+        text = "the quick brown fox jumps over the lazy dog again and again"
+        rows = [(i, text) for i in range(300)]
+        rows.append((900, "completely unrelated content about spark engines"))
+        rows.append((901, "another disjoint document regarding query planning"))
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+        _, reps = collapse_exact_content(df, "doc_id", "text")
+        assert reps.count() == 3  # one per distinct content
+
+        out = minhash_lsh_pairs(df, "doc_id", "text", threshold=0.5).collect()
+        assert len(out) == 300 * 299 // 2
+        assert all(r["jaccard"] == 1.0 for r in out)
+        assert all(r["id_a"] < r["id_b"] < 900 for r in out)
+
+    def test_embedding_projection_bucketing_exact(self, spark):
+        # the quantized-projection sub-bucketing must not lose any pair the
+        # naive per-block all-pairs scan would emit (Cauchy-Schwarz recall
+        # guarantee), including pairs straddling a bucket boundary
+        import math
+
+        def vec(seed, dim=16):
+            return [math.sin(seed * (i + 1)) for i in range(dim)]
+
+        rows = []
+        for i in range(40):
+            v = vec(float(i + 1))
+            rows.append((i, v, 0))
+            # planted near-dup: tiny perturbation → cosine just under 1
+            rows.append((100 + i, [x + 0.001 * math.cos(i * (j + 1)) for j, x in enumerate(v)], 0))
+        emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>, label int")
+
+        from datacompy_spark.operators.dedup import embedding_near_dups
+
+        got = {
+            (r["id_a"], r["id_b"]): r["cos_sim"]
+            for r in embedding_near_dups(emb, "vec_id", "embedding", "label", 0.8).collect()
+        }
+
+        def cos(a, b):
+            d = sum(x * y for x, y in zip(a, b))
+            na = math.sqrt(sum(x * x for x in a))
+            nb = math.sqrt(sum(x * x for x in b))
+            return d / (na * nb)
+
+        want = {}
+        for x in range(len(rows)):
+            for y in range(x + 1, len(rows)):
+                (ia, va, _), (ib, vb, _) = rows[x], rows[y]
+                ia, ib = min(ia, ib), max(ia, ib)
+                c = cos(va, vb)
+                if c >= 0.8:
+                    want[(ia, ib)] = c
+        assert set(got) == set(want)
+        for k in want:
+            assert abs(got[k] - want[k]) < 1e-6
