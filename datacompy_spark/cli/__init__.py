@@ -19,6 +19,49 @@ class CLIError(Exception):
     """User/config error → exit code 2."""
 
 
+def tolerance(value: str):
+    """Parse ``--abs-tol``/``--rel-tol`` values: a bare number, or a
+    ``COLUMN=VALUE`` pair for per-column tolerances (ref
+    ``cli/parser.py:136-159``)."""
+    column, sep, raw = value.partition("=")
+    text = raw if sep else value
+    try:
+        number = float(text)
+    except ValueError as exc:
+        raise argparse.ArgumentTypeError(
+            f"expected a number or COLUMN=NUMBER, got {value!r}"
+        ) from exc
+    if number < 0:
+        raise argparse.ArgumentTypeError(f"tolerance must not be negative, got {number}")
+    if not sep:
+        return number
+    if not column.strip():
+        raise argparse.ArgumentTypeError(f"missing column name in {value!r}")
+    return column.strip(), number
+
+
+def _combine_tolerances(raw, flag: str):
+    """Repeated tolerance flags → a single float or a per-column dict, never a
+    mixture (ref ``cli/parser.py:202-231``)."""
+    if not raw:
+        return 0.0
+    pairs = [item for item in raw if isinstance(item, tuple)]
+    scalars = [item for item in raw if not isinstance(item, tuple)]
+    if pairs and scalars:
+        raise CLIError(
+            f"{flag} takes either a single number or one or more COLUMN=VALUE "
+            "pairs, not both."
+        )
+    if scalars:
+        if len(scalars) > 1:
+            raise CLIError(
+                f"{flag} was given a bare number more than once. Use "
+                f"{flag} COLUMN=VALUE to set per column tolerances."
+            )
+        return scalars[0]
+    return dict(pairs)
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="datacompy-spark",
@@ -35,8 +78,27 @@ def build_parser() -> argparse.ArgumentParser:
     )
     c.add_argument("--left-name", default="left", help="display name for left")
     c.add_argument("--right-name", default="right", help="display name for right")
-    c.add_argument("--abs-tol", type=float, default=0.0)
-    c.add_argument("--rel-tol", type=float, default=0.0)
+    c.add_argument(
+        "--on-index",
+        action="store_true",
+        help="join on the DataFrame index instead of columns (pandas backend "
+        "only — always rejected here)",
+    )
+    c.add_argument(
+        "--abs-tol",
+        action="append",
+        type=tolerance,
+        metavar="N|COL=N",
+        help="absolute tolerance: a bare number for every numeric column, or "
+        "repeated COLUMN=VALUE pairs for per-column tolerances",
+    )
+    c.add_argument(
+        "--rel-tol",
+        action="append",
+        type=tolerance,
+        metavar="N|COL=N",
+        help="relative tolerance: a bare number or repeated COLUMN=VALUE pairs",
+    )
     c.add_argument("--ignore-spaces", action="store_true")
     c.add_argument("--ignore-case", action="store_true")
     c.add_argument("--no-lowercase-columns", action="store_true",
@@ -58,9 +120,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="pass (exit 0) iff differing rows <= N",
     )
     c.add_argument(
-        "--include-unique-in-threshold",
+        "--ignore-unique-rows",
         action="store_true",
-        help="count rows unique to either side against --max-unequal-rows",
+        help="do not count rows unique to either side against "
+        "--max-unequal-rows (ref cli/parser.py)",
+    )
+    c.add_argument(
+        "--ignore-extra-columns",
+        action="store_true",
+        help="pass even when one side has columns the other lacks",
     )
     c.add_argument(
         "--export-mismatches",
@@ -79,19 +147,40 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _validate_args(args) -> None:
+    """Cross-flag validation before any Spark work (ref
+    ``cli/compare.py:85-121``): backend-gated flags are rejected with the
+    reference's message shape, and flag combinations are checked."""
+    if args.on_index:
+        raise CLIError(
+            "--on-index is not supported with --backend spark. "
+            "It applies to: pandas."
+        )
+    if args.ignore_unique_rows and args.max_unequal_rows is None:
+        raise CLIError(
+            "--ignore-unique-rows only has an effect together with "
+            "--max-unequal-rows N."
+        )
+
+
 def _within_threshold(args, report_data) -> bool:
     """Threshold semantics (ref ``cli/compare.py:124-157``): reads the built
-    ReportData, never re-counts."""
+    ReportData, never re-counts. Without ``--max-unequal-rows`` this mirrors
+    ``matches()`` (an empty intersection is a non-match); with it, unique
+    rows count as differing unless ``--ignore-unique-rows``."""
     rs = report_data.row_summary
     cs = report_data.column_summary
-    if cs.df1_unique_columns or cs.df2_unique_columns:
-        return False
-    unequal = rs.unequal_rows
-    if args.include_unique_in_threshold:
-        unequal += rs.df1_unique + rs.df2_unique
+    columns_ok = args.ignore_extra_columns or (
+        not cs.df1_unique_columns and not cs.df2_unique_columns
+    )
     if args.max_unequal_rows is None:
-        return rs.unequal_rows == 0 and rs.df1_unique == 0 and rs.df2_unique == 0
-    return unequal <= args.max_unequal_rows
+        rows_overlap = rs.df1_unique == 0 and rs.df2_unique == 0
+        intersect_matches = rs.common_rows > 0 and rs.unequal_rows == 0
+        return columns_ok and rows_overlap and intersect_matches
+    differing = rs.unequal_rows
+    if not args.ignore_unique_rows:
+        differing += rs.df1_unique + rs.df2_unique
+    return columns_ok and differing <= args.max_unequal_rows
 
 
 def run_compare(args) -> int:
@@ -100,6 +189,9 @@ def run_compare(args) -> int:
     from datacompy_spark.operators.compare import SparkCompare
     from datacompy_spark.sources.loaders import load
 
+    _validate_args(args)
+    abs_tol = _combine_tolerances(args.abs_tol, "--abs-tol")
+    rel_tol = _combine_tolerances(args.rel_tol, "--rel-tol")
     created = SparkSession.getActiveSession() is None
     spark = SparkSession.builder.appName("datacompy-spark-cli").getOrCreate()
     try:
@@ -121,8 +213,8 @@ def run_compare(args) -> int:
                 df1,
                 df2,
                 join_columns=join_columns,
-                abs_tol=args.abs_tol,
-                rel_tol=args.rel_tol,
+                abs_tol=abs_tol,
+                rel_tol=rel_tol,
                 df1_name=args.left_name,
                 df2_name=args.right_name,
                 ignore_spaces=args.ignore_spaces,

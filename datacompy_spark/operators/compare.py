@@ -42,6 +42,16 @@ from datacompy_spark.functions.comparators import (
 
 LOG = logging.getLogger(__name__)
 
+#: accepted input frame types: classic plus Spark Connect DataFrames
+#: (ref ``spark.py:290-295`` accepts both; the Connect class only exists
+#: when the connect extras are installed, hence the guard)
+try:  # pragma: no cover - depends on the pyspark build
+    from pyspark.sql.connect.dataframe import DataFrame as _ConnectDataFrame
+
+    _DATAFRAME_TYPES: tuple = (DataFrame, _ConnectDataFrame)
+except Exception:  # pragma: no cover
+    _DATAFRAME_TYPES = (DataFrame,)
+
 MASK_VALUE = "*******"  # ref ``spark.py:246`` sensitive-column replacement
 
 
@@ -178,8 +188,11 @@ class SparkCompare:
     # ------------------------------------------------------------------ setup
 
     def _prep_df(self, df: DataFrame, which: str) -> DataFrame:
-        if not isinstance(df, DataFrame):
-            raise TypeError(f"{which} must be a pyspark DataFrame, got {type(df)}")
+        if not isinstance(df, _DATAFRAME_TYPES):
+            raise TypeError(
+                f"{which} must be a pyspark.sql.DataFrame or "
+                f"pyspark.sql.connect.dataframe.DataFrame, got {type(df)}"
+            )
         if self.cast_column_names_lower:
             df = df.toDF(*[c.lower() for c in df.columns])
         if len(set(df.columns)) != len(df.columns):
@@ -368,6 +381,34 @@ class SparkCompare:
     def _ensure_cached(self) -> None:
         """Kick off materialization of the exceptions cache."""
         self._exceptions  # noqa: B018 — building the property persists it
+
+    def cache_result(self) -> "SparkCompare":
+        """Eagerly materialize the comparison for reuse-heavy sessions — the
+        analog of the reference snowflake backend's ``cache_result``
+        (``snowflake.py:438-441,541``). Persists the joined frame and the
+        exceptions cache and runs both now, so every later read — reports,
+        ``sample_mismatch``/``all_mismatch``, derived frames, stats — serves
+        from memory/disk cache with zero re-scans of the inputs. Returns
+        ``self`` for chaining."""
+        from pyspark import StorageLevel
+
+        if not self._outer_persisted:
+            self._outer = self._outer.persist(StorageLevel.MEMORY_AND_DISK)
+            self._outer_persisted = True
+        self._outer.count()
+        self._ensure_cached()
+        self._exceptions.count()
+        return self
+
+    def uncache(self) -> None:
+        """Release everything :meth:`cache_result` (or
+        ``cache_intermediates``) pinned."""
+        if self._outer_persisted:
+            self._outer.unpersist()
+            self._outer_persisted = False
+        exc = self.__dict__.get("_exceptions")
+        if exc is not None:
+            exc.unpersist()
 
     # ---------------------------------------------------------- derived frames
 

@@ -103,44 +103,119 @@ def image_features(df: DataFrame, id_col: str, binary_col: str, dim: int = IMAGE
         ]
     )
 
+    def featurize(data) -> tuple:
+        data = bytes(data) if data is not None else b""
+        img = _try_decode_image(data)
+        if img is None:
+            return _fake_features(data, dim), False
+        img = img.convert("L").resize((4, 4))
+        vec = [p / 127.5 - 1.0 for p in img.getdata()][:dim]
+        return vec + [0.0] * (dim - len(vec)), True
+
     def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
         import pandas as pd
 
         for pdf in batches:
-            ids, feats, decoded = [], [], []
-            for _, row in pdf.iterrows():
-                data = bytes(row[binary_col]) if row[binary_col] is not None else b""
-                img = _try_decode_image(data)
-                if img is not None:
-                    img = img.convert("L").resize((4, 4))
-                    px = list(img.getdata())
-                    vec = [p / 127.5 - 1.0 for p in px][:dim]
-                    vec += [0.0] * (dim - len(vec))
-                    feats.append(vec)
-                    decoded.append(True)
-                else:
-                    feats.append(_fake_features(data, dim))
-                    decoded.append(False)
-                ids.append(row[id_col])
-            yield pd.DataFrame({"id": ids, "features": feats, "decoded": decoded})
+            # Series.map over the blob column: decode is inherently per-item
+            # Python work, but nothing materializes per-row frames
+            pairs = pdf[binary_col].map(featurize)
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "features": pairs.map(lambda p: p[0]),
+                    "decoded": pairs.map(lambda p: p[1]),
+                }
+            )
 
     return df.select(id_col, binary_col).mapInPandas(run, out_schema)
+
+
+def _try_sample_video(data: bytes, every_ms: int):
+    """Real frame sampling via the ``av`` codec stack when available; None
+    when it is absent (this container)."""
+    try:  # pragma: no cover - codec stack absent in this container
+        import io
+
+        import av
+
+        frames = []
+        with av.open(io.BytesIO(data)) as container:
+            stream = container.streams.video[0]
+            next_ms = 0
+            for frame in container.decode(stream):
+                ms = int(frame.time * 1000) if frame.time is not None else 0
+                if ms >= next_ms:
+                    buf = io.BytesIO()
+                    frame.to_image().save(buf, format="PNG")
+                    frames.append((ms, buf.getvalue()))
+                    next_ms += every_ms
+        return frames
+    except ImportError:
+        return None
+
+
+def _fake_video_frames(data: bytes, every_ms: int) -> list:
+    """Deterministic stand-in sampler: the blob is treated as 1 byte/ms of
+    pseudo-video and each sampled 'frame' is an md5-derived 16-byte blob —
+    keeps the explode shape (rows ∝ duration/every_ms), ordering, and binary
+    schema exercisable without codecs."""
+    import hashlib
+
+    duration_ms = len(data)
+    out = []
+    for ms in range(0, max(duration_ms, 1), every_ms):
+        out.append((ms, hashlib.md5(data + ms.to_bytes(8, "little")).digest()))
+    return out
 
 
 def sample_video_frames(
     df: DataFrame, id_col: str, binary_col: str, every_ms: int = 1000
 ) -> DataFrame:
-    """Frame-sampling stage contract: one output row per sampled frame with
-    the frame as a binary column. Requires a video codec stack (``av``),
-    which is not in this container."""
-    try:
-        import av  # noqa: F401
-    except ImportError as ex:
-        raise NotImplementedError(
-            "video frame sampling requires the 'av' codec stack; the "
-            "mapInPandas contract is (id, frame_idx, frame_ms, frame_png binary)"
-        ) from ex
-    raise NotImplementedError("codec stack present but decoder not implemented yet")
+    """Sample one frame every ``every_ms`` per video blob via Arrow-batched
+    ``mapInPandas`` — a row-EXPANDING stage (one output row per frame).
+
+    Output: (id, frame_idx, frame_ms, frame_png binary, decoded boolean).
+    With the ``av`` codec stack the frames are real PNG re-encodes; without
+    it a deterministic fallback preserves the expansion shape, ordering, and
+    schema so downstream stages stay testable."""
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame_ms", T.LongType()),
+            T.StructField("frame_png", T.BinaryType()),
+            T.StructField("decoded", T.BooleanType()),
+        ]
+    )
+
+    def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, mss, blobs, decs = [], [], [], [], []
+            for vid, data in zip(pdf[id_col], pdf[binary_col]):
+                data = bytes(data) if data is not None else b""
+                frames = _try_sample_video(data, every_ms)
+                decoded = frames is not None
+                if frames is None:
+                    frames = _fake_video_frames(data, every_ms)
+                for i, (ms, png) in enumerate(frames):
+                    ids.append(vid)
+                    idxs.append(i)
+                    mss.append(ms)
+                    blobs.append(png)
+                    decs.append(decoded)
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "frame_idx": idxs,
+                    "frame_ms": mss,
+                    "frame_png": blobs,
+                    "decoded": decs,
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(run, out_schema)
 
 
 def audio_features(df: DataFrame, id_col: str, binary_col: str, dim: int = 8) -> DataFrame:

@@ -38,25 +38,66 @@ class TestExitCodes:
         assert rc == 0
 
     def test_threshold_pass(self, pair, capsys):
-        # 1 unequal + 1 left-only + 1 right-only
+        # 1 unequal + 1 left-only + 1 right-only; unique rows count as
+        # differing by default (ref cli/compare.py:124-157)
         rc = main(
             ["compare", "--left", pair[0], "--right", pair[1], "--on", "id",
-             "--max-unequal-rows", "3", "--include-unique-in-threshold"]
+             "--max-unequal-rows", "3"]
         )
         assert rc == 0
         rc = main(
             ["compare", "--left", pair[0], "--right", pair[1], "--on", "id",
-             "--max-unequal-rows", "2", "--include-unique-in-threshold"]
+             "--max-unequal-rows", "2"]
         )
         assert rc == 1
+
+    def test_ignore_unique_rows_excludes_uniques(self, pair, capsys):
+        rc = main(
+            ["compare", "--left", pair[0], "--right", pair[1], "--on", "id",
+             "--max-unequal-rows", "1", "--ignore-unique-rows"]
+        )
+        assert rc == 0
+
+    def test_ignore_unique_rows_requires_threshold(self, pair, capsys):
+        rc = main(
+            ["compare", "--left", pair[0], "--right", pair[1], "--on", "id",
+             "--ignore-unique-rows"]
+        )
+        assert rc == 2
+        assert "--max-unequal-rows" in capsys.readouterr().err
 
     def test_abs_tol_heals_value_diff(self, pair, capsys):
         rc = main(
             ["compare", "--left", pair[0], "--right", pair[1], "--on", "id",
-             "--abs-tol", "0.01", "--max-unequal-rows", "2",
-             "--include-unique-in-threshold"]
+             "--abs-tol", "0.01", "--max-unequal-rows", "2"]
         )
         assert rc == 0
+
+    def test_per_column_tolerance_pairs(self, pair, capsys):
+        # amount differs by 0.005: a per-column tolerance on amount heals it,
+        # one naming another column does not
+        base = ["compare", "--left", pair[0], "--right", pair[1], "--on", "id",
+                "--max-unequal-rows", "2"]
+        assert main(base + ["--abs-tol", "amount=0.01"]) == 0
+        assert main(base + ["--abs-tol", "name=0.01"]) == 1
+
+    def test_mixed_tolerance_forms_rejected(self, pair, capsys):
+        rc = main(
+            ["compare", "--left", pair[0], "--right", pair[1], "--on", "id",
+             "--abs-tol", "0.01", "--abs-tol", "amount=0.02"]
+        )
+        assert rc == 2
+        assert "not both" in capsys.readouterr().err
+
+    def test_on_index_rejected(self, pair, capsys):
+        rc = main(
+            ["compare", "--left", pair[0], "--right", pair[1], "--on", "id",
+             "--on-index"]
+        )
+        assert rc == 2
+        err = capsys.readouterr().err
+        assert "--on-index is not supported with --backend spark" in err
+        assert "pandas" in err
 
     def test_bad_join_column_exits_2(self, pair, capsys):
         rc = main(["compare", "--left", pair[0], "--right", pair[1], "--on", "nope"])
@@ -101,3 +142,50 @@ class TestOutputs:
         rc = main(["compare", "--left", str(lp), "--right", str(rp), "--on", "id"])
         assert rc == 1
         assert "v" in capsys.readouterr().out
+
+
+class TestParserConstructorDrift:
+    """Every SparkCompare constructor parameter must be either mapped to a
+    CLI flag or deliberately excluded here — adding a parameter without
+    deciding its CLI story fails this test (pattern of the reference's
+    ``tests/cli/test_parser.py`` drift guard)."""
+
+    # constructor param -> CLI dest, or None when deliberately not exposed
+    MAPPING = {
+        "spark": None,              # session is created/borrowed by the CLI
+        "df1": "left",
+        "df2": "right",
+        "join_columns": "on",
+        "abs_tol": "abs_tol",
+        "rel_tol": "rel_tol",
+        "df1_name": "left_name",
+        "df2_name": "right_name",
+        "ignore_spaces": "ignore_spaces",
+        "ignore_case": "ignore_case",
+        "cast_column_names_lower": "no_lowercase_columns",
+        "custom_comparators": None,  # Python-API-only extension hook
+        "cache_intermediates": None,  # CLI renders one report; nothing to reuse
+        "dup_order_by": None,        # niche; Python API only for now
+        "assume_unique": "assume_unique",
+    }
+
+    def test_constructor_params_all_mapped(self):
+        import inspect
+
+        from datacompy_spark import SparkCompare
+
+        params = set(inspect.signature(SparkCompare.__init__).parameters) - {"self"}
+        assert params == set(self.MAPPING), (
+            "SparkCompare constructor changed; update the CLI mapping "
+            f"(new: {params - set(self.MAPPING)}, "
+            f"gone: {set(self.MAPPING) - params})"
+        )
+
+    def test_mapped_dests_exist_in_parser(self):
+        from datacompy_spark.cli import build_parser
+
+        sub = build_parser()._subparsers._group_actions[0].choices["compare"]
+        dests = {a.dest for a in sub._actions}
+        for param, dest in self.MAPPING.items():
+            if dest is not None:
+                assert dest in dests, f"{param} maps to missing CLI dest {dest}"

@@ -49,6 +49,21 @@ class TestCompareTopology:
             cols = {c.split(":")[0] for c in s.split(",")}
             assert cols <= {"l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"}
 
+    def test_cache_result_serves_from_cache(self, spark, li_pair):
+        # after cache_result(), derived frames and mismatch pulls must read
+        # the in-memory cache, not re-scan the parquet inputs
+        c = SparkCompare(spark, *li_pair, join_columns=KEYS, assume_unique=True)
+        c.cache_result()
+        try:
+            for df in (c.intersect_rows, c.sample_mismatch("l_quantity"), c.df1_unq_rows):
+                p = plan_of(df)
+                # the scan node must be the cache (the InMemoryRelation text
+                # itself embeds the original FileScan as its *cached* plan,
+                # so only assert the cache node is present)
+                assert "InMemoryTableScan" in p or "TableCacheQueryStage" in p, p[:500]
+        finally:
+            c.uncache()
+
     def test_stats_is_single_aggregate_action(self, spark, li_pair):
         c = SparkCompare(spark, *li_pair, join_columns=KEYS)
         before = spark.sparkContext.statusTracker().getJobIdsForGroup(None) or []
