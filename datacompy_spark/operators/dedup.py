@@ -297,10 +297,11 @@ def _ngram_base(
     df: DataFrame, id_col: str, text_col: str, block_col: str, n: int
 ) -> DataFrame:
     """(doc_id, block, grams): each distinct char n-gram hashed to a 60-bit
-    int once per document, sorted ascending — the hash order IS the global
-    gram order the prefix filter needs, and pairwise intersections run over
-    int arrays (no per-pair string hashing). normalize() is staged as its
-    own column: inlined, its regexes would re-run once per n-gram inside the
+    int once per document. Pairwise intersections later run over int arrays
+    (no per-pair string hashing); the ordering inside ``grams`` is
+    irrelevant here (``array_intersect`` is order-insensitive) — the prefix
+    path re-ranks separately. normalize() is staged as its own column:
+    inlined, its regexes would re-run once per n-gram inside the
     char_ngrams lambda."""
     from datacompy_spark.functions.hashing import md5_long
 
@@ -311,9 +312,33 @@ def _ngram_base(
     ).select(
         "doc_id",
         "block",
-        F.array_sort(
-            F.transform(char_ngrams(F.col("norm"), n), lambda g: md5_long(g))
-        ).alias("grams"),
+        F.transform(char_ngrams(F.col("norm"), n), lambda g: md5_long(g)).alias(
+            "grams"
+        ),
+    )
+
+
+def _rank_grams_by_frequency(base: DataFrame) -> DataFrame:
+    """Re-rank each document's gram array by ASCENDING document frequency
+    (ties by hash — a total order). The frequency order is what makes prefix
+    filtering selective: a document's prefix then holds its rarest grams,
+    whose inverted-index posting lists are short, so the candidate join
+    meets few partners. (With an arbitrary order, common n-grams land in
+    prefixes and every same-block pair collides — measured on a shared-vocab
+    corpus: candidates ≈ all-pairs.) Costs three linear shuffles (gram
+    counts, frequency join, per-doc regroup), repaid quadratically in the
+    candidate join."""
+    ex = base.select("doc_id", "block", F.explode("grams").alias("gram"))
+    freq = ex.groupBy("gram").agg(F.count(F.lit(1)).alias("dfreq"))
+    return (
+        ex.join(freq, "gram")
+        .groupBy("doc_id", "block")
+        .agg(F.array_sort(F.collect_list(F.struct("dfreq", "gram"))).alias("ranked"))
+        .select(
+            "doc_id",
+            "block",
+            F.transform(F.col("ranked"), lambda s: s["gram"]).alias("grams"),
+        )
     )
 
 
@@ -353,47 +378,86 @@ def ngram_jaccard_pairs(
     block_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    direct_block_cap: int = 1000,
 ) -> DataFrame:
     """Exact character-n-gram Jaccard pairs (≥ ``threshold``) within a
-    blocking key, found via PPJoin-style prefix filtering instead of a
-    within-block all-pairs join.
+    blocking key, with ADAPTIVE block-size routing:
 
-    Prefix-filtering principle (Chaudhuri et al. SSJoin / Xiao et al.
-    PPJoin): order every gram set by a global total order (ascending 60-bit
-    gram hash); any pair with Jaccard ≥ t must share at least one gram inside
-    each side's first ``|x| − ⌈t·|x|⌉ + 1`` grams. So candidates come from an
-    inverted-index equi-join on (block, prefix-gram) — work scales with
-    postings-list sizes, O(near-matches), not with block population squared.
-    A length filter (``t·|a| ≤ |b| ≤ |a|/t``, necessary for J ≥ t) prunes the
-    posting join further. Candidates are then verified with the exact set
-    intersection, so output is identical to the naive all-pairs scan.
+    * blocks with ≤ ``direct_block_cap`` documents score all pairs directly
+      in the self-join — when qualifying pairs are dense (shared-vocabulary
+      corpora run ~50% of same-block pairs over a 0.5 threshold), no
+      candidate filter can beat this: output itself is the bound;
+    * oversized blocks — the population that grows linearly with the corpus
+      under a fixed-cardinality blocking key, i.e. the 100 TB hazard — go
+      through PPJoin-style prefix filtering (Chaudhuri et al. SSJoin / Xiao
+      et al. PPJoin): order every gram set by ascending global document
+      frequency (ties by hash); any pair with Jaccard ≥ t must share one
+      gram inside each side's first ``|x| − ⌈t·|x|⌉ + 1`` grams, so
+      candidates come from an inverted-index equi-join on (block,
+      prefix-gram) whose work scales with posting-list sizes, plus the
+      ``t·|a| ≤ |b| ≤ |a|/t`` length filter.
 
-    Plan shape: stage grams once (persisted) → explode prefixes → equi-join
-    on (block, gram) → dedup candidate ids → fetch both gram arrays → exact
-    verify behind a lineage barrier."""
+    Both routes end in the same exact set-intersection verify, so output is
+    identical to a naive all-pairs scan either way; a block is never scored
+    by both routes."""
     base = _ngram_base(df, id_col, text_col, block_col, n).persist()
     # without the persist the gram hashing re-runs per joined pair
     base.count()  # materialize before the self-joins
-    cand = _prefix_filter_candidates(base, threshold)
-    ga = base.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("g_a"))
-    gb = base.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("g_b"))
-    # materialize the intersection size once per pair (it feeds both the
-    # numerator and the union-size denominator)
-    paired = (
-        cand.join(ga, "id_a")
-        .join(gb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.size(F.array_intersect(F.col("g_a"), F.col("g_b"))).alias("n_inter"),
-            (F.size(F.col("g_a")) + F.size(F.col("g_b"))).alias("n_total"),
-        )
+    sizes = base.groupBy("block").agg(F.count(F.lit(1)).alias("__bn"))
+    # driver-side routing probe — one tiny action over the cached base (the
+    # AQE philosophy: pick the physical strategy from runtime statistics).
+    # When nothing is oversized, the whole prefix machinery vanishes from
+    # the plan and the operator is exactly the minimal all-pairs self-join.
+    any_big = (
+        sizes.filter(F.col("__bn") > direct_block_cap).limit(1).count() > 0
     )
+    if any_big:
+        # one row per block key (bounded cardinality by construction)
+        tagged = base.join(F.broadcast(sizes), "block")
+        small = tagged.filter(F.col("__bn") <= direct_block_cap).drop("__bn")
+        big = tagged.filter(F.col("__bn") > direct_block_cap).drop("__bn")
+    else:
+        small, big = base, None
+
+    # direct route: score within the self-join, grams carried
+    a, b = small.alias("a"), small.alias("b")
+    direct = a.join(
+        b,
+        (F.col("a.block") == F.col("b.block")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams"))).alias("n_inter"),
+        (F.size(F.col("a.grams")) + F.size(F.col("b.grams"))).alias("n_total"),
+    )
+
+    scored = direct
+    if big is not None:
+        # prefix-filter route for oversized blocks
+        ranked = _rank_grams_by_frequency(big)
+        cand = _prefix_filter_candidates(ranked, threshold)
+        ga = big.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("g_a"))
+        gb = big.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("g_b"))
+        filtered = (
+            cand.join(ga, "id_a")
+            .join(gb, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                F.size(F.array_intersect(F.col("g_a"), F.col("g_b"))).alias(
+                    "n_inter"
+                ),
+                (F.size(F.col("g_a")) + F.size(F.col("g_b"))).alias("n_total"),
+            )
+        )
+        scored = direct.unionAll(filtered)
+
     return (
         # lineage barrier (see minhash note): keeps the threshold filter from
-        # being pushed into the join, which would re-run array_intersect per
+        # being pushed into the joins, which would re-run array_intersect per
         # pair in the join condition
-        paired.localCheckpoint(eager=False)
+        scored
+        .localCheckpoint(eager=False)
         .select(
             "id_a",
             "id_b",

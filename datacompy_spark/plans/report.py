@@ -284,7 +284,7 @@ def build_report_data(
     )
 
     stat_list: List[MismatchStat] = []
-    samples: List[str] = []
+    sample_cols: List[str] = []
     for c in col_stats:
         if not c["all_match"]:
             stat_list.append(
@@ -300,15 +300,24 @@ def build_report_data(
                 )
             )
             if c["unequal_cnt"] > 0 and sample_count > 0:
-                samples.append(
-                    _df_to_str(
-                        cmp.sample_mismatch(
-                            c["column"], sample_count, for_display=True
-                        ),
-                        sample_count,
-                        join_cols,
-                    )
-                )
+                sample_cols.append(c["column"])
+    # per-column sample pulls are independent limit-actions over the (small,
+    # persisted) exceptions cache — run them concurrently so report latency
+    # is one action's wall-clock, not N columns' worth (the reference runs
+    # its stat queries on an async thread pool the same way, spark.py:571-580)
+    samples: List[str] = []
+    if sample_cols:
+        from concurrent.futures import ThreadPoolExecutor
+
+        def pull(col: str) -> str:
+            return _df_to_str(
+                cmp.sample_mismatch(col, sample_count, for_display=True),
+                sample_count,
+                join_cols,
+            )
+
+        with ThreadPoolExecutor(max_workers=min(8, len(sample_cols))) as pool:
+            samples = list(pool.map(pull, sample_cols))
     if stat_list:
         mismatch_stats = MismatchStats(
             has_mismatches=True,

@@ -118,12 +118,17 @@ class TestDedupScaleShapes:
 
         from datacompy_spark.operators.dedup import ngram_jaccard_pairs
 
-        got = {
-            (r["id_a"], r["id_b"]): r["jaccard"]
-            for r in ngram_jaccard_pairs(
-                df, "doc_id", "text", "block", n=3, threshold=0.5
-            ).collect()
-        }
+        def run(cap):
+            return {
+                (r["id_a"], r["id_b"]): r["jaccard"]
+                for r in ngram_jaccard_pairs(
+                    df, "doc_id", "text", "block", n=3, threshold=0.5,
+                    direct_block_cap=cap,
+                ).collect()
+            }
+
+        got = run(1000)       # every block under the cap → direct route
+        got_prefix = run(1)   # every block oversized → prefix-filter route
         want = {}
         by_block = {}
         for i, text, blk in rows:
@@ -137,8 +142,10 @@ class TestDedupScaleShapes:
                     if j >= 0.5:
                         want[(ia, ib)] = j
         assert set(got) == set(want)
+        assert set(got_prefix) == set(want), "prefix route lost/added pairs"
         for k in want:
             assert abs(got[k] - want[k]) < 1e-9
+            assert abs(got_prefix[k] - want[k]) < 1e-9
 
     def test_ngram_candidates_pruned_within_block(self, spark):
         # 120 documents share ONE block but have pairwise-disjoint gram sets:
