@@ -6,6 +6,8 @@ Thin DataFrame wrappers around ``datacompy_spark.functions.text`` /
 
 from __future__ import annotations
 
+from typing import Dict
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -74,6 +76,172 @@ def word_frequencies(
             .agg(F.sum("n_partial").alias("n"))
         )
     return words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+
+
+#: (label, pattern) redaction rules, applied in order. Patterns stay inside
+#: the regex subset Java (Spark) and RE2 (DuckDB) evaluate identically.
+PII_PATTERNS = [
+    ("<URL>", r"https?://[^ ]+"),
+    ("<EMAIL>", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("<IP>", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("<PHONE>", r"\+?\d{7,15}"),
+]
+
+
+def scrub_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Redact URLs / emails / IPv4s / phone-number digit runs with typed
+    placeholder tokens — the standard pre-training scrub pass. Rules apply
+    sequentially (URLs first so their embedded host/userinfo never
+    half-matches a later rule); ``n_redactions`` counts matches of each rule
+    against the text as that rule saw it. Pure Column expressions; the
+    DuckDB twin nests the same regexp_replace chain."""
+    stages = [F.col(text_col)]
+    for token, pat in PII_PATTERNS:
+        stages.append(F.regexp_replace(stages[-1], pat, token))
+    n_red = None
+    for (token, pat), src in zip(PII_PATTERNS, stages):
+        cnt = F.regexp_count(src, F.lit(pat))
+        n_red = cnt if n_red is None else n_red + cnt
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        stages[-1].alias("clean_text"),
+        n_red.cast("long").alias("n_redactions"),
+    )
+
+
+def scrub_pii_sql(text: str) -> Dict[str, str]:
+    """DuckDB twins for the scrub stages: {'clean_text': ..., 'n_redactions': ...}."""
+    stages = [text]
+    for token, pat in PII_PATTERNS:
+        stages.append(f"regexp_replace({stages[-1]}, '{pat}', '{token}', 'g')")
+    counts = [
+        f"len(regexp_extract_all({src}, '{pat}'))"
+        for (token, pat), src in zip(PII_PATTERNS, stages)
+    ]
+    return {
+        "clean_text": stages[-1],
+        "n_redactions": "(" + " + ".join(counts) + ")::BIGINT",
+    }
+
+
+#: (reason, threshold description) — the rule order fixes the reasons string
+QUALITY_RULES = "too_few_words,low_diversity,high_punct,word_len_out_of_range"
+
+
+def quality_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 5,
+    min_type_token_ratio: float = 0.2,
+    max_punct_ratio: float = 0.3,
+    word_len_range: tuple = (2.0, 12.0),
+) -> DataFrame:
+    """Keep/drop verdict per document from the quality statistics, with a
+    deterministic comma-joined ``reasons`` string naming every failed rule
+    (empty string = keep). The thresholds mirror common pre-training
+    heuristic filters (length, lexical diversity, punctuation density,
+    gibberish word lengths)."""
+    m = quality_metrics(F.col(text_col))
+    lo, hi = word_len_range
+    reasons = F.concat_ws(
+        ",",
+        F.when(m["n_words"] < min_words, F.lit("too_few_words")),
+        F.when(m["type_token_ratio"] < min_type_token_ratio, F.lit("low_diversity")),
+        F.when(m["punct_ratio"] > max_punct_ratio, F.lit("high_punct")),
+        F.when(
+            (m["avg_word_len"] < lo) | (m["avg_word_len"] > hi),
+            F.lit("word_len_out_of_range"),
+        ),
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        reasons.alias("reasons"),
+    ).select("doc_id", (F.col("reasons") == "").alias("keep"), "reasons")
+
+
+def quality_filter_sql(
+    text: str,
+    min_words: int = 5,
+    min_type_token_ratio: float = 0.2,
+    max_punct_ratio: float = 0.3,
+    word_len_range: tuple = (2.0, 12.0),
+) -> Dict[str, str]:
+    from datacompy_spark.functions.text import quality_metrics_sql
+
+    m = quality_metrics_sql(text)
+    lo, hi = word_len_range
+    reasons = (
+        "concat_ws(',', "
+        f"CASE WHEN {m['n_words']} < {min_words} THEN 'too_few_words' END, "
+        f"CASE WHEN {m['type_token_ratio']} < {min_type_token_ratio}::DOUBLE THEN 'low_diversity' END, "
+        f"CASE WHEN {m['punct_ratio']} > {max_punct_ratio}::DOUBLE THEN 'high_punct' END, "
+        f"CASE WHEN {m['avg_word_len']} < {lo}::DOUBLE OR {m['avg_word_len']} > {hi}::DOUBLE "
+        "THEN 'word_len_out_of_range' END)"
+    )
+    return {"reasons": reasons, "keep": f"({reasons} = '')"}
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    train_pct: int = 80,
+    val_pct: int = 10,
+    seed: str = "split#1",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: md5 of the id (+seed) mod
+    100 → stable, engine-independent, order-independent splits — the
+    property a distributed pipeline needs so re-runs, backfills, and other
+    engines agree on membership without coordination. No shuffle: one
+    narrow projection."""
+    from datacompy_spark.functions.hashing import md5_long
+
+    bucket = md5_long(F.col(id_col).cast("string"), seed) % 100
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    token_budget: int = 512,
+) -> DataFrame:
+    """Streaming sequence packing: documents fill fixed token-budget bins in
+    id order within each group (e.g. source shard) — ``bin_id`` is the bin
+    holding the document's FIRST token, computed from a running token sum,
+    so packing is one window pass (no iterative bin search) and documents
+    may straddle a bin boundary (soft budget, the common pre-training
+    batching trade-off). Per-group windows keep the sort distributed; no
+    global ordering is ever materialized."""
+    from pyspark.sql import Window
+
+    n_tok = whitespace_token_count(F.col(text_col)).cast("long")
+    staged = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(group_col).alias("grp"),
+        n_tok.alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return staged.select(
+        "doc_id",
+        "grp",
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / F.lit(token_budget))
+        .cast("long")
+        .alias("bin_id"),
+    )
 
 
 def fingerprint(df: DataFrame, id_col: str, text_col: str, ngram: int = 5) -> DataFrame:

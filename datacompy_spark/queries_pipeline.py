@@ -637,6 +637,71 @@ FROM w WHERE tag = 1"""
 
 # --------------------------------------------------------------- registry
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass over documents (SURVEY training-pipeline ops)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TO.scrub_pii(docs, "doc_id", "text")
+
+
+def _sql_pii_scrub() -> str:
+    m = TO.scrub_pii_sql("text")
+    return (
+        f"SELECT doc_id, {m['clean_text']} AS clean_text, "
+        f"{m['n_redactions']} AS n_redactions FROM documents"
+    )
+
+
+SQL_PII_SCRUB = _sql_pii_scrub()
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic keep/drop verdicts with reason strings per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TO.quality_filter(docs, "doc_id", "text")
+
+
+def _sql_quality_filter() -> str:
+    m = TO.quality_filter_sql("text")
+    return (
+        f"SELECT doc_id, {m['keep']} AS keep, {m['reasons']} AS reasons "
+        "FROM documents"
+    )
+
+
+SQL_QUALITY_FILTER = _sql_quality_filter()
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5 train/val/test assignment per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TO.hash_split(docs, "doc_id")
+
+
+SQL_HASH_SPLIT = f"""
+SELECT doc_id,
+  CASE WHEN {H.md5_long_sql("doc_id::VARCHAR", "split#1")} % 100 < 80 THEN 'train'
+       WHEN {H.md5_long_sql("doc_id::VARCHAR", "split#1")} % 100 < 90 THEN 'val'
+       ELSE 'test' END AS split
+FROM documents"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing within each source shard."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TO.pack_sequences(docs, "doc_id", "text", "source", token_budget=512)
+
+
+SQL_PACK_SEQUENCES = f"""
+SELECT doc_id, source AS grp, n_tokens,
+  (((SUM(n_tokens) OVER w) - n_tokens) // 512)::BIGINT AS bin_id
+FROM (
+  SELECT doc_id, source, len({TX.tokens_sql('text')})::BIGINT AS n_tokens
+  FROM documents
+)
+WINDOW w AS (PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
+
+
 PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -660,6 +725,10 @@ PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_asof_join": q_events_asof_join,
     "events_range_join": q_events_range_join,
     "dedup_components": q_dedup_components,
+    "pii_scrub": q_pii_scrub,
+    "quality_filter": q_quality_filter,
+    "hash_split": q_hash_split,
+    "pack_sequences": q_pack_sequences,
 }
 
 PIPELINE_ORACLES: Dict[str, str] = {
@@ -685,4 +754,8 @@ PIPELINE_ORACLES: Dict[str, str] = {
     "events_asof_join": SQL_EVENTS_ASOF,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
     "dedup_components": SQL_DEDUP_COMPONENTS,
+    "pii_scrub": SQL_PII_SCRUB,
+    "quality_filter": SQL_QUALITY_FILTER,
+    "hash_split": SQL_HASH_SPLIT,
+    "pack_sequences": SQL_PACK_SEQUENCES,
 }

@@ -216,3 +216,61 @@ class TestTextOps:
             warnings.simplefilter("always")
             D.connected_components(pairs, max_iter=1)
         assert any("did not converge" in str(w.message) for w in rec)
+
+
+class TestPipelineTextOps:
+    def test_scrub_pii_redacts_planted_pii(self, spark):
+        rows = [
+            (1, "contact me at alice@example.com or +14155551234 today"),
+            (2, "served from 10.0.0.1 via https://example.com/path?q=1 ok"),
+            (3, "clean text with no sensitive content at all"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        out = {r["doc_id"]: r for r in TO.scrub_pii(df, "doc_id", "text").collect()}
+        assert "<EMAIL>" in out[1]["clean_text"]
+        assert "<PHONE>" in out[1]["clean_text"]
+        assert "alice@example.com" not in out[1]["clean_text"]
+        assert out[1]["n_redactions"] == 2
+        assert "<IP>" in out[2]["clean_text"] and "<URL>" in out[2]["clean_text"]
+        assert out[2]["n_redactions"] == 2
+        assert out[3]["clean_text"] == rows[2][1]
+        assert out[3]["n_redactions"] == 0
+
+    def test_quality_filter_reasons(self, spark):
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog repeatedly"),
+            (2, "hi"),                                   # too few words
+            (3, "spam spam spam spam spam spam spam"),   # low diversity
+            (4, "a!!! b??? c***"),                       # punctuation storm
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        out = {r["doc_id"]: r for r in TO.quality_filter(df, "doc_id", "text").collect()}
+        assert out[1]["keep"] and out[1]["reasons"] == ""
+        assert not out[2]["keep"] and "too_few_words" in out[2]["reasons"]
+        assert not out[3]["keep"] and "low_diversity" in out[3]["reasons"]
+        assert not out[4]["keep"] and "high_punct" in out[4]["reasons"]
+
+    def test_hash_split_deterministic_and_proportioned(self, spark):
+        df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id bigint")
+        s1 = {r["doc_id"]: r["split"] for r in TO.hash_split(df, "doc_id").collect()}
+        s2 = {r["doc_id"]: r["split"] for r in TO.hash_split(df, "doc_id").collect()}
+        assert s1 == s2  # order/run independent
+        from collections import Counter
+
+        c = Counter(s1.values())
+        assert 0.75 < c["train"] / 2000 < 0.85
+        assert 0.06 < c["val"] / 2000 < 0.14
+        assert 0.06 < c["test"] / 2000 < 0.14
+        # a different seed reshuffles membership
+        s3 = {r["doc_id"]: r["split"]
+              for r in TO.hash_split(df, "doc_id", seed="split#2").collect()}
+        assert s3 != s1
+
+    def test_pack_sequences_bins_follow_running_sum(self, spark):
+        rows = [(i, "w " * 100, "s0") for i in range(10)]  # 100 tokens each
+        df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+        out = {r["doc_id"]: r for r in
+               TO.pack_sequences(df, "doc_id", "text", "source", token_budget=250).collect()}
+        # running starts: 0,100,200,300,... → bins 0,0,0,1,1,2,2,2,3,3
+        assert [out[i]["bin_id"] for i in range(10)] == [0, 0, 0, 1, 1, 2, 2, 2, 3, 3]
+        assert all(out[i]["n_tokens"] == 100 for i in range(10))
