@@ -144,6 +144,9 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--delimiter", default=",", help="CSV delimiter")
     c.add_argument("--assume-unique", action="store_true",
                    help="skip duplicate-key pairing (caller guarantees uniqueness)")
+    c.add_argument("--assume-no-null-keys", action="store_true",
+                   help="join keys are never null: use a plain equi-join, which "
+                   "lets bucketed tables compare without a shuffle")
     return p
 
 
@@ -221,6 +224,7 @@ def run_compare(args) -> int:
                 ignore_case=args.ignore_case,
                 cast_column_names_lower=not args.no_lowercase_columns,
                 assume_unique=args.assume_unique,
+                null_safe_join=not args.assume_no_null_keys,
             )
         except (ValueError, TypeError) as ex:
             raise CLIError(str(ex)) from ex

@@ -147,6 +147,7 @@ class SparkCompare:
         cache_intermediates: bool = False,
         dup_order_by: Optional[Sequence[str]] = None,
         assume_unique: bool = False,
+        null_safe_join: bool = True,
     ) -> None:
         self.spark = spark
         if df1_name == df2_name:
@@ -159,6 +160,7 @@ class SparkCompare:
         self.custom_comparators = list(custom_comparators or [])
         self.cache_intermediates = cache_intermediates
         self.assume_unique = assume_unique
+        self.null_safe_join = null_safe_join
 
         if isinstance(join_columns, (str, int, float)):
             join_columns = [str(join_columns)]
@@ -295,10 +297,20 @@ class SparkCompare:
                 return F.trim(col)
             return col
 
+        def key_eq(lc: Column, rc: Column) -> Column:
+            # Null-safe equality is the reference semantic (null keys pair
+            # with null keys, spark.py:429-448) but its physical form —
+            # (coalesce(k, 0), isnull(k)) join keys — disqualifies bucketed
+            # scans. With null_safe_join=False the caller asserts keys are
+            # never null (the norm for primary keys), the join lowers to
+            # plain equality, and two tables bucket-sorted on the key
+            # compare with ZERO exchanges.
+            return lc.eqNullSafe(rc) if self.null_safe_join else lc == rc
+
         cond = reduce(
             lambda a, b: a & b,
             [
-                key_expr(left, c, "lhs").eqNullSafe(key_expr(right, c, "rhs"))
+                key_eq(key_expr(left, c, "lhs"), key_expr(right, c, "rhs"))
                 for c in self.join_columns
             ],
         )

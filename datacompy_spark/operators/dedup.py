@@ -500,35 +500,41 @@ def connected_components(
     )
     labels.count()
     converged = False
-    for _ in range(max_iter):
+    for it in range(max_iter):
         # labels flowing across edges
         prop = (
             edges.join(labels, edges["src"] == labels["node"])
             .select(F.col("dst").alias("node"), F.col("component"))
         )
-        # materialize + truncate lineage BEFORE the self-join below: the
-        # doubling step references `stepped` twice, so without a barrier the
-        # logical plan doubles every iteration (exponential analysis cost)
         stepped = (
             labels.select("node", "component")
             .unionAll(prop)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint()
         )
-        # pointer doubling: replace each label with its label's label, so
-        # long chains collapse in O(log diameter) rounds, not O(diameter)
-        lab_of_lab = stepped.select(
-            F.col("node").alias("__c"), F.col("component").alias("__cc")
-        )
-        new_labels = (
-            stepped.join(lab_of_lab, stepped["component"] == F.col("__c"), "left")
-            .select(
-                "node",
-                F.coalesce(F.col("__cc"), F.col("component")).alias("component"),
+        if it == 0:
+            # doubling is an identity map while labels are still their own
+            # ids — skip the extra join on the first round
+            new_labels = stepped.persist()
+        else:
+            # materialize + truncate lineage BEFORE the self-join below: the
+            # doubling step references `stepped` twice, so without a barrier
+            # the logical plan doubles every iteration (exponential analysis
+            # cost)
+            stepped = stepped.localCheckpoint()
+            # pointer doubling: replace each label with its label's label, so
+            # long chains collapse in O(log diameter) rounds, not O(diameter)
+            lab_of_lab = stepped.select(
+                F.col("node").alias("__c"), F.col("component").alias("__cc")
             )
-            .persist()
-        )
+            new_labels = (
+                stepped.join(lab_of_lab, stepped["component"] == F.col("__c"), "left")
+                .select(
+                    "node",
+                    F.coalesce(F.col("__cc"), F.col("component")).alias("component"),
+                )
+                .persist()
+            )
         changed = (
             new_labels.join(labels.withColumnRenamed("component", "old"), "node")
             .filter(F.col("component") != F.col("old"))

@@ -167,6 +167,7 @@ class TestParserConstructorDrift:
         "cache_intermediates": None,  # CLI renders one report; nothing to reuse
         "dup_order_by": None,        # niche; Python API only for now
         "assume_unique": "assume_unique",
+        "null_safe_join": "assume_no_null_keys",  # CLI flag is the negation
     }
 
     def test_constructor_params_all_mapped(self):

@@ -308,3 +308,18 @@ class TestKeyExprPerSide:
         c = SparkCompare(spark, df1, df2, join_columns="id", ignore_spaces=True)
         assert c.intersect_rows_count == 2
         assert c.count_matching_rows() == 2
+
+
+class TestPlainEquiJoin:
+    def test_null_keys_become_unique_rows(self, spark):
+        # null_safe_join=False: null keys never pair (SQL equi-join
+        # semantics) — they surface as unique rows on each side instead
+        df1 = spark.createDataFrame([(1, "a"), (None, "b")], "id int, v string")
+        df2 = spark.createDataFrame([(1, "a"), (None, "b")], "id int, v string")
+        safe = SparkCompare(spark, df1, df2, join_columns="id")
+        plain = SparkCompare(spark, df1, df2, join_columns="id", null_safe_join=False)
+        assert safe.intersect_rows_count == 2  # null pairs with null
+        assert plain.intersect_rows_count == 1
+        assert plain.df1_unq_rows_count == 1
+        assert plain.df2_unq_rows_count == 1
+        assert not plain.matches()

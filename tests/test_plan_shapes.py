@@ -64,6 +64,38 @@ class TestCompareTopology:
         finally:
             c.uncache()
 
+    def test_bucketed_inputs_compare_without_exchange(self, spark, li_pair):
+        # both sides bucketed+sorted on the join key → the compare's
+        # sort-merge join runs shuffle-free (the recurring-snapshot-diff
+        # fast path at scale)
+        from datacompy_spark.sources.loaders import write_bucketed
+
+        df1, df2 = li_pair
+        keys = ["l_orderkey"]
+        write_bucketed(
+            df1.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("qty")),
+            "bt_left", keys, num_buckets=8,
+        )
+        write_bucketed(
+            df2.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("qty")),
+            "bt_right", keys, num_buckets=8,
+        )
+        try:
+            c = SparkCompare(
+                spark,
+                spark.table("bt_left"),
+                spark.table("bt_right"),
+                join_columns=keys,
+                assume_unique=True,
+                null_safe_join=False,  # keys asserted non-null → plain equi-join
+            )
+            p = plan_of(c._outer)
+            assert p.count("Exchange") == 0, p
+            assert "SortMergeJoin" in p
+        finally:
+            spark.sql("DROP TABLE IF EXISTS bt_left")
+            spark.sql("DROP TABLE IF EXISTS bt_right")
+
     def test_stats_is_single_aggregate_action(self, spark, li_pair):
         c = SparkCompare(spark, *li_pair, join_columns=KEYS)
         before = spark.sparkContext.statusTracker().getJobIdsForGroup(None) or []
