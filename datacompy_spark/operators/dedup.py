@@ -253,10 +253,24 @@ def simhash_near_dups(
     """Near-duplicate pairs by simhash Hamming distance ≤ ``max_hamming``.
 
     Banding gives the standard pigeonhole guarantee: with 4 bands of 15 bits,
-    any pair within Hamming distance 3 shares at least one exact band — so the
-    per-band bucket join finds every true pair without an all-pairs scan."""
+    any pair within Hamming distance 3 shares at least one exact band — so
+    the per-band bucket join finds every true pair without an all-pairs
+    scan. As in :func:`minhash_lsh_pairs`, exact-content duplicate groups
+    are collapsed to one representative before banding (k identical
+    documents share every band → k² candidates otherwise) and re-expanded
+    afterwards: members inherit their representative's pairs, within-group
+    pairs are Hamming 0 by definition."""
     bits_per_band = 60 // bands
-    sigs = simhash_signatures(df, id_col, text_col).persist()
+    members, reps = collapse_exact_content(df, id_col, text_col)
+    members = members.persist()
+    members.count()
+    sigs = (
+        reps.select("doc_id", "chash", token_hashes(F.col("toks")).alias("thash"))
+        .select(
+            "doc_id", "chash", simhash_from_hashes(F.col("thash")).alias("simhash")
+        )
+        .persist()
+    )
     sigs.count()  # materialize before the self-join (see minhash note)
     banded = sigs.select(
         "doc_id",
@@ -276,7 +290,7 @@ def simhash_near_dups(
         ).alias("bk"),
     ).select("doc_id", "simhash", "bk.band", "bk.bkey")
     a, b = banded.alias("a"), banded.alias("b")
-    return (
+    rep_pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -291,6 +305,28 @@ def simhash_near_dups(
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+    # re-expand exact-duplicate groups (see minhash_lsh_pairs)
+    ch_a = sigs.select(F.col("doc_id").alias("id_a"), F.col("chash").alias("ch_a"))
+    ch_b = sigs.select(F.col("doc_id").alias("id_b"), F.col("chash").alias("ch_b"))
+    m_a = members.select(F.col("chash").alias("ch_a"), F.col("doc_id").alias("m_a"))
+    m_b = members.select(F.col("chash").alias("ch_b"), F.col("doc_id").alias("m_b"))
+    cross = (
+        rep_pairs.join(ch_a, "id_a")
+        .join(ch_b, "id_b")
+        .join(m_a, "ch_a")
+        .join(m_b, "ch_b")
+        .select(
+            F.least("m_a", "m_b").alias("id_a"),
+            F.greatest("m_a", "m_b").alias("id_b"),
+            "hamming",
+        )
+    )
+    w_a = members.select("chash", F.col("doc_id").alias("id_a"))
+    w_b = members.select("chash", F.col("doc_id").alias("id_b"))
+    within = w_a.join(
+        w_b, (w_a["chash"] == w_b["chash"]) & (F.col("id_a") < F.col("id_b"))
+    ).select("id_a", "id_b", F.lit(0).cast("int").alias("hamming"))
+    return cross.unionAll(within)
 
 
 def _ngram_base(

@@ -245,15 +245,25 @@ def knn_lsh(
 
     cb = banded(c, "cv")
     qb = F.broadcast(banded(q, "qv"))
-    cand = (
-        cb.join(qb, ["tbl", "bucket"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .dropDuplicates(["query_id", "neighbor_id"])
+    cand = cb.join(qb, ["tbl", "bucket"]).filter(
+        F.col("query_id") != F.col("neighbor_id")
     )
-    scored = cand.select(
-        "query_id",
-        "neighbor_id",
-        (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cos_sim"),
+    # score INSIDE the broadcast join stage, then dedup multi-table
+    # collisions on the three narrow output columns with a map-side
+    # partial aggregate — never shuffle the 64-dim vectors themselves
+    # (a pair's cos_sim is identical across tables, so max() dedups).
+    # Re-scoring a pair once per shared table is cheap JVM fold work;
+    # shuffling kilobyte rows is not.
+    scored = (
+        cand.select(
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias(
+                "cos_sim"
+            ),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("cos_sim").alias("cos_sim"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()

@@ -221,6 +221,20 @@ class TestDedupScaleShapes:
         assert all(r["jaccard"] == 1.0 for r in out)
         assert all(r["id_a"] < r["id_b"] < 900 for r in out)
 
+    def test_simhash_identical_docs_collapse(self, spark):
+        # same guard as minhash: banding must see ONE representative for a
+        # pile of identical documents, while output keeps every member pair
+        from datacompy_spark.operators.dedup import simhash_near_dups
+
+        text = "the quick brown fox jumps over the lazy dog again and again"
+        rows = [(i, text) for i in range(200)]
+        rows.append((900, "entirely different content about query planning"))
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        out = simhash_near_dups(df, "doc_id", "text", max_hamming=3).collect()
+        assert len(out) == 200 * 199 // 2
+        assert all(r["hamming"] == 0 for r in out)
+        assert all(r["id_a"] < r["id_b"] < 900 for r in out)
+
     def test_embedding_projection_bucketing_exact(self, spark):
         # the quantized-projection sub-bucketing must not lose any pair the
         # naive per-block all-pairs scan would emit (Cauchy-Schwarz recall
