@@ -93,6 +93,70 @@ def profile_drift(
     )
 
 
+def stream_compare(
+    stream: DataFrame,
+    reference: DataFrame,
+    join_columns: Sequence[str],
+    ts_col: str,
+    compare_columns: Optional[Sequence[str]] = None,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    rel_tol: float = 0.0,
+    abs_tol: float = 0.0,
+) -> DataFrame:
+    """Continuous comparison: validate a stream against a static reference
+    table, emitting per-window match statistics — the batch engine's core
+    semantic (null-safe key join + tolerant per-column equality) extended
+    to unbounded data.
+
+    Each incoming row joins the (broadcast) reference on the key; every
+    compared column contributes a tolerant-equality boolean from the same
+    comparator chain the batch engine uses, then a watermarked tumbling
+    window aggregates rows, per-column match counts, and rows missing from
+    the reference. Works identically on a batch frame (the correctness
+    twin). Stream-static joins require no state; the windowed agg is
+    watermark-bounded."""
+    from datacompy_spark.functions.comparators import columns_equal
+
+    keys = list(join_columns)
+    cmp_cols = [
+        c
+        for c in (compare_columns or stream.columns)
+        if c in reference.columns and c not in keys and c != ts_col
+    ]
+    ref = F.broadcast(
+        reference.select(
+            *keys,
+            *[F.col(c).alias(f"{c}__ref") for c in cmp_cols],
+            F.lit(True).alias("__in_ref"),
+        )
+    )
+    joined = stream.join(ref, keys, "left_outer")
+    flags = {}
+    for c in cmp_cols:
+        flags[f"{c}__match"] = F.when(F.col("__in_ref").isNull(), None).otherwise(
+            columns_equal(
+                joined, c, f"{c}__ref", rel_tol=rel_tol, abs_tol=abs_tol
+            )
+        )
+    joined = joined.withColumns(flags)
+    if joined.isStreaming:
+        joined = joined.withWatermark(ts_col, watermark)
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("__in_ref").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_missing_in_ref"),
+    ]
+    for c in cmp_cols:
+        aggs.append(
+            F.sum(F.when(F.col(f"{c}__match"), 1).otherwise(0))
+            .cast("long")
+            .alias(f"{c}_match_cnt")
+        )
+    return joined.groupBy(F.window(F.col(ts_col), window).alias("win")).agg(*aggs)
+
+
 def streaming_dedup(
     df: DataFrame,
     id_cols: Sequence[str],

@@ -53,6 +53,44 @@ class TestWindowedProfile:
         assert not any(r["mean_drifted"] for r in same)
 
 
+class TestStreamCompare:
+    def test_stream_matches_batch_twin_and_counts(self, spark, events_dir):
+        batch = spark.read.parquet(events_dir)
+        # reference: same events with value perturbed on a deterministic
+        # subset and some keys removed entirely
+        ref = (
+            batch.filter(F.col("event_id") % 10 != 0)  # 10% of keys missing
+            .withColumn(
+                "value",
+                F.when(F.col("event_id") % 7 == 0, F.col("value") + 100.0)
+                .otherwise(F.col("value")),
+            )
+        )
+        stream = spark.readStream.schema(batch.schema).parquet(events_dir)
+        got = run_stream(
+            spark,
+            SD.stream_compare(stream, ref, ["event_id"], "ts",
+                              compare_columns=["value", "event_type"]),
+            "stream_cmp",
+        )
+        want = SD.stream_compare(batch, ref, ["event_id"], "ts",
+                                 compare_columns=["value", "event_type"])
+        g = {r["win"]["start"]: (r["n_rows"], r["n_missing_in_ref"],
+                                 r["value_match_cnt"], r["event_type_match_cnt"])
+             for r in got.collect()}
+        w = {r["win"]["start"]: (r["n_rows"], r["n_missing_in_ref"],
+                                 r["value_match_cnt"], r["event_type_match_cnt"])
+             for r in want.collect()}
+        assert g == w and len(g) > 0
+        total_rows = sum(v[0] for v in g.values())
+        total_missing = sum(v[1] for v in g.values())
+        total_value_match = sum(v[2] for v in g.values())
+        assert 0 < total_missing < total_rows
+        assert total_value_match < total_rows - total_missing  # perturbed subset
+        # event_type always matches where the key exists
+        assert sum(v[3] for v in g.values()) == total_rows - total_missing
+
+
 class TestStreamingDedup:
     def test_dedup_stream(self, spark, events_dir):
         batch = spark.read.parquet(events_dir)
