@@ -5,7 +5,11 @@ capitalone/datacompy, plus large-scale training-data pipeline operators
 (dedup, similarity search, text analysis, multimodal plumbing).
 """
 
-from datacompy_spark.operators.compare import SparkCompare, ColumnStat
+from datacompy_spark.operators.compare import (
+    SparkCompare,
+    ColumnStat,
+    consistent_key_sample,
+)
 from datacompy_spark.functions.comparators import (
     BaseComparator,
     ArrayComparator,

@@ -55,6 +55,28 @@ except Exception:  # pragma: no cover
 MASK_VALUE = "*******"  # ref ``spark.py:246`` sensitive-column replacement
 
 
+def consistent_key_sample(
+    df: DataFrame,
+    join_columns: Sequence[str],
+    fraction: float,
+    seed: str = "sample#1",
+) -> DataFrame:
+    """Deterministic key-hash sample: keeps a row iff the md5 of its join
+    key lands under ``fraction`` of the hash space. Applied to BOTH sides
+    of a comparison, the same keys survive on each side, so the sampled
+    compare is a true sub-compare — mismatch/unique-row RATES estimate the
+    full run's (row counts scale by ``fraction``). The 100 TB smoke-diff:
+    validate on 1% of key space in 1% of the time before committing to the
+    full pass. Narrow filter, pushed to the scan; no shuffle."""
+    key = F.concat_ws(
+        "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in join_columns]
+    )
+    bucket = F.conv(F.substring(F.md5(F.concat(key, F.lit(f"#{seed}"))), 1, 15), 16, 10).cast(
+        "long"
+    ) % 10000
+    return df.filter(bucket < int(round(fraction * 10000)))
+
+
 class ColumnStat(TypedDict):
     """Per-column statistics contract (ref ``base.py:40-53``)."""
 

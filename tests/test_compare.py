@@ -323,3 +323,30 @@ class TestPlainEquiJoin:
         assert plain.df1_unq_rows_count == 1
         assert plain.df2_unq_rows_count == 1
         assert not plain.matches()
+
+
+class TestConsistentKeySample:
+    def test_sampled_compare_is_a_true_subcompare(self, spark, lineitem):
+        from datacompy_spark import consistent_key_sample
+
+        keys = ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"]
+        df1 = lineitem
+        df2 = lineitem.withColumn(
+            "l_tax",
+            F.when(F.col("l_orderkey") % 11 == 0, F.col("l_tax") + 0.01)
+            .otherwise(F.col("l_tax")),
+        )
+        s1 = consistent_key_sample(df1, keys, 0.2)
+        s2 = consistent_key_sample(df2, keys, 0.2)
+        # same key membership on both sides → no spurious unique rows
+        full = SparkCompare(spark, df1, df2, join_columns=keys)
+        samp = SparkCompare(spark, s1, s2, join_columns=keys)
+        assert samp.df1_unq_rows_count == 0 and samp.df2_unq_rows_count == 0
+        n_full, n_samp = full.intersect_rows_count, samp.intersect_rows_count
+        assert 0 < n_samp < n_full
+        # mismatch RATE estimates the full rate
+        rate_full = (n_full - full.count_matching_rows()) / n_full
+        rate_samp = (n_samp - samp.count_matching_rows()) / n_samp
+        assert abs(rate_full - rate_samp) < 0.05
+        # deterministic: re-sampling selects the same rows
+        assert consistent_key_sample(df1, keys, 0.2).count() == s1.count()
