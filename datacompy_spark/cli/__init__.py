@@ -147,6 +147,13 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--assume-no-null-keys", action="store_true",
                    help="join keys are never null: use a plain equi-join, which "
                    "lets bucketed tables compare without a shuffle")
+    c.add_argument(
+        "--sample-fraction",
+        type=float,
+        help="smoke-compare a deterministic key-hash sample (0 < f <= 1): the "
+        "same keys survive on both sides, so mismatch rates estimate the "
+        "full run's at a fraction of the cost",
+    )
     return p
 
 
@@ -210,6 +217,16 @@ def run_compare(args) -> int:
         join_columns = [c.strip() for c in args.on.split(",") if c.strip()]
         if not join_columns:
             raise CLIError("--on must name at least one column")
+        if args.sample_fraction is not None:
+            from datacompy_spark.operators.compare import consistent_key_sample
+
+            if not 0 < args.sample_fraction <= 1:
+                raise CLIError("--sample-fraction must be in (0, 1]")
+            try:
+                df1 = consistent_key_sample(df1, join_columns, args.sample_fraction)
+                df2 = consistent_key_sample(df2, join_columns, args.sample_fraction)
+            except Exception as ex:  # unknown key column etc. → exit 2
+                raise CLIError(str(ex)) from ex
         try:
             cmp_ = SparkCompare(
                 spark,

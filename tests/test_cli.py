@@ -190,3 +190,14 @@ class TestParserConstructorDrift:
         for param, dest in self.MAPPING.items():
             if dest is not None:
                 assert dest in dests, f"{param} maps to missing CLI dest {dest}"
+
+
+class TestSampleFraction:
+    def test_sampled_compare_runs_and_validates(self, pair, capsys):
+        rc = main(["compare", "--left", pair[0], "--right", pair[0], "--on", "id",
+                   "--sample-fraction", "1.0"])
+        assert rc == 0
+        rc = main(["compare", "--left", pair[0], "--right", pair[1], "--on", "id",
+                   "--sample-fraction", "1.5"])
+        assert rc == 2
+        assert "sample-fraction" in capsys.readouterr().err
