@@ -702,6 +702,36 @@ WINDOW w AS (PARTITION BY source ORDER BY doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
 
 
+#: int + string columns only: their string casts are bit-identical across
+#: engines (double/timestamp renderings differ)
+_PROFILE_COLS = [
+    "l_orderkey",
+    "l_partkey",
+    "l_suppkey",
+    "l_linenumber",
+    "l_returnflag",
+    "l_linestatus",
+]
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-action per-column profile of lineitem."""
+    from datacompy_spark.operators.profile import table_profile
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return table_profile(li, _PROFILE_COLS)
+
+
+SQL_TABLE_PROFILE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name, count(*)::BIGINT AS n_rows,
+  (count(*) - count({c}))::BIGINT AS n_nulls,
+  count(DISTINCT {c})::BIGINT AS n_distinct,
+  min({c})::VARCHAR AS min_value, max({c})::VARCHAR AS max_value
+FROM lineitem"""
+    for c in _PROFILE_COLS
+)
+
+
 PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -729,6 +759,7 @@ PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_filter": q_quality_filter,
     "hash_split": q_hash_split,
     "pack_sequences": q_pack_sequences,
+    "table_profile": q_table_profile,
 }
 
 PIPELINE_ORACLES: Dict[str, str] = {
@@ -758,4 +789,5 @@ PIPELINE_ORACLES: Dict[str, str] = {
     "quality_filter": SQL_QUALITY_FILTER,
     "hash_split": SQL_HASH_SPLIT,
     "pack_sequences": SQL_PACK_SEQUENCES,
+    "table_profile": SQL_TABLE_PROFILE,
 }

@@ -274,3 +274,29 @@ class TestPipelineTextOps:
         # running starts: 0,100,200,300,... → bins 0,0,0,1,1,2,2,2,3,3
         assert [out[i]["bin_id"] for i in range(10)] == [0, 0, 0, 1, 1, 2, 2, 2, 3, 3]
         assert all(out[i]["n_tokens"] == 100 for i in range(10))
+
+
+class TestTableProfile:
+    def test_profile_values_and_single_action(self, spark):
+        from datacompy_spark.operators.profile import table_profile
+
+        df = spark.createDataFrame(
+            [(1, "a", 1.5), (2, "b", None), (2, None, 2.5), (3, "a", 0.5)],
+            "id bigint, s string, v double",
+        )
+        before = spark.sparkContext.statusTracker().getJobIdsForGroup(None) or []
+        out = {r["col_name"]: r for r in table_profile(df).collect()}
+        after = spark.sparkContext.statusTracker().getJobIdsForGroup(None) or []
+        assert len(set(after) - set(before)) <= 8  # one action, AQE may split
+        assert out["id"]["n_rows"] == 4 and out["id"]["n_nulls"] == 0
+        assert out["id"]["n_distinct"] == 3
+        assert out["id"]["min_value"] == "1" and out["id"]["max_value"] == "3"
+        assert out["s"]["n_nulls"] == 1 and out["s"]["n_distinct"] == 2
+        assert out["v"]["min_value"] == "0.5" and out["v"]["max_value"] == "2.5"
+
+    def test_approx_distinct_mode(self, spark):
+        from datacompy_spark.operators.profile import table_profile
+
+        df = spark.createDataFrame([(i,) for i in range(1000)], "id bigint")
+        out = table_profile(df, approx_distinct=True).collect()[0]
+        assert abs(out["n_distinct"] - 1000) / 1000 < 0.1  # HLL tolerance

@@ -126,3 +126,37 @@ class TestNumericComparatorProperties:
         # row order from createDataFrame(list) is preserved for local data
         want = [expected_match(a, b, rel_tol, abs_tol) for a, b in pairs]
         assert got == want
+
+
+class TestPrefixFilterPrinciple:
+    """Pure-Python property test of the PPJoin prefix-filtering math that
+    ``_prefix_filter_candidates`` relies on: for ANY global total order and
+    ANY pair of gram sets with Jaccard >= t, the |x| - ceil(t*|x|) + 1
+    prefixes must intersect. A counterexample here would mean the Spark
+    candidate join can silently lose qualifying pairs."""
+
+    @given(
+        st.lists(
+            st.frozensets(st.integers(min_value=0, max_value=120), min_size=1, max_size=40),
+            min_size=2,
+            max_size=12,
+        ),
+        st.sampled_from([0.3, 0.5, 0.7, 0.9]),
+    )
+    @settings(max_examples=300, deadline=None)
+    def test_qualifying_pairs_share_prefix_grams(self, sets, t):
+        import math
+
+        def prefix(s):
+            ordered = sorted(s)  # the global total order
+            p = len(s) - math.ceil(t * len(s)) + 1
+            return set(ordered[:p])
+
+        for i in range(len(sets)):
+            for j in range(i + 1, len(sets)):
+                a, b = sets[i], sets[j]
+                jac = len(a & b) / len(a | b)
+                if jac >= t:
+                    assert prefix(a) & prefix(b), (
+                        f"prefix filter lost a pair: J={jac} t={t} a={sorted(a)} b={sorted(b)}"
+                    )
