@@ -350,3 +350,33 @@ class TestConsistentKeySample:
         assert abs(rate_full - rate_samp) < 0.05
         # deterministic: re-sampling selects the same rows
         assert consistent_key_sample(df1, keys, 0.2).count() == s1.count()
+
+
+class TestScaleShapes:
+    def test_wide_frame_single_agg_survives(self, spark):
+        # 60 value columns: the single statistics aggregate must neither
+        # explode codegen nor fall back to per-column actions
+        n_cols = 60
+        cols = [f"cast(id * {i} % 97 as double) as v{i}" for i in range(n_cols)]
+        df1 = spark.range(2000).selectExpr("id", *cols)
+        df2 = df1.withColumn("v7", F.col("v7") + 0.5)
+        before = spark.sparkContext.statusTracker().getJobIdsForGroup(None) or []
+        c = SparkCompare(spark, df1, df2, join_columns="id", assume_unique=True)
+        stats = {s["column"]: s for s in c.column_stats}
+        after = spark.sparkContext.statusTracker().getJobIdsForGroup(None) or []
+        assert len(set(after) - set(before)) <= 8, "wide agg split into many actions"
+        assert len(stats) == n_cols + 1
+        assert stats["v7"]["unequal_cnt"] == 2000
+        assert stats["v7"]["max_diff"] == 0.5
+        assert all(stats[f"v{i}"]["unequal_cnt"] == 0 for i in range(n_cols) if i != 7)
+
+    def test_heavy_key_skew_pairing(self, spark):
+        # one key carries 5000 duplicates: ordinal pairing must stay correct
+        # (k-th with k-th) and duplicate detection must fire
+        hot = [(1, i, float(i)) for i in range(5000)]
+        cold = [(k, 0, float(k)) for k in range(2, 100)]
+        df = spark.createDataFrame(hot + cold, "k bigint, ord bigint, v double")
+        c = SparkCompare(spark, df, df, join_columns="k", dup_order_by=["ord"])
+        assert c.has_duplicates
+        assert c.intersect_rows_count == len(hot) + len(cold)
+        assert c.count_matching_rows() == len(hot) + len(cold)  # self-compare pairs k-th with k-th
