@@ -19,6 +19,8 @@ the driver.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -612,14 +614,16 @@ def assign_components(
     )
 
 
-def _projection_weights(dim: int) -> list:
-    """Deterministic md5-seeded unit vector used as the 1-D sub-bucketing
+def _projection_weights(dim: int, which: int = 0) -> list:
+    """Deterministic md5-seeded unit vector used as a 1-D sub-bucketing
     projection — reproducible anywhere, no RNG state."""
     import hashlib
     import math
 
+    tag = "" if which == 0 else f"{which}#"
     raw = [
-        int(hashlib.md5(f"embproj#{i}".encode()).hexdigest()[:15], 16) / float(1 << 60)
+        int(hashlib.md5(f"embproj#{tag}{i}".encode()).hexdigest()[:15], 16)
+        / float(1 << 60)
         - 0.5
         for i in range(dim)
     ]
@@ -633,72 +637,99 @@ def embedding_near_dups(
     vec_col: str,
     block_col: str,
     threshold: float = 0.99,
+    n_projections: int = 1,
 ) -> DataFrame:
     """Cosine near-duplicate pairs (≥ ``threshold``) among embeddings,
-    blocked by ``block_col`` and SUB-bucketed by a quantized 1-D projection
-    so block population never meets an all-pairs join.
+    blocked by ``block_col`` and SUB-bucketed by ``n_projections`` quantized
+    1-D projections so block population never meets an all-pairs join.
 
     Exactness of the sub-bucketing: for unit vectors â, b̂ and a unit
     projection p, Cauchy-Schwarz gives ``|p·â − p·b̂| ≤ ‖â − b̂‖ =
-    √(2 − 2·cos) ≤ √(2(1−t)) = w``. Quantizing the normalized projection at
-    width w therefore puts every qualifying pair in the same or an adjacent
-    bucket — the probe side emits its own and both neighbor buckets, the
-    build side its own, and the exact cosine verify filters candidates, so
-    output is identical to the naive per-block all-pairs scan. Per-bucket
-    population scales with local density along the projection, not with
-    block size; tighter thresholds shrink w and prune harder.
+    √(2 − 2·cos) ≤ √(2(1−t)) = w``. Quantizing each normalized projection
+    at width w therefore puts every qualifying pair in the same or an
+    adjacent bucket IN EVERY projection — the probe side emits the 3^m
+    neighbor cells, the build side its own cell, and the exact cosine
+    verify filters candidates, so output is identical to the naive
+    per-block all-pairs scan. Pruning compounds per projection (cell
+    population ~ density^m); probe fan-out grows 3^m — m of 1-3 is the
+    practical range, and tighter thresholds shrink w and prune harder.
 
-    Plan shape: one narrow projection (vector + norm + projection computed
-    once per row, persisted) → 3-probe equi-join on (block, bucket) → exact
-    cosine verify behind a lineage barrier."""
+    Plan shape: one narrow projection pass (vector + norm + m projections
+    computed once per row, persisted) → 3^m-probe equi-join on (block,
+    cells) → exact cosine verify behind a lineage barrier."""
+    import itertools
+
     from datacompy_spark.functions.vector import dot, norm
 
+    m = max(1, int(n_projections))
     dim = df.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
-    w = F.array(*[F.lit(x) for x in _projection_weights(dim)])
     width = (2.0 * (1.0 - min(threshold, 0.999999))) ** 0.5
-    proj = F.aggregate(
-        F.zip_with(F.col(vec_col).cast("array<double>"), w, lambda x, wi: x * wi),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    projs = []
+    for j in range(m):
+        w = F.array(*[F.lit(x) for x in _projection_weights(dim, j)])
+        projs.append(
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col).cast("array<double>"), w, lambda x, wi: x * wi
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias(f"proj{j}")
+        )
     # norms/projections are per-vector: compute them once per row, not per pair
+    bcols = [f"b{j}" for j in range(m)]
     base = df.select(
         F.col(id_col).alias("vid"),
         F.col(block_col).alias("block"),
         F.col(vec_col).alias("v"),
         norm(F.col(vec_col)).alias("nrm"),
-        proj.alias("proj"),
+        *projs,
     ).select(
         "vid",
         "block",
         "v",
         "nrm",
         # zero-norm vectors can never clear a positive cosine threshold;
-        # park them in bucket 0 instead of dividing by zero
-        F.when(
-            F.col("nrm") > 0,
-            F.floor(F.col("proj") / F.col("nrm") / F.lit(width)),
-        )
-        .otherwise(F.lit(0))
-        .alias("bucket"),
+        # park them in cell 0 instead of dividing by zero
+        *[
+            F.when(
+                F.col("nrm") > 0,
+                F.floor(F.col(f"proj{j}") / F.col("nrm") / F.lit(width)),
+            )
+            .otherwise(F.lit(0))
+            .alias(bcols[j])
+            for j in range(m)
+        ],
     ).persist()
     base.count()  # materialize before the self-join
     a = base.alias("a")
-    # probe side emits its own bucket and both neighbors; each qualifying
-    # pair meets on exactly one bucket value, so no candidate dedup is needed
-    b = base.select(
-        "vid",
-        "block",
-        "v",
-        "nrm",
-        F.explode(
-            F.array(F.col("bucket") - 1, F.col("bucket"), F.col("bucket") + 1)
-        ).alias("bucket"),
+    # probe side emits its cell and every neighbor cell (3^m combos); each
+    # qualifying pair meets on exactly one cell, so no candidate dedup is
+    # needed
+    probe_cells = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    *[
+                        (F.col(bcols[j]) + F.lit(d[j])).alias(bcols[j])
+                        for j in range(m)
+                    ]
+                )
+                for d in itertools.product((-1, 0, 1), repeat=m)
+            ]
+        )
+    ).alias("cell")
+    b = base.select("vid", "block", "v", "nrm", probe_cells).select(
+        "vid", "block", "v", "nrm", *[F.col(f"cell.{c}").alias(c) for c in bcols]
     ).alias("b")
+    cell_eq = reduce(
+        lambda x, y: x & y,
+        [F.col(f"a.{c}") == F.col(f"b.{c}") for c in bcols],
+    )
     scored = a.join(
         b,
         (F.col("a.block") == F.col("b.block"))
-        & (F.col("a.bucket") == F.col("b.bucket"))
+        & cell_eq
         & (F.col("a.vid") < F.col("b.vid")),
     ).select(
         F.col("a.vid").alias("id_a"),

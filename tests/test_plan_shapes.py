@@ -258,6 +258,12 @@ class TestDedupScaleShapes:
             (r["id_a"], r["id_b"]): r["cos_sim"]
             for r in embedding_near_dups(emb, "vec_id", "embedding", "label", 0.8).collect()
         }
+        got_m2 = {
+            (r["id_a"], r["id_b"]): r["cos_sim"]
+            for r in embedding_near_dups(
+                emb, "vec_id", "embedding", "label", 0.8, n_projections=2
+            ).collect()
+        }
 
         def cos(a, b):
             d = sum(x * y for x, y in zip(a, b))
@@ -274,5 +280,7 @@ class TestDedupScaleShapes:
                 if c >= 0.8:
                     want[(ia, ib)] = c
         assert set(got) == set(want)
+        assert set(got_m2) == set(want), "multi-projection bucketing lost pairs"
         for k in want:
             assert abs(got[k] - want[k]) < 1e-6
+            assert abs(got_m2[k] - want[k]) < 1e-6
