@@ -53,3 +53,58 @@ def table_profile(
         for c in cols
     ]
     return row.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+def profile_compare(
+    left: DataFrame,
+    right: DataFrame,
+    columns: Optional[Sequence[str]] = None,
+    rel_tol: float = 0.1,
+    approx_distinct: bool = False,
+) -> DataFrame:
+    """Statistical drift between two tables without row-level comparison:
+    join the two single-action profiles on column name and flag columns
+    whose null rate or distinct count moved beyond ``rel_tol``
+    (relatively), or whose min/max changed at all. The cheap first question
+    before a full compare — two aggregate actions total, output is
+    O(columns)."""
+    cols = list(columns or [c for c in left.columns if c in right.columns])
+    p1 = table_profile(left, cols, approx_distinct).select(
+        "col_name",
+        F.col("n_rows").alias("n_rows_1"),
+        F.col("n_nulls").alias("n_nulls_1"),
+        F.col("n_distinct").alias("n_distinct_1"),
+        F.col("min_value").alias("min_1"),
+        F.col("max_value").alias("max_1"),
+    )
+    p2 = table_profile(right, cols, approx_distinct).select(
+        "col_name",
+        F.col("n_rows").alias("n_rows_2"),
+        F.col("n_nulls").alias("n_nulls_2"),
+        F.col("n_distinct").alias("n_distinct_2"),
+        F.col("min_value").alias("min_2"),
+        F.col("max_value").alias("max_2"),
+    )
+    j = p1.join(p2, "col_name")
+    null_rate_1 = F.col("n_nulls_1").cast("double") / F.col("n_rows_1")
+    null_rate_2 = F.col("n_nulls_2").cast("double") / F.col("n_rows_2")
+    distinct_rel = F.abs(
+        F.col("n_distinct_2").cast("double") - F.col("n_distinct_1")
+    ) / F.greatest(F.col("n_distinct_1").cast("double"), F.lit(1.0))
+    return j.select(
+        "col_name",
+        "n_rows_1",
+        "n_rows_2",
+        "n_nulls_1",
+        "n_nulls_2",
+        "n_distinct_1",
+        "n_distinct_2",
+        (F.abs(null_rate_2 - null_rate_1) > F.lit(rel_tol)).alias(
+            "null_rate_drifted"
+        ),
+        (distinct_rel > F.lit(rel_tol)).alias("distinct_drifted"),
+        (
+            ~F.col("min_1").eqNullSafe(F.col("min_2"))
+            | ~F.col("max_1").eqNullSafe(F.col("max_2"))
+        ).alias("range_changed"),
+    )

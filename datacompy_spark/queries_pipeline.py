@@ -732,6 +732,45 @@ FROM lineitem"""
 )
 
 
+def q_profile_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical drift between the two lineitem comparison variants."""
+    from datacompy_spark.operators.profile import profile_compare
+
+    li = load_table(spark, sf_dir, "lineitem")
+    df1 = li.filter(F.col("l_orderkey") % 50 != 0)
+    df2 = li.filter(F.col("l_orderkey") % 50 != 1)
+    return profile_compare(df1, df2, _PROFILE_COLS, rel_tol=0.01)
+
+
+def _sql_profile_compare() -> str:
+    def one_side(n: int, pred: str) -> str:
+        return "\nUNION ALL\n".join(
+            f"""SELECT '{c}' AS col_name, count(*)::BIGINT AS n_rows_{n},
+  (count(*) - count({c}))::BIGINT AS n_nulls_{n},
+  count(DISTINCT {c})::BIGINT AS n_distinct_{n},
+  min({c})::VARCHAR AS min_{n}, max({c})::VARCHAR AS max_{n}
+FROM lineitem WHERE {pred}"""
+            for c in _PROFILE_COLS
+        )
+
+    return f"""
+WITH p1 AS ({one_side(1, "l_orderkey % 50 <> 0")}),
+p2 AS ({one_side(2, "l_orderkey % 50 <> 1")})
+SELECT col_name, n_rows_1, n_rows_2, n_nulls_1, n_nulls_2,
+  n_distinct_1, n_distinct_2,
+  (abs(n_nulls_2::DOUBLE / n_rows_2 - n_nulls_1::DOUBLE / n_rows_1)
+     > 0.01::DOUBLE) AS null_rate_drifted,
+  (abs(n_distinct_2::DOUBLE - n_distinct_1)
+     / greatest(n_distinct_1::DOUBLE, 1.0::DOUBLE) > 0.01::DOUBLE)
+    AS distinct_drifted,
+  (min_1 IS DISTINCT FROM min_2 OR max_1 IS DISTINCT FROM max_2)
+    AS range_changed
+FROM p1 JOIN p2 USING (col_name)"""
+
+
+SQL_PROFILE_COMPARE = _sql_profile_compare()
+
+
 PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -760,6 +799,7 @@ PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hash_split": q_hash_split,
     "pack_sequences": q_pack_sequences,
     "table_profile": q_table_profile,
+    "profile_compare": q_profile_compare,
 }
 
 PIPELINE_ORACLES: Dict[str, str] = {
@@ -790,4 +830,5 @@ PIPELINE_ORACLES: Dict[str, str] = {
     "hash_split": SQL_HASH_SPLIT,
     "pack_sequences": SQL_PACK_SEQUENCES,
     "table_profile": SQL_TABLE_PROFILE,
+    "profile_compare": SQL_PROFILE_COMPARE,
 }

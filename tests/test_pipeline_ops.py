@@ -300,3 +300,19 @@ class TestTableProfile:
         df = spark.createDataFrame([(i,) for i in range(1000)], "id bigint")
         out = table_profile(df, approx_distinct=True).collect()[0]
         assert abs(out["n_distinct"] - 1000) / 1000 < 0.1  # HLL tolerance
+
+    def test_profile_compare_flags_drift(self, spark):
+        from datacompy_spark.operators.profile import profile_compare
+
+        df1 = spark.createDataFrame(
+            [(i, "x" if i % 2 == 0 else None) for i in range(100)],
+            "id bigint, s string",
+        )
+        df2 = spark.createDataFrame(
+            [(i, "x") for i in range(100)], "id bigint, s string"
+        )
+        out = {r["col_name"]: r for r in profile_compare(df1, df2, rel_tol=0.1).collect()}
+        assert out["s"]["null_rate_drifted"]      # 50% → 0% nulls
+        assert not out["id"]["null_rate_drifted"]
+        assert not out["id"]["distinct_drifted"]
+        assert not out["id"]["range_changed"]
