@@ -212,15 +212,39 @@ def pack_sequences(
     text_col: str,
     group_col: str,
     token_budget: int = 512,
+    num_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Streaming sequence packing: documents fill fixed token-budget bins in
     id order within each group (e.g. source shard) — ``bin_id`` is the bin
     holding the document's FIRST token, computed from a running token sum,
-    so packing is one window pass (no iterative bin search) and documents
-    may straddle a bin boundary (soft budget, the common pre-training
-    batching trade-off). Per-group windows keep the sort distributed; no
-    global ordering is ever materialized."""
+    so packing is one pass (no iterative bin search) and documents may
+    straddle a bin boundary (soft budget, the common pre-training batching
+    trade-off).
+
+    The running sum is a DISTRIBUTED two-phase prefix sum, not a per-group
+    window: a ``Window.partitionBy(grp)`` running sum would serialize each
+    group onto one task, and a pre-training corpus routinely has one source
+    shard holding billions of documents. Instead:
+
+    1. range-partition by ``(grp, doc_id)`` — a hot group spans many
+       partitions, but partition order still follows doc_id order;
+    2. aggregate per-(grp, partition) token subtotals (tiny: at most
+       groups x partitions rows);
+    3. turn subtotals into per-partition starting offsets with a window over
+       that TINY frame (partitioned by grp, ordered by partition id);
+    4. broadcast the offsets back and finish with a partition-local running
+       sum — the cumulative window now partitions by (grp, partition id), so
+       no task ever scans more than one range partition.
+
+    The range-partitioned frame passes through a lineage barrier because it
+    is referenced by both the subtotal aggregate and the final projection:
+    range bounds are sampled and ``spark_partition_id`` is physical, so the
+    two branches must read the SAME materialized partitioning.
+    ``checkpoint_dir`` upgrades the barrier to a reliable checkpoint."""
     from pyspark.sql import Window
+
+    from datacompy_spark.plans.barrier import lineage_barrier
 
     n_tok = whitespace_token_count(F.col(text_col)).cast("long")
     staged = df.select(
@@ -228,19 +252,46 @@ def pack_sequences(
         F.col(group_col).alias("grp"),
         n_tok.alias("n_tokens"),
     )
-    w = (
+    n_parts = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    ranged = lineage_barrier(
+        staged.repartitionByRange(n_parts, "grp", "doc_id").withColumn(
+            "pid", F.spark_partition_id()
+        ),
+        checkpoint_dir,
+        eager=False,
+    )
+    w_prior = (
         Window.partitionBy("grp")
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        ranged.groupBy("grp", "pid")
+        .agg(F.sum("n_tokens").alias("__sub"))
+        .select(
+            "grp",
+            "pid",
+            F.coalesce(F.sum("__sub").over(w_prior), F.lit(0)).alias("__off"),
+        )
+    )
+    w_local = (
+        Window.partitionBy("grp", "pid")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = F.sum("n_tokens").over(w)
-    return staged.select(
-        "doc_id",
-        "grp",
-        "n_tokens",
-        F.floor((cum - F.col("n_tokens")) / F.lit(token_budget))
-        .cast("long")
-        .alias("bin_id"),
+    cum = F.sum("n_tokens").over(w_local) + F.col("__off")
+    return (
+        ranged.join(F.broadcast(offsets), ["grp", "pid"])
+        .select(
+            "doc_id",
+            "grp",
+            "n_tokens",
+            F.floor((cum - F.col("n_tokens")) / F.lit(token_budget))
+            .cast("long")
+            .alias("bin_id"),
+        )
     )
 
 

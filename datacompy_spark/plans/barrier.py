@@ -1,0 +1,46 @@
+"""Lineage barriers: cut a DataFrame's logical plan so iterative operators
+and multiply-referenced intermediates don't re-derive (or re-sample) their
+inputs.
+
+Two flavors behind one call:
+
+- ``checkpoint_dir=None`` (default): ``localCheckpoint`` — executor-local
+  block storage, zero I/O config, the right default on a healthy cluster and
+  in local mode. Its weakness at the 100 TB target: blocks live only on the
+  executors that computed them, so losing a node mid-job loses the barrier
+  and fails the job (no recompute — lineage was truncated).
+- ``checkpoint_dir="hdfs://..."``: reliable ``checkpoint`` — blocks are
+  written to the fault-tolerant store, so a 1000-executor job that loses
+  machines mid-flight resumes from the checkpoint instead of dying. Costs a
+  distributed write; opt in for long iterative jobs on real clusters.
+
+The reference library never needs this (single-shot batch comparisons,
+``spark.py``); it exists for the iterative/dedup extensions.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+
+
+def lineage_barrier(
+    df: DataFrame, checkpoint_dir: Optional[str] = None, eager: bool = True
+) -> DataFrame:
+    """Materialize ``df`` and truncate its lineage.
+
+    With ``checkpoint_dir`` set, uses reliable ``checkpoint()`` (the
+    directory is registered on the SparkContext once; later calls with a
+    different directory re-register). Otherwise ``localCheckpoint()``.
+    ``eager=False`` defers materialization to the first action — both plan
+    branches of a self-referencing operator still share the one checkpointed
+    RDD, so nondeterministic upstreams (sampled range bounds,
+    ``spark_partition_id``) stay consistent across branches.
+    """
+    if checkpoint_dir is None:
+        return df.localCheckpoint(eager=eager)
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() != checkpoint_dir:
+        sc.setCheckpointDir(checkpoint_dir)
+    return df.checkpoint(eager=eager)

@@ -275,6 +275,53 @@ class TestPipelineTextOps:
         assert [out[i]["bin_id"] for i in range(10)] == [0, 0, 0, 1, 1, 2, 2, 2, 3, 3]
         assert all(out[i]["n_tokens"] == 100 for i in range(10))
 
+    def test_pack_sequences_hot_group_distributes(self, spark):
+        # one group holds 97% of the corpus: the distributed prefix sum must
+        # (a) still produce the exact per-group running-sum bins and (b) split
+        # the hot group's cumulative window across several range partitions
+        # instead of serializing it onto one task
+        rows = [(i, "tok " * ((i % 7) + 1), "hot") for i in range(3000)]
+        rows += [(10_000 + i, "tok " * 5, f"cold{i % 3}") for i in range(90)]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+        out = TO.pack_sequences(
+            df, "doc_id", "text", "source", token_budget=64, num_partitions=8
+        )
+        got = {r["doc_id"]: r["bin_id"] for r in out.collect()}
+
+        # oracle: sequential per-group running sum in plain Python
+        want = {}
+        for grp in {r[2] for r in rows}:
+            running = 0
+            for i, text, g in sorted(rows):
+                if g != grp:
+                    continue
+                n = len(text.split())
+                want[i] = running // 64
+                running += n
+        assert got == want
+
+        # plan shape: the cumulative window partitions by (grp, pid), so the
+        # hot group is NOT a single window partition
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        import re
+
+        win_specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+        assert any("pid" in spec and "grp" in spec for spec in win_specs), plan
+        # and the hot group genuinely spans >1 range partition
+        from pyspark.sql import functions as F
+
+        staged = df.selectExpr(
+            "doc_id", "source as grp", "size(split(text, ' ')) as n_tokens"
+        ).repartitionByRange(8, "grp", "doc_id")
+        n_pids = (
+            staged.withColumn("pid", F.spark_partition_id())
+            .filter("grp = 'hot'")
+            .select("pid")
+            .distinct()
+            .count()
+        )
+        assert n_pids > 1
+
 
 class TestTableProfile:
     def test_profile_values_and_single_action(self, spark):
