@@ -35,6 +35,7 @@ from datacompy_spark.functions.hashing import (
     word_shingles,
 )
 from datacompy_spark.functions.text import normalize, tokens
+from datacompy_spark.plans.barrier import lineage_barrier
 
 # NOTE on staging: expensive scalar expressions (normalize → regexes, md5)
 # are materialized as real columns in their own projections before any
@@ -111,6 +112,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_k: int = 3,
     threshold: float = 0.5,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding, Jaccard-verified.
 
@@ -194,12 +196,13 @@ def minhash_lsh_pairs(
             inter.alias("n_inter"),
             (F.size(F.col("sh_a")) + F.size(F.col("sh_b"))).alias("n_total"),
         )
-        # lineage barrier: without it Catalyst pushes the threshold filter
-        # into the join condition and the set intersection evaluates TWICE
-        # per pair (condition + projection). Rows here are 4 ints — cheap to
-        # materialize at any scale.
-        .localCheckpoint(eager=False)
     )
+    # lineage barrier: without it Catalyst pushes the threshold filter
+    # into the join condition and the set intersection evaluates TWICE
+    # per pair (condition + projection). Rows here are 4 ints — cheap to
+    # materialize at any scale. checkpoint_dir upgrades to a reliable
+    # checkpoint (node-loss-safe on a real cluster).
+    scored = lineage_barrier(scored, checkpoint_dir, eager=False)
     rep_pairs = scored.select(
         "id_a",
         "id_b",
@@ -417,6 +420,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     direct_block_cap: int = 1000,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Exact character-n-gram Jaccard pairs (≥ ``threshold``) within a
     blocking key, with ADAPTIVE block-size routing:
@@ -494,8 +498,7 @@ def ngram_jaccard_pairs(
         # lineage barrier (see minhash note): keeps the threshold filter from
         # being pushed into the joins, which would re-run array_intersect per
         # pair in the join condition
-        scored
-        .localCheckpoint(eager=False)
+        lineage_barrier(scored, checkpoint_dir, eager=False)
         .select(
             "id_a",
             "id_b",
@@ -509,21 +512,29 @@ def ngram_jaccard_pairs(
 
 
 def connected_components(
-    pairs: DataFrame, max_iter: int = 15
+    pairs: DataFrame, max_iter: int = 15, checkpoint_dir: str | None = None
 ) -> DataFrame:
     """Connected components over an undirected pair list (id_a, id_b) via
     iterative min-label propagation: every node's label converges to the
     smallest id reachable from it.
 
-    Each iteration propagates labels across edges (one join + min-agg) and
-    then SHORTCUTS by propagating labels across labels (pointer doubling:
-    node→label→label-of-label), so convergence is O(log diameter) — a chain
-    of 2^15 nodes converges within the default ``max_iter`` instead of
-    silently returning partial labels. Terminates early when no label
-    changes; warns if ``max_iter`` is exhausted without convergence (the
-    DuckDB oracle computes the exact transitive closure, so an unconverged
-    return would silently diverge). Output: (node, component) where
-    component is the cluster's minimum id."""
+    Each iteration propagates labels across edges (one join + min-agg).
+    Near-dup graphs are almost always small dense clusters that converge in
+    2-3 plain rounds, so the pointer-doubling shortcut (node→label→
+    label-of-label, one extra self-join + barrier per round) is CONDITIONAL:
+    it engages only once the per-round changed-label count stops halving —
+    the signature of a long chain, where plain propagation needs O(diameter)
+    rounds but doubling needs O(log diameter). Dense clusters never pay for
+    the join; a 2^15-node chain still converges within the default
+    ``max_iter`` instead of silently returning partial labels.
+
+    Terminates early when no label changes; warns if ``max_iter`` is
+    exhausted without convergence (the DuckDB oracle computes the exact
+    transitive closure, so an unconverged return would silently diverge).
+    ``checkpoint_dir`` upgrades the doubling-round barriers from
+    ``localCheckpoint`` to reliable ``checkpoint`` (a lost executor then
+    costs a re-read, not the whole iterative job). Output: (node, component)
+    where component is the cluster's minimum id."""
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -538,6 +549,8 @@ def connected_components(
     )
     labels.count()
     converged = False
+    doubling = False
+    prev_changed: int | None = None
     for it in range(max_iter):
         # labels flowing across edges
         prop = (
@@ -550,16 +563,18 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("component").alias("component"))
         )
-        if it == 0:
-            # doubling is an identity map while labels are still their own
-            # ids — skip the extra join on the first round
+        if not doubling or it == 0:
+            # plain propagation round: one join, no barrier needed — the
+            # persisted `labels` bounds recompute and lineage stays shallow
+            # over the few rounds dense clusters take (doubling is an
+            # identity map on round 0 regardless)
             new_labels = stepped.persist()
         else:
             # materialize + truncate lineage BEFORE the self-join below: the
             # doubling step references `stepped` twice, so without a barrier
             # the logical plan doubles every iteration (exponential analysis
             # cost)
-            stepped = stepped.localCheckpoint()
+            stepped = lineage_barrier(stepped, checkpoint_dir)
             # pointer doubling: replace each label with its label's label, so
             # long chains collapse in O(log diameter) rounds, not O(diameter)
             lab_of_lab = stepped.select(
@@ -573,10 +588,12 @@ def connected_components(
                 )
                 .persist()
             )
+        # full changed-count (not limit-1): the count doubles as the chain
+        # detector — a dense cluster's changed count collapses geometrically,
+        # a chain's plateaus at ~its length
         changed = (
             new_labels.join(labels.withColumnRenamed("component", "old"), "node")
             .filter(F.col("component") != F.col("old"))
-            .limit(1)
             .count()
         )
         labels.unpersist()
@@ -584,6 +601,9 @@ def connected_components(
         if changed == 0:
             converged = True
             break
+        if prev_changed is not None and changed * 2 > prev_changed:
+            doubling = True  # shrink stalled → long chains; stays on
+        prev_changed = changed
     edges.unpersist()
     if not converged:
         import warnings
@@ -598,12 +618,16 @@ def connected_components(
 
 
 def assign_components(
-    df: DataFrame, id_col: str, pairs: DataFrame, max_iter: int = 15
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    max_iter: int = 15,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Component id for EVERY row of ``df``: near-dup cluster minimum for
     paired ids, own id for singletons — the final dedup verdict table
     (survivors are rows where component == id)."""
-    cc = connected_components(pairs, max_iter=max_iter)
+    cc = connected_components(pairs, max_iter=max_iter, checkpoint_dir=checkpoint_dir)
     return (
         df.select(F.col(id_col).alias("doc_id"))
         .join(cc.withColumnRenamed("node", "doc_id"), "doc_id", "left_outer")
@@ -638,6 +662,7 @@ def embedding_near_dups(
     block_col: str,
     threshold: float = 0.99,
     n_projections: int = 1,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Cosine near-duplicate pairs (≥ ``threshold``) among embeddings,
     blocked by ``block_col`` and SUB-bucketed by ``n_projections`` quantized
@@ -740,6 +765,6 @@ def embedding_near_dups(
     )
     # barrier: otherwise the threshold filter is pushed into the join and the
     # dot product evaluates twice per pair
-    return scored.localCheckpoint(eager=False).filter(
+    return lineage_barrier(scored, checkpoint_dir, eager=False).filter(
         F.col("cos_sim") >= F.lit(threshold)
     )

@@ -205,6 +205,39 @@ class TestTextOps:
         assert set(cc.values()) == {1}
         assert len(cc) == 60
 
+    def test_dense_cluster_skips_doubling_join(self, spark):
+        # a clique converges in 2-3 plain rounds with geometrically shrinking
+        # change counts — the doubling join must never engage (no checkpoint
+        # RDDs created beyond what persist uses); result still exact
+        pairs = spark.createDataFrame(
+            [(i, j, 0.9) for i in range(1, 9) for j in range(i + 1, 9)],
+            "id_a bigint, id_b bigint, jaccard double",
+        )
+        cc = {r["node"]: r["component"]
+              for r in D.connected_components(pairs).collect()}
+        assert cc == {i: 1 for i in range(1, 9)}
+
+    def test_reliable_checkpoint_dir(self, spark, tmp_path):
+        # a long chain forces the doubling rounds; with checkpoint_dir the
+        # barrier must be a RELIABLE checkpoint (files on disk), not
+        # executor-local blocks
+        ckpt = str(tmp_path / "ckpt")
+        pairs = spark.createDataFrame(
+            [(i, i + 1, 0.9) for i in range(1, 40)],
+            "id_a bigint, id_b bigint, jaccard double",
+        )
+        cc = {r["node"]: r["component"]
+              for r in D.connected_components(pairs, checkpoint_dir=ckpt).collect()}
+        assert set(cc.values()) == {1} and len(cc) == 40
+        import os
+
+        written = [
+            os.path.join(root, f)
+            for root, _, files in os.walk(ckpt)
+            for f in files
+        ]
+        assert written, "reliable checkpoint wrote nothing"
+
     def test_nonconvergence_warns(self, spark):
         import warnings
 
