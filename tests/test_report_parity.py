@@ -16,6 +16,7 @@ import pytest
 from datacompy_spark import SparkCompare
 
 REF_SNAP = pathlib.Path(__file__).parent / "snapshots" / "ref_pandas_with_mismatches.txt"
+REF_JSON = pathlib.Path(__file__).parent / "snapshots" / "ref_report_data.json"
 
 _DTYPES = {"float64": "double", "int64": "bigint", "object": "string"}
 
@@ -47,6 +48,31 @@ def ref_scenario(spark):
 def test_reference_report_format(ref_scenario):
     ours = ref_scenario.report()
     assert _norm(ours) == _norm(REF_SNAP.read_text())
+
+
+def test_reference_json_shape(ref_scenario):
+    """Golden-JSON parity: ``to_dict()`` serialized through our JSON path
+    must equal the reference CLI's JSON rendering of the same scenario
+    (fixture generated via ref ``cli/output.py:render(data, "json")`` on the
+    pandas backend) — key names, nesting, value types, sample strings, and
+    ordering all identical; the single legitimate engine difference is dtype
+    naming."""
+    import json
+
+    gold = json.loads(REF_JSON.read_text())
+    ours = json.loads(ref_scenario.build_report_data().to_json())
+
+    def norm(obj):
+        if isinstance(obj, dict):
+            return {
+                k: (_DTYPES.get(v, v) if k in ("dtype1", "dtype2") else norm(v))
+                for k, v in obj.items()
+            }
+        if isinstance(obj, list):
+            return [norm(x) for x in obj]
+        return obj
+
+    assert norm(ours) == norm(gold)
 
 
 def test_report_data_contract(ref_scenario):
