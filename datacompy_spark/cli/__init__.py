@@ -63,12 +63,29 @@ def _combine_tolerances(raw, flag: str):
 
 
 def build_parser() -> argparse.ArgumentParser:
+    # --debug comes from a shared parent so it is accepted on either side of
+    # the subcommand (ref cli/parser.py:545-562); SUPPRESS keeps the
+    # subparser from overwriting a value set at the top level
+    debug_parent = argparse.ArgumentParser(add_help=False)
+    debug_parent.add_argument(
+        "--debug",
+        action="store_true",
+        default=argparse.SUPPRESS,
+        help="re-raise unexpected exceptions with a full traceback instead "
+        "of a short message",
+    )
     p = argparse.ArgumentParser(
         prog="datacompy-spark",
         description="Compare two tabular datasets on a join key with Spark.",
+        parents=[debug_parent],
+    )
+    from datacompy_spark import __version__
+
+    p.add_argument(
+        "--version", action="version", version=f"%(prog)s {__version__}"
     )
     sub = p.add_subparsers(dest="command", required=True)
-    c = sub.add_parser("compare", help="compare two datasets")
+    c = sub.add_parser("compare", help="compare two datasets", parents=[debug_parent])
     c.add_argument("--left", required=True, help="left input: file path or table name")
     c.add_argument("--right", required=True, help="right input: file path or table name")
     c.add_argument(
@@ -140,6 +157,19 @@ def build_parser() -> argparse.ArgumentParser:
         metavar="PATH",
         help="write rows unique to either side to PATH as parquet (side column added)",
     )
+    c.add_argument(
+        "--spark-app-name",
+        default="datacompy-spark-cli",
+        metavar="NAME",
+        help="Spark application name (ref cli/parser.py --spark-app-name)",
+    )
+    c.add_argument(
+        "--cache-intermediates",
+        action=argparse.BooleanOptionalAction,
+        default=True,
+        help="cache intermediate DataFrames (default: enabled); pass "
+        "--no-cache-intermediates where executor caching is unavailable",
+    )
     c.add_argument("--input-format", choices=["csv", "parquet", "json", "jsonl"])
     c.add_argument("--delimiter", default=",", help="CSV delimiter")
     c.add_argument("--assume-unique", action="store_true",
@@ -203,7 +233,7 @@ def run_compare(args) -> int:
     abs_tol = _combine_tolerances(args.abs_tol, "--abs-tol")
     rel_tol = _combine_tolerances(args.rel_tol, "--rel-tol")
     created = SparkSession.getActiveSession() is None
-    spark = SparkSession.builder.appName("datacompy-spark-cli").getOrCreate()
+    spark = SparkSession.builder.appName(args.spark_app_name).getOrCreate()
     try:
         kwargs = {}
         if args.input_format == "csv":
@@ -242,6 +272,7 @@ def run_compare(args) -> int:
                 cast_column_names_lower=not args.no_lowercase_columns,
                 assume_unique=args.assume_unique,
                 null_safe_join=not args.assume_no_null_keys,
+                cache_intermediates=args.cache_intermediates,
             )
         except (ValueError, TypeError) as ex:
             raise CLIError(str(ex)) from ex
@@ -290,6 +321,8 @@ def run_compare(args) -> int:
 def main(argv: Optional[Sequence[str]] = None) -> int:
     parser = build_parser()
     args = parser.parse_args(argv)
+    if not hasattr(args, "debug"):  # SUPPRESS leaves no attribute behind
+        args.debug = False
     try:
         if args.command == "compare":
             return run_compare(args)
@@ -299,6 +332,11 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         return 2
     except KeyboardInterrupt:
         return 130
+    except Exception as ex:  # unexpected: short message unless --debug
+        if args.debug:
+            raise
+        print(f"error: unexpected failure: {ex}", file=sys.stderr)
+        return 2
 
 
 if __name__ == "__main__":

@@ -19,15 +19,17 @@ from pyspark.sql import functions as F
 def table_profile(
     df: DataFrame,
     columns: Optional[Sequence[str]] = None,
-    approx_distinct: bool = False,
+    approx_distinct: bool = True,
 ) -> DataFrame:
     """(col_name, n_rows, n_nulls, n_distinct, min_value, max_value) — one
     row per profiled column, from one aggregate action.
 
-    ``approx_distinct=True`` switches to HyperLogLog
-    ``approx_count_distinct`` — at 100 TB that is the right choice: exact
-    multi-column ``count_distinct`` plans an Expand (input replicated once
-    per distinct-agg), while the sketch keeps the single narrow pass.
+    The default distinct counter is HyperLogLog ``approx_count_distinct`` —
+    at 100 TB that is the only sane choice: exact multi-column
+    ``count_distinct`` plans an Expand (input replicated once per
+    distinct-agg column), while the sketch keeps the single narrow pass.
+    Pass ``approx_distinct=False`` when exact cardinalities are the point
+    (small tables, oracle verification) and the Expand cost is acceptable.
     min/max run on the native type (string-casting first would order
     "10" < "9") and cast to string only for the heterogeneous output."""
     cols = list(columns or df.columns)
@@ -60,7 +62,7 @@ def profile_compare(
     right: DataFrame,
     columns: Optional[Sequence[str]] = None,
     rel_tol: float = 0.1,
-    approx_distinct: bool = False,
+    approx_distinct: bool = True,
 ) -> DataFrame:
     """Statistical drift between two tables without row-level comparison:
     join the two single-action profiles on column name and flag columns

@@ -719,7 +719,9 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datacompy_spark.operators.profile import table_profile
 
     li = load_table(spark, sf_dir, "lineitem")
-    return table_profile(li, _PROFILE_COLS)
+    # exact distinct counts: this row IS the DuckDB-verified oracle; the
+    # scale-facing default is the HLL sketch
+    return table_profile(li, _PROFILE_COLS, approx_distinct=False)
 
 
 SQL_TABLE_PROFILE = "\nUNION ALL\n".join(
@@ -739,7 +741,7 @@ def q_profile_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     df1 = li.filter(F.col("l_orderkey") % 50 != 0)
     df2 = li.filter(F.col("l_orderkey") % 50 != 1)
-    return profile_compare(df1, df2, _PROFILE_COLS, rel_tol=0.01)
+    return profile_compare(df1, df2, _PROFILE_COLS, rel_tol=0.01, approx_distinct=False)
 
 
 def _sql_profile_compare() -> str:

@@ -51,6 +51,39 @@ class TestExitCodes:
         )
         assert rc == 1
 
+    def test_version_flag(self, capsys):
+        from datacompy_spark import __version__
+
+        with pytest.raises(SystemExit) as ex:
+            main(["--version"])
+        assert ex.value.code == 0
+        assert __version__ in capsys.readouterr().out
+
+    def test_debug_flag_both_sides_and_reraise(self, pair, capsys, monkeypatch):
+        # accepted before or after the subcommand (shared parent parser,
+        # ref cli/parser.py:545-562); with it, unexpected exceptions re-raise
+        import datacompy_spark.cli as cli
+
+        def boom(args):
+            raise RuntimeError("kaboom")
+
+        monkeypatch.setattr(cli, "run_compare", boom)
+        base = ["compare", "--left", pair[0], "--right", pair[1], "--on", "id"]
+        assert cli.main(base) == 2  # short message, exit 2
+        assert "kaboom" in capsys.readouterr().err
+        with pytest.raises(RuntimeError):
+            cli.main(["--debug"] + base)
+        with pytest.raises(RuntimeError):
+            cli.main(base + ["--debug"])
+
+    def test_cache_and_app_name_flags(self, pair, capsys):
+        rc = main(
+            ["compare", "--left", pair[0], "--right", pair[0], "--on", "id",
+             "--no-cache-intermediates", "--spark-app-name", "my-compare",
+             "--quiet"]
+        )
+        assert rc == 0
+
     def test_ignore_unique_rows_excludes_uniques(self, pair, capsys):
         rc = main(
             ["compare", "--left", pair[0], "--right", pair[1], "--on", "id",
@@ -164,7 +197,7 @@ class TestParserConstructorDrift:
         "ignore_case": "ignore_case",
         "cast_column_names_lower": "no_lowercase_columns",
         "custom_comparators": None,  # Python-API-only extension hook
-        "cache_intermediates": None,  # CLI renders one report; nothing to reuse
+        "cache_intermediates": "cache_intermediates",
         "dup_order_by": None,        # niche; Python API only for now
         "assume_unique": "assume_unique",
         "null_safe_join": "assume_no_null_keys",  # CLI flag is the negation

@@ -365,7 +365,8 @@ class TestTableProfile:
             "id bigint, s string, v double",
         )
         before = spark.sparkContext.statusTracker().getJobIdsForGroup(None) or []
-        out = {r["col_name"]: r for r in table_profile(df).collect()}
+        out = {r["col_name"]: r
+               for r in table_profile(df, approx_distinct=False).collect()}
         after = spark.sparkContext.statusTracker().getJobIdsForGroup(None) or []
         assert len(set(after) - set(before)) <= 8  # one action, AQE may split
         assert out["id"]["n_rows"] == 4 and out["id"]["n_nulls"] == 0
@@ -380,6 +381,27 @@ class TestTableProfile:
         df = spark.createDataFrame([(i,) for i in range(1000)], "id bigint")
         out = table_profile(df, approx_distinct=True).collect()[0]
         assert abs(out["n_distinct"] - 1000) / 1000 < 0.1  # HLL tolerance
+
+    def test_default_profile_plan_has_no_expand(self, spark):
+        # the DEFAULT profile must stay a single narrow aggregate pass at any
+        # width: exact multi-column count_distinct plans an Expand (input
+        # replicated once per distinct-agg column) — only the opt-in exact
+        # mode may pay that
+        from datacompy_spark.operators.profile import table_profile
+
+        df = spark.createDataFrame(
+            [(i, f"s{i}", i * 0.5, i % 7) for i in range(100)],
+            "a bigint, b string, c double, d bigint",
+        )
+        default_plan = (
+            table_profile(df)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Expand" not in default_plan
+        exact_plan = (
+            table_profile(df, approx_distinct=False)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Expand" in exact_plan  # the cost the default avoids
 
     def test_profile_compare_flags_drift(self, spark):
         from datacompy_spark.operators.profile import profile_compare
