@@ -79,12 +79,14 @@ def _try_decode_image(data: bytes):
 def _fake_features(data: bytes, dim: int) -> list:
     """Deterministic stand-in features: md5-seeded values in [-1, 1). Keeps
     the pipeline (schema, batching, downstream ANN) fully testable without
-    codecs; swap for a real model udf in production."""
+    codecs; swap for a real model udf in production. The per-dimension seed
+    suffix is ASCII (``#i``) so an engine whose md5 only takes strings (the
+    DuckDB oracle) can reproduce the values on text-derived blobs."""
     import hashlib
 
     out = []
     for i in range(dim):
-        h = hashlib.md5(data + i.to_bytes(4, "little")).hexdigest()
+        h = hashlib.md5(data + f"#{i}".encode()).hexdigest()
         out.append(int(h[:15], 16) / float(1 << 60) * 2.0 - 1.0)
     return out
 

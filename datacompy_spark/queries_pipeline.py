@@ -773,6 +773,125 @@ FROM p1 JOIN p2 USING (col_name)"""
 SQL_PROFILE_COMPARE = _sql_profile_compare()
 
 
+def q_stream_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-validation operator executed through REAL Structured
+    Streaming micro-batches: the events table streams against a perturbed
+    static reference (every 7th id missing, every 10th value shifted +0.5,
+    every 13th event_type rewritten) and per-hour match statistics come out
+    of a watermarked windowed aggregation. The oracle is plain batch SQL
+    over the identical join + tolerant-equality predicate — stream must
+    equal batch exactly (counts only: cross-engine bit-parity)."""
+    import shutil
+    import uuid
+
+    from datacompy_spark.streaming.drift import stream_compare
+
+    ev = load_table(spark, sf_dir, "events")
+    ref = ev.filter(F.col("event_id") % 7 != 0).select(
+        "event_id",
+        F.when(F.col("event_id") % 10 == 0, F.col("value") + F.lit(0.5))
+        .otherwise(F.col("value"))
+        .alias("value"),
+        F.when(F.col("event_id") % 13 == 0, F.lit("modified"))
+        .otherwise(F.col("event_type"))
+        .alias("event_type"),
+    )
+    tmp = f"/tmp/dcs_scmp_{uuid.uuid4().hex[:8]}"
+    ev.coalesce(4).write.parquet(tmp)
+    stream = spark.readStream.schema(ev.schema).parquet(tmp)
+    out = stream_compare(
+        stream,
+        ref,
+        join_columns=["event_id"],
+        ts_col="ts",
+        compare_columns=["value", "event_type"],
+        window="1 hour",
+        rel_tol=0.05,
+    )
+    name = f"scmp_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    shutil.rmtree(tmp, ignore_errors=True)  # results live in the memory sink
+    return spark.table(name).select(
+        F.col("win.start").alias("window_start"),
+        "n_rows",
+        "n_missing_in_ref",
+        "value_match_cnt",
+        "event_type_match_cnt",
+    )
+
+
+# the tolerant-equality predicate mirrors NumericComparator exactly: nulls
+# null-safe, exact equality short-circuits, then |a-b| <= abs + rel*|b|
+# (events.value has no NaN/inf at any SF, so those branches are vacuous)
+SQL_STREAM_COMPARE = """
+WITH ref AS (
+  SELECT event_id,
+    CASE WHEN event_id % 10 = 0 THEN value + 0.5 ELSE value END AS value,
+    CASE WHEN event_id % 13 = 0 THEN 'modified' ELSE event_type END AS event_type
+  FROM events WHERE event_id % 7 <> 0
+)
+SELECT date_trunc('hour', s.ts) AS window_start,
+  count(*) AS n_rows,
+  sum(CASE WHEN r.event_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_missing_in_ref,
+  sum(CASE WHEN r.event_id IS NOT NULL AND (
+        s.value IS NOT DISTINCT FROM r.value
+        OR (s.value IS NOT NULL AND r.value IS NOT NULL
+            AND abs(s.value - r.value) <= 0.05::DOUBLE * abs(r.value))
+      ) THEN 1 ELSE 0 END)::BIGINT AS value_match_cnt,
+  sum(CASE WHEN r.event_id IS NOT NULL
+        AND s.event_type IS NOT DISTINCT FROM r.event_type
+      THEN 1 ELSE 0 END)::BIGINT AS event_type_match_cnt
+FROM events s LEFT JOIN ref r USING (event_id)
+GROUP BY 1"""
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing through its REAL execution path: documents become
+    synthetic media blobs (utf-8 bytes), flow through metadata attachment and
+    the Arrow-batched ``mapInPandas`` feature extractor, and the (id,
+    feat_idx, feat_value, decoded, size_bytes) contract is verified against
+    DuckDB reproducing the deterministic fallback features
+    (md5-seeded values in [-1, 1))."""
+    from datacompy_spark.operators.multimodal import (
+        attach_media_metadata,
+        image_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = attach_media_metadata(
+        docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("blob")),
+        "blob",
+        "image",
+        "png",
+    )
+    feats = image_features(blobs, "doc_id", "blob", dim=8)
+    sizes = blobs.select(
+        F.col("doc_id").alias("id"), F.col("media_meta.size_bytes").alias("size_bytes")
+    )
+    return (
+        feats.join(sizes, "id")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.posexplode("features").alias("feat_idx", "feat_value"),
+            "decoded",
+            "size_bytes",
+        )
+    )
+
+
+SQL_MEDIA_FEATURES = """
+SELECT doc_id, i AS feat_idx,
+  ('0x' || substr(md5(text || '#' || i), 1, 15))::BIGINT::DOUBLE
+    / 1152921504606846976.0 * 2.0 - 1.0 AS feat_value,
+  false AS decoded,
+  strlen(text)::BIGINT AS size_bytes
+FROM documents, generate_series(0, 7) AS t(i)"""
+
+
 PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -802,6 +921,8 @@ PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences": q_pack_sequences,
     "table_profile": q_table_profile,
     "profile_compare": q_profile_compare,
+    "stream_compare": q_stream_compare,
+    "media_features": q_media_features,
 }
 
 PIPELINE_ORACLES: Dict[str, str] = {
@@ -833,4 +954,6 @@ PIPELINE_ORACLES: Dict[str, str] = {
     "pack_sequences": SQL_PACK_SEQUENCES,
     "table_profile": SQL_TABLE_PROFILE,
     "profile_compare": SQL_PROFILE_COMPARE,
+    "stream_compare": SQL_STREAM_COMPARE,
+    "media_features": SQL_MEDIA_FEATURES,
 }
