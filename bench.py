@@ -49,17 +49,23 @@ def main() -> None:
     SparkCompare(spark, nation, nation.select(*nation.columns), join_columns="n_nationkey").report()
 
     timings = {}
+    # steady-state (warm) companions: the LAST run of each query, after JVM/
+    # codegen warmup — best-of-N damps shared-VM noise spikes but can hide a
+    # real regression behind one lucky run; warm-vs-warm across rounds is the
+    # comparison that distinguishes noise from regressions
+    warm = {}
 
     # headline: full compare + report, the reference's benchmark unit of work.
     # best-of-2 — first iteration can absorb residual JVM/codegen compilation.
-    headline = float("inf")
+    headline_runs = []
     for _ in range(2):
         spark.catalog.clearCache()
         t0 = time.perf_counter()
         cmp_ = _li_compare(spark, sf_dir)
         cmp_.report(sample_count=10)
-        headline = min(headline, time.perf_counter() - t0)
-    timings["compare_report"] = round(headline, 4)
+        headline_runs.append(time.perf_counter() - t0)
+    timings["compare_report"] = round(min(headline_runs), 4)
+    warm["compare_report"] = round(headline_runs[-1], 4)
 
     spark.catalog.clearCache()
     for name, fn in QUERIES.items():
@@ -69,12 +75,13 @@ def main() -> None:
             elapsed = time.perf_counter() - t0
             spark.catalog.clearCache()  # drop per-query exception caches
             return elapsed
-        best = once()
+        runs = [once()]
         # single-run numbers on a shared VM carry multi-second noise spikes;
         # re-run anything slow enough for a spike to distort and keep the min
-        if best > 2.0:
-            best = min(best, once())
-        timings[name] = round(best, 4)
+        if runs[0] > 2.0:
+            runs.append(once())
+        timings[name] = round(min(runs), 4)
+        warm[name] = round(runs[-1], 4)
 
     print(
         json.dumps(
@@ -83,6 +90,8 @@ def main() -> None:
                 "value": timings["compare_report"],
                 "unit": "sec",
                 "queries": timings,
+                "queries_warm": warm,
+                "warm_value": warm["compare_report"],
                 "sf": sf,
             }
         )
