@@ -57,13 +57,18 @@ def main() -> None:
 
     # headline: full compare + report, the reference's benchmark unit of work.
     # best-of-2 — first iteration can absorb residual JVM/codegen compilation.
-    headline_runs = []
-    for _ in range(2):
+    def headline_once() -> float:
         spark.catalog.clearCache()
         t0 = time.perf_counter()
         cmp_ = _li_compare(spark, sf_dir)
         cmp_.report(sample_count=10)
-        headline_runs.append(time.perf_counter() - t0)
+        return time.perf_counter() - t0
+
+    headline_runs = [headline_once(), headline_once()]
+    # shared-VM noise windows inflate whole minutes at a time; when the two
+    # runs disagree badly the min is still suspect — buy one more sample
+    if max(headline_runs) > 1.25 * min(headline_runs):
+        headline_runs.append(headline_once())
     timings["compare_report"] = round(min(headline_runs), 4)
     warm["compare_report"] = round(headline_runs[-1], 4)
 

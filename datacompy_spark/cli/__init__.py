@@ -158,6 +158,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="write rows unique to either side to PATH as parquet (side column added)",
     )
     c.add_argument(
+        "--where",
+        metavar="PREDICATE",
+        help="SQL boolean predicate applied to BOTH inputs before comparing "
+        "(e.g. \"ship_date >= '2026-01-01'\"). Spark pushes it into the "
+        "scans, so comparing one partition of a huge table never reads the "
+        "rest — the incremental-compare path",
+    )
+    c.add_argument(
         "--spark-app-name",
         default="datacompy-spark-cli",
         metavar="NAME",
@@ -243,6 +251,12 @@ def run_compare(args) -> int:
             df2 = load(spark, args.right, fmt=args.input_format, **kwargs)
         except Exception as ex:
             raise CLIError(f"failed to load inputs: {ex}") from ex
+
+        if args.where:
+            try:
+                df1, df2 = df1.filter(args.where), df2.filter(args.where)
+            except Exception as ex:
+                raise CLIError(f"invalid --where predicate: {ex}") from ex
 
         join_columns = [c.strip() for c in args.on.split(",") if c.strip()]
         if not join_columns:

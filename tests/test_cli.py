@@ -76,6 +76,28 @@ class TestExitCodes:
         with pytest.raises(RuntimeError):
             cli.main(base + ["--debug"])
 
+    def test_where_predicate_scopes_compare(self, pair, capsys):
+        # rows 2 (mismatch) and 3/4 (uniques) are outside the slice → equal
+        rc = main(
+            ["compare", "--left", pair[0], "--right", pair[1], "--on", "id",
+             "--where", "id <= 1", "--quiet"]
+        )
+        assert rc == 0
+        # slice includes the mismatching row → differ
+        rc = main(
+            ["compare", "--left", pair[0], "--right", pair[1], "--on", "id",
+             "--where", "id <= 2", "--quiet"]
+        )
+        assert rc == 1
+
+    def test_where_invalid_predicate_exits_2(self, pair, capsys):
+        rc = main(
+            ["compare", "--left", pair[0], "--right", pair[1], "--on", "id",
+             "--where", "no_such_column = 1", "--quiet"]
+        )
+        assert rc == 2
+        assert "where" in capsys.readouterr().err.lower()
+
     def test_cache_and_app_name_flags(self, pair, capsys):
         rc = main(
             ["compare", "--left", pair[0], "--right", pair[0], "--on", "id",

@@ -49,6 +49,18 @@ class TestCompareTopology:
             cols = {c.split(":")[0] for c in s.split(",")}
             assert cols <= {"l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"}
 
+    def test_where_predicate_pushed_to_scan(self, spark, lineitem):
+        # the incremental-compare path: a pre-compare predicate must reach
+        # the parquet scan as PushedFilters, so comparing one slice of a
+        # huge table never reads the rest
+        df1 = lineitem.filter("l_orderkey < 1000")
+        df2 = lineitem.filter("l_orderkey < 1000")
+        c = SparkCompare(spark, df1, df2, join_columns=KEYS, assume_unique=True)
+        p = plan_of(c._outer)
+        pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", p)
+        assert pushed, "expected parquet PushedFilters in plan"
+        assert any("l_orderkey" in f and "LessThan" in f for f in pushed), pushed
+
     def test_cache_result_serves_from_cache(self, spark, li_pair):
         # after cache_result(), derived frames and mismatch pulls must read
         # the in-memory cache, not re-scan the parquet inputs
