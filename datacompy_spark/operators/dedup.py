@@ -511,36 +511,89 @@ def ngram_jaccard_pairs(
     )
 
 
+def _driver_union_find(spark, edge_rows, dtype) -> DataFrame:
+    """Exact union-find over a collected (small) edge list — path-compressed,
+    component labeled with its minimum node id; result parallelized back."""
+    from pyspark.sql import types as T
+
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edge_rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict = {}
+    for node in parent:
+        r = find(node)
+        m = comp_min.get(r)
+        if m is None or node < m:
+            comp_min[r] = node
+    schema = T.StructType(
+        [T.StructField("node", dtype), T.StructField("component", dtype)]
+    )
+    return spark.createDataFrame(
+        [(n, comp_min[find(n)]) for n in parent], schema
+    )
+
+
 def connected_components(
-    pairs: DataFrame, max_iter: int = 15, checkpoint_dir: str | None = None
+    pairs: DataFrame,
+    max_iter: int = 15,
+    checkpoint_dir: str | None = None,
+    driver_cap: int = 1_000_000,
 ) -> DataFrame:
-    """Connected components over an undirected pair list (id_a, id_b) via
-    iterative min-label propagation: every node's label converges to the
-    smallest id reachable from it.
+    """Connected components over an undirected pair list (id_a, id_b):
+    every node's label converges to the smallest id reachable from it.
 
-    Each iteration propagates labels across edges (one join + min-agg).
-    Near-dup graphs are almost always small dense clusters that converge in
-    2-3 plain rounds, so the pointer-doubling shortcut (node→label→
-    label-of-label, one extra self-join + barrier per round) is CONDITIONAL:
-    it engages only once the per-round changed-label count stops halving —
-    the signature of a long chain, where plain propagation needs O(diameter)
-    rounds but doubling needs O(log diameter). Dense clusters never pay for
-    the join; a 2^15-node chain still converges within the default
-    ``max_iter`` instead of silently returning partial labels.
+    ADAPTIVE routing on the edge count (the same design as the n-gram
+    block router): near-dup graphs are tiny relative to their corpus — a
+    100 TB corpus with 10⁹ near-dup pairs is pathological dedup input, a
+    few hundred thousand is typical — so an edge list at or under
+    ``driver_cap`` is collected (two longs per edge, ≤ ~16 MB at the
+    default cap — broadcast-join-sized) and solved with exact
+    path-compressed union-find in one pass, no iteration. Larger graphs
+    take the distributed loop:
 
-    Terminates early when no label changes; warns if ``max_iter`` is
-    exhausted without convergence (the DuckDB oracle computes the exact
-    transitive closure, so an unconverged return would silently diverge).
-    ``checkpoint_dir`` upgrades the doubling-round barriers from
-    ``localCheckpoint`` to reliable ``checkpoint`` (a lost executor then
-    costs a re-read, not the whole iterative job). Output: (node, component)
-    where component is the cluster's minimum id."""
+    * each iteration propagates the min label across edges (one join +
+      min-agg, merged with the previous labels via ``least``);
+    * the pointer-doubling shortcut (node→label→label-of-label, one extra
+      self-join + lineage barrier per round) is CONDITIONAL: it engages
+      only once the per-round changed-label count stops halving — the
+      signature of a long chain, where plain propagation needs
+      O(diameter) rounds but doubling needs O(log diameter). Dense
+      clusters never pay for the join; a 2^15-node chain still converges
+      within the default ``max_iter`` instead of silently returning
+      partial labels;
+    * terminates early when no label changes; warns if ``max_iter`` is
+      exhausted without convergence (the DuckDB oracle computes the exact
+      transitive closure, so an unconverged return would silently
+      diverge).
+
+    Both routes return identical labels. ``checkpoint_dir`` upgrades the
+    doubling-round barriers from ``localCheckpoint`` to reliable
+    ``checkpoint`` (a lost executor then costs a re-read, not the whole
+    iterative job). Output: (node, component) where component is the
+    cluster's minimum id."""
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
         .persist()
     )
+    n_edges = edges.count()  # also materializes the persist before reuse
+    if n_edges <= driver_cap:
+        dtype = edges.schema["src"].dataType
+        rows = [(r["src"], r["dst"]) for r in edges.collect()]
+        edges.unpersist()
+        return _driver_union_find(pairs.sparkSession, rows, dtype)
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -552,23 +605,31 @@ def connected_components(
     doubling = False
     prev_changed: int | None = None
     for it in range(max_iter):
-        # labels flowing across edges
-        prop = (
+        # min label arriving over incoming edges, merged with the current
+        # label via `least` — one aggregation + one join per round (the
+        # union-then-groupBy formulation costs an extra shuffle), and the
+        # change flag rides along instead of needing a separate old-vs-new
+        # join afterwards
+        pmin = (
             edges.join(labels, edges["src"] == labels["node"])
-            .select(F.col("dst").alias("node"), F.col("component"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("component").alias("__p"))
         )
         stepped = (
-            labels.select("node", "component")
-            .unionAll(prop)
-            .groupBy("node")
-            .agg(F.min("component").alias("component"))
+            labels.join(pmin, "node", "left")
+            .select(
+                "node",
+                F.least("component", "__p").alias("component"),
+                (F.col("__p") < F.col("component")).alias("__chg"),
+            )
         )
         if not doubling or it == 0:
-            # plain propagation round: one join, no barrier needed — the
-            # persisted `labels` bounds recompute and lineage stays shallow
-            # over the few rounds dense clusters take (doubling is an
-            # identity map on round 0 regardless)
+            # plain propagation round: no barrier needed — the persisted
+            # `labels` bounds recompute and lineage stays shallow over the
+            # few rounds dense clusters take (doubling is an identity map
+            # on round 0 regardless)
             new_labels = stepped.persist()
+            changed = new_labels.filter(F.col("__chg")).count()
         else:
             # materialize + truncate lineage BEFORE the self-join below: the
             # doubling step references `stepped` twice, so without a barrier
@@ -588,14 +649,18 @@ def connected_components(
                 )
                 .persist()
             )
-        # full changed-count (not limit-1): the count doubles as the chain
-        # detector — a dense cluster's changed count collapses geometrically,
-        # a chain's plateaus at ~its length
-        changed = (
-            new_labels.join(labels.withColumnRenamed("component", "old"), "node")
-            .filter(F.col("component") != F.col("old"))
-            .count()
-        )
+            # doubling can rewrite labels beyond the propagation step, so
+            # its changed-count needs the old-vs-new comparison
+            changed = (
+                new_labels.join(
+                    labels.select("node", F.col("component").alias("__old")), "node"
+                )
+                .filter(F.col("component") != F.col("__old"))
+                .count()
+            )
+        # the full count (not limit-1) doubles as the chain detector: a dense
+        # cluster's changed count collapses geometrically, a chain's
+        # plateaus at ~its length
         labels.unpersist()
         labels = new_labels
         if changed == 0:
@@ -614,7 +679,7 @@ def connected_components(
             RuntimeWarning,
             stacklevel=2,
         )
-    return labels
+    return labels.select("node", "component")
 
 
 def assign_components(
@@ -623,11 +688,17 @@ def assign_components(
     pairs: DataFrame,
     max_iter: int = 15,
     checkpoint_dir: str | None = None,
+    driver_cap: int = 1_000_000,
 ) -> DataFrame:
     """Component id for EVERY row of ``df``: near-dup cluster minimum for
     paired ids, own id for singletons — the final dedup verdict table
     (survivors are rows where component == id)."""
-    cc = connected_components(pairs, max_iter=max_iter, checkpoint_dir=checkpoint_dir)
+    cc = connected_components(
+        pairs,
+        max_iter=max_iter,
+        checkpoint_dir=checkpoint_dir,
+        driver_cap=driver_cap,
+    )
     return (
         df.select(F.col(id_col).alias("doc_id"))
         .join(cc.withColumnRenamed("node", "doc_id"), "doc_id", "left_outer")

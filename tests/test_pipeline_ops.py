@@ -201,7 +201,8 @@ class TestTextOps:
         with warnings.catch_warnings():
             warnings.simplefilter("error", RuntimeWarning)
             cc = {r["node"]: r["component"]
-                  for r in D.connected_components(pairs, max_iter=8).collect()}
+                  for r in D.connected_components(
+                      pairs, max_iter=8, driver_cap=0).collect()}
         assert set(cc.values()) == {1}
         assert len(cc) == 60
 
@@ -214,7 +215,7 @@ class TestTextOps:
             "id_a bigint, id_b bigint, jaccard double",
         )
         cc = {r["node"]: r["component"]
-              for r in D.connected_components(pairs).collect()}
+              for r in D.connected_components(pairs, driver_cap=0).collect()}
         assert cc == {i: 1 for i in range(1, 9)}
 
     def test_reliable_checkpoint_dir(self, spark, tmp_path):
@@ -227,7 +228,8 @@ class TestTextOps:
             "id_a bigint, id_b bigint, jaccard double",
         )
         cc = {r["node"]: r["component"]
-              for r in D.connected_components(pairs, checkpoint_dir=ckpt).collect()}
+              for r in D.connected_components(
+                  pairs, checkpoint_dir=ckpt, driver_cap=0).collect()}
         assert set(cc.values()) == {1} and len(cc) == 40
         import os
 
@@ -238,6 +240,30 @@ class TestTextOps:
         ]
         assert written, "reliable checkpoint wrote nothing"
 
+    def test_driver_route_matches_distributed(self, spark):
+        # adaptive routing must be invisible in the answer: the collected
+        # union-find fast path and the distributed loop return identical
+        # labels on a mixed graph (clusters + a chain + singleton pairs)
+        import random
+
+        rng = random.Random(7)
+        pairs = []
+        for base in (100, 200, 300):  # three 6-cliques
+            ids = list(range(base, base + 6))
+            pairs += [(a, b) for a in ids for b in ids if a < b]
+        pairs += [(i, i + 1) for i in range(400, 430)]  # a chain
+        pairs += [(500 + 2 * i, 501 + 2 * i) for i in range(10)]  # pair islands
+        rng.shuffle(pairs)
+        df = spark.createDataFrame(
+            [(a, b, 1.0) for a, b in pairs],
+            "id_a bigint, id_b bigint, jaccard double",
+        )
+        fast = {r["node"]: r["component"]
+                for r in D.connected_components(df).collect()}
+        dist = {r["node"]: r["component"]
+                for r in D.connected_components(df, driver_cap=0).collect()}
+        assert fast == dist and len(fast) == 18 + 31 + 20
+
     def test_nonconvergence_warns(self, spark):
         import warnings
 
@@ -247,7 +273,7 @@ class TestTextOps:
         )
         with warnings.catch_warnings(record=True) as rec:
             warnings.simplefilter("always")
-            D.connected_components(pairs, max_iter=1)
+            D.connected_components(pairs, max_iter=1, driver_cap=0)
         assert any("did not converge" in str(w.message) for w in rec)
 
 
