@@ -108,19 +108,21 @@ def shingle_hashes(shingles: Column) -> Column:
 
 def minhash_from_hashes(hashes: Column, num_hashes: int = 16) -> Column:
     """MinHash signature (array<bigint>) from pre-hashed shingles via the
-    universal family ``(a*x + b) % P`` — cheap integer scans, no rehashing."""
-
-    def mapper(a: int, b: int):
-        def fn(x):
-            return (F.lit(a) * x + F.lit(b)) % F.lit(_MINHASH_P)
-
-        return fn
-
-    return F.array(
+    universal family ``(a*x + b) % P`` — cheap integer scans, no rehashing.
+    One nested higher-order function over the coefficient array (not one
+    ``transform`` per hash function): same per-row work, a fraction of the
+    expression tree for the driver to analyze."""
+    coeffs = F.array(
         *[
-            F.array_min(F.transform(hashes, mapper(a, b)))
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
             for a, b in _minhash_coeffs(num_hashes)
         ]
+    )
+    return F.transform(
+        coeffs,
+        lambda c: F.array_min(
+            F.transform(hashes, lambda x: (c["a"] * x + c["b"]) % F.lit(_MINHASH_P))
+        ),
     )
 
 
@@ -176,26 +178,28 @@ def simhash_from_hashes(hashes: Column, bits: int = SIMHASH_BITS) -> Column:
     """SimHash from pre-hashed tokens: output bit j is set iff more token
     hashes have bit j set than unset (term-frequency voting).
 
-    Per-bit vote is a sum of +1/-1 over token hashes, packed into a long;
-    bit masks are Python-side literals (shift amounts must be literals in
-    Spark's bitwise functions)."""
-
-    def voter(mask: int):
-        def fn(a, h):
-            return a + F.when(h.bitwiseAND(F.lit(mask)) != 0, F.lit(1)).otherwise(
-                F.lit(-1)
+    Per-bit vote is a sum of +1/-1 over token hashes, packed into a long.
+    The whole signature is ONE nested higher-order function folding over a
+    60-element mask array: unrolling a separate ``F.aggregate`` per bit
+    builds a ~60x larger expression tree whose driver-side analysis cost
+    (~2 s/invocation) dwarfed the actual per-row work (same pathology and
+    fix as the LSH plane matrix, ``similarity.py:knn_lsh``)."""
+    masks = F.array(*[F.lit(1 << j).cast("long") for j in range(bits)])
+    return F.aggregate(
+        masks,
+        F.lit(0).cast("long"),
+        lambda acc, m: acc
+        + F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0),
+                lambda a, h: a
+                + F.when(h.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(-1)),
             )
-
-        return fn
-
-    out = F.lit(0).cast("long")
-    for j in range(bits):
-        mask = 1 << j
-        vote = F.aggregate(hashes, F.lit(0), voter(mask))
-        out = out + F.when(vote > 0, F.lit(mask).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return out
+            > 0,
+            m,
+        ).otherwise(F.lit(0).cast("long")),
+    )
 
 
 def simhash(tokens: Column, bits: int = SIMHASH_BITS) -> Column:
