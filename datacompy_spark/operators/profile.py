@@ -57,6 +57,43 @@ def table_profile(
     return row.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
 
 
+def column_quantiles(
+    df: DataFrame,
+    columns: Sequence[str],
+    probs: Sequence[float] = (0.25, 0.5, 0.75),
+    approx: bool = True,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """(col_name, prob, quantile) — one row per column x probability, from
+    ONE aggregate action (same melt pattern as :func:`table_profile`).
+
+    The default is ``percentile_approx`` — a single-pass mergeable sketch,
+    the only sane choice at 100 TB (``accuracy`` trades memory for error
+    bound). ``approx=False`` switches to exact linear-interpolated
+    ``percentile``, which buffers each column's values per partition and is
+    for modest data / oracle verification only; its interpolation is
+    bit-identical to DuckDB's ``quantile_cont`` (verified empirically on
+    lineitem doubles)."""
+    plist = [float(p) for p in probs]
+    cols = list(columns)
+    fn = (
+        (lambda c: F.percentile_approx(c, plist, accuracy))
+        if approx
+        else (lambda c: F.percentile(c, F.lit(plist)))
+    )
+    row = df.agg(*[fn(F.col(c)).alias(f"__q__{c}") for c in cols])
+    structs = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.lit(p).alias("prob"),
+            F.element_at(F.col(f"__q__{c}"), i + 1).cast("double").alias("quantile"),
+        )
+        for c in cols
+        for i, p in enumerate(plist)
+    ]
+    return row.select(F.explode(F.array(*structs)).alias("q")).select("q.*")
+
+
 def profile_compare(
     left: DataFrame,
     right: DataFrame,

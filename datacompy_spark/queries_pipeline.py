@@ -773,6 +773,28 @@ FROM p1 JOIN p2 USING (col_name)"""
 SQL_PROFILE_COMPARE = _sql_profile_compare()
 
 
+_QUANTILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+_QUANTILE_PROBS = [0.25, 0.5, 0.75]
+
+
+def q_profile_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-column quantiles of lineitem's numeric columns (the
+    oracle-able mode; the operator's scale default is the
+    ``percentile_approx`` sketch)."""
+    from datacompy_spark.operators.profile import column_quantiles
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return column_quantiles(li, _QUANTILE_COLS, _QUANTILE_PROBS, approx=False)
+
+
+SQL_PROFILE_QUANTILES = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name, {p}::DOUBLE AS prob,
+  quantile_cont({c}, {p}) AS quantile FROM lineitem"""
+    for c in _QUANTILE_COLS
+    for p in _QUANTILE_PROBS
+)
+
+
 def q_stream_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-validation operator executed through REAL Structured
     Streaming micro-batches: the events table streams against a perturbed
@@ -923,6 +945,7 @@ PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profile_compare": q_profile_compare,
     "stream_compare": q_stream_compare,
     "media_features": q_media_features,
+    "profile_quantiles": q_profile_quantiles,
 }
 
 PIPELINE_ORACLES: Dict[str, str] = {
@@ -956,4 +979,5 @@ PIPELINE_ORACLES: Dict[str, str] = {
     "profile_compare": SQL_PROFILE_COMPARE,
     "stream_compare": SQL_STREAM_COMPARE,
     "media_features": SQL_MEDIA_FEATURES,
+    "profile_quantiles": SQL_PROFILE_QUANTILES,
 }

@@ -429,6 +429,20 @@ class TestTableProfile:
         )
         assert "Expand" in exact_plan  # the cost the default avoids
 
+    def test_column_quantiles_modes(self, spark):
+        from datacompy_spark.operators.profile import column_quantiles
+
+        df = spark.createDataFrame([(float(i),) for i in range(101)], "v double")
+        exact = {(r["col_name"], r["prob"]): r["quantile"]
+                 for r in column_quantiles(df, ["v"], approx=False).collect()}
+        assert exact[("v", 0.25)] == 25.0
+        assert exact[("v", 0.5)] == 50.0
+        assert exact[("v", 0.75)] == 75.0
+        approx = {(r["col_name"], r["prob"]): r["quantile"]
+                  for r in column_quantiles(df, ["v"]).collect()}
+        for key, v in approx.items():
+            assert abs(v - exact[key]) <= 1.0  # sketch stays near exact
+
     def test_profile_compare_flags_drift(self, spark):
         from datacompy_spark.operators.profile import profile_compare
 
