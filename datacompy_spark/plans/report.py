@@ -301,23 +301,37 @@ def build_report_data(
             )
             if c["unequal_cnt"] > 0 and sample_count > 0:
                 sample_cols.append(c["column"])
-    # per-column sample pulls are independent limit-actions over the (small,
-    # persisted) exceptions cache — run them concurrently so report latency
-    # is one action's wall-clock, not N columns' worth (the reference runs
-    # its stat queries on an async thread pool the same way, spark.py:571-580)
+    # per-column sample pulls and the two unique-row samples are independent
+    # limit-actions over the (small, persisted) exceptions cache — run them
+    # ALL concurrently so report latency is one action's wall-clock, not
+    # N columns' + 2 tables' worth (the reference runs its stat queries on
+    # an async thread pool the same way, spark.py:571-580)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def pull(col: str) -> str:
+        return _df_to_str(
+            cmp.sample_mismatch(col, sample_count, for_display=True),
+            sample_count,
+            join_cols,
+        )
+
+    def pull_unique(df, unq_count: int) -> UniqueRowsData:
+        n = min(sample_count, unq_count)
+        if n <= 0:
+            return UniqueRowsData(has_rows=False)
+        shown = df.columns[: min(column_count, len(df.columns))]
+        return UniqueRowsData(
+            has_rows=True, rows=_df_to_str(df.select(*shown), n, join_cols)
+        )
+
     samples: List[str] = []
-    if sample_cols:
-        from concurrent.futures import ThreadPoolExecutor
-
-        def pull(col: str) -> str:
-            return _df_to_str(
-                cmp.sample_mismatch(col, sample_count, for_display=True),
-                sample_count,
-                join_cols,
-            )
-
-        with ThreadPoolExecutor(max_workers=min(8, len(sample_cols))) as pool:
+    with ThreadPoolExecutor(max_workers=min(8, len(sample_cols) + 2)) as pool:
+        f_u1 = pool.submit(pull_unique, cmp.df1_unq_rows, cmp.df1_unq_rows_count)
+        f_u2 = pool.submit(pull_unique, cmp.df2_unq_rows, cmp.df2_unq_rows_count)
+        if sample_cols:
             samples = list(pool.map(pull, sample_cols))
+        df1_unique_rows = f_u1.result()
+        df2_unique_rows = f_u2.result()
     if stat_list:
         mismatch_stats = MismatchStats(
             has_mismatches=True,
@@ -330,15 +344,6 @@ def build_report_data(
     else:
         mismatch_stats = MismatchStats(has_mismatches=False, has_samples=False)
 
-    def unique_rows_data(df, unq_count: int) -> UniqueRowsData:
-        n = min(sample_count, unq_count)
-        if n <= 0:
-            return UniqueRowsData(has_rows=False)
-        shown = df.columns[: min(column_count, len(df.columns))]
-        return UniqueRowsData(
-            has_rows=True, rows=_df_to_str(df.select(*shown), n, join_cols)
-        )
-
     return ReportData(
         df1_name=cmp.df1_name,
         df2_name=cmp.df2_name,
@@ -349,6 +354,6 @@ def build_report_data(
         row_summary=row_summary,
         column_comparison=column_comparison,
         mismatch_stats=mismatch_stats,
-        df1_unique_rows=unique_rows_data(cmp.df1_unq_rows, cmp.df1_unq_rows_count),
-        df2_unique_rows=unique_rows_data(cmp.df2_unq_rows, cmp.df2_unq_rows_count),
+        df1_unique_rows=df1_unique_rows,
+        df2_unique_rows=df2_unique_rows,
     )
