@@ -294,15 +294,21 @@ class SparkCompare:
         # Internal rename: join keys get engine-private suffixes, value columns
         # get the public {col}_{df_name} suffixes (ref ``spark.py:429-448``).
         def suffixed(df: DataFrame, tag: str, public: str) -> DataFrame:
-            mapping = {}
-            for c in df.columns:
+            # atomic select-based rename, NOT withColumnsRenamed: that API
+            # folds its mapping sequentially, so a frame holding both `v`
+            # and `v_df1` double-renames the freshly-suffixed `v` and the
+            # join dies with AMBIGUOUS_REFERENCE. One projection applies
+            # every rename against the ORIGINAL names (matching the
+            # reference's pandas-merge suffixing: v -> v_df1,
+            # v_df1 -> v_df1_df1).
+            def new_name(c: str) -> str:
                 if c in self.join_columns or c == "__dc_ordinal":
-                    mapping[c] = f"{c}__{tag}"
-                else:
-                    mapping[c] = f"{c}_{public}"
-            return df.withColumnsRenamed(mapping).withColumn(
-                f"__present_{tag}", F.lit(True)
-            )
+                    return f"{c}__{tag}"
+                return f"{c}_{public}"
+
+            return df.select(
+                *[df[c].alias(new_name(c)) for c in df.columns]
+            ).withColumn(f"__present_{tag}", F.lit(True))
 
         left = suffixed(df1, "lhs", n1)
         right = suffixed(df2, "rhs", n2)

@@ -296,6 +296,22 @@ class TestSensitiveNoLeak:
             assert r["amount_df1"] == "*******"
 
 
+class TestSuffixCollision:
+    def test_column_named_like_suffixed_sibling(self, spark):
+        # a frame holding both `v` and `v_df1` must not double-rename the
+        # freshly-suffixed `v` (sequential withColumnsRenamed did, dying
+        # with AMBIGUOUS_REFERENCE); the reference's pandas merge yields
+        # v -> v_df1, v_df1 -> v_df1_df1 — ours must match
+        df1 = spark.createDataFrame([(1, 10, 99)], "id bigint, v bigint, v_df1 bigint")
+        df2 = spark.createDataFrame([(1, 11, 99)], "id bigint, v bigint, v_df1 bigint")
+        c = SparkCompare(spark, df1, df2, join_columns="id")
+        stats = {s["column"]: s["unequal_cnt"] for s in c.column_stats}
+        assert stats == {"id": 0, "v": 1, "v_df1": 0}
+        assert set(c.all_mismatch().columns) == {
+            "id", "v_df1", "v_df2", "v_df1_df1", "v_df1_df2"
+        }
+
+
 class TestKeyExprPerSide:
     def test_trim_decided_by_owning_side(self, spark):
         # df1 key is a padded numeric STRING, df2 key is bigint. The
