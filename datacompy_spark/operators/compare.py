@@ -224,6 +224,17 @@ class SparkCompare:
         missing = [c for c in self.join_columns if c not in df.columns]
         if missing:
             raise ValueError(f"{which} is missing join columns: {missing}")
+        reserved = [
+            c for c in df.columns
+            if c == "__dc_ordinal" or c.startswith("__present_")
+        ]
+        if reserved:
+            # engine-internal names; a clear error beats the KEY_NOT_EXISTS
+            # the join machinery would otherwise die with
+            raise ValueError(
+                f"{which} uses reserved internal column names: {reserved} — "
+                "rename them before comparing"
+            )
         return df
 
     @property

@@ -312,6 +312,13 @@ class TestSuffixCollision:
         }
 
 
+    def test_reserved_internal_names_rejected(self, spark):
+        df1 = spark.createDataFrame([(1, 5)], "id bigint, __dc_ordinal bigint")
+        df2 = spark.createDataFrame([(1, 6)], "id bigint, __dc_ordinal bigint")
+        with pytest.raises(ValueError, match="reserved internal column names"):
+            SparkCompare(spark, df1, df2, join_columns="id")
+
+
 class TestKeyExprPerSide:
     def test_trim_decided_by_owning_side(self, spark):
         # df1 key is a padded numeric STRING, df2 key is bigint. The
