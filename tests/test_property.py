@@ -160,3 +160,47 @@ class TestPrefixFilterPrinciple:
                     assert prefix(a) & prefix(b), (
                         f"prefix filter lost a pair: J={jac} t={t} a={sorted(a)} b={sorted(b)}"
                     )
+
+
+class TestPackSequencesProperties:
+    @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        docs=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=500),   # doc_id (deduped below)
+                # ≥1: Spark's split-based token count sees empty text as one
+                # empty token — a counter semantic, not a prefix-sum concern
+                st.integers(min_value=1, max_value=40),    # token count
+                st.sampled_from(["g0", "g1", "g2"]),       # group
+            ),
+            min_size=1,
+            max_size=80,
+        ),
+        budget=st.sampled_from([1, 7, 64]),
+        n_parts=st.sampled_from([1, 3, 8]),
+    )
+    def test_distributed_prefix_sum_matches_sequential(self, spark, docs, budget, n_parts):
+        # the two-phase distributed prefix sum must equal a sequential
+        # per-group running sum for ANY grouping/ordering/partition count
+        from datacompy_spark.operators.textops import pack_sequences
+
+        seen = {}
+        for i, n, g in docs:
+            seen[i] = (n, g)  # dedupe ids: window order must be unambiguous
+        rows = [(i, "w " * n, g) for i, (n, g) in seen.items()]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+        got = {
+            r["doc_id"]: (r["bin_id"], r["n_tokens"])
+            for r in pack_sequences(
+                df, "doc_id", "text", "source",
+                token_budget=budget, num_partitions=n_parts,
+            ).collect()
+        }
+        want = {}
+        running = {}
+        for i in sorted(seen):
+            n, g = seen[i]
+            start = running.get(g, 0)
+            want[i] = (start // budget, n)
+            running[g] = start + n
+        assert got == want
