@@ -91,18 +91,29 @@ def _fake_features(data: bytes, dim: int) -> list:
     return out
 
 
-def image_features(df: DataFrame, id_col: str, binary_col: str, dim: int = IMAGE_FEATURE_DIM) -> DataFrame:
+def image_features(
+    df: DataFrame,
+    id_col: str,
+    binary_col: str,
+    dim: int = IMAGE_FEATURE_DIM,
+    carry_cols: tuple = (),
+) -> DataFrame:
     """Per-image feature vectors via Arrow-batched ``mapInPandas``.
 
-    Output: (id, feature array<double>, decoded boolean). With pillow
-    installed the features come from a decoded thumbnail; without it the
-    deterministic fallback keeps schema/partitioning behavior identical."""
+    Output: (id, feature array<double>, decoded boolean, *carry_cols). With
+    pillow installed the features come from a decoded thumbnail; without it
+    the deterministic fallback keeps schema/partitioning behavior identical.
+    ``carry_cols`` ride through the Arrow batches — attaching metadata
+    AFTER a feature stage would otherwise cost a full 1:1 shuffle join at
+    scale just to restore columns the stage already had in hand."""
+    carried = [df.schema[c] for c in carry_cols]
     out_schema = T.StructType(
         [
             T.StructField("id", T.LongType()),
             T.StructField("features", T.ArrayType(T.DoubleType())),
             T.StructField("decoded", T.BooleanType()),
         ]
+        + [T.StructField(f.name, f.dataType) for f in carried]
     )
 
     def featurize(data) -> tuple:
@@ -121,15 +132,16 @@ def image_features(df: DataFrame, id_col: str, binary_col: str, dim: int = IMAGE
             # Series.map over the blob column: decode is inherently per-item
             # Python work, but nothing materializes per-row frames
             pairs = pdf[binary_col].map(featurize)
-            yield pd.DataFrame(
-                {
-                    "id": pdf[id_col],
-                    "features": pairs.map(lambda p: p[0]),
-                    "decoded": pairs.map(lambda p: p[1]),
-                }
-            )
+            out = {
+                "id": pdf[id_col],
+                "features": pairs.map(lambda p: p[0]),
+                "decoded": pairs.map(lambda p: p[1]),
+            }
+            for c in carry_cols:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
-    return df.select(id_col, binary_col).mapInPandas(run, out_schema)
+    return df.select(id_col, binary_col, *carry_cols).mapInPandas(run, out_schema)
 
 
 def _try_sample_video(data: bytes, every_ms: int):

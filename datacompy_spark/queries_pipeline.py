@@ -890,18 +890,19 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "image",
         "png",
     )
-    feats = image_features(blobs, "doc_id", "blob", dim=8)
-    sizes = blobs.select(
-        F.col("doc_id").alias("id"), F.col("media_meta.size_bytes").alias("size_bytes")
+    # metadata rides THROUGH the Arrow stage as a carry column — re-attaching
+    # it afterwards would cost a 1:1 shuffle join at scale
+    staged = blobs.select(
+        "doc_id", "blob", F.col("media_meta.size_bytes").alias("size_bytes")
     )
-    return (
-        feats.join(sizes, "id")
-        .select(
-            F.col("id").alias("doc_id"),
-            F.posexplode("features").alias("feat_idx", "feat_value"),
-            "decoded",
-            "size_bytes",
-        )
+    feats = image_features(
+        staged, "doc_id", "blob", dim=8, carry_cols=("size_bytes",)
+    )
+    return feats.select(
+        F.col("id").alias("doc_id"),
+        F.posexplode("features").alias("feat_idx", "feat_value"),
+        "decoded",
+        "size_bytes",
     )
 
 
