@@ -57,6 +57,40 @@ def table_profile(
     return row.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
 
 
+#: Spark ``simpleString`` dtype names folded to a timezone-agnostic
+#: vocabulary (``timestamp_ntz`` and ``timestamp`` describe the same
+#: physical parquet column depending on session conf)
+_NEUTRAL_DTYPES = {"timestamp_ntz": "timestamp"}
+
+
+def schema_compare(left: DataFrame, right: DataFrame) -> DataFrame:
+    """Typed schema diff: (col_name, dtype_1, dtype_2, status, type_changed)
+    — one row per column present on either side, ``status`` in
+    {common, df1_only, df2_only}.
+
+    The structural pre-question before any row-level compare ("did a column
+    vanish / appear / change type between snapshots?"). Pure driver-side
+    metadata — the result is a LocalRelation built from the two schemas;
+    ZERO executor work, no scans, safe to run against tables of any size."""
+    def neutral(dt) -> str:
+        s = dt.simpleString()
+        return _NEUTRAL_DTYPES.get(s, s)
+
+    s1 = {f.name: neutral(f.dataType) for f in left.schema}
+    s2 = {f.name: neutral(f.dataType) for f in right.schema}
+    names = list(s1) + [n for n in s2 if n not in s1]
+    rows = []
+    for n in names:
+        d1, d2 = s1.get(n), s2.get(n)
+        status = "common" if d1 and d2 else ("df1_only" if d1 else "df2_only")
+        rows.append((n, d1, d2, status, bool(d1 and d2 and d1 != d2)))
+    return left.sparkSession.createDataFrame(
+        rows,
+        "col_name string, dtype_1 string, dtype_2 string, "
+        "status string, type_changed boolean",
+    )
+
+
 def column_quantiles(
     df: DataFrame,
     columns: Sequence[str],

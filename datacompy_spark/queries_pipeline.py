@@ -773,6 +773,41 @@ FROM p1 JOIN p2 USING (col_name)"""
 SQL_PROFILE_COMPARE = _sql_profile_compare()
 
 
+def q_schema_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed schema diff between lineitem and a drifted variant (dropped
+    column, widened int, new column) — driver-side metadata only."""
+    from datacompy_spark.operators.profile import schema_compare
+
+    li = load_table(spark, sf_dir, "lineitem")
+    variant = (
+        li.drop("l_tax")
+        .withColumn("l_linenumber", F.col("l_linenumber").cast("bigint"))
+        .withColumn("l_comment", F.lit("x"))
+    )
+    return schema_compare(li, variant)
+
+
+SQL_SCHEMA_COMPARE = """
+WITH s1 AS (
+  SELECT column_name, lower(column_type) AS t FROM (DESCRIBE lineitem)),
+s2 AS (
+  SELECT column_name, lower(column_type) AS t FROM (
+    DESCRIBE SELECT * EXCLUDE (l_tax)
+      REPLACE (l_linenumber::BIGINT AS l_linenumber),
+      'x' AS l_comment FROM lineitem)),
+n1 AS (SELECT column_name,
+  CASE t WHEN 'varchar' THEN 'string' WHEN 'integer' THEN 'int' ELSE t END AS t
+  FROM s1),
+n2 AS (SELECT column_name,
+  CASE t WHEN 'varchar' THEN 'string' WHEN 'integer' THEN 'int' ELSE t END AS t
+  FROM s2)
+SELECT column_name AS col_name, n1.t AS dtype_1, n2.t AS dtype_2,
+  CASE WHEN n1.t IS NULL THEN 'df2_only'
+       WHEN n2.t IS NULL THEN 'df1_only' ELSE 'common' END AS status,
+  (n1.t IS NOT NULL AND n2.t IS NOT NULL AND n1.t <> n2.t) AS type_changed
+FROM n1 FULL JOIN n2 USING (column_name)"""
+
+
 _QUANTILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 _QUANTILE_PROBS = [0.25, 0.5, 0.75]
 
@@ -947,6 +982,7 @@ PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_compare": q_stream_compare,
     "media_features": q_media_features,
     "profile_quantiles": q_profile_quantiles,
+    "schema_compare": q_schema_compare,
 }
 
 PIPELINE_ORACLES: Dict[str, str] = {
@@ -981,4 +1017,5 @@ PIPELINE_ORACLES: Dict[str, str] = {
     "stream_compare": SQL_STREAM_COMPARE,
     "media_features": SQL_MEDIA_FEATURES,
     "profile_quantiles": SQL_PROFILE_QUANTILES,
+    "schema_compare": SQL_SCHEMA_COMPARE,
 }

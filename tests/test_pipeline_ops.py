@@ -429,6 +429,22 @@ class TestTableProfile:
         )
         assert "Expand" in exact_plan  # the cost the default avoids
 
+    def test_schema_compare_statuses(self, spark):
+        from datacompy_spark.operators.profile import schema_compare
+
+        df1 = spark.createDataFrame([(1, "a", 2.0)], "id bigint, s string, v double")
+        df2 = spark.createDataFrame([(1, 3, True)], "id bigint, v int, extra boolean")
+        out = {r["col_name"]: r for r in schema_compare(df1, df2).collect()}
+        assert out["id"]["status"] == "common" and not out["id"]["type_changed"]
+        assert out["s"]["status"] == "df1_only" and out["s"]["dtype_2"] is None
+        assert out["v"]["status"] == "common" and out["v"]["type_changed"]
+        assert out["extra"]["status"] == "df2_only"
+        # metadata-only: no Spark jobs were run
+        before = spark.sparkContext.statusTracker().getJobIdsForGroup(None) or []
+        schema_compare(df1, df2)
+        after = spark.sparkContext.statusTracker().getJobIdsForGroup(None) or []
+        assert set(after) == set(before)
+
     def test_column_quantiles_modes(self, spark):
         from datacompy_spark.operators.profile import column_quantiles
 
