@@ -461,16 +461,24 @@ def ngram_jaccard_pairs(
     else:
         small, big = base, None
 
-    # direct route: score within the self-join, grams carried
-    a, b = small.alias("a"), small.alias("b")
+    # direct route: score within the self-join, grams carried. The PPJoin
+    # length filter (J ≥ t ⇒ t·|a| ≤ |b| ≤ |a|/t) applies here just as on
+    # the prefix route: evaluating it in the join condition lets codegen
+    # drop a pair on two int compares before paying the O(|grams|) set
+    # intersection. Sizes are projected once per row, not per pair.
+    sized = small.withColumn("__sz", F.size(F.col("grams")))
+    a, b = sized.alias("a"), sized.alias("b")
     direct = a.join(
         b,
-        (F.col("a.block") == F.col("b.block")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        (F.col("a.block") == F.col("b.block"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (F.col("b.__sz") * F.lit(threshold) <= F.col("a.__sz"))
+        & (F.col("a.__sz") * F.lit(threshold) <= F.col("b.__sz")),
     ).select(
         F.col("a.doc_id").alias("id_a"),
         F.col("b.doc_id").alias("id_b"),
         F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams"))).alias("n_inter"),
-        (F.size(F.col("a.grams")) + F.size(F.col("b.grams"))).alias("n_total"),
+        (F.col("a.__sz") + F.col("b.__sz")).alias("n_total"),
     )
 
     scored = direct
