@@ -35,6 +35,9 @@ def main() -> None:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        # NTZ→TIMESTAMP normalization at the source boundary is
+        # value-preserving only under a fixed UTC session tz
+        .config("spark.sql.session.timeZone", "UTC")
         .appName("datacompy-spark-bench")
         .getOrCreate()
     )
@@ -64,13 +67,19 @@ def main() -> None:
         cmp_.report(sample_count=10)
         return time.perf_counter() - t0
 
-    headline_runs = [headline_once(), headline_once()]
-    # shared-VM noise windows inflate whole minutes at a time; when the two
-    # runs disagree badly the min is still suspect — buy one more sample
-    if max(headline_runs) > 1.25 * min(headline_runs):
-        headline_runs.append(headline_once())
-    timings["compare_report"] = round(min(headline_runs), 4)
-    warm["compare_report"] = round(headline_runs[-1], 4)
+    errors = {}
+    try:
+        headline_runs = [headline_once(), headline_once()]
+        # shared-VM noise windows inflate whole minutes at a time; when the two
+        # runs disagree badly the min is still suspect — buy one more sample
+        if max(headline_runs) > 1.25 * min(headline_runs):
+            headline_runs.append(headline_once())
+        timings["compare_report"] = round(min(headline_runs), 4)
+        warm["compare_report"] = round(headline_runs[-1], 4)
+    except Exception as exc:  # noqa: BLE001 — a failed headline must not kill the run
+        errors["compare_report"] = f"{type(exc).__name__}: {exc}"[:300]
+        timings["compare_report"] = None
+        warm["compare_report"] = None
 
     spark.catalog.clearCache()
     for name, fn in QUERIES.items():
@@ -80,13 +89,21 @@ def main() -> None:
             elapsed = time.perf_counter() - t0
             spark.catalog.clearCache()  # drop per-query exception caches
             return elapsed
-        runs = [once()]
-        # single-run numbers on a shared VM carry multi-second noise spikes;
-        # re-run anything slow enough for a spike to distort and keep the min
-        if runs[0] > 2.0:
-            runs.append(once())
-        timings[name] = round(min(runs), 4)
-        warm[name] = round(runs[-1], 4)
+        # a single failing query must not zero the whole bench (round-4
+        # lesson: query #23 threw and the driver recorded rc=1, no numbers)
+        try:
+            runs = [once()]
+            # single-run numbers on a shared VM carry multi-second noise spikes;
+            # re-run anything slow enough for a spike to distort and keep the min
+            if runs[0] > 2.0:
+                runs.append(once())
+            timings[name] = round(min(runs), 4)
+            warm[name] = round(runs[-1], 4)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            timings[name] = None
+            warm[name] = None
+            spark.catalog.clearCache()
 
     print(
         json.dumps(
@@ -97,6 +114,7 @@ def main() -> None:
                 "queries": timings,
                 "queries_warm": warm,
                 "warm_value": warm["compare_report"],
+                "errors": errors,
                 "sf": sf,
             }
         )

@@ -37,6 +37,56 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _dot_seq_batch(a, b):
+    """Arrow-batch dot product with the SAME left-to-right fold order as
+    :func:`dot` / DuckDB ``list_sum(list_transform(...))``.
+
+    ``np.dot`` would use pairwise/SIMD summation — fast but NOT bit-identical
+    to a sequential fold, which would break oracle hash-matching. Instead we
+    accumulate column-at-a-time (``acc += P[:, j]`` in index order): each row
+    sees exactly the fold ``((0 + x0*y0) + x1*y1) + ...`` in IEEE double, yet
+    the adds are vectorized across the rows of the batch."""
+    import numpy as np
+    import pandas as pd
+
+    va, vb = a.to_numpy(), b.to_numpy()
+    nulls = np.fromiter(
+        (x is None or y is None for x, y in zip(va, vb)), dtype=bool, count=len(va)
+    )
+    out = np.full(len(va), np.nan, dtype=np.float64)
+    live = ~nulls
+    if live.any():
+        A = np.stack(va[live]).astype(np.float64)
+        B = np.stack(vb[live]).astype(np.float64)
+        P = A * B
+        acc = np.zeros(P.shape[0], dtype=np.float64)
+        for j in range(P.shape[1]):
+            acc += P[:, j]
+        out[live] = acc
+    s = pd.Series(out)
+    return s.mask(nulls, None) if nulls.any() else s
+
+
+_DOT_ARROW = None
+
+
+def dot_arrow(a: Column, b: Column) -> Column:
+    """Vectorized twin of :func:`dot` for HOT per-pair verify paths.
+
+    Catalyst interprets lambda higher-order functions (no codegen), so the
+    ``F.aggregate(F.zip_with(...))`` fold costs an interpreted 64-element
+    loop per pair — the dominant cost when candidates ≈ all-pairs. This
+    pandas_udf moves the same computation to Arrow batches + numpy while
+    preserving bit-identical results (see ``_dot_seq_batch``). Fixed-length
+    vectors only (embeddings); ragged inputs raise in ``np.stack``."""
+    global _DOT_ARROW
+    if _DOT_ARROW is None:
+        from pyspark.sql.functions import pandas_udf
+
+        _DOT_ARROW = pandas_udf(_dot_seq_batch, "double")
+    return _DOT_ARROW(a, b)
+
+
 def dot_sql(a: str, b: str, dim: int) -> str:
     """DuckDB twin of :func:`dot` (same fold order → bit-identical)."""
     return (

@@ -565,10 +565,12 @@ def connected_components(
     block router): near-dup graphs are tiny relative to their corpus — a
     100 TB corpus with 10⁹ near-dup pairs is pathological dedup input, a
     few hundred thousand is typical — so an edge list at or under
-    ``driver_cap`` is collected (two longs per edge, ≤ ~16 MB at the
-    default cap — broadcast-join-sized) and solved with exact
-    path-compressed union-find in one pass, no iteration. Larger graphs
-    take the distributed loop:
+    ``driver_cap`` is collected via Arrow (two int64 numpy columns,
+    ~16 MB of array data at the default cap; the transient Python tuple
+    list handed to union-find adds roughly an order of magnitude of
+    object overhead — still low hundreds of MB against a driver sized in
+    GB) and solved with exact path-compressed union-find in one pass, no
+    iteration. Larger graphs take the distributed loop:
 
     * each iteration propagates the min label across edges (one join +
       min-agg, merged with the previous labels via ``least``);
@@ -599,8 +601,11 @@ def connected_components(
     n_edges = edges.count()  # also materializes the persist before reuse
     if n_edges <= driver_cap:
         dtype = edges.schema["src"].dataType
-        rows = [(r["src"], r["dst"]) for r in edges.collect()]
+        # Arrow collect: numpy columns, not a list of Row objects — Row +
+        # per-field dict overhead is ~10× the serialized edge size
+        pdf = edges.toPandas()
         edges.unpersist()
+        rows = list(zip(pdf["src"].tolist(), pdf["dst"].tolist()))
         return _driver_union_find(pairs.sparkSession, rows, dtype)
     labels = (
         edges.select(F.col("src").alias("node"))
@@ -763,7 +768,7 @@ def embedding_near_dups(
     cells) → exact cosine verify behind a lineage barrier."""
     import itertools
 
-    from datacompy_spark.functions.vector import dot, norm
+    from datacompy_spark.functions.vector import dot_arrow, norm
 
     m = max(1, int(n_projections))
     dim = df.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
@@ -838,9 +843,12 @@ def embedding_near_dups(
     ).select(
         F.col("a.vid").alias("id_a"),
         F.col("b.vid").alias("id_b"),
-        (dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))).alias(
-            "cos_sim"
-        ),
+        # per-PAIR verify is the hot loop (candidates can approach per-block
+        # all-pairs at loose thresholds): Arrow-batched numpy dot with the
+        # identical fold order, not the interpreted HOF fold
+        (
+            dot_arrow(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+        ).alias("cos_sim"),
     )
     # barrier: otherwise the threshold filter is pushed into the join and the
     # dot product evaluates twice per pair

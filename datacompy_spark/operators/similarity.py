@@ -22,7 +22,7 @@ from typing import List
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from datacompy_spark.functions.vector import dot, norm
+from datacompy_spark.functions.vector import dot, dot_arrow, norm
 
 
 def ivf_assign(
@@ -55,7 +55,7 @@ def ivf_assign(
         "v",
         "vn",
         "pivot_id",
-        (dot(F.col("v"), F.col("pv")) / (F.col("vn") * F.col("pn"))).alias("sim"),
+        (dot_arrow(F.col("v"), F.col("pv")) / (F.col("vn") * F.col("pn"))).alias("sim"),
     )
     w = Window.partitionBy("vid").orderBy(F.col("sim").desc(), F.col("pivot_id").asc())
     return (
@@ -106,7 +106,7 @@ def ivf_knn(
         "qv",
         "qn",
         "pivot_id",
-        (dot(F.col("qv"), F.col("pv")) / (F.col("qn") * F.col("pn"))).alias("sim"),
+        (dot_arrow(F.col("qv"), F.col("pv")) / (F.col("qn") * F.col("pn"))).alias("sim"),
     )
     wq = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("pivot_id").asc()
@@ -120,7 +120,7 @@ def ivf_knn(
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cos_sim"),
+        (dot_arrow(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -174,7 +174,7 @@ def knn_bruteforce(
     scored = c.join(q, F.col("query_id") != F.col("neighbor_id")).select(
         "query_id",
         "neighbor_id",
-        (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cos_sim"),
+        (dot_arrow(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -284,7 +284,7 @@ def knn_lsh(
         cand.select(
             "query_id",
             "neighbor_id",
-            (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias(
+            (dot_arrow(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias(
                 "cos_sim"
             ),
         )

@@ -22,6 +22,18 @@ from datacompy_spark.functions.text import (
 )
 
 
+def _shuffle_partition_count(spark, default: int = 200) -> int:
+    """``spark.sql.shuffle.partitions`` as an int, tolerating the ``'auto'``
+    value some AQE-managed platforms report (this build rejects setting it,
+    but the engine must not crash where it is legal) — fall back to the
+    cluster's default parallelism."""
+    raw = spark.conf.get("spark.sql.shuffle.partitions", str(default))
+    try:
+        return int(raw)
+    except (TypeError, ValueError):
+        return spark.sparkContext.defaultParallelism
+
+
 def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-document quality statistics (length, lexical diversity,
     punctuation, stopword hits)."""
@@ -252,9 +264,7 @@ def pack_sequences(
         F.col(group_col).alias("grp"),
         n_tok.alias("n_tokens"),
     )
-    n_parts = num_partitions or int(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-    )
+    n_parts = num_partitions or _shuffle_partition_count(df.sparkSession)
     ranged = lineage_barrier(
         staged.repartitionByRange(n_parts, "grp", "doc_id").withColumn(
             "pid", F.spark_partition_id()

@@ -22,6 +22,21 @@ from datacompy_spark.operators import similarity as S
 from datacompy_spark.operators import textops as TO
 from datacompy_spark.sources.loaders import load_table
 
+
+def _drain_stream(q, timeout_sec: int = 300) -> None:
+    """Await a bounded (availableNow) streaming query; fail loudly on timeout.
+
+    ``awaitTermination(t)`` returns False on timeout with the query still
+    running — ignoring that and tearing down the input directory under a
+    live stream yields a silently-partial memory table. Stop the query and
+    raise instead."""
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {q.name!r} did not finish within {timeout_sec}s"
+        )
+
+
 # ------------------------------------------------------------------ dedup
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -496,7 +511,7 @@ def q_stream_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         prof.writeStream.format("memory").queryName(name)
         .outputMode("complete").trigger(availableNow=True).start()
     )
-    q.awaitTermination(300)
+    _drain_stream(q, 300)
     import shutil
 
     shutil.rmtree(tmp, ignore_errors=True)  # results live in the memory sink
@@ -870,7 +885,7 @@ def q_stream_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.writeStream.format("memory").queryName(name)
         .outputMode("complete").trigger(availableNow=True).start()
     )
-    q.awaitTermination(300)
+    _drain_stream(q, 300)
     shutil.rmtree(tmp, ignore_errors=True)  # results live in the memory sink
     return spark.table(name).select(
         F.col("win.start").alias("window_start"),

@@ -14,6 +14,22 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType
+
+
+def _cast_ntz_to_timestamp(df: DataFrame) -> DataFrame:
+    """Normalize TIMESTAMP_NTZ columns to TIMESTAMP (session tz, UTC here).
+
+    Spark 4.x infers parquet timestamp-without-timezone (``timestamp[us]``,
+    no tz) as TIMESTAMP_NTZ. NTZ is rejected by ``withWatermark``,
+    ``unix_millis`` and long casts, and DuckDB (our oracle) treats the same
+    column as plain TIMESTAMP — so the engine presents a single TIMESTAMP
+    type at the source boundary. With the session timezone fixed to UTC the
+    cast is value-preserving."""
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
 
 _EXT_FORMAT = {
     ".csv": "csv",
@@ -49,7 +65,7 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     comparisons agree with Arrow/DuckDB semantics."""
     ns_cols = _nanos_timestamp_fields(path)
     if not ns_cols:
-        return spark.read.parquet(path)
+        return _cast_ntz_to_timestamp(spark.read.parquet(path))
     try:
         prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong")
     except Exception:
@@ -69,7 +85,7 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
         # integer `div`, NOT `/`: ns values exceed 2^53, double division would
         # lose the low microsecond bit
         df = df.withColumn(c, F.expr(f"timestamp_micros(CAST(`{c}` div 1000 AS BIGINT))"))
-    return df
+    return _cast_ntz_to_timestamp(df)
 
 
 def read_csv(

@@ -19,6 +19,19 @@ from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType
+
+
+def _watermarkable(df: DataFrame, ts_col: str) -> DataFrame:
+    """Ensure ``ts_col`` is watermark-eligible.
+
+    ``withWatermark`` requires TIMESTAMP; Spark 4.x parquet inference can
+    hand streams a TIMESTAMP_NTZ event-time column. The engine's contract is
+    cast-don't-reject: NTZ is normalized to TIMESTAMP (session tz — UTC in
+    this engine — so values are unchanged) before the watermark attaches."""
+    if isinstance(df.schema[ts_col].dataType, TimestampNTZType):
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
 
 
 def windowed_profile(
@@ -35,7 +48,7 @@ def windowed_profile(
     ``watermark`` are dropped, state is bounded). On a batch frame: the exact
     same result with the watermark as a no-op."""
     if df.isStreaming:
-        df = df.withWatermark(ts_col, watermark)
+        df = _watermarkable(df, ts_col).withWatermark(ts_col, watermark)
     keys = [F.window(F.col(ts_col), window).alias("win")] + [
         F.col(c) for c in (group_cols or [])
     ]
@@ -141,7 +154,7 @@ def stream_compare(
         )
     joined = joined.withColumns(flags)
     if joined.isStreaming:
-        joined = joined.withWatermark(ts_col, watermark)
+        joined = _watermarkable(joined, ts_col).withWatermark(ts_col, watermark)
     aggs = [
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.when(F.col("__in_ref").isNull(), 1).otherwise(0))
@@ -167,7 +180,7 @@ def streaming_dedup(
     key; state for keys older than the watermark is dropped (bounded memory —
     the streaming counterpart of batch ``exact_dedup``)."""
     if df.isStreaming:
-        df = df.withWatermark(ts_col, watermark)
+        df = _watermarkable(df, ts_col).withWatermark(ts_col, watermark)
         return df.dropDuplicatesWithinWatermark(list(id_cols))
     return df.dropDuplicates(list(id_cols))
 
@@ -184,7 +197,7 @@ def sessionize(
     Streaming: ``session_window`` keeps per-user open-session state until the
     watermark closes it. Batch: identical semantics, no state."""
     if df.isStreaming:
-        df = df.withWatermark(ts_col, watermark)
+        df = _watermarkable(df, ts_col).withWatermark(ts_col, watermark)
     return df.groupBy(
         F.session_window(F.col(ts_col), gap).alias("session"),
         F.col(user_col),

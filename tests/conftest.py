@@ -16,6 +16,7 @@ def spark():
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "6g")
+        .config("spark.sql.session.timeZone", "UTC")
         .appName("datacompy-spark-tests")
         .getOrCreate()
     )

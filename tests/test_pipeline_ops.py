@@ -334,6 +334,26 @@ class TestPipelineTextOps:
         assert [out[i]["bin_id"] for i in range(10)] == [0, 0, 0, 1, 1, 2, 2, 2, 3, 3]
         assert all(out[i]["n_tokens"] == 100 for i in range(10))
 
+    def test_shuffle_partition_probe_tolerates_auto(self, spark):
+        # some platforms run with spark.sql.shuffle.partitions='auto' (AQE
+        # managed; this build rejects even SETTING it, so fake the getter) —
+        # the partition-count probe must fall back, not raise
+        class FakeConf:
+            def get(self, key, default=None):
+                return "auto"
+
+        class FakeSC:
+            defaultParallelism = 8
+
+        class FakeSession:
+            conf = FakeConf()
+            sparkContext = FakeSC()
+
+        assert TO._shuffle_partition_count(FakeSession()) == 8
+        assert TO._shuffle_partition_count(spark) == int(
+            spark.conf.get("spark.sql.shuffle.partitions")
+        )
+
     def test_pack_sequences_hot_group_distributes(self, spark):
         # one group holds 97% of the corpus: the distributed prefix sum must
         # (a) still produce the exact per-group running-sum bins and (b) split

@@ -177,3 +177,41 @@ class TestMultimodal:
             MM.sample_video_frames
         )
         assert "iterrows" not in src
+
+
+class TestNTZContract:
+    """Spark 4.x infers tz-less parquet timestamps as TIMESTAMP_NTZ, which
+    ``withWatermark`` rejects — the engine's contract is cast-don't-reject
+    (``drift._watermarkable``). Regression for the round-4 breakage."""
+
+    @pytest.fixture()
+    def ntz_dir(self, tmp_path, spark, sf_dir):
+        d = str(tmp_path / "events_ntz")
+        # write the ts column as NTZ explicitly so the streaming source sees
+        # TIMESTAMP_NTZ regardless of loader normalization
+        load_table(spark, sf_dir, "events").withColumn(
+            "ts", F.col("ts").cast("timestamp_ntz")
+        ).coalesce(2).write.parquet(d)
+        return d
+
+    def test_windowed_profile_on_ntz_stream(self, spark, ntz_dir):
+        batch = spark.read.parquet(ntz_dir)
+        assert batch.schema["ts"].dataType.simpleString() == "timestamp_ntz"
+        stream = spark.readStream.schema(batch.schema).parquet(ntz_dir)
+        prof = SD.windowed_profile(stream, "ts", "value", "1 hour")
+        got = run_stream(spark, prof, "profile_ntz")
+        want = SD.windowed_profile(batch, "ts", "value", "1 hour")
+        g = {r["win"]["start"]: r["n_rows"] for r in got.collect()}
+        w = {r["win"]["start"]: r["n_rows"] for r in want.collect()}
+        assert g == w and len(g) > 0
+
+    def test_streaming_dedup_on_ntz_stream(self, spark, ntz_dir):
+        batch = spark.read.parquet(ntz_dir)
+        stream = spark.readStream.schema(batch.schema).parquet(ntz_dir)
+        deduped = SD.streaming_dedup(stream, ["event_id"], "ts")
+        q = (
+            deduped.writeStream.format("memory").queryName("dedup_ntz")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        assert q.awaitTermination(120)
+        assert spark.table("dedup_ntz").count() == batch.count()
