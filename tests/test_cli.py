@@ -1,5 +1,6 @@
 """CLI tests: exit codes, thresholds, output formats (F2 fixture shape)."""
 
+import argparse
 import json
 import subprocess
 import sys
@@ -245,6 +246,54 @@ class TestParserConstructorDrift:
         for param, dest in self.MAPPING.items():
             if dest is not None:
                 assert dest in dests, f"{param} maps to missing CLI dest {dest}"
+
+
+    def test_constructor_call_kwargs_are_real_params(self):
+        """AST-check the actual SparkCompare(...) call in run_compare: every
+        keyword it passes must be a real constructor parameter (the
+        reference's test_parser.py direction — option→kwarg can't drift)."""
+        import ast
+        import inspect
+        import pathlib
+
+        import datacompy_spark.cli as cli
+        from datacompy_spark import SparkCompare
+
+        tree = ast.parse(pathlib.Path(cli.__file__).read_text())
+        calls = [
+            n
+            for n in ast.walk(tree)
+            if isinstance(n, ast.Call)
+            and isinstance(n.func, ast.Name)
+            and n.func.id == "SparkCompare"
+        ]
+        assert calls, "run_compare no longer constructs SparkCompare directly"
+        params = set(inspect.signature(SparkCompare.__init__).parameters)
+        for call in calls:
+            passed = {kw.arg for kw in call.keywords if kw.arg}
+            bogus = passed - params
+            assert not bogus, f"CLI passes unknown constructor kwargs: {bogus}"
+
+    def test_every_cli_option_is_consumed(self):
+        """Every dest the compare subparser defines must be read as
+        ``args.<dest>`` somewhere in the CLI module — a flag nobody reads is
+        silent drift."""
+        import pathlib
+        import re
+
+        import datacompy_spark.cli as cli
+        from datacompy_spark.cli import build_parser
+
+        src = pathlib.Path(cli.__file__).read_text()
+        sub = build_parser()._subparsers._group_actions[0].choices["compare"]
+        skip = {"help", "command", "version"}
+        for action in sub._actions:
+            dest = action.dest
+            if dest in skip or dest == argparse.SUPPRESS:
+                continue
+            assert re.search(rf"args\.{dest}\b", src), (
+                f"CLI option dest {dest!r} is defined but never read"
+            )
 
 
 class TestSampleFraction:
