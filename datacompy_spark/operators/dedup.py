@@ -25,7 +25,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from datacompy_spark.functions.hashing import (
-    char_ngrams,
     hamming_distance,
     lsh_band_keys,
     minhash_from_hashes,
@@ -341,21 +340,55 @@ def _ngram_base(
     int once per document. Pairwise intersections later run over int arrays
     (no per-pair string hashing); the ordering inside ``grams`` is
     irrelevant here (``array_intersect`` is order-insensitive) — the prefix
-    path re-ranks separately. normalize() is staged as its own column:
-    inlined, its regexes would re-run once per n-gram inside the
-    char_ngrams lambda."""
-    from datacompy_spark.functions.hashing import md5_long
+    path re-ranks separately.
 
-    return df.select(
+    The gram pass is the operator's hot loop (one substring per character
+    position + one md5 per distinct gram): as Column expressions both steps
+    are interpreted lambda HOFs (no codegen), which profiling showed
+    dominating the whole operator ~5:1 over the pair verify. It runs here as
+    an Arrow-batched ``mapInPandas`` producing bit-identical hashes
+    (``hashlib.md5`` == Spark/DuckDB ``md5``; first-occurrence dedup order
+    == ``array_distinct``/``list_distinct``). normalize() stays JVM-side so
+    its regex semantics can't drift from the oracle's."""
+    import hashlib
+
+    import pandas as pd
+
+    staged = df.select(
         F.col(id_col).alias("doc_id"),
         F.col(block_col).alias("block"),
         normalize(F.col(text_col)).alias("norm"),
-    ).select(
-        "doc_id",
-        "block",
-        F.transform(char_ngrams(F.col("norm"), n), lambda g: md5_long(g)).alias(
-            "grams"
-        ),
+    )
+    id_type = staged.schema["doc_id"].dataType.simpleString()
+    block_type = staged.schema["block"].dataType.simpleString()
+
+    def gram_batches(batches):
+        for pdf in batches:
+            grams = []
+            for s in pdf["norm"]:
+                if s is None:
+                    grams.append(None)
+                    continue
+                if len(s) >= n:
+                    gs = dict.fromkeys(s[i : i + n] for i in range(len(s) - n + 1))
+                else:
+                    gs = (s,)
+                # sorted ascending: the pair verify runs a merge/searchsorted
+                # intersection over pre-sorted arrays (order is irrelevant to
+                # Jaccard and to the oracle, which only uses lengths)
+                grams.append(
+                    sorted(
+                        int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16)
+                        for g in gs
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "block": pdf["block"], "grams": grams}
+            )
+
+    return staged.mapInPandas(
+        gram_batches,
+        schema=f"doc_id {id_type}, block {block_type}, grams array<bigint>",
     )
 
 
@@ -410,6 +443,43 @@ def _prefix_filter_candidates(base: DataFrame, threshold: float) -> DataFrame:
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def _sorted_intersect_batch(a, b):
+    """Arrow-batch intersection SIZE of two pre-sorted distinct int arrays.
+
+    Per pair: binary-search the smaller array into the larger
+    (``np.searchsorted``, O((m+n) log n) in C) — no per-evaluation hash-set
+    construction, which is what made JVM ``array_intersect`` the operator's
+    hot loop at ~300k candidate pairs. Exact integer output, so there is no
+    cross-engine float concern at all."""
+    import numpy as np
+    import pandas as pd
+
+    out = np.zeros(len(a), dtype=np.int32)
+    for i, (x, y) in enumerate(zip(a.to_numpy(), b.to_numpy())):
+        if x is None or y is None or len(x) == 0 or len(y) == 0:
+            continue
+        if len(x) > len(y):
+            x, y = y, x
+        idx = np.searchsorted(y, x)
+        idx[idx == len(y)] = len(y) - 1
+        out[i] = int(np.count_nonzero(y[idx] == x))
+    return pd.Series(out)
+
+
+_SORTED_INTERSECT = None
+
+
+def _intersect_size(a, b):
+    """Column wrapper for :func:`_sorted_intersect_batch` (lazy pandas_udf —
+    created once, after a session exists)."""
+    global _SORTED_INTERSECT
+    if _SORTED_INTERSECT is None:
+        from pyspark.sql.functions import pandas_udf
+
+        _SORTED_INTERSECT = pandas_udf(_sorted_intersect_batch, "int")
+    return _SORTED_INTERSECT(a, b)
 
 
 def ngram_jaccard_pairs(
@@ -477,7 +547,7 @@ def ngram_jaccard_pairs(
     ).select(
         F.col("a.doc_id").alias("id_a"),
         F.col("b.doc_id").alias("id_b"),
-        F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams"))).alias("n_inter"),
+        _intersect_size(F.col("a.grams"), F.col("b.grams")).alias("n_inter"),
         (F.col("a.__sz") + F.col("b.__sz")).alias("n_total"),
     )
 
@@ -494,9 +564,7 @@ def ngram_jaccard_pairs(
             .select(
                 "id_a",
                 "id_b",
-                F.size(F.array_intersect(F.col("g_a"), F.col("g_b"))).alias(
-                    "n_inter"
-                ),
+                _intersect_size(F.col("g_a"), F.col("g_b")).alias("n_inter"),
                 (F.size(F.col("g_a")) + F.size(F.col("g_b"))).alias("n_total"),
             )
         )

@@ -71,6 +71,24 @@ class TestNgramJaccard:
         assert (1, 3) in pairs
         assert (1, 4) not in pairs
 
+    def test_prefix_route_equals_direct_route(self, spark, sf_dir):
+        # force every block through the PPJoin prefix-filter path with a tiny
+        # cap and assert byte-identical pairs vs the direct all-pairs path —
+        # the two physical routes must be observationally indistinguishable
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+            "block", F.concat_ws("#", F.col("lang"), F.expr("n_chars div 50"))
+        )
+        def run(cap):
+            return {
+                (r["id_a"], r["id_b"]): round(r["jaccard"], 12)
+                for r in D.ngram_jaccard_pairs(
+                    docs, "doc_id", "text", "block",
+                    n=3, threshold=0.5, direct_block_cap=cap,
+                ).collect()
+            }
+        direct, prefix = run(10**9), run(1)
+        assert direct == prefix and len(direct) > 0
+
 
 class TestConnectedComponents:
     def test_multi_hop_chain(self, spark):
