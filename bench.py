@@ -105,20 +105,41 @@ def main() -> None:
             warm[name] = None
             spark.catalog.clearCache()
 
-    print(
-        json.dumps(
+    # The driver captures only the last ~2000 chars of stdout and parses the
+    # JSON line out of that tail (r3 lesson: a ~2800-char line with the warm
+    # timings inlined made the driver record parsed=null even at rc=0).
+    # Print a compact line — best-of timings only, 2-decimal rounds, no
+    # spaces — and write the full detail (warm runs, errors) to a sidecar.
+    compact = {k: (round(v, 2) if v is not None else None) for k, v in timings.items()}
+    line = json.dumps(
+        {
+            "metric": "compare_report_sec",
+            "value": compact["compare_report"],
+            "unit": "sec",
+            "queries": compact,
+            "sf": sf,
+        },
+        separators=(",", ":"),
+    )
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as fh:
+        json.dump(
+            {"queries": timings, "queries_warm": warm, "errors": errors, "sf": sf},
+            fh,
+            indent=1,
+        )
+    if len(line) > 1900:  # belt-and-braces: never exceed the driver's tail
+        line = json.dumps(
             {
                 "metric": "compare_report_sec",
-                "value": timings["compare_report"],
+                "value": compact["compare_report"],
                 "unit": "sec",
-                "queries": timings,
-                "queries_warm": warm,
-                "warm_value": warm["compare_report"],
-                "errors": errors,
+                "queries": {k: v for k, v in compact.items() if v is None or v >= 0.5},
                 "sf": sf,
-            }
+            },
+            separators=(",", ":"),
         )
-    )
+    print(line)
     spark.stop()
 
 

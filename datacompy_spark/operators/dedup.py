@@ -923,3 +923,19 @@ def embedding_near_dups(
     return lineage_barrier(scored, checkpoint_dir, eager=False).filter(
         F.col("cos_sim") >= F.lit(threshold)
     )
+
+
+def dedup_verdict(components: DataFrame) -> DataFrame:
+    """Final per-document dedup verdict from a ``(doc_id, component)``
+    assignment: survivor flag (component representative = minimum id, which
+    is what both component implementations label clusters with) and cluster
+    size. One partial-agg shuffle on component plus a broadcast-eligible
+    join back — cluster-size table is |clusters| rows, far smaller than the
+    corpus at any scale."""
+    sizes = components.groupBy("component").agg(F.count(F.lit(1)).alias("n_docs"))
+    return components.join(F.broadcast(sizes), "component").select(
+        "doc_id",
+        "component",
+        (F.col("doc_id") == F.col("component")).alias("is_survivor"),
+        "n_docs",
+    )

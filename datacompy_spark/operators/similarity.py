@@ -299,3 +299,29 @@ def knn_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
     )
+
+
+def label_centroids(
+    df: DataFrame, label_col: str, vec_col: str, quantum: int = 1_000_000
+) -> DataFrame:
+    """Per-label centroid in long form ``(label, dim_idx, centroid_val)`` —
+    the k-means/IVF training step and the standard embedding-drift monitor.
+
+    Determinism note: float summation is order-dependent, and a distributed
+    sum visits rows in partition order while other engines pick their own —
+    so the values are quantized to ``1/quantum`` integers first and summed
+    as BIGINTs (exact, order-independent), then divided once. Centroids are
+    reproducible bit-for-bit across engines/cluster layouts at the cost of
+    1e-6 quantization, far below embedding noise. Shape: posexplode →
+    one partial-agg shuffle on (label, dim) — scales linearly; no driver
+    collection."""
+    ex = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("dim_idx", "val"),
+    )
+    q = F.round(F.col("val").cast("double") * quantum).cast("long")
+    return ex.groupBy("label", "dim_idx").agg(
+        (
+            F.sum(q).cast("double") / F.lit(float(quantum)) / F.count(F.lit(1))
+        ).alias("centroid_val")
+    )

@@ -328,3 +328,225 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str, ngram: int = 5) -> Da
         ).alias("min_ngram_md5"),
         simhash_from_hashes(F.col("thash")).alias("simhash"),
     )
+
+
+def repetition_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document (Rae et al. 2021,
+    "Scaling Language Models", Table A1): the fraction of content attributable
+    to the most frequent word / word-bigram, and the fraction of word-trigrams
+    that are duplicated. High values flag boilerplate and degenerate text that
+    pre-training filters drop.
+
+    Shape: one explode over three gram sizes tagged in a single pass, then two
+    partial-aggregating ``groupBy``s keyed on (doc_id[, n, gram]) — map-side
+    combine keeps the shuffle proportional to DISTINCT grams per document, and
+    no per-document state ever leaves the executors, so the plan is unchanged
+    at 100 TB. (A per-doc higher-order-function frequency count would avoid
+    the shuffle but runs interpreted, outside codegen — the explode/agg shape
+    is faster AND scale-safe.)"""
+    staged = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
+    )
+    from datacompy_spark.functions.hashing import word_shingles
+
+    grams = None
+    for n in (1, 2, 3):
+        g = staged.select(
+            "doc_id",
+            F.lit(n).alias("n"),
+            F.explode(word_shingles(F.col("toks"), n)).alias("gram"),
+        )
+        grams = g if grams is None else grams.unionAll(g)
+    per_size = (
+        grams.groupBy("doc_id", "n", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id", "n")
+        .agg(
+            F.sum("c").alias("total"),
+            F.max("c").alias("top"),
+            F.coalesce(F.sum(F.when(F.col("c") > 1, F.col("c"))), F.lit(0)).alias("dup"),
+        )
+    )
+    frac = lambda a, b: (a.cast("double") / b.cast("double"))  # noqa: E731
+    return per_size.groupBy("doc_id").agg(
+        F.max(F.when(F.col("n") == 1, frac(F.col("top"), F.col("total")))).alias(
+            "top_word_frac"
+        ),
+        F.max(F.when(F.col("n") == 2, frac(F.col("top"), F.col("total")))).alias(
+            "top_bigram_frac"
+        ),
+        F.max(F.when(F.col("n") == 3, frac(F.col("dup"), F.col("total")))).alias(
+            "dup_trigram_frac"
+        ),
+    )
+
+
+def repetition_metrics_sql(table: str, id_col: str, text_col: str) -> str:
+    """DuckDB twin of :func:`repetition_metrics` (same gram definitions)."""
+    from datacompy_spark.functions.hashing import word_shingles_sql
+    from datacompy_spark.functions.text import tokens_sql
+
+    toks = tokens_sql(text_col)
+    unions = "\nUNION ALL ".join(
+        f"SELECT {id_col} AS doc_id, {n} AS n,"
+        f" unnest({word_shingles_sql('toks', n)}) AS gram FROM toks"
+        for n in (1, 2, 3)
+    )
+    return f"""
+WITH toks AS (SELECT {id_col}, {toks} AS toks FROM {table}),
+grams AS ({unions}),
+freq AS (SELECT doc_id, n, gram, count(*) AS c FROM grams GROUP BY doc_id, n, gram),
+per AS (
+  SELECT doc_id, n, sum(c) AS total, max(c) AS top,
+    coalesce(sum(c) FILTER (WHERE c > 1), 0) AS dup
+  FROM freq GROUP BY doc_id, n)
+SELECT doc_id,
+  max(CASE WHEN n = 1 THEN top::DOUBLE / total::DOUBLE END) AS top_word_frac,
+  max(CASE WHEN n = 2 THEN top::DOUBLE / total::DOUBLE END) AS top_bigram_frac,
+  max(CASE WHEN n = 3 THEN dup::DOUBLE / total::DOUBLE END) AS dup_trigram_frac
+FROM per GROUP BY doc_id"""
+
+
+def decontaminate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    eval_df: DataFrame,
+    eval_text_col: str | None = None,
+    k: int = 5,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Benchmark decontamination: per training document, the fraction of its
+    distinct k-word shingles that also appear in a held-out evaluation set
+    (the standard n-gram-overlap contamination check used by pre-training
+    pipelines before a corpus ships).
+
+    Scale shape: the eval side is ALWAYS small relative to the corpus (eval
+    suites are thousands of documents, the corpus is billions), so its
+    distinct shingle set is broadcast — the training side streams through a
+    map-side hash join with no shuffle of the 100 TB table; the only shuffle
+    is the final per-doc aggregation, keyed on doc_id with partial agg."""
+    eval_text = eval_text_col or text_col
+    train_sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(word_shingles_of(F.col(text_col), k))).alias("sh"),
+    )
+    eval_sh = (
+        eval_df.select(
+            F.explode(F.array_distinct(word_shingles_of(F.col(eval_text), k))).alias("sh")
+        )
+        .distinct()
+        .withColumn("__hit", F.lit(True))
+    )
+    joined = train_sh.join(F.broadcast(eval_sh), "sh", "left")
+    n_matched = F.coalesce(
+        F.sum(F.when(F.col("__hit"), F.lit(1))), F.lit(0)
+    ).cast("long")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            n_matched.alias("n_matched"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_matched",
+            (F.col("n_matched").cast("double") / F.col("n_shingles").cast("double")).alias(
+                "contam_frac"
+            ),
+            (
+                F.col("n_matched").cast("double")
+                >= F.lit(float(threshold)) * F.col("n_shingles").cast("double")
+            ).alias("contaminated"),
+        )
+    )
+
+
+def word_shingles_of(text: "F.Column", k: int) -> "F.Column":
+    """k-word shingles straight from raw text (tokenize + shingle)."""
+    from datacompy_spark.functions.hashing import word_shingles
+
+    return word_shingles(tokens(text), k)
+
+
+def decontaminate_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    eval_pred: str,
+    train_pred: str,
+    k: int = 5,
+    threshold: float = 0.2,
+) -> str:
+    """DuckDB twin: eval/train membership given as predicates over ``table``."""
+    from datacompy_spark.functions.hashing import word_shingles_sql
+    from datacompy_spark.functions.text import tokens_sql
+
+    shingles = word_shingles_sql(tokens_sql(text_col), k)
+    return f"""
+WITH train_sh AS (
+  SELECT {id_col} AS doc_id, unnest(list_distinct({shingles})) AS sh
+  FROM {table} WHERE {train_pred}),
+eval_sh AS (
+  SELECT DISTINCT unnest(list_distinct({shingles})) AS sh
+  FROM {table} WHERE {eval_pred}),
+joined AS (
+  SELECT t.doc_id, (e.sh IS NOT NULL) AS hit
+  FROM train_sh t LEFT JOIN eval_sh e USING (sh))
+SELECT doc_id,
+  count(*) AS n_shingles,
+  coalesce(sum(CASE WHEN hit THEN 1 END), 0)::BIGINT AS n_matched,
+  n_matched::DOUBLE / n_shingles::DOUBLE AS contam_frac,
+  (n_matched::DOUBLE >= {threshold}::DOUBLE * n_shingles::DOUBLE) AS contaminated
+FROM joined GROUP BY doc_id"""
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list,
+    id_col: str,
+    k: int,
+    seed: str = "strata#1",
+) -> DataFrame:
+    """Deterministic per-stratum top-k sample: within each stratum, rank rows
+    by a stable hash of their id (ties broken by the id itself) and keep the
+    first ``k`` — the building block for corpus mix curation (equal-size
+    per-source subsets, eval carve-outs) that re-runs and other engines
+    reproduce exactly, unlike ``df.sampleBy`` which is rng/partition-order
+    dependent.
+
+    Scale: one shuffle on the strata key; per-stratum state in the window is
+    a single counter (``row_number``), so a hot stratum is bounded by its
+    sort, which AQE spill handles — and because ranks beyond k are discarded,
+    a TABLESAMPLE-style pushdown isn't possible anyway (the rank is global
+    per stratum). For very hot strata, pre-filtering by hash range would cut
+    the sort input; not needed at documented scales."""
+    from pyspark.sql import Window
+
+    from datacompy_spark.functions.hashing import md5_long
+
+    w = (
+        Window.partitionBy(*strata_cols)
+        .orderBy(md5_long(F.col(id_col).cast("string"), seed), F.col(id_col))
+    )
+    return (
+        df.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(F.col(id_col).alias("doc_id"), *strata_cols, F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def stratified_sample_sql(
+    table: str, strata_cols: list, id_col: str, k: int, seed: str = "strata#1"
+) -> str:
+    from datacompy_spark.functions.hashing import md5_long_sql
+
+    strata = ", ".join(strata_cols)
+    h = md5_long_sql(f"{id_col}::VARCHAR", seed)
+    return f"""
+SELECT doc_id, {strata}, rk FROM (
+  SELECT {id_col} AS doc_id, {strata},
+    row_number() OVER (PARTITION BY {strata} ORDER BY {h}, {id_col})::INT AS rk
+  FROM {table})
+WHERE rk <= {k}"""

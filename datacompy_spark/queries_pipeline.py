@@ -965,6 +965,85 @@ SELECT doc_id, i AS feat_idx,
 FROM documents, generate_series(0, 7) AS t(i)"""
 
 
+# ------------------------------------------------------ corpus curation ops
+
+def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition fractions (top word / top bigram / duplicated
+    trigram share) per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TO.repetition_metrics(docs, "doc_id", "text")
+
+
+SQL_REPETITION_METRICS = TO.repetition_metrics_sql("documents", "doc_id", "text")
+
+#: eval-set membership for the decontamination scenario: a deterministic
+#: 2% doc_id carve-out plays the held-out benchmark suite.
+_DECON_EVAL_PRED = "doc_id % 50 = 0"
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram-overlap contamination check of the training split against the
+    deterministic eval carve-out."""
+    docs = load_table(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.expr(_DECON_EVAL_PRED))
+    train_df = docs.filter(~F.expr(_DECON_EVAL_PRED))
+    return TO.decontaminate(train_df, "doc_id", "text", eval_df, k=5, threshold=0.2)
+
+
+SQL_DECONTAMINATE = TO.decontaminate_sql(
+    "documents",
+    "doc_id",
+    "text",
+    eval_pred=_DECON_EVAL_PRED,
+    train_pred=f"NOT ({_DECON_EVAL_PRED})",
+    k=5,
+    threshold=0.2,
+)
+
+
+def q_dedup_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup pipeline end-to-end: near-dup pairs → components → per-document
+    survivor verdict with cluster sizes."""
+    comp = q_dedup_components(spark, sf_dir)
+    return D.dedup_verdict(comp)
+
+
+SQL_DEDUP_COLLAPSE = f"""
+WITH comp AS ({SQL_DEDUP_COMPONENTS.strip()})
+SELECT doc_id, component, (doc_id = component) AS is_survivor,
+  count(*) OVER (PARTITION BY component) AS n_docs
+FROM comp"""
+
+
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embeddings table (quantized exact sums)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.label_centroids(emb, "label", "embedding")
+
+
+SQL_EMBEDDING_CENTROIDS = """
+WITH ex AS (
+  SELECT label,
+    unnest(generate_series(1, len(embedding))) - 1 AS dim_idx,
+    unnest(embedding) AS val
+  FROM embeddings)
+SELECT label, dim_idx,
+  (sum(round(val::DOUBLE * 1000000)::BIGINT)::DOUBLE / 1000000.0)
+    / count(*) AS centroid_val
+FROM ex GROUP BY label, dim_idx"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source top-5 sample of the documents corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TO.stratified_sample(docs, ["source"], "doc_id", k=5)
+
+
+SQL_STRATIFIED_SAMPLE = TO.stratified_sample_sql(
+    "documents", ["source"], "doc_id", k=5
+)
+
+
 PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -998,6 +1077,11 @@ PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_features": q_media_features,
     "profile_quantiles": q_profile_quantiles,
     "schema_compare": q_schema_compare,
+    "repetition_metrics": q_repetition_metrics,
+    "decontaminate": q_decontaminate,
+    "stratified_sample": q_stratified_sample,
+    "dedup_collapse": q_dedup_collapse,
+    "embedding_centroids": q_embedding_centroids,
 }
 
 PIPELINE_ORACLES: Dict[str, str] = {
@@ -1033,4 +1117,9 @@ PIPELINE_ORACLES: Dict[str, str] = {
     "media_features": SQL_MEDIA_FEATURES,
     "profile_quantiles": SQL_PROFILE_QUANTILES,
     "schema_compare": SQL_SCHEMA_COMPARE,
+    "repetition_metrics": SQL_REPETITION_METRICS,
+    "decontaminate": SQL_DECONTAMINATE,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "dedup_collapse": SQL_DEDUP_COLLAPSE,
+    "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
 }

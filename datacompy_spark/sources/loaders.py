@@ -38,6 +38,7 @@ _EXT_FORMAT = {
     ".json": "json",
     ".jsonl": "jsonl",
     ".ndjson": "jsonl",
+    ".orc": "orc",
     # .tsv deliberately unmapped (ref cli/backends.py:84-88): require explicit
     # format + delimiter rather than guessing.
 }
@@ -103,6 +104,14 @@ def read_json(spark: SparkSession, path: str, lines: Optional[bool] = None) -> D
     return spark.read.json(path, multiLine=not lines)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan (Spark-native columnar reader, vectorized + predicate
+    pushdown like parquet). Extension beyond the reference's CSV/parquet/
+    JSON surface; NTZ timestamps are normalized the same way as parquet so
+    every source presents one timestamp type."""
+    return _cast_ntz_to_timestamp(spark.read.orc(path))
+
+
 def load(spark: SparkSession, ref: str, fmt: Optional[str] = None, **options) -> DataFrame:
     """Load a table reference: a file path (format inferred from extension)
     or a catalog table name (ref ``cli/backends.py:341-366`` table refs)."""
@@ -115,6 +124,8 @@ def load(spark: SparkSession, ref: str, fmt: Optional[str] = None, **options) ->
         return read_csv(spark, ref, **options)
     if fmt in ("json", "jsonl"):
         return read_json(spark, ref, lines=(fmt == "jsonl"))
+    if fmt == "orc":
+        return read_orc(spark, ref)
     if fmt is None and os.path.sep not in ref and not os.path.exists(ref):
         # not a path and no known file extension: a catalog table name,
         # possibly qualified ``db.schema.table`` (ref cli/backends.py:341-366)

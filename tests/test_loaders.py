@@ -90,3 +90,18 @@ class TestConfRestore:
             assert spark.conf.get(key) == "true"
         finally:
             spark.conf.unset(key)
+
+
+class TestOrc:
+    def test_orc_round_trip_with_ntz_normalization(self, spark, tmp_path):
+        src = spark.createDataFrame(
+            [(1, "a"), (2, "b")], "id bigint, v string"
+        ).withColumn("ts", __import__("pyspark.sql.functions", fromlist=["F"]).expr(
+            "timestamp_ntz '2024-01-02 03:04:05'"
+        ))
+        path = str(tmp_path / "t.orc")
+        src.write.orc(path)
+        df = L.load(spark, path)
+        assert df.count() == 2
+        assert dict(df.dtypes)["ts"] == "timestamp"  # NTZ normalized
+        assert L.infer_format("x.orc") == "orc"

@@ -512,3 +512,84 @@ class TestTableProfile:
         assert not out["id"]["null_rate_drifted"]
         assert not out["id"]["distinct_drifted"]
         assert not out["id"]["range_changed"]
+
+
+class TestCorpusCuration:
+    def test_repetition_metrics_flags_degenerate_text(self, spark):
+        rows = [
+            (1, "spam spam spam spam spam spam"),            # one word repeated
+            (2, "alpha beta gamma delta epsilon zeta"),      # all distinct
+            (3, "go go go stop stop stop go go go end"),     # repeated trigrams
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        out = {r["doc_id"]: r for r in TO.repetition_metrics(df, "doc_id", "text").collect()}
+        assert out[1]["top_word_frac"] == 1.0
+        assert out[1]["top_bigram_frac"] == 1.0
+        assert out[1]["dup_trigram_frac"] == 1.0
+        assert abs(out[2]["top_word_frac"] - 1 / 6) < 1e-12
+        assert out[2]["dup_trigram_frac"] == 0.0
+        # doc 3: "go go go" appears at positions 0 and 6 → duplicated trigrams
+        assert out[3]["dup_trigram_frac"] > 0.0
+        assert out[3]["top_word_frac"] == 0.6  # "go" 6/10
+
+    def test_decontaminate_broadcast_overlap(self, spark):
+        train = spark.createDataFrame(
+            [
+                (1, "one two three four five six seven"),     # shares a 5-gram run
+                (2, "totally different words appear here now"),
+            ],
+            "doc_id bigint, text string",
+        )
+        eval_df = spark.createDataFrame(
+            [(100, "zero one two three four five six")],
+            "doc_id bigint, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in TO.decontaminate(train, "doc_id", "text", eval_df, k=5).collect()
+        }
+        # doc 1 has 3 distinct 5-grams, 2 of which appear in the eval doc
+        assert out[1]["n_shingles"] == 3
+        assert out[1]["n_matched"] == 2
+        assert out[1]["contaminated"]
+        assert out[2]["n_matched"] == 0 and not out[2]["contaminated"]
+
+    def test_stratified_sample_deterministic_topk(self, spark):
+        rows = [(i, f"s{i % 3}") for i in range(300)]
+        df = spark.createDataFrame(rows, "doc_id bigint, source string")
+        s1 = TO.stratified_sample(df, ["source"], "doc_id", k=7).collect()
+        s2 = TO.stratified_sample(df, ["source"], "doc_id", k=7).collect()
+        assert sorted(map(tuple, s1)) == sorted(map(tuple, s2))
+        from collections import Counter
+
+        per = Counter(r["source"] for r in s1)
+        assert per == {"s0": 7, "s1": 7, "s2": 7}
+        assert all(1 <= r["rk"] <= 7 for r in s1)
+        # a different seed reshuffles the picks
+        s3 = TO.stratified_sample(df, ["source"], "doc_id", k=7, seed="other").collect()
+        assert {r["doc_id"] for r in s3} != {r["doc_id"] for r in s1}
+
+    def test_dedup_verdict_survivors_and_sizes(self, spark):
+        import datacompy_spark.operators.dedup as D
+
+        comp = spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 3), (4, 4), (5, 4), (6, 4)],
+            "doc_id bigint, component bigint",
+        )
+        out = {r["doc_id"]: r for r in D.dedup_verdict(comp).collect()}
+        assert out[1]["is_survivor"] and out[1]["n_docs"] == 2
+        assert not out[2]["is_survivor"]
+        assert out[3]["is_survivor"] and out[3]["n_docs"] == 1
+        assert out[4]["n_docs"] == 3 and not out[5]["is_survivor"]
+
+    def test_label_centroids_exact_quantized_mean(self, spark):
+        import datacompy_spark.operators.similarity as S
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 2.0]), (1, [3.0, 4.0]), (2, [10.0, 20.0])],
+            "label int, embedding array<float>",
+        )
+        rows = {(r["label"], r["dim_idx"]): r["centroid_val"]
+                for r in S.label_centroids(df, "label", "embedding").collect()}
+        assert rows[(1, 0)] == 2.0 and rows[(1, 1)] == 3.0
+        assert rows[(2, 0)] == 10.0 and rows[(2, 1)] == 20.0
