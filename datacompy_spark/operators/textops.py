@@ -425,16 +425,26 @@ def decontaminate(
     suites are thousands of documents, the corpus is billions), so its
     distinct shingle set is broadcast — the training side streams through a
     map-side hash join with no shuffle of the 100 TB table; the only shuffle
-    is the final per-doc aggregation, keyed on doc_id with partial agg."""
+    is the final per-doc aggregation, keyed on doc_id with partial agg.
+
+    The token array is staged as a real column before shingling: lambda
+    bodies sit outside Spark's common-subexpression elimination, so an
+    inlined ``tokens(text)`` would re-run the normalization regex + split
+    once per shingle instead of once per document (~50x redundant regex
+    work; measured 14s -> ~1s on 5k docs)."""
+    from datacompy_spark.functions.hashing import word_shingles
+
     eval_text = eval_text_col or text_col
-    train_sh = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(word_shingles_of(F.col(text_col), k))).alias("sh"),
+    train_sh = (
+        df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__toks"))
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(word_shingles(F.col("__toks"), k))).alias("sh"),
+        )
     )
     eval_sh = (
-        eval_df.select(
-            F.explode(F.array_distinct(word_shingles_of(F.col(eval_text), k))).alias("sh")
-        )
+        eval_df.select(tokens(F.col(eval_text)).alias("__toks"))
+        .select(F.explode(F.array_distinct(word_shingles(F.col("__toks"), k))).alias("sh"))
         .distinct()
         .withColumn("__hit", F.lit(True))
     )
@@ -461,13 +471,6 @@ def decontaminate(
             ).alias("contaminated"),
         )
     )
-
-
-def word_shingles_of(text: "F.Column", k: int) -> "F.Column":
-    """k-word shingles straight from raw text (tokenize + shingle)."""
-    from datacompy_spark.functions.hashing import word_shingles
-
-    return word_shingles(tokens(text), k)
 
 
 def decontaminate_sql(
