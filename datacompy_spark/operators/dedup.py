@@ -65,9 +65,17 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def _shingled(df: DataFrame, id_col: str, text_col: str, shingle_k: int) -> DataFrame:
     """Staged shingling: tokens → distinct shingles → shingle hashes, each a
-    real column so every md5/regex runs once per document."""
+    real column so every md5/regex runs once per document. The shingle/hash
+    lambdas are interpreted (no codegen), so the stage fans out first —
+    a single-partition scan would serialize them onto one core."""
+    from datacompy_spark.plans.partitioning import fan_out
+
     return (
-        df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks"))
+        fan_out(
+            df.select(
+                F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
+            )
+        )
         .select(
             "doc_id",
             F.array_distinct(word_shingles(F.col("toks"), shingle_k)).alias("shingles"),
@@ -83,8 +91,10 @@ def collapse_exact_content(df: DataFrame, id_col: str, text_col: str):
     token sequence (survivor = min id). The hot-bucket guard for LSH: k
     identical documents enter candidate generation as ONE row instead of
     k rows sharing every band bucket (k² candidates)."""
-    staged = df.select(
-        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
+    from datacompy_spark.plans.partitioning import fan_out
+
+    staged = fan_out(
+        df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks"))
     ).select("doc_id", "toks", F.md5(F.concat_ws("\x1f", "toks")).alias("chash"))
     members = staged.select("doc_id", "chash")
     reps = staged.groupBy("chash").agg(
@@ -240,11 +250,20 @@ def minhash_lsh_pairs(
 
 
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, 60-bit simhash) sketch table."""
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        token_hashes(tokens(F.col(text_col))).alias("thash"),
-    ).select("doc_id", simhash_from_hashes(F.col("thash")).alias("simhash"))
+    """(id, 60-bit simhash) sketch table. Fans out first: the per-token
+    hash + 60-bit vote loop is interpreted, so partition count caps its
+    parallelism."""
+    from datacompy_spark.plans.partitioning import fan_out
+
+    return (
+        fan_out(
+            df.select(
+                F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
+            )
+        )
+        .select("doc_id", token_hashes(F.col("toks")).alias("thash"))
+        .select("doc_id", simhash_from_hashes(F.col("thash")).alias("simhash"))
+    )
 
 
 def simhash_near_dups(
@@ -354,10 +373,14 @@ def _ngram_base(
 
     import pandas as pd
 
-    staged = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(block_col).alias("block"),
-        normalize(F.col(text_col)).alias("norm"),
+    from datacompy_spark.plans.partitioning import fan_out
+
+    staged = fan_out(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(block_col).alias("block"),
+            normalize(F.col(text_col)).alias("norm"),
+        )
     )
     id_type = staged.schema["doc_id"].dataType.simpleString()
     block_type = staged.schema["block"].dataType.simpleString()
@@ -853,9 +876,12 @@ def embedding_near_dups(
                 lambda acc, x: acc + x,
             ).alias(f"proj{j}")
         )
-    # norms/projections are per-vector: compute them once per row, not per pair
+    from datacompy_spark.plans.partitioning import fan_out
+
+    # norms/projections are per-vector: compute them once per row, not per
+    # pair — and fanned out, since the projection folds are interpreted
     bcols = [f"b{j}" for j in range(m)]
-    base = df.select(
+    base = fan_out(df).select(
         F.col(id_col).alias("vid"),
         F.col(block_col).alias("block"),
         F.col(vec_col).alias("v"),

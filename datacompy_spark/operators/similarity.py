@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from datacompy_spark.functions.vector import dot, dot_arrow, norm
+from datacompy_spark.plans.partitioning import fan_out
 
 
 def ivf_assign(
@@ -45,7 +46,7 @@ def ivf_assign(
             norm(F.col(vec_col)).alias("pn"),
         )
     )
-    c = corpus.select(
+    c = fan_out(corpus).select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("v"),
         norm(F.col(vec_col)).alias("vn"),
@@ -165,8 +166,9 @@ def knn_bruteforce(
             norm(F.col(vec_col)).alias("qn"),
         )
     )
-    # corpus norms are computed once per corpus row, not once per (query, row)
-    c = corpus.select(
+    # corpus norms are computed once per corpus row, not once per (query, row);
+    # fan_out first so the scoring pass isn't serialized by a 1-partition scan
+    c = fan_out(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         norm(F.col(vec_col)).alias("cn"),
@@ -232,7 +234,7 @@ def knn_lsh(
         [([p for planes in tables for p in planes],)],
         "__planes array<array<double>>",
     )
-    c = corpus.select(
+    c = fan_out(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         norm(F.col(vec_col)).alias("cn"),

@@ -314,11 +314,17 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str, ngram: int = 5) -> Da
     columns so their regex/md5 work runs once per document, not once per
     n-gram/bit (lambda bodies are outside Spark's subexpression elimination)."""
     from datacompy_spark.functions.hashing import simhash_from_hashes, token_hashes
+    from datacompy_spark.plans.partitioning import fan_out
 
-    staged = df.select(
-        F.col(id_col).alias("doc_id"),
-        normalize(F.col(text_col)).alias("norm"),
-        token_hashes(tokens(F.col(text_col))).alias("thash"),
+    staged = fan_out(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            normalize(F.col(text_col)).alias("norm"),
+        )
+    ).select(
+        "doc_id",
+        "norm",
+        token_hashes(F.split(F.col("norm"), " ")).alias("thash"),
     )
     return staged.select(
         "doc_id",
@@ -344,8 +350,10 @@ def repetition_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     at 100 TB. (A per-doc higher-order-function frequency count would avoid
     the shuffle but runs interpreted, outside codegen — the explode/agg shape
     is faster AND scale-safe.)"""
-    staged = df.select(
-        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
+    from datacompy_spark.plans.partitioning import fan_out
+
+    staged = fan_out(
+        df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks"))
     )
     from datacompy_spark.functions.hashing import word_shingles
 
@@ -434,9 +442,15 @@ def decontaminate(
     work; measured 14s -> ~1s on 5k docs)."""
     from datacompy_spark.functions.hashing import word_shingles
 
+    from datacompy_spark.plans.partitioning import fan_out
+
     eval_text = eval_text_col or text_col
     train_sh = (
-        df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__toks"))
+        fan_out(
+            df.select(
+                F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__toks")
+            )
+        )
         .select(
             "doc_id",
             F.explode(F.array_distinct(word_shingles(F.col("__toks"), k))).alias("sh"),
