@@ -296,3 +296,34 @@ class TestDedupScaleShapes:
         for k in want:
             assert abs(got[k] - want[k]) < 1e-6
             assert abs(got_m2[k] - want[k]) < 1e-6
+
+
+class TestFanOutTopology:
+    def test_fan_out_noop_when_already_parallel(self, spark):
+        from datacompy_spark.plans.partitioning import fan_out
+
+        target = spark.sparkContext.defaultParallelism
+        df = spark.range(0, 10_000, 1, numPartitions=target + 4)
+        assert fan_out(df) is df  # no exchange inserted
+
+    def test_fan_out_spreads_single_partition(self, spark):
+        from datacompy_spark.plans.partitioning import fan_out
+
+        df = spark.range(0, 1000, 1, numPartitions=1)
+        out = fan_out(df)
+        assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+        assert out.count() == 1000
+
+    def test_decontaminate_broadcasts_eval_side(self, spark, sf_dir):
+        import datacompy_spark.operators.textops as TO
+        from pyspark.sql import functions as F
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        ev = docs.filter(F.col("doc_id") % 50 == 0)
+        tr = docs.filter(F.col("doc_id") % 50 != 0)
+        p = plan_of(TO.decontaminate(tr, "doc_id", "text", ev, k=5))
+        assert "BroadcastExchange" in p, "eval shingle set must broadcast"
+        # exactly one shingle-keyed exchange: the eval side's own distinct.
+        # a second one would mean the CORPUS side is being shuffled for the
+        # join (sort-merge) instead of streaming through the broadcast hash
+        assert p.count("hashpartitioning(sh") == 1
