@@ -92,7 +92,34 @@ def scenario_masked(spark):
     return cmp_
 
 
+def scenario_sample_count(spark):
+    # sample_count=2 with more than 2 mismatching rows: exercises the
+    # sorted-then-limited sample truncation (ref pandas_sample_count.txt)
+    df1 = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(1, 9)], "id bigint, val string"
+    )
+    df2 = spark.createDataFrame(
+        [(i, (f"x{i}" if i % 2 == 0 else f"v{i}")) for i in range(1, 9)],
+        "id bigint, val string",
+    )
+    return SparkCompare(spark, df1, df2, join_columns="id")
+
+
+def scenario_unique_rows(spark):
+    # several rows unique to each side, none mismatching in the
+    # intersection (ref pandas/polars unique_rows scenario)
+    df1 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "id bigint, val string"
+    )
+    df2 = spark.createDataFrame(
+        [(3, "c"), (4, "d"), (5, "e"), (6, "f")], "id bigint, val string"
+    )
+    return SparkCompare(spark, df1, df2, join_columns="id")
+
+
 SCENARIOS = {
+    "spark_sample_count": (scenario_sample_count, 2),
+    "spark_unique_rows": (scenario_unique_rows, 5),
     "spark_no_mismatches": (scenario_no_mismatches, 5),
     "spark_duplicates": (scenario_duplicates, 5),
     "spark_with_tolerances": (scenario_with_tolerances, 5),
