@@ -343,30 +343,38 @@ def repetition_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     that are duplicated. High values flag boilerplate and degenerate text that
     pre-training filters drop.
 
-    Shape: one explode over three gram sizes tagged in a single pass, then two
-    partial-aggregating ``groupBy``s keyed on (doc_id[, n, gram]) — map-side
-    combine keeps the shuffle proportional to DISTINCT grams per document, and
-    no per-document state ever leaves the executors, so the plan is unchanged
-    at 100 TB. (A per-doc higher-order-function frequency count would avoid
-    the shuffle but runs interpreted, outside codegen — the explode/agg shape
-    is faster AND scale-safe.)"""
+    Shape: ONE scan — each document's three gram arrays are built from a
+    single staged token array and stacked as (n, grams) structs, so the
+    corpus is read and tokenized once (a 3-way union of per-size selects
+    would triple the 100 TB scan). Then two partial-aggregating
+    ``groupBy``s keyed on (doc_id[, n, gram]) — map-side combine keeps the
+    shuffle proportional to DISTINCT grams per document, and no
+    per-document state ever leaves the executors. (A per-doc
+    higher-order-function frequency count would avoid the shuffle but runs
+    interpreted, outside codegen — the explode/agg shape is faster AND
+    scale-safe.)"""
+    from datacompy_spark.functions.hashing import word_shingles
     from datacompy_spark.plans.partitioning import fan_out
 
     staged = fan_out(
         df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks"))
     )
-    from datacompy_spark.functions.hashing import word_shingles
-
-    grams = None
-    for n in (1, 2, 3):
-        g = staged.select(
-            "doc_id",
-            F.lit(n).alias("n"),
-            F.explode(word_shingles(F.col("toks"), n)).alias("gram"),
-        )
-        grams = g if grams is None else grams.unionAll(g)
+    tagged = staged.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(n).alias("n"),
+                        word_shingles(F.col("toks"), n).alias("grams"),
+                    )
+                    for n in (1, 2, 3)
+                ]
+            )
+        ).alias("sized"),
+    ).select("doc_id", F.col("sized.n").alias("n"), F.explode("sized.grams").alias("gram"))
     per_size = (
-        grams.groupBy("doc_id", "n", "gram")
+        tagged.groupBy("doc_id", "n", "gram")
         .agg(F.count(F.lit(1)).alias("c"))
         .groupBy("doc_id", "n")
         .agg(
