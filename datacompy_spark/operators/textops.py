@@ -575,3 +575,97 @@ SELECT doc_id, {strata}, rk FROM (
     row_number() OVER (PARTITION BY {strata} ORDER BY {h}, {id_col})::INT AS rk
   FROM {table})
 WHERE rk <= {k}"""
+
+
+def corpus_mix_sample(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    text_col: str,
+    token_budget: int,
+    weight_expr=None,
+    seed: str = "mix#1",
+) -> DataFrame:
+    """Deterministic corpus mixing: subsample each source so its expected
+    token mass approaches ``token_budget * weight_share`` — the step that
+    turns raw per-source corpora into a training mixture with controlled
+    proportions.
+
+    Per source s with (unnormalized) weight w_s and token count T_s, the
+    acceptance rate is ``min(1, budget * (w_s / W) / T_s)``; a document is
+    accepted iff a stable md5 hash of its id falls under the rate, so
+    membership is reproducible across runs, engines, and partitionings —
+    no RNG state, no sort.
+
+    Scale shape: token counts aggregate with map-side combine into a
+    |sources|-row frame; rates are derived in-plan on that tiny frame (an
+    unpartitioned window over |sources| rows, NOT over the corpus) and
+    broadcast back — the corpus side streams through one narrow projection
+    + broadcast hash join; the only corpus-wide shuffle is the token
+    aggregation itself.
+
+    ``weight_expr``: Column over ``source`` giving the unnormalized weight
+    (default: uniform 1.0)."""
+    from pyspark.sql import Window
+
+    from datacompy_spark.functions.hashing import md5_long
+
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        whitespace_token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+    w = weight_expr if weight_expr is not None else F.lit(1.0)
+    tot = tok.groupBy("source").agg(F.sum("n_tokens").alias("src_tokens"))
+    # W = sum of weights — a window over the |sources|-row frame, not the corpus
+    all_rows = Window.partitionBy()
+    rates = tot.select(
+        "source",
+        "src_tokens",
+        F.least(
+            F.lit(1.0),
+            F.lit(float(token_budget))
+            * (w.cast("double") / F.sum(w.cast("double")).over(all_rows))
+            / F.col("src_tokens").cast("double"),
+        ).alias("rate"),
+    )
+    bucket = md5_long(F.col("doc_id").cast("string"), seed) % 1_000_000
+    return tok.join(F.broadcast(rates), "source").select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.col("rate"),
+        (bucket.cast("double") < F.col("rate") * F.lit(1_000_000.0)).alias("accepted"),
+    )
+
+
+def corpus_mix_sample_sql(
+    table: str,
+    id_col: str,
+    source_col: str,
+    text_col: str,
+    token_budget: int,
+    weight_sql: str = "1.0",
+    seed: str = "mix#1",
+) -> str:
+    """DuckDB twin of :func:`corpus_mix_sample`; ``weight_sql`` is an
+    expression over ``source``."""
+    from datacompy_spark.functions.hashing import md5_long_sql
+    from datacompy_spark.functions.text import tokens_sql
+
+    h = md5_long_sql("doc_id::VARCHAR", seed)
+    return f"""
+WITH tok AS (
+  SELECT {id_col} AS doc_id, {source_col} AS source,
+    len({tokens_sql(text_col)})::BIGINT AS n_tokens
+  FROM {table}),
+rates AS (
+  SELECT source, src_tokens,
+    least(1.0,
+      {float(token_budget)} * (({weight_sql})::DOUBLE
+        / sum(({weight_sql})::DOUBLE) OVER ())
+      / src_tokens::DOUBLE) AS rate
+  FROM (SELECT source, sum(n_tokens) AS src_tokens FROM tok GROUP BY source))
+SELECT doc_id, tok.source, n_tokens, rate,
+  (({h} % 1000000)::DOUBLE < rate * 1000000.0) AS accepted
+FROM tok JOIN rates ON tok.source = rates.source"""

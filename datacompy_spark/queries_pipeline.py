@@ -1033,6 +1033,33 @@ SELECT label, dim_idx,
 FROM ex GROUP BY label, dim_idx"""
 
 
+#: unnormalized per-source weight for the mixing scenario: 5-char source
+#: names (src10..src19) get double weight — same expression both engines.
+_MIX_WEIGHT_SPARK = 1.0  # placeholder; built in q_corpus_mix
+_MIX_WEIGHT_SQL = "1.0 + (length(source) % 2)"
+_MIX_BUDGET = 5000
+
+
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted token-budget corpus mixing: per-source acceptance rates
+    derived in-plan, membership by stable id hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.lit(1.0) + (F.length(F.col("source")) % 2).cast("double")
+    return TO.corpus_mix_sample(
+        docs, "doc_id", "source", "text", token_budget=_MIX_BUDGET, weight_expr=w
+    )
+
+
+SQL_CORPUS_MIX = TO.corpus_mix_sample_sql(
+    "documents",
+    "doc_id",
+    "source",
+    "text",
+    token_budget=_MIX_BUDGET,
+    weight_sql=_MIX_WEIGHT_SQL,
+)
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-source top-5 sample of the documents corpus."""
     docs = load_table(spark, sf_dir, "documents")
@@ -1082,6 +1109,7 @@ PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,
     "dedup_collapse": q_dedup_collapse,
     "embedding_centroids": q_embedding_centroids,
+    "corpus_mix": q_corpus_mix,
 }
 
 PIPELINE_ORACLES: Dict[str, str] = {
@@ -1122,4 +1150,5 @@ PIPELINE_ORACLES: Dict[str, str] = {
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "dedup_collapse": SQL_DEDUP_COLLAPSE,
     "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
+    "corpus_mix": SQL_CORPUS_MIX,
 }

@@ -593,3 +593,41 @@ class TestCorpusCuration:
                 for r in S.label_centroids(df, "label", "embedding").collect()}
         assert rows[(1, 0)] == 2.0 and rows[(1, 1)] == 3.0
         assert rows[(2, 0)] == 10.0 and rows[(2, 1)] == 20.0
+
+    def test_corpus_mix_rates_follow_weights(self, spark):
+        rows = []
+        i = 0
+        for src, ndocs in [("a", 40), ("b", 40)]:
+            for _ in range(ndocs):
+                rows.append((i, src, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"))  # 10 tokens
+                i += 1
+        df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+        # budget 400 tokens, source b weighted 3x source a → rates 1:3
+        w = F.when(F.col("source") == "b", 3.0).otherwise(1.0)
+        out = TO.corpus_mix_sample(
+            df, "doc_id", "source", "text", token_budget=400, weight_expr=w
+        ).collect()
+        rates = {r["source"]: r["rate"] for r in out}
+        # a: 400*(1/4)/400 = 0.25 ; b: 400*(3/4)/400 = 0.75
+        assert abs(rates["a"] - 0.25) < 1e-12 and abs(rates["b"] - 0.75) < 1e-12
+        assert all(r["n_tokens"] == 10 for r in out)
+        # deterministic membership across runs
+        out2 = TO.corpus_mix_sample(
+            df, "doc_id", "source", "text", token_budget=400, weight_expr=w
+        ).collect()
+        assert {(r["doc_id"], r["accepted"]) for r in out} == {
+            (r["doc_id"], r["accepted"]) for r in out2
+        }
+        # acceptance fraction tracks the rate (md5 is uniform; 40 docs each)
+        from collections import Counter
+
+        acc = Counter((r["source"], r["accepted"]) for r in out)
+        assert 0.05 <= acc[("a", True)] / 40 <= 0.5
+        assert 0.55 <= acc[("b", True)] / 40 <= 0.95
+
+    def test_corpus_mix_rate_caps_at_one(self, spark):
+        df = spark.createDataFrame(
+            [(1, "s", "only three tokens")], "doc_id bigint, source string, text string"
+        )
+        out = TO.corpus_mix_sample(df, "doc_id", "source", "text", token_budget=10**6).collect()
+        assert out[0]["rate"] == 1.0 and out[0]["accepted"]
