@@ -955,13 +955,20 @@ def dedup_verdict(components: DataFrame) -> DataFrame:
     """Final per-document dedup verdict from a ``(doc_id, component)``
     assignment: survivor flag (component representative = minimum id, which
     is what both component implementations label clusters with) and cluster
-    size. One partial-agg shuffle on component plus a broadcast-eligible
-    join back — cluster-size table is |clusters| rows, far smaller than the
-    corpus at any scale."""
-    sizes = components.groupBy("component").agg(F.count(F.lit(1)).alias("n_docs"))
-    return components.join(F.broadcast(sizes), "component").select(
+    size.
+
+    Cluster sizes come from ONE window over component, not an aggregate +
+    join back: the input is typically the unpersisted tail of the whole
+    pairs→components pipeline, and referencing it twice would recompute
+    that pipeline twice. Window state per partition is a single counter and
+    a component's rows are one cluster — bounded by the largest near-dup
+    cluster, which the upstream exact-content collapse already caps."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("component")
+    return components.select(
         "doc_id",
         "component",
         (F.col("doc_id") == F.col("component")).alias("is_survivor"),
-        "n_docs",
+        F.count(F.lit(1)).over(w).alias("n_docs"),
     )
