@@ -204,3 +204,43 @@ class TestPackSequencesProperties:
             want[i] = (start // budget, n)
             running[g] = start + n
         assert got == want
+
+
+class TestRepetitionMetricsProperties:
+    _word = st.sampled_from(["go", "stop", "red", "blue", "x1"])
+
+    @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        docs=st.lists(
+            st.lists(_word, min_size=1, max_size=24), min_size=1, max_size=8
+        )
+    )
+    def test_matches_pure_python_counts(self, spark, docs):
+        from collections import Counter
+
+        import datacompy_spark.operators.textops as TO
+
+        rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        got = {
+            r["doc_id"]: r
+            for r in TO.repetition_metrics(df, "doc_id", "text").collect()
+        }
+
+        def grams(words, n):
+            if len(words) >= n:
+                return [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
+            return [" ".join(words)]  # word_shingles short-doc collapse
+
+        for i, words in enumerate(docs):
+            c1, c2, c3 = (Counter(grams(words, n)) for n in (1, 2, 3))
+            assert got[i]["top_word_frac"] == pytest.approx(
+                max(c1.values()) / sum(c1.values())
+            )
+            assert got[i]["top_bigram_frac"] == pytest.approx(
+                max(c2.values()) / sum(c2.values())
+            )
+            dup = sum(v for v in c3.values() if v > 1)
+            assert got[i]["dup_trigram_frac"] == pytest.approx(
+                dup / sum(c3.values())
+            )
