@@ -192,6 +192,45 @@ def build_parser() -> argparse.ArgumentParser:
         "same keys survive on both sides, so mismatch rates estimate the "
         "full run's at a fraction of the cost",
     )
+
+    # profile: stats-only table summary / drift check — the cheap question to
+    # ask before paying for a full row-level compare (O(columns) output from
+    # one aggregate action per table). Extension beyond the reference CLI.
+    pr = sub.add_parser(
+        "profile",
+        help="single-pass column statistics; with --compare-to, a stats-only "
+        "drift check (exit 1 on drift)",
+        parents=[debug_parent],
+    )
+    pr.add_argument("--input", required=True, help="input: file path or table name")
+    pr.add_argument(
+        "--compare-to",
+        metavar="REF",
+        help="second input; output becomes a per-column drift table and the "
+        "exit code reports drift (0 none / 1 drifted)",
+    )
+    pr.add_argument("--columns", help="comma-separated subset of columns")
+    pr.add_argument(
+        "--rel-tol",
+        type=float,
+        default=0.1,
+        help="relative drift tolerance for null-rate/distinct-count (default 0.1)",
+    )
+    pr.add_argument(
+        "--exact-distinct",
+        action="store_true",
+        help="exact distinct counts instead of the HyperLogLog sketch "
+        "(plans an Expand — only for modest tables)",
+    )
+    pr.add_argument("--format", choices=["text", "json"], default="text")
+    pr.add_argument("--output", help="also write the result to this file")
+    pr.add_argument("--quiet", action="store_true", help="suppress stdout output")
+    pr.add_argument("--input-format", choices=["csv", "parquet", "json", "jsonl", "orc"])
+    pr.add_argument("--delimiter", default=",", help="CSV delimiter")
+    pr.add_argument(
+        "--spark-app-name", default="datacompy-spark-cli", metavar="NAME",
+        help="Spark application name",
+    )
     return p
 
 
@@ -332,6 +371,63 @@ def run_compare(args) -> int:
             spark.stop()
 
 
+def run_profile(args) -> int:
+    from pyspark.sql import SparkSession
+
+    from datacompy_spark.operators.profile import profile_compare, table_profile
+    from datacompy_spark.sources.loaders import load
+
+    cols = (
+        [c.strip() for c in args.columns.split(",") if c.strip()]
+        if args.columns
+        else None
+    )
+    created = SparkSession.getActiveSession() is None
+    spark = SparkSession.builder.appName(args.spark_app_name).getOrCreate()
+    try:
+        kwargs = {"delimiter": args.delimiter} if args.input_format == "csv" else {}
+        try:
+            df = load(spark, args.input, fmt=args.input_format, **kwargs)
+            ref = (
+                load(spark, args.compare_to, fmt=args.input_format, **kwargs)
+                if args.compare_to
+                else None
+            )
+        except Exception as ex:
+            raise CLIError(f"failed to load inputs: {ex}") from ex
+        try:
+            out = (
+                table_profile(df, cols, approx_distinct=not args.exact_distinct)
+                if ref is None
+                else profile_compare(
+                    df, ref, cols,
+                    rel_tol=args.rel_tol,
+                    approx_distinct=not args.exact_distinct,
+                )
+            )
+            rows = out.toPandas()
+        except Exception as ex:
+            raise CLIError(str(ex)) from ex
+        if args.format == "json":
+            rendered = rows.to_json(orient="records", indent=2)
+        else:
+            rendered = rows.to_string(index=False)
+        if not args.quiet:
+            print(rendered)
+        if args.output:
+            with open(args.output, "w") as fh:
+                fh.write(rendered)
+        if ref is None:
+            return 0
+        drifted = rows[
+            rows["null_rate_drifted"] | rows["distinct_drifted"] | rows["range_changed"]
+        ]
+        return 1 if len(drifted) else 0
+    finally:
+        if created:
+            spark.stop()
+
+
 def main(argv: Optional[Sequence[str]] = None) -> int:
     parser = build_parser()
     args = parser.parse_args(argv)
@@ -340,6 +436,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     try:
         if args.command == "compare":
             return run_compare(args)
+        if args.command == "profile":
+            return run_profile(args)
         raise CLIError(f"unknown command {args.command!r}")
     except CLIError as ex:
         print(f"error: {ex}", file=sys.stderr)

@@ -285,15 +285,16 @@ class TestParserConstructorDrift:
         from datacompy_spark.cli import build_parser
 
         src = pathlib.Path(cli.__file__).read_text()
-        sub = build_parser()._subparsers._group_actions[0].choices["compare"]
+        choices = build_parser()._subparsers._group_actions[0].choices
         skip = {"help", "command", "version"}
-        for action in sub._actions:
-            dest = action.dest
-            if dest in skip or dest == argparse.SUPPRESS:
-                continue
-            assert re.search(rf"args\.{dest}\b", src), (
-                f"CLI option dest {dest!r} is defined but never read"
-            )
+        for sub in choices.values():
+            for action in sub._actions:
+                dest = action.dest
+                if dest in skip or dest == argparse.SUPPRESS:
+                    continue
+                assert re.search(rf"args\.{dest}\b", src), (
+                    f"CLI option dest {dest!r} is defined but never read"
+                )
 
 
 class TestSampleFraction:
@@ -305,3 +306,38 @@ class TestSampleFraction:
                    "--sample-fraction", "1.5"])
         assert rc == 2
         assert "sample-fraction" in capsys.readouterr().err
+
+
+class TestProfileCommand:
+    def test_profile_json(self, tmp_path, capsys, spark):
+        df = spark.createDataFrame([(1, "a"), (2, None)], "id bigint, v string")
+        p = str(tmp_path / "t.parquet")
+        df.write.parquet(p)
+        rc = main(["profile", "--input", p, "--format", "json"])
+        out = capsys.readouterr().out
+        assert rc == 0
+        import json as _json
+
+        rows = {r["col_name"]: r for r in _json.loads(out)}
+        assert rows["v"]["n_nulls"] == 1 and rows["id"]["n_rows"] == 2
+
+    def test_profile_drift_exit_codes(self, tmp_path, capsys, spark):
+        a = str(tmp_path / "a.parquet")
+        b = str(tmp_path / "b.parquet")
+        spark.createDataFrame([(i, i * 1.0) for i in range(50)], "id bigint, x double").write.parquet(a)
+        spark.createDataFrame(
+            [(i, None if i % 2 else i * 1.0) for i in range(50)],
+            "id bigint, x double",
+        ).write.parquet(b)
+        assert main(["profile", "--input", a, "--compare-to", a, "--quiet"]) == 0
+        assert main(["profile", "--input", a, "--compare-to", b, "--quiet"]) == 1
+
+    def test_profile_column_subset_and_exact(self, tmp_path, capsys, spark):
+        p = str(tmp_path / "c.parquet")
+        spark.createDataFrame([(i, str(i % 3)) for i in range(30)], "id bigint, v string").write.parquet(p)
+        rc = main(["profile", "--input", p, "--columns", "v", "--exact-distinct", "--format", "json"])
+        import json as _json
+
+        rows = _json.loads(capsys.readouterr().out)
+        assert rc == 0 and len(rows) == 1
+        assert rows[0]["col_name"] == "v" and rows[0]["n_distinct"] == 3
