@@ -605,15 +605,25 @@ def corpus_mix_sample(
     aggregation itself.
 
     ``weight_expr``: Column over ``source`` giving the unnormalized weight
-    (default: uniform 1.0)."""
+    (default: uniform 1.0).
+
+    The (doc_id, source, n_tokens) projection sits behind a lineage barrier:
+    both the rates branch and the output branch reference it, and without
+    the barrier each branch re-scans the corpus — including the wide text
+    column the token count reads — doubling the dominant I/O. The barrier
+    materializes the narrow 3-column frame once (~tens of bytes/row)."""
     from pyspark.sql import Window
 
     from datacompy_spark.functions.hashing import md5_long
+    from datacompy_spark.plans.barrier import lineage_barrier
 
-    tok = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(source_col).alias("source"),
-        whitespace_token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    tok = lineage_barrier(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(source_col).alias("source"),
+            whitespace_token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+        ),
+        eager=False,
     )
     w = weight_expr if weight_expr is not None else F.lit(1.0)
     tot = tok.groupBy("source").agg(F.sum("n_tokens").alias("src_tokens"))
