@@ -231,6 +231,48 @@ def build_parser() -> argparse.ArgumentParser:
         "--spark-app-name", default="datacompy-spark-cli", metavar="NAME",
         help="Spark application name",
     )
+
+    # dedup: corpus near-duplicate detection → per-document survivor verdict.
+    # Extension beyond the reference CLI (its surface is compare-only).
+    dd = sub.add_parser(
+        "dedup",
+        help="corpus dedup: per-document survivor verdict written as parquet, "
+        "summary JSON on stdout",
+        parents=[debug_parent],
+    )
+    dd.add_argument("--input", required=True, help="input: file path or table name")
+    dd.add_argument("--id-col", default="doc_id", help="document id column")
+    dd.add_argument("--text-col", default="text", help="text column")
+    dd.add_argument(
+        "--method",
+        choices=["exact", "minhash", "simhash"],
+        default="minhash",
+        help="exact content hash, MinHash+LSH Jaccard, or SimHash Hamming",
+    )
+    dd.add_argument(
+        "--threshold", type=float, default=0.5,
+        help="minhash: minimum Jaccard for a near-dup pair (default 0.5)",
+    )
+    dd.add_argument(
+        "--max-hamming", type=int, default=3,
+        help="simhash: maximum Hamming distance for a pair (default 3)",
+    )
+    dd.add_argument(
+        "--verdict", metavar="PATH", required=True,
+        help="write (doc_id, component, is_survivor, n_docs) to PATH as parquet",
+    )
+    dd.add_argument(
+        "--export-pairs", metavar="PATH",
+        help="also write the qualifying near-dup pairs to PATH as parquet "
+        "(minhash/simhash only)",
+    )
+    dd.add_argument("--quiet", action="store_true", help="suppress the summary line")
+    dd.add_argument("--input-format", choices=["csv", "parquet", "json", "jsonl", "orc"])
+    dd.add_argument("--delimiter", default=",", help="CSV delimiter")
+    dd.add_argument(
+        "--spark-app-name", default="datacompy-spark-cli", metavar="NAME",
+        help="Spark application name",
+    )
     return p
 
 
@@ -428,6 +470,77 @@ def run_profile(args) -> int:
             spark.stop()
 
 
+def run_dedup(args) -> int:
+    import json
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from datacompy_spark.operators import dedup as D
+    from datacompy_spark.sources.loaders import load
+
+    created = SparkSession.getActiveSession() is None
+    spark = SparkSession.builder.appName(args.spark_app_name).getOrCreate()
+    try:
+        kwargs = {"delimiter": args.delimiter} if args.input_format == "csv" else {}
+        try:
+            df = load(spark, args.input, fmt=args.input_format, **kwargs)
+        except Exception as ex:
+            raise CLIError(f"failed to load input: {ex}") from ex
+        for c in (args.id_col, args.text_col):
+            if c not in df.columns:
+                raise CLIError(f"column {c!r} not found in input")
+        try:
+            if args.method == "exact":
+                members, _ = D.collapse_exact_content(df, args.id_col, args.text_col)
+                comp = (
+                    members.groupBy("chash")
+                    .agg(F.min("doc_id").alias("component"))
+                    .join(members, "chash")
+                    .select("doc_id", "component")
+                )
+                pairs = None
+            else:
+                if args.method == "minhash":
+                    pairs = D.minhash_lsh_pairs(
+                        df, args.id_col, args.text_col, threshold=args.threshold
+                    )
+                else:
+                    pairs = D.simhash_near_dups(
+                        df, args.id_col, args.text_col, max_hamming=args.max_hamming
+                    )
+                comp = D.assign_components(df, args.id_col, pairs)
+            verdict = D.dedup_verdict(comp)
+            verdict.write.mode("overwrite").parquet(args.verdict)
+            if args.export_pairs:
+                if pairs is None:
+                    raise CLIError("--export-pairs applies to minhash/simhash only")
+                pairs.write.mode("overwrite").parquet(args.export_pairs)
+            written = spark.read.parquet(args.verdict)
+            n_docs = written.count()
+            n_survivors = written.filter(F.col("is_survivor")).count()
+        except CLIError:
+            raise
+        except Exception as ex:
+            raise CLIError(str(ex)) from ex
+        if not args.quiet:
+            print(
+                json.dumps(
+                    {
+                        "method": args.method,
+                        "n_docs": n_docs,
+                        "n_survivors": n_survivors,
+                        "dup_rate": round(1.0 - n_survivors / max(n_docs, 1), 6),
+                        "verdict": args.verdict,
+                    }
+                )
+            )
+        return 0
+    finally:
+        if created:
+            spark.stop()
+
+
 def main(argv: Optional[Sequence[str]] = None) -> int:
     parser = build_parser()
     args = parser.parse_args(argv)
@@ -438,6 +551,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             return run_compare(args)
         if args.command == "profile":
             return run_profile(args)
+        if args.command == "dedup":
+            return run_dedup(args)
         raise CLIError(f"unknown command {args.command!r}")
     except CLIError as ex:
         print(f"error: {ex}", file=sys.stderr)

@@ -341,3 +341,52 @@ class TestProfileCommand:
         rows = _json.loads(capsys.readouterr().out)
         assert rc == 0 and len(rows) == 1
         assert rows[0]["col_name"] == "v" and rows[0]["n_distinct"] == 3
+
+
+class TestDedupCommand:
+    def test_exact_dedup_verdict(self, tmp_path, capsys, spark):
+        p = str(tmp_path / "docs.parquet")
+        rows = [
+            (1, "the quick brown fox"),
+            (2, "The  quick brown FOX!"),   # exact dup after normalize
+            (3, "something else entirely here"),
+        ]
+        spark.createDataFrame(rows, "doc_id bigint, text string").write.parquet(p)
+        out = str(tmp_path / "verdict.parquet")
+        rc = main(["dedup", "--input", p, "--method", "exact", "--verdict", out])
+        import json as _json
+
+        summary = _json.loads(capsys.readouterr().out)
+        assert rc == 0
+        assert summary["n_docs"] == 3 and summary["n_survivors"] == 2
+        v = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+        assert v[1]["is_survivor"] and not v[2]["is_survivor"]
+        assert v[1]["component"] == v[2]["component"] == 1
+        assert v[3]["is_survivor"] and v[3]["n_docs"] == 1
+
+    def test_minhash_dedup_with_pairs_export(self, tmp_path, capsys, spark):
+        p = str(tmp_path / "docs.parquet")
+        rows = [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta iota"),  # near dup
+            (3, "completely different words in this document body"),
+        ]
+        spark.createDataFrame(rows, "doc_id bigint, text string").write.parquet(p)
+        out = str(tmp_path / "v.parquet")
+        pairs = str(tmp_path / "p.parquet")
+        rc = main([
+            "dedup", "--input", p, "--method", "minhash", "--threshold", "0.3",
+            "--verdict", out, "--export-pairs", pairs, "--quiet",
+        ])
+        assert rc == 0
+        got_pairs = {(r["id_a"], r["id_b"]) for r in spark.read.parquet(pairs).collect()}
+        assert (1, 2) in got_pairs
+        v = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+        assert v[2]["component"] == 1 and v[3]["is_survivor"]
+
+    def test_dedup_missing_column_errors(self, tmp_path, capsys, spark):
+        p = str(tmp_path / "d.parquet")
+        spark.createDataFrame([(1, "x")], "id bigint, body string").write.parquet(p)
+        rc = main(["dedup", "--input", p, "--verdict", str(tmp_path / "o.parquet")])
+        assert rc == 2
+        assert "not found" in capsys.readouterr().err
