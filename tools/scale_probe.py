@@ -1,0 +1,99 @@
+"""Scaling probe: the headline compare at 1x / 4x / 16x of sf0.1 lineitem.
+
+Synthesizes larger inputs by unioning key-offset copies (every copy gets
+distinct join keys, so row counts AND join cardinality scale together),
+then times the full compare+report. The question it answers is the one a
+cluster operator asks before a 100 TB run: does wall-clock grow ~linearly
+with input at fixed parallelism, or does some stage go quadratic / spill?
+
+Usage: python tools/scale_probe.py [multipliers...]   (default: 1 4 16)
+Prints one line per scale: rows, seconds, rows/sec, and the ratio of
+seconds to the 1x run (linear scaling => ratio ~= multiplier).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    muls = [int(m) for m in (sys.argv[1:] or ["1", "4", "16"])]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .appName("datacompy-spark-scale-probe")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from datacompy_spark.operators.compare import SparkCompare
+    from datacompy_spark.queries import LI_COLS, LI_KEYS, _LI_ABS_TOL
+
+    base = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(*LI_COLS)
+
+    def at_scale(mult: int):
+        """mult key-offset copies; offsetting l_orderkey keeps keys distinct
+        across copies so the join result scales with the input."""
+        parts = [
+            base.withColumn(
+                "l_orderkey", F.col("l_orderkey") + F.lit(10_000_000 * i)
+            )
+            for i in range(mult)
+        ]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionAll(p)
+        return df
+
+    def perturb(df):
+        return df.select(
+            *[c for c in LI_COLS if c not in ("l_extendedprice", "l_returnflag")],
+            F.when(
+                F.col("l_orderkey") % 10 == 3,
+                F.col("l_extendedprice") + 0.001,
+            ).otherwise(F.col("l_extendedprice")).alias("l_extendedprice"),
+            F.when(F.col("l_orderkey") % 17 == 5, F.lit("Z"))
+            .otherwise(F.col("l_returnflag")).alias("l_returnflag"),
+        ).filter(F.col("l_orderkey") % 1000 != 7)
+
+    # JVM/codegen warmup through the same path
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    SparkCompare(spark, nation, nation.select(*nation.columns), join_columns="n_nationkey").report()
+
+    t1 = None
+    for mult in muls:
+        df1 = at_scale(mult)
+        df2 = perturb(df1)
+        n = df1.count()
+        t0 = time.perf_counter()
+        cmp_ = SparkCompare(
+            spark, df1, df2, join_columns=LI_KEYS, abs_tol=_LI_ABS_TOL
+        )
+        cmp_.report(sample_count=10)
+        el = time.perf_counter() - t0
+        if t1 is None:
+            t1 = el
+        print(
+            f"x{mult:<3d} rows={n:>9,d}  sec={el:7.2f}  rows/s={n/el:>10,.0f}"
+            f"  vs_x1={el/t1:5.2f} (linear => ~{mult})",
+            flush=True,
+        )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
