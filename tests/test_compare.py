@@ -403,3 +403,37 @@ class TestScaleShapes:
         assert c.has_duplicates
         assert c.intersect_rows_count == len(hot) + len(cold)
         assert c.count_matching_rows() == len(hot) + len(cold)  # self-compare pairs k-th with k-th
+
+
+class TestSkew:
+    def test_single_hot_key_pairs_correctly(self, spark):
+        """Pathological key skew: one join key carrying 20k duplicate rows
+        (plus a normal tail). The pairing ordinal windows per key, so the
+        hot key serializes onto one task — bounded by a single sort, never
+        quadratic — and the k-th-by-order pairing must stay exact."""
+        from pyspark.sql import functions as F
+
+        hot = spark.range(20_000).select(
+            F.lit(1).alias("id"), F.col("id").alias("seq"), (F.col("id") * 2).alias("v")
+        )
+        tail = spark.range(2, 1_000).select(
+            F.col("id"), F.lit(0).alias("seq"), (F.col("id") * 10).alias("v")
+        )
+        df1 = hot.unionAll(tail)
+        # same rows, two perturbed values inside the hot key
+        df2 = df1.withColumn(
+            "v",
+            F.when((F.col("id") == 1) & (F.col("seq").isin(7, 19_999)), F.col("v") + 1)
+            .otherwise(F.col("v")),
+        )
+        c = SparkCompare(
+            spark, df1, df2, join_columns="id", dup_order_by=["seq"]
+        )
+        assert c.has_duplicates
+        stats = {s["column"]: s for s in c.column_stats}
+        assert stats["v"]["unequal_cnt"] == 2  # exactly the two perturbed rows
+        assert c.intersect_rows_count == 20_000 + 998
+        assert c.df1_unq_rows_count == 0 and c.df2_unq_rows_count == 0
+        mism = c.all_mismatch().collect()
+        # all_mismatch carries join cols + suffixed value pairs
+        assert {(r["id"], r["seq_df1"]) for r in mism} == {(1, 7), (1, 19_999)}
