@@ -463,6 +463,16 @@ class SparkCompare:
 
     # ---------------------------------------------------------- derived frames
 
+    def row_classes(self) -> DataFrame:
+        """(join columns, row_class) for EVERY row of the comparison in one
+        pass: ``left_only`` / ``right_only`` / ``both`` straight from the
+        merge indicator (P3). Prefer this over unioning the three derived
+        frames — each derived frame filters the same outer join, so a
+        3-way union evaluates the join three times unless it was cached."""
+        return self._outer.select(
+            *self.join_columns, F.col("_merge").alias("row_class")
+        )
+
     @cached_property
     def intersect_rows(self) -> DataFrame:
         """Rows present in both frames: join keys + suffixed value pairs +

@@ -155,14 +155,10 @@ def _li_all_match_sql() -> str:
 # --------------------------------------------------------------------- Q1
 
 def q_cmp_row_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Row classification from the null-safe full outer join (J1/P3/P4)."""
-    c = _li_compare(spark, sf_dir)
-    k = LI_KEYS
-    return (
-        c.df1_unq_rows.select(*k, F.lit("left_only").alias("row_class"))
-        .unionAll(c.df2_unq_rows.select(*k, F.lit("right_only").alias("row_class")))
-        .unionAll(c.intersect_rows.select(*k, F.lit("both").alias("row_class")))
-    )
+    """Row classification from the null-safe full outer join (J1/P3/P4) —
+    one pass over the merge indicator (a 3-way union of the derived frames
+    would evaluate the join three times)."""
+    return _li_compare(spark, sf_dir).row_classes()
 
 
 SQL_CMP_ROW_CLASSES = (

@@ -437,3 +437,11 @@ class TestSkew:
         mism = c.all_mismatch().collect()
         # all_mismatch carries join cols + suffixed value pairs
         assert {(r["id"], r["seq_df1"]) for r in mism} == {(1, 7), (1, 19_999)}
+
+
+def test_row_classes_one_pass(spark):
+    df1 = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id bigint, v string")
+    df2 = spark.createDataFrame([(2, "b"), (3, "x"), (4, "d")], "id bigint, v string")
+    c = SparkCompare(spark, df1, df2, join_columns="id")
+    got = {r["id"]: r["row_class"] for r in c.row_classes().collect()}
+    assert got == {1: "left_only", 2: "both", 3: "both", 4: "right_only"}
