@@ -134,3 +134,79 @@ def asof_join(
         .filter(F.col("__tag") == 1)
         .select(*left_cols, f"{prefix}{ts_col}", *[f"{prefix}{c}" for c in carry_cols])
     )
+
+
+def funnel(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    stages: Sequence[str],
+    max_gap_ms: int = 3_600_000,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Sequential conversion funnel: per user, the earliest time each stage
+    was reached, where stage k counts only if it happens AFTER stage k-1's
+    reach time and within ``max_gap_ms`` of it. Output is one row per
+    (stage_idx, stage) with ``n_users`` reaching it — the standard
+    view→click→purchase product-analytics question.
+
+    Scale shape: ONE shuffle. All stage-reach times come from cumulative
+    ``min`` windows over the same (user, ts) ordering — window k reads
+    window k-1's column, and Spark chains same-spec window operators
+    without re-partitioning or re-sorting. No self-joins, no per-stage
+    passes over the corpus; per-user state is |stages| running minima.
+    Timestamps are compared in epoch milliseconds so the engine and the
+    SQL oracle do identical integer arithmetic."""
+    from pyspark.sql import Window
+
+    order = [F.col("__ms")] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cur = df.select(
+        F.col(user_col),
+        F.col(type_col).alias("__type"),
+        F.unix_millis(F.col(ts_col)).alias("__ms"),
+        *([F.col(tiebreak_col)] if tiebreak_col else []),
+    )
+    reach_cols = []
+    for i, stage in enumerate(stages):
+        if i == 0:
+            qual = F.col("__type") == stage
+        else:
+            prev = F.col(f"__r{i-1}")
+            qual = (
+                (F.col("__type") == stage)
+                & prev.isNotNull()
+                & (F.col("__ms") >= prev)
+                & (F.col("__ms") <= prev + F.lit(max_gap_ms))
+            )
+        cur = cur.withColumn(
+            f"__r{i}", F.min(F.when(qual, F.col("__ms"))).over(w)
+        )
+        reach_cols.append(f"__r{i}")
+    # per-user final reach times = the windows' values on the user's LAST row;
+    # a plain groupBy-min would accept stage-k events from before stage k-1
+    per_user = cur.groupBy(user_col).agg(
+        *[F.min(F.col(c)).alias(c) for c in reach_cols]
+    )
+    counts = per_user.agg(
+        *[
+            F.count(F.col(c)).cast("long").alias(f"__n{i}")
+            for i, c in enumerate(reach_cols)
+        ]
+    )
+    rows = [
+        F.struct(
+            F.lit(i).alias("stage_idx"),
+            F.lit(stage).alias("stage"),
+            F.col(f"__n{i}").alias("n_users"),
+        )
+        for i, stage in enumerate(stages)
+    ]
+    return counts.select(F.explode(F.array(*rows)).alias("s")).select("s.*")

@@ -1033,6 +1033,57 @@ SELECT label, dim_idx,
 FROM ex GROUP BY label, dim_idx"""
 
 
+_FUNNEL_STAGES = ["view", "click", "purchase"]
+_FUNNEL_GAP_MS = 3_600_000
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view→click→purchase conversion funnel, 1-hour stage gap, one shuffle
+    (chained cumulative windows over the same (user, ts) ordering)."""
+    from datacompy_spark.operators.joins import funnel
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel(
+        ev, "user_id", "ts", "event_type",
+        stages=_FUNNEL_STAGES, max_gap_ms=_FUNNEL_GAP_MS, tiebreak_col="event_id",
+    )
+
+
+def _sql_events_funnel() -> str:
+    gap = _FUNNEL_GAP_MS
+    stages = _FUNNEL_STAGES
+    ctes = [
+        "e AS (SELECT user_id, event_type AS t, epoch_ms(ts) AS ms, event_id FROM events)"
+    ]
+    prev_cte = "e"
+    for i, st in enumerate(stages):
+        if i == 0:
+            qual = f"t = '{st}'"
+        else:
+            qual = (
+                f"t = '{st}' AND r{i-1} IS NOT NULL AND ms >= r{i-1} "
+                f"AND ms <= r{i-1} + {gap}"
+            )
+        ctes.append(
+            f"s{i} AS (SELECT *, min(CASE WHEN {qual} THEN ms END) OVER "
+            f"(PARTITION BY user_id ORDER BY ms, event_id "
+            f"ROWS UNBOUNDED PRECEDING) AS r{i} FROM {prev_cte})"
+        )
+        prev_cte = f"s{i}"
+    mins = ", ".join(f"min(r{i}) AS r{i}" for i in range(len(stages)))
+    cnts = ", ".join(f"count(r{i}) AS n{i}" for i in range(len(stages)))
+    ctes.append(f"pu AS (SELECT user_id, {mins} FROM {prev_cte} GROUP BY user_id)")
+    ctes.append(f"c AS (SELECT {cnts} FROM pu)")
+    selects = "\nUNION ALL ".join(
+        f"SELECT {i} AS stage_idx, '{st}' AS stage, n{i}::BIGINT AS n_users FROM c"
+        for i, st in enumerate(stages)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + selects
+
+
+SQL_EVENTS_FUNNEL = _sql_events_funnel()
+
+
 #: unnormalized per-source weight for the mixing scenario: 5-char source
 #: names (src10..src19) get double weight — same expression both engines.
 _MIX_WEIGHT_SPARK = 1.0  # placeholder; built in q_corpus_mix
@@ -1110,6 +1161,7 @@ PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_collapse": q_dedup_collapse,
     "embedding_centroids": q_embedding_centroids,
     "corpus_mix": q_corpus_mix,
+    "events_funnel": q_events_funnel,
 }
 
 PIPELINE_ORACLES: Dict[str, str] = {
@@ -1151,4 +1203,5 @@ PIPELINE_ORACLES: Dict[str, str] = {
     "dedup_collapse": SQL_DEDUP_COLLAPSE,
     "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
     "corpus_mix": SQL_CORPUS_MIX,
+    "events_funnel": SQL_EVENTS_FUNNEL,
 }

@@ -122,3 +122,50 @@ class TestStatefulRunningTotals:
             assert got[k][0] == want[k][0]
             assert got[k][2] == want[k][2]
             assert abs(got[k][1] - want[k][1]) < 1e-6
+
+
+class TestFunnel:
+    def test_sequential_gap_semantics(self, spark):
+        from datacompy_spark.operators.joins import funnel
+
+        ts = lambda m: f"2026-01-01 00:{m:02d}:00"  # noqa: E731
+        rows = [
+            # u1 completes all three stages in order, within gaps
+            (1, 1, ts(0), "view"), (2, 1, ts(5), "click"), (3, 1, ts(10), "purchase"),
+            # u2: purchase BEFORE click → stops at click
+            (4, 2, ts(0), "view"), (5, 2, ts(3), "purchase"), (6, 2, ts(8), "click"),
+            # u3: click before any view → never enters the funnel past stage 0
+            (7, 3, ts(0), "click"), (8, 3, ts(5), "view"),
+            # u4: gap exceeded (view at :00, click 2h later)
+            (9, 4, "2026-01-01 00:00:00", "view"), (10, 4, "2026-01-01 02:30:00", "click"),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id bigint, user_id bigint, ts string, event_type string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        got = {
+            r["stage"]: r["n_users"]
+            for r in funnel(
+                df, "user_id", "ts", "event_type",
+                stages=["view", "click", "purchase"],
+                max_gap_ms=3_600_000, tiebreak_col="event_id",
+            ).collect()
+        }
+        # view: u1,u2,u3,u4 ; click after view: u1,u2 (u3 viewed after, u4 late)
+        # purchase after qualified click: u1 only (u2 purchased before clicking)
+        assert got == {"view": 4, "click": 2, "purchase": 1}
+
+    def test_single_shuffle_plan(self, spark):
+        from datacompy_spark.operators.joins import funnel
+
+        df = spark.createDataFrame(
+            [(1, 1, "2026-01-01 00:00:00", "view")],
+            "event_id bigint, user_id bigint, ts string, event_type string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        out = funnel(
+            df, "user_id", "ts", "event_type",
+            stages=["view", "click"], tiebreak_col="event_id",
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # one hash exchange for the user window; the final count agg collapses
+        # to a single partition but adds no user-keyed shuffle
+        assert plan.count("hashpartitioning(user_id") == 1
