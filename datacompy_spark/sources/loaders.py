@@ -104,6 +104,28 @@ def read_json(spark: SparkSession, path: str, lines: Optional[bool] = None) -> D
     return spark.read.json(path, multiLine=not lines)
 
 
+def read_text(spark: SparkSession, path: str, whole: bool = False) -> DataFrame:
+    """Raw text ingestion. Line mode (default): one row per line, column
+    ``value`` — the shape for line-delimited corpora. ``whole=True``: one
+    row per FILE (wholetext), for document-per-file corpora; at scale
+    prefer many small files over one giant file — wholetext rows are
+    unsplittable."""
+    return spark.read.text(path, wholetext=whole)
+
+
+def read_binary(spark: SparkSession, path: str, glob: Optional[str] = None) -> DataFrame:
+    """Opaque-binary ingestion via Spark's built-in ``binaryFile`` source:
+    (path, modificationTime, length, content) with content as a binary
+    column — the entry point for the multimodal pipeline
+    (``operators/multimodal.py`` consumes exactly this shape). ``glob``
+    filters by filename pattern (e.g. ``*.jpg``) INSIDE the reader, so
+    non-matching files are never opened."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC scan (Spark-native columnar reader, vectorized + predicate
     pushdown like parquet). Extension beyond the reference's CSV/parquet/
@@ -126,6 +148,10 @@ def load(spark: SparkSession, ref: str, fmt: Optional[str] = None, **options) ->
         return read_json(spark, ref, lines=(fmt == "jsonl"))
     if fmt == "orc":
         return read_orc(spark, ref)
+    if fmt == "text":
+        return read_text(spark, ref, **options)
+    if fmt == "binary":
+        return read_binary(spark, ref, **options)
     if fmt is None and os.path.sep not in ref and not os.path.exists(ref):
         # not a path and no known file extension: a catalog table name,
         # possibly qualified ``db.schema.table`` (ref cli/backends.py:341-366)

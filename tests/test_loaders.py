@@ -105,3 +105,36 @@ class TestOrc:
         assert df.count() == 2
         assert dict(df.dtypes)["ts"] == "timestamp"  # NTZ normalized
         assert L.infer_format("x.orc") == "orc"
+
+
+class TestTextAndBinary:
+    def test_text_line_mode(self, spark, tmp_path):
+        p = tmp_path / "corpus.txt"
+        p.write_text("line one\nline two\nline three\n")
+        df = L.read_text(spark, str(p))
+        assert df.columns == ["value"]
+        assert df.count() == 3
+
+    def test_text_whole_file(self, spark, tmp_path):
+        d = tmp_path / "docs"
+        d.mkdir()
+        (d / "a.txt").write_text("doc a\nhas two lines")
+        (d / "b.txt").write_text("doc b")
+        df = L.read_text(spark, str(d), whole=True)
+        assert df.count() == 2
+        texts = {r["value"] for r in df.collect()}
+        assert "doc a\nhas two lines" in texts
+
+    def test_binary_with_glob(self, spark, tmp_path):
+        d = tmp_path / "media"
+        d.mkdir()
+        (d / "x.jpg").write_bytes(b"\xff\xd8\xff fakejpeg")
+        (d / "y.jpg").write_bytes(b"\xff\xd8\xff other")
+        (d / "z.wav").write_bytes(b"RIFF fakewav")
+        df = L.read_binary(spark, str(d), glob="*.jpg")
+        rows = df.collect()
+        assert len(rows) == 2
+        assert set(df.columns) >= {"path", "length", "content"}
+        assert all(bytes(r["content"]).startswith(b"\xff\xd8\xff") for r in rows)
+        # explicit fmt routing through load()
+        assert L.load(spark, str(d), fmt="binary", glob="*.wav").count() == 1
