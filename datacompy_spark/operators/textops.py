@@ -679,3 +679,81 @@ rates AS (
 SELECT doc_id, tok.source, n_tokens, rate,
   (({h} % 1000000)::DOUBLE < rate * 1000000.0) AS accepted
 FROM tok JOIN rates ON tok.source = rates.source"""
+
+
+def curate_corpus(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    eval_df: DataFrame,
+    contam_threshold: float = 0.2,
+    shingle_k: int = 5,
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """End-to-end corpus curation verdict — the composition the individual
+    operators exist for. Stages, applied in the standard order (cheapest
+    filter first so later, costlier stages see fewer rows):
+
+    1. quality: heuristic keep/drop (:func:`quality_filter`);
+    2. duplicate: exact-content collapse among quality-passing docs
+       (min-id survivor per normalized-content hash);
+    3. contaminated: k-gram overlap with the (broadcast) eval set at or
+       above ``contam_threshold`` (:func:`decontaminate` semantics);
+    4. kept: deterministic train/val/test assignment
+       (:func:`hash_split`).
+
+    One row per input document: ``(doc_id, keep, verdict, split)`` where
+    verdict ∈ {quality, duplicate, contaminated, kept} and split is NULL
+    unless kept. Shuffle budget: one content-hash window, one shingle
+    aggregation, plus doc_id-keyed joins of per-stage verdicts — every
+    stage is the same partial-agg/broadcast shape it has standalone."""
+    from pyspark.sql import Window
+
+    from datacompy_spark.functions.hashing import md5_long, word_shingles
+
+    q = quality_filter(df, id_col, text_col).select(
+        "doc_id", F.col("keep").alias("q_keep")
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("__text"),
+        F.md5(normalize(F.col(text_col))).alias("__chash"),
+    ).join(q, "doc_id")
+    w = Window.partitionBy("__chash")
+    flagged = base.withColumn(
+        "__surv",
+        F.col("q_keep")
+        & (
+            F.col("doc_id")
+            == F.min(F.when(F.col("q_keep"), F.col("doc_id"))).over(w)
+        ),
+    )
+    survivors = flagged.filter(F.col("__surv")).select(
+        "doc_id", F.col("__text").alias("text")
+    )
+    contam = decontaminate(
+        survivors, "doc_id", "text", eval_df,
+        eval_text_col=text_col, k=shingle_k, threshold=contam_threshold,
+    ).select("doc_id", "contaminated")
+    split_bucket = md5_long(F.col("doc_id").cast("string"), "split#1") % 100
+    verdict = (
+        F.when(~F.col("q_keep"), F.lit("quality"))
+        .when(~F.col("__surv"), F.lit("duplicate"))
+        .when(F.col("contaminated"), F.lit("contaminated"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        flagged.join(contam, "doc_id", "left")
+        .select(
+            "doc_id",
+            verdict.alias("verdict"),
+            (verdict == "kept").alias("keep"),
+            F.when(
+                verdict == "kept",
+                F.when(split_bucket < train_pct, F.lit("train"))
+                .when(split_bucket < train_pct + val_pct, F.lit("val"))
+                .otherwise(F.lit("test")),
+            ).alias("split"),
+        )
+    )

@@ -1033,6 +1033,57 @@ SELECT label, dim_idx,
 FROM ex GROUP BY label, dim_idx"""
 
 
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation verdict over the training candidates (non-eval
+    docs): quality → exact-dup survivor → decontamination → split."""
+    docs = load_table(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.expr(_DECON_EVAL_PRED))
+    train_df = docs.filter(~F.expr(_DECON_EVAL_PRED))
+    return TO.curate_corpus(train_df, "doc_id", "text", eval_df)
+
+
+def _sql_curate_corpus() -> str:
+    q = TO.quality_filter_sql("text")
+    norm = TX.normalize_sql("text")
+    shingles = H.word_shingles_sql(TX.tokens_sql("text"), 5)
+    bucket = f"({H.md5_long_sql('f.doc_id::VARCHAR', 'split#1')} % 100)"
+    verdict = """CASE WHEN NOT q_keep THEN 'quality'
+       WHEN NOT surv THEN 'duplicate'
+       WHEN coalesce(c.contaminated, FALSE) THEN 'contaminated'
+       ELSE 'kept' END"""
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, {q['keep']} AS q_keep, md5({norm}) AS chash
+  FROM documents WHERE NOT ({_DECON_EVAL_PRED})),
+flagged AS (
+  SELECT *, (q_keep AND doc_id = min(CASE WHEN q_keep THEN doc_id END)
+             OVER (PARTITION BY chash)) AS surv
+  FROM base),
+eval_sh AS (
+  SELECT DISTINCT unnest(list_distinct({shingles})) AS sh
+  FROM documents WHERE {_DECON_EVAL_PRED}),
+tr_sh AS (
+  SELECT doc_id, unnest(list_distinct({shingles})) AS sh
+  FROM flagged WHERE surv),
+contam AS (
+  SELECT t.doc_id,
+    (coalesce(sum(CASE WHEN e.sh IS NOT NULL THEN 1 END), 0)::DOUBLE
+      >= 0.2::DOUBLE * count(*)::DOUBLE) AS contaminated
+  FROM tr_sh t LEFT JOIN eval_sh e USING (sh) GROUP BY t.doc_id)
+SELECT f.doc_id AS doc_id,
+  {verdict} AS verdict,
+  ({verdict} = 'kept') AS keep,
+  CASE WHEN {verdict} = 'kept' THEN
+    CASE WHEN {bucket} < 80 THEN 'train'
+         WHEN {bucket} < 90 THEN 'val'
+         ELSE 'test' END
+  END AS split
+FROM flagged f LEFT JOIN contam c ON f.doc_id = c.doc_id"""
+
+
+SQL_CURATE_CORPUS = _sql_curate_corpus()
+
+
 _FUNNEL_STAGES = ["view", "click", "purchase"]
 _FUNNEL_GAP_MS = 3_600_000
 
@@ -1162,6 +1213,7 @@ PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_centroids": q_embedding_centroids,
     "corpus_mix": q_corpus_mix,
     "events_funnel": q_events_funnel,
+    "curate_corpus": q_curate_corpus,
 }
 
 PIPELINE_ORACLES: Dict[str, str] = {
@@ -1204,4 +1256,5 @@ PIPELINE_ORACLES: Dict[str, str] = {
     "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
     "corpus_mix": SQL_CORPUS_MIX,
     "events_funnel": SQL_EVENTS_FUNNEL,
+    "curate_corpus": SQL_CURATE_CORPUS,
 }

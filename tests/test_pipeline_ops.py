@@ -631,3 +631,31 @@ class TestCorpusCuration:
         )
         out = TO.corpus_mix_sample(df, "doc_id", "source", "text", token_budget=10**6).collect()
         assert out[0]["rate"] == 1.0 and out[0]["accepted"]
+
+    def test_curate_corpus_verdict_branches(self, spark):
+        train = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog today"),
+                (2, "The quick  brown fox jumps over the lazy dog today!"),  # dup of 1
+                (3, "hi"),                                       # quality fail
+                (4, "one two three four five six seven eight"),  # contaminated
+                (5, "fresh unique sentence with plenty of distinct words here"),
+            ],
+            "doc_id bigint, text string",
+        )
+        eval_df = spark.createDataFrame(
+            [(100, "zero one two three four five six seven")],
+            "doc_id bigint, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in TO.curate_corpus(train, "doc_id", "text", eval_df).collect()
+        }
+        assert out[1]["verdict"] == "kept" and out[1]["keep"] and out[1]["split"] in {
+            "train", "val", "test"
+        }
+        assert out[2]["verdict"] == "duplicate" and not out[2]["keep"]
+        assert out[3]["verdict"] == "quality"
+        assert out[4]["verdict"] == "contaminated"
+        assert out[5]["verdict"] == "kept"
+        assert all(out[i]["split"] is None for i in (2, 3, 4))
