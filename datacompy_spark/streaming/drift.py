@@ -206,3 +206,67 @@ def sessionize(
         F.min(ts_col).alias("first_event"),
         F.max(ts_col).alias("last_event"),
     )
+
+
+def validate_to_sink(
+    stream: DataFrame,
+    reference: DataFrame,
+    join_columns: Sequence[str],
+    mismatch_path: str,
+    checkpoint_path: str,
+    compare_columns: Optional[Sequence[str]] = None,
+    rel_tol: float = 0.0,
+    abs_tol: float = 0.0,
+    trigger_available_now: bool = True,
+):
+    """Continuous validation SINK: every micro-batch runs through the batch
+    engine's ``SparkCompare`` against the static reference, and rows that
+    mismatch (or are missing from the reference) append to
+    ``mismatch_path`` as parquet with a ``batch_id`` provenance column.
+
+    ``foreachBatch`` is the right tool here, not a stream-native join: the
+    comparison needs the full comparator chain and the mismatch projection,
+    which are batch constructs — and each micro-batch IS a batch frame, so
+    the exact batch semantics (tolerances, null-safety, suffixed output)
+    apply verbatim with zero reimplementation. Exactly-once: parquet appends
+    are tracked by the streaming checkpoint, so a replayed batch does not
+    double-write.
+
+    Scale notes: the reference should be broadcast-sized or bucketed; each
+    micro-batch pays one join + one stats aggregate over the batch only.
+    Returns the started ``StreamingQuery`` — callers own termination."""
+    from datacompy_spark.operators.compare import SparkCompare
+
+    keys = list(join_columns)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        ref_cols = [
+            c for c in (compare_columns or batch_df.columns) if c in reference.columns
+        ]
+        cmp_ = SparkCompare(
+            spark,
+            batch_df.select(*keys, *[c for c in ref_cols if c not in keys]),
+            reference.select(*keys, *[c for c in ref_cols if c not in keys]),
+            join_columns=keys,
+            rel_tol=rel_tol,
+            abs_tol=abs_tol,
+        )
+        bad = cmp_.all_mismatch().withColumn("__kind", F.lit("mismatch"))
+        missing = cmp_.df1_unq_rows.select(*keys).withColumn(
+            "__kind", F.lit("missing_in_ref")
+        )
+        out = bad.unionByName(missing, allowMissingColumns=True).withColumn(
+            "batch_id", F.lit(batch_id)
+        )
+        out.write.mode("append").parquet(mismatch_path)
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

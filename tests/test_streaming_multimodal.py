@@ -215,3 +215,38 @@ class TestNTZContract:
         )
         assert q.awaitTermination(120)
         assert spark.table("dedup_ntz").count() == batch.count()
+
+
+class TestValidateToSink:
+    def test_micro_batches_append_mismatches_exactly_once(self, spark, events_dir, tmp_path):
+        ev = spark.read.parquet(events_dir)
+        # reference: drop every 7th id, shift every 10th value
+        ref = ev.filter(F.col("event_id") % 7 != 0).select(
+            "event_id",
+            F.when(F.col("event_id") % 10 == 0, F.col("value") + 0.5)
+            .otherwise(F.col("value"))
+            .alias("value"),
+        )
+        stream = spark.readStream.schema(ev.schema).parquet(events_dir)
+        sink = str(tmp_path / "mismatches")
+        ckpt = str(tmp_path / "ckpt")
+        q = SD.validate_to_sink(
+            stream, ref, ["event_id"], sink, ckpt, compare_columns=["value"]
+        )
+        assert q.awaitTermination(120)
+        got = spark.read.parquet(sink)
+        n = ev.count()
+        want_missing = ev.filter(F.col("event_id") % 7 == 0).count()
+        want_mismatch = ev.filter(
+            (F.col("event_id") % 7 != 0) & (F.col("event_id") % 10 == 0)
+        ).count()
+        kinds = {r["__kind"]: r["n"] for r in got.groupBy("__kind").agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert kinds.get("missing_in_ref", 0) == want_missing
+        assert kinds.get("mismatch", 0) == want_mismatch
+        assert "batch_id" in got.columns
+        # restart with the same checkpoint: no new data -> no double writes
+        q2 = SD.validate_to_sink(
+            stream, ref, ["event_id"], sink, ckpt, compare_columns=["value"]
+        )
+        assert q2.awaitTermination(120)
+        assert spark.read.parquet(sink).count() == got.count()
