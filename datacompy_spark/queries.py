@@ -473,6 +473,73 @@ SELECT e.vec_id, (e.embedding IS NOT DISTINCT FROM d.embedding) AS embedding_mat
 FROM embeddings e JOIN df2 d USING (vec_id)"""
 
 
+# -------------------------------------------------------------------- Q10
+
+def q_cmp_null_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-valued join keys through the null-safe outer join (J1's core
+    semantic: NULL <=> NULL pairs, NULL vs value does not). The two sides
+    null the region_key on DIFFERENT divisor rules, so custkeys divisible
+    by exactly one of {37, 41} land as left_only + right_only (key
+    disagreement), divisible by both pair NULL==NULL, and the rest pair
+    normally with a value perturbation every 10th key."""
+    cust = load_table(spark, sf_dir, "customer")
+
+    def side(null_mod: int, perturb: bool) -> DataFrame:
+        key = F.when(
+            F.col("c_custkey") % null_mod == 0, F.lit(None).cast("long")
+        ).otherwise(F.col("c_nationkey"))
+        bal = F.col("c_acctbal")
+        if perturb:
+            bal = F.when(F.col("c_custkey") % 10 == 0, bal + 0.01).otherwise(bal)
+        return cust.select(
+            key.alias("region_key"), "c_custkey", bal.alias("c_acctbal")
+        )
+
+    c = SparkCompare(
+        spark,
+        side(37, False),
+        side(41, True),
+        join_columns=["region_key", "c_custkey"],
+        assume_unique=True,
+    )
+    rc = c.row_classes().select("c_custkey", "row_class")
+    m = c.intersect_rows.select(
+        "c_custkey", F.col("c_acctbal_match").alias("acctbal_match")
+    )
+    return rc.join(m, "c_custkey", "left").select(
+        "c_custkey",
+        "row_class",
+        # non-null boolean: engines disagree on how a NULL bool serializes
+        # (None vs NaN), and row_class already disambiguates non-both rows
+        F.coalesce(F.col("acctbal_match"), F.lit(False)).alias("acctbal_match"),
+    )
+
+
+SQL_CMP_NULL_KEYS = """
+WITH df1 AS (
+  SELECT CASE WHEN c_custkey % 37 = 0 THEN NULL ELSE c_nationkey END AS region_key,
+         c_custkey, c_acctbal
+  FROM customer),
+df2 AS (
+  SELECT CASE WHEN c_custkey % 41 = 0 THEN NULL ELSE c_nationkey END AS region_key,
+         c_custkey,
+         CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 0.01 ELSE c_acctbal END AS c_acctbal
+  FROM customer),
+j AS (
+  SELECT COALESCE(df1.c_custkey, df2.c_custkey) AS c_custkey,
+    df1.c_custkey IS NOT NULL AS in1, df2.c_custkey IS NOT NULL AS in2,
+    (df1.c_acctbal IS NOT DISTINCT FROM df2.c_acctbal) AS m
+  FROM df1 FULL OUTER JOIN df2
+    ON df1.region_key IS NOT DISTINCT FROM df2.region_key
+   AND df1.c_custkey = df2.c_custkey)
+SELECT c_custkey,
+  CASE WHEN NOT in2 THEN 'left_only'
+       WHEN NOT in1 THEN 'right_only'
+       ELSE 'both' END AS row_class,
+  coalesce(CASE WHEN in1 AND in2 THEN m END, FALSE) AS acctbal_match
+FROM j"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -489,6 +556,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cmp_string_timestamp_cast": q_cmp_string_timestamp_cast,
     "cmp_bool_numeric": q_cmp_bool_numeric,
     "cmp_array_equal": q_cmp_array_equal,
+    "cmp_null_keys": q_cmp_null_keys,
     **PIPELINE_QUERIES,
 }
 
@@ -502,5 +570,6 @@ ORACLES: Dict[str, str] = {
     "cmp_string_timestamp_cast": SQL_CMP_STRING_TS_CAST,
     "cmp_bool_numeric": SQL_CMP_BOOL_NUMERIC,
     "cmp_array_equal": SQL_CMP_ARRAY_EQUAL,
+    "cmp_null_keys": SQL_CMP_NULL_KEYS,
     **PIPELINE_ORACLES,
 }
