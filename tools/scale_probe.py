@@ -87,8 +87,46 @@ def main() -> int:
         if t1 is None:
             t1 = el
         print(
-            f"x{mult:<3d} rows={n:>9,d}  sec={el:7.2f}  rows/s={n/el:>10,.0f}"
-            f"  vs_x1={el/t1:5.2f} (linear => ~{mult})",
+            f"compare x{mult:<3d} rows={n:>10,d}  sec={el:7.2f}"
+            f"  rows/s={n/el:>10,.0f}  vs_x1={el/t1:5.2f} (linear => ~{mult})",
+            flush=True,
+        )
+
+    # ---- dedup scaling: minhash-LSH pairs over a corpus scaled by copies
+    # with per-copy DISJOINT vocabulary (every token suffixed by the copy
+    # index), so each copy contributes the same within-copy near-dup
+    # structure and zero cross-copy similarity — pair output scales
+    # linearly, as a real corpus's would.
+    from datacompy_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    t1 = None
+    for mult in muls:
+        parts = []
+        for i in range(mult):
+            parts.append(
+                docs.select(
+                    (F.col("doc_id") + F.lit(10_000_000 * i)).alias("doc_id"),
+                    F.regexp_replace(
+                        F.col("text"), r"(\S+)", r"$1" + f"_c{i}"
+                    ).alias("text"),
+                )
+            )
+        corpus = parts[0]
+        for p in parts[1:]:
+            corpus = corpus.unionAll(p)
+        n = corpus.count()
+        t0 = time.perf_counter()
+        n_pairs = minhash_lsh_pairs(
+            corpus, "doc_id", "text", num_hashes=16, bands=4, shingle_k=3,
+            threshold=0.3,
+        ).count()
+        el = time.perf_counter() - t0
+        if t1 is None:
+            t1 = el
+        print(
+            f"minhash x{mult:<3d} docs={n:>9,d}  pairs={n_pairs:>8,d}"
+            f"  sec={el:7.2f}  vs_x1={el/t1:5.2f} (linear => ~{mult})",
             flush=True,
         )
     spark.stop()
