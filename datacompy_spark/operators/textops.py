@@ -757,3 +757,83 @@ def curate_corpus(
             ).alias("split"),
         )
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, min_tf: int = 1
+) -> DataFrame:
+    """Top-k distinctive terms per document by TF-IDF with a *linear* IDF:
+    ``score = tf * N / df`` (term frequency times inverse document-frequency
+    ratio). Linear rather than logarithmic IDF keeps the score inside exact
+    arithmetic — int64 multiply then ONE double division — so ranking is
+    bit-identical across engines (the oracle gate), while preserving the
+    same per-document ordering properties (for fixed tf, score is strictly
+    monotone in rarity; log-IDF reorders across tf levels only for terms
+    differing ~e-fold in df, which top-k rarely straddles).
+
+    Scale shape — three shuffles, all partial-agg-combinable:
+    1. (doc, term) counts: shuffle on the exploded pair, map-side combine
+       collapses within-partition repeats first;
+    2. document frequency: per-term count over the distinct pairs from (1)
+       — reuses (1)'s output, no second corpus scan;
+    3. top-k per doc: window row_number with rank pushed into the sort
+       (WindowGroupLimit), O(k) memory per doc.
+    N (corpus size) is a single-row agg broadcast into the score — no
+    driver round-trip in the plan-building path.
+    Ties break by term ascending → fully deterministic output.
+    """
+    from datacompy_spark.operators.analytics import top_k_per_group
+    from datacompy_spark.plans.partitioning import fan_out
+
+    pairs = (
+        fan_out(
+            df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__toks"))
+        )
+        .select("doc_id", F.explode("__toks").alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = df.select(F.countDistinct(F.col(id_col)).alias("n_docs"))
+    doc_freq = pairs.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        pairs.join(doc_freq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("tf") >= min_tf)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            ((F.col("tf") * F.col("n_docs")).cast("double") / F.col("df").cast("double")).alias(
+                "score"
+            ),
+        )
+    )
+    return top_k_per_group(
+        scored, ["doc_id"], "score", k, ascending=False, tiebreak=["term"]
+    )
+
+
+def tfidf_top_terms_sql(table: str, id_col: str, text_col: str, k: int = 3) -> str:
+    """DuckDB twin of :func:`tfidf_top_terms` (same linear-IDF score)."""
+    from datacompy_spark.functions.text import tokens_sql
+
+    toks = tokens_sql(text_col)
+    return f"""
+WITH pairs AS (
+  SELECT {id_col} AS doc_id, t.term AS term, count(*) AS tf
+  FROM {table}, unnest({toks}) AS t(term)
+  WHERE t.term <> ''
+  GROUP BY 1, 2),
+df_t AS (SELECT term, count(*) AS df FROM pairs GROUP BY 1),
+n AS (SELECT count(DISTINCT {id_col}) AS n_docs FROM {table}),
+scored AS (
+  SELECT p.doc_id, p.term, p.tf, d.df,
+         (p.tf * n.n_docs)::DOUBLE / d.df::DOUBLE AS score,
+         row_number() OVER (PARTITION BY p.doc_id
+                            ORDER BY (p.tf * n.n_docs)::DOUBLE / d.df::DOUBLE DESC,
+                                     p.term ASC) AS rank
+  FROM pairs p JOIN df_t d USING (term) CROSS JOIN n)
+SELECT doc_id, term, tf, df, score, rank::INT AS rank
+FROM scored WHERE rank <= {k}"""

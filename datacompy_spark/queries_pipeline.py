@@ -1173,6 +1173,202 @@ SQL_STRATIFIED_SAMPLE = TO.stratified_sample_sql(
 )
 
 
+# ------------------------------------------------------- snapshot CDC
+
+#: deterministic "v2" perturbation of orders shared by Spark and SQL:
+#: deletes (key % 101 = 0), price/priority updates, and inserts with
+#: negated keys (guaranteed absent from v1).
+_ORDERS_V2_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+  CASE WHEN o_orderkey % 7 = 3 THEN o_totalprice + 1.0::DOUBLE ELSE o_totalprice END AS o_totalprice,
+  o_orderdate,
+  CASE WHEN o_orderkey % 11 = 4 THEN 'RECHECK' ELSE o_orderpriority END AS o_orderpriority
+FROM orders WHERE o_orderkey % 101 <> 0
+UNION ALL
+SELECT -o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+FROM orders WHERE o_orderkey % 97 = 5"""
+
+_ORDERS_CMP_COLS = [
+    "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority",
+]
+
+
+def _orders_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    mutated = o.filter(F.col("o_orderkey") % 101 != 0).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderkey") % 7 == 3, F.col("o_totalprice") + F.lit(1.0)
+        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        "o_orderdate",
+        F.when(F.col("o_orderkey") % 11 == 4, F.lit("RECHECK"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("o_orderpriority"),
+    )
+    inserted = o.filter(F.col("o_orderkey") % 97 == 5).select(
+        (-F.col("o_orderkey")).alias("o_orderkey"), *_ORDERS_CMP_COLS
+    )
+    return mutated.unionByName(inserted)
+
+
+def q_cdc_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture feed between two snapshots of orders: one
+    null-safe full-outer key join, change classification + changed-column
+    set in the same stage (operators/cdc.py)."""
+    from datacompy_spark.operators.cdc import snapshot_cdc
+
+    old = load_table(spark, sf_dir, "orders")
+    return snapshot_cdc(old, _orders_v2(spark, sf_dir), keys=["o_orderkey"])
+
+
+def _sql_cdc_delta() -> str:
+    pairs = ",\n    ".join(
+        f"o.{c} AS {c}_old, n.{c} AS {c}_new" for c in _ORDERS_CMP_COLS
+    )
+    changed_items = ", ".join(
+        f"CASE WHEN o.{c} IS DISTINCT FROM n.{c} THEN '{c}' END"
+        for c in _ORDERS_CMP_COLS
+    )
+    return f"""
+WITH v2 AS ({_ORDERS_V2_SQL}),
+j AS (
+  SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+    (o.o_orderkey IS NOT NULL) AS in_old, (n.o_orderkey IS NOT NULL) AS in_new,
+    CASE WHEN o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+         THEN list_sort(list_filter([{changed_items}], x -> x IS NOT NULL))
+         ELSE []::VARCHAR[] END AS changed_cols,
+    {pairs}
+  FROM orders o FULL OUTER JOIN v2 n ON o.o_orderkey = n.o_orderkey)
+SELECT o_orderkey,
+  CASE WHEN NOT in_old THEN 'insert'
+       WHEN NOT in_new THEN 'delete'
+       ELSE 'update' END AS change_type,
+  changed_cols,
+  {", ".join(f"{c}_old" for c in _ORDERS_CMP_COLS)},
+  {", ".join(f"{c}_new" for c in _ORDERS_CMP_COLS)}
+FROM j
+WHERE NOT in_old OR NOT in_new OR len(changed_cols) > 0"""
+
+
+SQL_CDC_DELTA = _sql_cdc_delta()
+
+
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention over the events stream
+    (operators/analytics.py — epoch-week buckets, two partial-agg shuffles)."""
+    from datacompy_spark.operators.analytics import retention_cohorts
+
+    ev = load_table(spark, sf_dir, "events")
+    return retention_cohorts(ev, "user_id", "ts", period_seconds=604_800)
+
+
+SQL_EVENTS_RETENTION = """
+WITH pu AS (
+  SELECT user_id, (epoch(ts)::BIGINT // 604800) AS period FROM events),
+first AS (
+  SELECT user_id, min(period) AS cohort_period FROM pu GROUP BY 1)
+SELECT f.cohort_period,
+       p.period - f.cohort_period AS period_offset,
+       count(DISTINCT p.user_id) AS n_users
+FROM pu p JOIN first f USING (user_id)
+GROUP BY 1, 2"""
+
+
+def q_top_parts_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 parts per supplier by shipped quantity — the generic windowed
+    top-k-per-group operator (rank pushed into the sort, O(k) per group).
+    Quantities are summed as DECIMAL (exact, order-independent) and cast to
+    double only at the end."""
+    from datacompy_spark.operators.analytics import top_k_per_group
+
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_qty")
+    )
+    return top_k_per_group(
+        per_part, ["l_suppkey"], "total_qty", k=3, tiebreak=["l_partkey"]
+    )
+
+
+SQL_TOP_PARTS = """
+WITH per_part AS (
+  SELECT l_suppkey, l_partkey,
+         sum(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE AS total_qty
+  FROM lineitem GROUP BY 1, 2)
+SELECT l_suppkey, l_partkey, total_qty,
+       row_number() OVER (PARTITION BY l_suppkey
+                          ORDER BY total_qty DESC, l_partkey ASC)::INT AS rank
+FROM per_part
+QUALIFY rank <= 3"""
+
+
+def q_drift_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin distribution drift of l_quantity between two lineitem
+    snapshots (operators/analytics.py::histogram_drift). psi_term is
+    excluded from the oracle projection only because its ln() is not
+    bit-stable cross-engine; the per-bin counts/proportions/tv terms are
+    exact arithmetic."""
+    from datacompy_spark.operators.analytics import histogram_drift
+
+    li = load_table(spark, sf_dir, "lineitem")
+    v2 = li.filter(F.col("l_orderkey") % 5 != 0).select(
+        F.when(F.col("l_partkey") % 3 == 0, F.col("l_quantity") + F.lit(5.0))
+        .otherwise(F.col("l_quantity"))
+        .alias("l_quantity")
+    )
+    hist = histogram_drift(li, v2, "l_quantity", lo=0.0, hi=50.0, bins=10)
+    return hist.select(
+        "bin", "lo_edge", "hi_edge", "n_old", "n_new", "p_old", "p_new", "tv_term"
+    )
+
+
+SQL_DRIFT_HISTOGRAM = """
+WITH v2 AS (
+  SELECT CASE WHEN l_partkey % 3 = 0 THEN l_quantity + 5.0::DOUBLE ELSE l_quantity END AS l_quantity
+  FROM lineitem WHERE l_orderkey % 5 <> 0),
+binned_old AS (
+  SELECT CASE WHEN l_quantity IS NULL THEN NULL
+              WHEN l_quantity < 0.0 THEN -1
+              WHEN l_quantity >= 50.0 THEN 10
+              ELSE least(9, floor((l_quantity - 0.0) / 5.0)::INT) END AS bin,
+         count(*) AS n_old
+  FROM lineitem GROUP BY 1),
+binned_new AS (
+  SELECT CASE WHEN l_quantity IS NULL THEN NULL
+              WHEN l_quantity < 0.0 THEN -1
+              WHEN l_quantity >= 50.0 THEN 10
+              ELSE least(9, floor((l_quantity - 0.0) / 5.0)::INT) END AS bin,
+         count(*) AS n_new
+  FROM v2 GROUP BY 1),
+j AS (
+  SELECT coalesce(o.bin, n.bin) AS bin,
+         coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new
+  FROM binned_old o FULL OUTER JOIN binned_new n ON o.bin IS NOT DISTINCT FROM n.bin),
+t AS (SELECT sum(n_old) AS t_old, sum(n_new) AS t_new FROM j)
+SELECT bin,
+  0.0::DOUBLE + bin * 5.0::DOUBLE AS lo_edge,
+  0.0::DOUBLE + (bin + 1) * 5.0::DOUBLE AS hi_edge,
+  n_old, n_new,
+  n_old::DOUBLE / t_old::DOUBLE AS p_old,
+  n_new::DOUBLE / t_new::DOUBLE AS p_new,
+  abs(n_old::DOUBLE / t_old::DOUBLE - n_new::DOUBLE / t_new::DOUBLE) / 2 AS tv_term
+FROM j CROSS JOIN t"""
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 distinctive terms per document by linear-IDF TF-IDF
+    (operators/textops.py::tfidf_top_terms)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TO.tfidf_top_terms(docs, "doc_id", "text", k=3)
+
+
+SQL_TFIDF_TOP_TERMS = TO.tfidf_top_terms_sql("documents", "doc_id", "text", k=3)
+
+
 PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -1214,6 +1410,11 @@ PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_mix": q_corpus_mix,
     "events_funnel": q_events_funnel,
     "curate_corpus": q_curate_corpus,
+    "cdc_delta": q_cdc_delta,
+    "events_retention": q_events_retention,
+    "top_parts_per_supplier": q_top_parts_per_supplier,
+    "drift_histogram": q_drift_histogram,
+    "tfidf_top_terms": q_tfidf_top_terms,
 }
 
 PIPELINE_ORACLES: Dict[str, str] = {
@@ -1257,4 +1458,9 @@ PIPELINE_ORACLES: Dict[str, str] = {
     "corpus_mix": SQL_CORPUS_MIX,
     "events_funnel": SQL_EVENTS_FUNNEL,
     "curate_corpus": SQL_CURATE_CORPUS,
+    "cdc_delta": SQL_CDC_DELTA,
+    "events_retention": SQL_EVENTS_RETENTION,
+    "top_parts_per_supplier": SQL_TOP_PARTS,
+    "drift_histogram": SQL_DRIFT_HISTOGRAM,
+    "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
 }

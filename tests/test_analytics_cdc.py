@@ -1,0 +1,180 @@
+"""Tests for the round-5 analytics/CDC extension operators:
+snapshot CDC (+ round-trip replay property), top-k per group, cohort
+retention, histogram drift, TF-IDF top terms."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from datacompy_spark.operators.analytics import (
+    drift_scores,
+    histogram_drift,
+    retention_cohorts,
+    top_k_per_group,
+)
+from datacompy_spark.operators.cdc import apply_changes, cdc_summary, snapshot_cdc
+from datacompy_spark.operators.textops import tfidf_top_terms
+
+
+@pytest.fixture(scope="module")
+def snapshots(spark):
+    old = spark.createDataFrame(
+        [
+            Row(k=1, a="x", b=10.0),
+            Row(k=2, a="y", b=20.0),
+            Row(k=3, a="z", b=30.0),
+            Row(k=None, a="n", b=0.0),  # NULL key must pair null-safely
+        ]
+    )
+    new = spark.createDataFrame(
+        [
+            Row(k=1, a="x", b=10.0),       # unchanged
+            Row(k=2, a="y2", b=20.0),      # update: a
+            Row(k=None, a="n", b=99.0),    # update on NULL key: b
+            Row(k=4, a="w", b=40.0),       # insert
+            # k=3 deleted
+        ]
+    )
+    return old, new
+
+
+class TestSnapshotCDC:
+    def test_classification_and_changed_cols(self, spark, snapshots):
+        old, new = snapshots
+        feed = {r["k"]: r for r in snapshot_cdc(old, new, ["k"]).collect()}
+        assert set(feed) == {2, 3, 4, None}
+        assert feed[2]["change_type"] == "update"
+        assert feed[2]["changed_cols"] == ["a"]
+        assert feed[2]["a_old"] == "y" and feed[2]["a_new"] == "y2"
+        assert feed[3]["change_type"] == "delete" and feed[3]["changed_cols"] == []
+        assert feed[4]["change_type"] == "insert"
+        assert feed[None]["change_type"] == "update"
+        assert feed[None]["changed_cols"] == ["b"]
+
+    def test_include_unchanged(self, spark, snapshots):
+        old, new = snapshots
+        feed = snapshot_cdc(old, new, ["k"], include_unchanged=True)
+        kinds = dict(
+            feed.groupBy("change_type").count().rdd.map(tuple).collect()
+        )
+        assert kinds == {"insert": 1, "delete": 1, "update": 2, "unchanged": 1}
+
+    def test_round_trip_replay(self, spark, snapshots):
+        """apply_changes(old, cdc(old,new)) must reproduce new exactly."""
+        old, new = snapshots
+        feed = snapshot_cdc(old, new, ["k"])
+        rebuilt = apply_changes(old, feed, ["k"], ["a", "b"])
+        def canon(df):
+            return sorted(map(tuple, df.select("k", "a", "b").collect()),
+                          key=lambda t: (t[0] is None, t))
+        assert canon(rebuilt) == canon(new)
+
+    def test_summary(self, spark, snapshots):
+        old, new = snapshots
+        s = dict(
+            cdc_summary(snapshot_cdc(old, new, ["k"])).rdd.map(tuple).collect()
+        )
+        assert s["insert"] == 1 and s["delete"] == 1 and s["update"] == 2
+        assert s["updated:a"] == 1 and s["updated:b"] == 1
+
+    def test_single_shuffle_plan(self, spark, snapshots):
+        """The CDC join must be ONE join (no per-column re-joins)."""
+        old, new = snapshots
+        plan = snapshot_cdc(old, new, ["k"])._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") == 1
+
+
+class TestTopKPerGroup:
+    def test_basic_and_ties(self, spark):
+        df = spark.createDataFrame(
+            [Row(g=1, v=5, t="b"), Row(g=1, v=5, t="a"), Row(g=1, v=3, t="c"),
+             Row(g=2, v=9, t="z")]
+        )
+        out = top_k_per_group(df, ["g"], "v", k=2, tiebreak=["t"]).collect()
+        got = {(r["g"], r["rank"]): (r["v"], r["t"]) for r in out}
+        # tie on v=5 broken by t ascending
+        assert got[(1, 1)] == (5, "a") and got[(1, 2)] == (5, "b")
+        assert got[(2, 1)] == (9, "z") and len(out) == 3
+
+    def test_group_limit_pushdown(self, spark, lineitem):
+        """Spark should push the rank filter into the sort (WindowGroupLimit)
+        so no group fully materializes — the O(k)-per-group contract."""
+        agg = lineitem.groupBy("l_suppkey", "l_partkey").agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("q")
+        )
+        out = top_k_per_group(agg, ["l_suppkey"], "q", k=3, tiebreak=["l_partkey"])
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" in plan
+
+
+class TestRetention:
+    def test_synthetic_cohorts(self, spark):
+        import datetime as dt
+
+        def ts(day):
+            return dt.datetime(2024, 1, day, 12, 0, 0)
+
+        ev = spark.createDataFrame(
+            [
+                Row(user_id=1, ts=ts(1)), Row(user_id=1, ts=ts(8)),   # wk0, wk1
+                Row(user_id=2, ts=ts(1)), Row(user_id=2, ts=ts(2)),   # wk0 twice
+                Row(user_id=3, ts=ts(8)),                             # later cohort
+            ]
+        )
+        out = retention_cohorts(ev, "user_id", "ts")
+        got = {(r["cohort_period"] , r["period_offset"]): r["n_users"] for r in out.collect()}
+        cohorts = sorted({c for c, _ in got})
+        c0, c1 = cohorts[0], cohorts[-1]
+        assert got[(c0, 0)] == 2        # users 1,2 in their first week
+        assert got[(c0, 1)] == 1        # user 1 returned
+        assert got[(c1, 0)] == 1        # user 3's own cohort
+        # distinct counting: user 2's two wk-0 events count once
+        assert sum(got.values()) == 4
+
+
+class TestHistogramDrift:
+    def test_bins_and_scores(self, spark):
+        old = spark.range(0, 100).select(F.col("id").cast("double").alias("x"))
+        new = spark.range(0, 100).select((F.col("id").cast("double") + 50).alias("x"))
+        hist = histogram_drift(old, new, "x", lo=0.0, hi=100.0, bins=10)
+        rows = {r["bin"]: r for r in hist.collect()}
+        assert rows[0]["n_old"] == 10 and rows[0]["n_new"] == 0
+        assert rows[10]["n_new"] == 50  # overflow bin catches x >= hi
+        assert abs(rows[0]["p_old"] - 0.1) < 1e-12
+        scores = drift_scores(hist).collect()[0]
+        assert abs(scores["tv_distance"] - 0.5) < 1e-12  # half the mass moved
+        assert scores["psi"] > 0
+
+    def test_identical_snapshots_zero_drift(self, spark):
+        df = spark.range(0, 1000).select(F.col("id").cast("double").alias("x"))
+        s = drift_scores(histogram_drift(df, df, "x", 0.0, 1000.0, 10)).collect()[0]
+        assert s["tv_distance"] == 0.0
+        assert abs(s["psi"]) < 1e-9
+
+    def test_two_scans_only(self, spark, lineitem):
+        """Each snapshot is scanned exactly once (no data-derived edges pass)."""
+        hist = histogram_drift(lineitem, lineitem, "l_quantity", 0.0, 50.0, 10)
+        plan = hist._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Scan parquet") == 2
+
+
+class TestTfidf:
+    def test_scores_and_ranking(self, spark):
+        docs = spark.createDataFrame(
+            [
+                Row(doc_id=1, text="apple apple banana common"),
+                Row(doc_id=2, text="banana cherry common"),
+                Row(doc_id=3, text="common cherry"),
+            ]
+        )
+        out = tfidf_top_terms(docs, "doc_id", "text", k=2)
+        by_doc = {}
+        for r in out.collect():
+            by_doc.setdefault(r["doc_id"], []).append((r["rank"], r["term"], r["score"]))
+        top1 = {d: sorted(v)[0][1] for d, v in by_doc.items()}
+        # doc 1: apple tf=2 df=1 → score 6; doc 3's rarest is cherry (df 2)
+        assert top1[1] == "apple"
+        r1 = [x for x in by_doc[1] if x[1] == "apple"][0]
+        assert r1[2] == pytest.approx(2 * 3 / 1)
+        # 'common' (df=3, idf ratio 1) never beats a rarer same-tf term
+        assert top1[2] == "banana" and top1[3] == "cherry"
+        assert all(len(v) <= 2 for v in by_doc.values())
