@@ -273,6 +273,46 @@ def build_parser() -> argparse.ArgumentParser:
         "--spark-app-name", default="datacompy-spark-cli", metavar="NAME",
         help="Spark application name",
     )
+
+    # cdc: keyed snapshot diff → insert/delete/update feed. Extension beyond
+    # the reference CLI (compare reports mismatches; cdc emits a replayable
+    # change feed).
+    cd = sub.add_parser(
+        "cdc",
+        help="diff two keyed snapshots into an insert/delete/update change "
+        "feed written as parquet; summary JSON on stdout",
+        parents=[debug_parent],
+    )
+    cd.add_argument("--old", required=True, help="old snapshot: file path or table name")
+    cd.add_argument("--new", required=True, help="new snapshot: file path or table name")
+    cd.add_argument(
+        "--keys", required=True, help="comma-separated primary-key column list"
+    )
+    cd.add_argument(
+        "--columns",
+        help="comma-separated subset of columns to compare (default: all "
+        "non-key columns present in both snapshots)",
+    )
+    cd.add_argument(
+        "--export", metavar="PATH", required=True,
+        help="write the change feed to PATH as parquet",
+    )
+    cd.add_argument(
+        "--include-unchanged", action="store_true",
+        help="also emit rows whose key exists in both snapshots with no "
+        "changed columns (tagged 'unchanged')",
+    )
+    cd.add_argument(
+        "--fail-on-change", action="store_true",
+        help="exit 1 when the feed is non-empty (CI drift gate)",
+    )
+    cd.add_argument("--quiet", action="store_true", help="suppress the summary line")
+    cd.add_argument("--input-format", choices=["csv", "parquet", "json", "jsonl", "orc"])
+    cd.add_argument("--delimiter", default=",", help="CSV delimiter")
+    cd.add_argument(
+        "--spark-app-name", default="datacompy-spark-cli", metavar="NAME",
+        help="Spark application name",
+    )
     return p
 
 
@@ -541,6 +581,72 @@ def run_dedup(args) -> int:
             spark.stop()
 
 
+def run_cdc(args) -> int:
+    import json
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from datacompy_spark.operators.cdc import snapshot_cdc
+    from datacompy_spark.sources.loaders import load
+
+    keys = [c.strip() for c in args.keys.split(",") if c.strip()]
+    if not keys:
+        raise CLIError("--keys must name at least one column")
+    created = SparkSession.getActiveSession() is None
+    spark = SparkSession.builder.appName(args.spark_app_name).getOrCreate()
+    try:
+        kwargs = {"delimiter": args.delimiter} if args.input_format == "csv" else {}
+        try:
+            old = load(spark, args.old, fmt=args.input_format, **kwargs)
+            new = load(spark, args.new, fmt=args.input_format, **kwargs)
+        except Exception as ex:
+            raise CLIError(f"failed to load inputs: {ex}") from ex
+        for k in keys:
+            if k not in old.columns or k not in new.columns:
+                raise CLIError(f"key column {k!r} not present in both snapshots")
+        if args.columns:
+            cmp_cols = [c.strip() for c in args.columns.split(",") if c.strip()]
+            missing = [c for c in cmp_cols if c not in old.columns or c not in new.columns]
+            if missing:
+                raise CLIError(f"compare columns not in both snapshots: {missing}")
+        else:
+            cmp_cols = [
+                c for c in old.columns if c not in keys and c in set(new.columns)
+            ]
+        try:
+            feed = snapshot_cdc(
+                old, new, keys, cmp_cols, include_unchanged=args.include_unchanged
+            )
+            feed.write.mode("overwrite").parquet(args.export)
+            written = spark.read.parquet(args.export)
+            counts = dict(
+                written.groupBy("change_type").count().rdd.map(tuple).collect()
+            )
+        except CLIError:
+            raise
+        except Exception as ex:
+            raise CLIError(str(ex)) from ex
+        n_changes = sum(v for k, v in counts.items() if k != "unchanged")
+        if not args.quiet:
+            print(
+                json.dumps(
+                    {
+                        "keys": keys,
+                        "inserts": counts.get("insert", 0),
+                        "deletes": counts.get("delete", 0),
+                        "updates": counts.get("update", 0),
+                        "unchanged": counts.get("unchanged", 0),
+                        "export": args.export,
+                    }
+                )
+            )
+        return 1 if (args.fail_on_change and n_changes) else 0
+    finally:
+        if created:
+            spark.stop()
+
+
 def main(argv: Optional[Sequence[str]] = None) -> int:
     parser = build_parser()
     args = parser.parse_args(argv)
@@ -553,6 +659,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             return run_profile(args)
         if args.command == "dedup":
             return run_dedup(args)
+        if args.command == "cdc":
+            return run_cdc(args)
         raise CLIError(f"unknown command {args.command!r}")
     except CLIError as ex:
         print(f"error: {ex}", file=sys.stderr)

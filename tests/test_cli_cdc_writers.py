@@ -1,0 +1,107 @@
+"""CLI cdc subcommand + partitioned writer sink tests."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from datacompy_spark.cli import main
+from datacompy_spark.sources.loaders import write_partitioned
+
+
+@pytest.fixture()
+def snapshots(spark, tmp_path):
+    old_p, new_p = str(tmp_path / "old.parquet"), str(tmp_path / "new.parquet")
+    spark.createDataFrame(
+        [Row(k=1, v="a", n=1.0), Row(k=2, v="b", n=2.0), Row(k=3, v="c", n=3.0)]
+    ).write.parquet(old_p)
+    spark.createDataFrame(
+        [Row(k=1, v="a", n=1.0), Row(k=2, v="B", n=2.0), Row(k=4, v="d", n=4.0)]
+    ).write.parquet(new_p)
+    return old_p, new_p
+
+
+class TestCliCdc:
+    def test_feed_and_summary(self, spark, snapshots, tmp_path, capsys):
+        old_p, new_p = snapshots
+        out = str(tmp_path / "feed")
+        rc = main(["cdc", "--old", old_p, "--new", new_p, "--keys", "k",
+                   "--export", out])
+        assert rc == 0
+        summary = json.loads(capsys.readouterr().out.strip())
+        assert summary["inserts"] == 1      # k=4
+        assert summary["deletes"] == 1      # k=3
+        assert summary["updates"] == 1      # k=2 (v changed)
+        feed = {r["k"]: r for r in spark.read.parquet(out).collect()}
+        assert feed[2]["changed_cols"] == ["v"]
+
+    def test_fail_on_change_gate(self, snapshots, tmp_path, capsys):
+        old_p, new_p = snapshots
+        rc = main(["cdc", "--old", old_p, "--new", new_p, "--keys", "k",
+                   "--export", str(tmp_path / "f1"), "--fail-on-change"])
+        assert rc == 1
+        capsys.readouterr()
+        # identical snapshots → empty feed → gate passes
+        rc = main(["cdc", "--old", old_p, "--new", old_p, "--keys", "k",
+                   "--export", str(tmp_path / "f2"), "--fail-on-change"])
+        assert rc == 0
+        assert json.loads(capsys.readouterr().out.strip())["updates"] == 0
+
+    def test_column_subset_and_errors(self, snapshots, tmp_path, capsys):
+        old_p, new_p = snapshots
+        # comparing only n: the v-change at k=2 disappears from the feed
+        rc = main(["cdc", "--old", old_p, "--new", new_p, "--keys", "k",
+                   "--columns", "n", "--export", str(tmp_path / "f3")])
+        assert rc == 0
+        assert json.loads(capsys.readouterr().out.strip())["updates"] == 0
+        # bad key column → exit 2, no traceback
+        rc = main(["cdc", "--old", old_p, "--new", new_p, "--keys", "nope",
+                   "--export", str(tmp_path / "f4")])
+        assert rc == 2
+
+    def test_cli_flags_map_to_operator_kwargs(self):
+        """Drift guard (mirrors the compare-subcommand guard): every cdc
+        run-path kwarg is a real snapshot_cdc parameter."""
+        import inspect
+
+        from datacompy_spark.operators.cdc import snapshot_cdc
+
+        params = set(inspect.signature(snapshot_cdc).parameters)
+        assert {"old", "new", "keys", "compare_cols", "include_unchanged"} <= params
+
+
+class TestWritePartitioned:
+    def test_layout_pruning_and_file_caps(self, spark, tmp_path):
+        df = spark.range(0, 1000).select(
+            F.col("id"),
+            (F.col("id") % 4).alias("part"),
+            (F.col("id") % 7).alias("v"),
+        )
+        out = str(tmp_path / "partitioned")
+        write_partitioned(df, out, "part", sort_columns="v", max_records_per_file=100)
+        # hive layout: one directory per key
+        dirs = sorted(d for d in os.listdir(out) if d.startswith("part="))
+        assert dirs == ["part=0", "part=1", "part=2", "part=3"]
+        # maxRecordsPerFile honored: 250 rows/partition → ≥3 files each
+        files = [f for f in os.listdir(f"{out}/part=0") if f.endswith(".parquet")]
+        assert len(files) >= 3
+        back = spark.read.parquet(out)
+        assert back.count() == 1000
+        # partition pruning visible in the plan for a key filter
+        plan = (
+            back.filter(F.col("part") == 2)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "PartitionFilters: [isnotnull(part" in plan
+
+    def test_round_trip_values(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [Row(g="x", v=1), Row(g="y", v=2), Row(g="x", v=3)]
+        )
+        out = str(tmp_path / "p2")
+        write_partitioned(df, out, ["g"])
+        got = sorted(
+            (r["g"], r["v"]) for r in spark.read.parquet(out).collect()
+        )
+        assert got == [("x", 1), ("x", 3), ("y", 2)]
