@@ -270,3 +270,59 @@ def validate_to_sink(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def cdc_to_sink(
+    stream: DataFrame,
+    reference: DataFrame,
+    keys: Sequence[str],
+    feed_path: str,
+    checkpoint_path: str,
+    compare_columns: Optional[Sequence[str]] = None,
+    trigger_available_now: bool = True,
+):
+    """Continuous change-data-capture SINK: each micro-batch of incoming
+    snapshot rows is diffed against the static reference snapshot with the
+    batch ``snapshot_cdc`` operator, and the resulting insert/update feed
+    rows append to ``feed_path`` as parquet with a ``batch_id`` provenance
+    column.
+
+    Semantics: a micro-batch carries a SUBSET of keys (the rows that
+    arrived), so only inserts and updates are meaningful per batch —
+    deletes cannot be distinguished from not-yet-arrived keys and are
+    filtered out; run the batch ``snapshot_cdc`` over the complete
+    snapshots when delete detection matters.
+
+    Same scale/exactly-once profile as ``validate_to_sink``: foreachBatch
+    reuses the batch operator verbatim (one null-safe join per micro-batch,
+    reference broadcast-sized or bucketed), and replayed batches do not
+    double-append thanks to the streaming checkpoint."""
+    from datacompy_spark.operators.cdc import snapshot_cdc
+
+    key_list = list(keys)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        cols = [
+            c
+            for c in (compare_columns or batch_df.columns)
+            if c in reference.columns and c not in key_list
+        ]
+        feed = snapshot_cdc(
+            reference.select(*key_list, *cols),
+            batch_df.select(*key_list, *cols),
+            key_list,
+            cols,
+        ).filter(F.col("change_type") != "delete")
+        feed.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            feed_path
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

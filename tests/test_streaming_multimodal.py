@@ -250,3 +250,45 @@ class TestValidateToSink:
         )
         assert q2.awaitTermination(120)
         assert spark.read.parquet(sink).count() == got.count()
+
+
+class TestCdcToSink:
+    def test_micro_batch_cdc_feed(self, spark, events_dir, tmp_path):
+        ev = spark.read.parquet(events_dir)
+        # reference snapshot: every 10th value shifted (updates expected),
+        # every 7th id missing (inserts expected); deletes are undefined
+        # per-batch and must NOT appear in the feed
+        ref = ev.filter(F.col("event_id") % 7 != 0).select(
+            "event_id",
+            F.when(F.col("event_id") % 10 == 0, F.col("value") + 0.5)
+            .otherwise(F.col("value"))
+            .alias("value"),
+        )
+        stream = spark.readStream.schema(ev.schema).parquet(events_dir)
+        sink, ckpt = str(tmp_path / "feed"), str(tmp_path / "ckpt")
+        q = SD.cdc_to_sink(
+            stream, ref, ["event_id"], sink, ckpt, compare_columns=["value"]
+        )
+        assert q.awaitTermination(120)
+        got = spark.read.parquet(sink)
+        kinds = {
+            r["change_type"]: r["n"]
+            for r in got.groupBy("change_type").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        want_insert = ev.filter(F.col("event_id") % 7 == 0).count()
+        want_update = ev.filter(
+            (F.col("event_id") % 7 != 0) & (F.col("event_id") % 10 == 0)
+        ).count()
+        assert kinds.get("insert", 0) == want_insert
+        assert kinds.get("update", 0) == want_update
+        assert "delete" not in kinds
+        assert "batch_id" in got.columns
+        # updates carry the changed column set
+        upd = got.filter(F.col("change_type") == "update").limit(1).collect()
+        assert upd and upd[0]["changed_cols"] == ["value"]
+        # checkpoint replay: restart adds nothing
+        q2 = SD.cdc_to_sink(
+            stream, ref, ["event_id"], sink, ckpt, compare_columns=["value"]
+        )
+        assert q2.awaitTermination(120)
+        assert spark.read.parquet(sink).count() == got.count()
