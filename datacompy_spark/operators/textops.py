@@ -837,3 +837,75 @@ scored AS (
   FROM pairs p JOIN df_t d USING (term) CROSS JOIN n)
 SELECT doc_id, term, tf, df, score, rank::INT AS rank
 FROM scored WHERE rank <= {k}"""
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the standard
+    preparation step for context-bounded training samples or retrieval
+    passages. ``window`` tokens per chunk, ``stride`` tokens between chunk
+    starts (``stride < window`` ⇒ overlap of ``window - stride``).
+
+    Returns ``doc_id, chunk_id (0-based), n_tokens, chunk_text``. Every
+    document yields ≥1 chunk (short docs yield themselves); the final chunk
+    may be short — no padding, padding belongs to the tokenizer stage.
+
+    Scale shape: one narrow projection + per-row ``sequence``/``explode``
+    (no shuffle at all — chunking is embarrassingly parallel), with the
+    token array staged as a real column so normalization runs once per
+    document, not once per chunk. Output rows ≈ input tokens / stride;
+    partition sizes grow by ~window/stride× — follow with a repartition (or
+    let AQE rebalance) before a wide downstream stage if chunks feed a
+    shuffle.
+    """
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    from datacompy_spark.plans.partitioning import fan_out
+
+    staged = fan_out(
+        df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__toks"))
+    ).withColumn("__n", F.size("__toks"))
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.col("__n") - window) / F.lit(float(stride))).cast("int") + 1,
+    )
+    exploded = staged.select(
+        "doc_id",
+        "__toks",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    chunk = F.slice(F.col("__toks"), F.col("chunk_id") * stride + 1, window)
+    return exploded.select(
+        "doc_id",
+        "chunk_id",
+        F.size(chunk).alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+def chunk_documents_sql(
+    table: str, id_col: str, text_col: str, window: int = 64, stride: int = 48
+) -> str:
+    """DuckDB twin of :func:`chunk_documents`."""
+    from datacompy_spark.functions.text import tokens_sql
+
+    toks = tokens_sql(text_col)
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS doc_id, {toks} AS toks FROM {table}),
+sized AS (
+  SELECT doc_id, toks,
+         greatest(1, ceil((len(toks) - {window}) / {stride}.0)::INT + 1) AS n_chunks
+  FROM base),
+e AS (
+  SELECT doc_id, toks, u.i AS chunk_id
+  FROM sized, unnest(generate_series(0, n_chunks - 1)) AS u(i))
+SELECT doc_id, chunk_id::INT AS chunk_id,
+  len(toks[chunk_id*{stride}+1 : chunk_id*{stride}+{window}])::INT AS n_tokens,
+  array_to_string(toks[chunk_id*{stride}+1 : chunk_id*{stride}+{window}], ' ') AS chunk_text
+FROM e"""

@@ -1369,6 +1369,18 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TFIDF_TOP_TERMS = TO.tfidf_top_terms_sql("documents", "doc_id", "text", k=3)
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (64-token window, 48 stride) —
+    shuffle-free per-row explode (operators/textops.py::chunk_documents)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TO.chunk_documents(docs, "doc_id", "text", window=64, stride=48)
+
+
+SQL_CHUNK_DOCUMENTS = TO.chunk_documents_sql(
+    "documents", "doc_id", "text", window=64, stride=48
+)
+
+
 PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -1415,6 +1427,7 @@ PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_parts_per_supplier": q_top_parts_per_supplier,
     "drift_histogram": q_drift_histogram,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "chunk_documents": q_chunk_documents,
 }
 
 PIPELINE_ORACLES: Dict[str, str] = {
@@ -1463,4 +1476,5 @@ PIPELINE_ORACLES: Dict[str, str] = {
     "top_parts_per_supplier": SQL_TOP_PARTS,
     "drift_histogram": SQL_DRIFT_HISTOGRAM,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
+    "chunk_documents": SQL_CHUNK_DOCUMENTS,
 }

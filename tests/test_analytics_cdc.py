@@ -178,3 +178,56 @@ class TestTfidf:
         # 'common' (df=3, idf ratio 1) never beats a rarer same-tf term
         assert top1[2] == "banana" and top1[3] == "cherry"
         assert all(len(v) <= 2 for v in by_doc.values())
+
+
+class TestChunkDocuments:
+    def test_overlap_and_coverage(self, spark):
+        from datacompy_spark.operators.textops import chunk_documents
+
+        text = " ".join(f"w{i}" for i in range(10))
+        docs = spark.createDataFrame([Row(doc_id=1, text=text),
+                                      Row(doc_id=2, text="short doc")])
+        out = chunk_documents(docs, "doc_id", "text", window=4, stride=3)
+        rows = sorted(
+            (r["doc_id"], r["chunk_id"], r["n_tokens"], r["chunk_text"])
+            for r in out.collect()
+        )
+        # doc 1: 10 tokens, window 4 stride 3 → ceil((10-4)/3)+1 = 3 chunks
+        d1 = [r for r in rows if r[0] == 1]
+        assert [r[1] for r in d1] == [0, 1, 2]
+        assert d1[0][3] == "w0 w1 w2 w3"
+        assert d1[1][3] == "w3 w4 w5 w6"          # overlap of window-stride=1
+        assert d1[2][3] == "w6 w7 w8 w9"
+        # short doc → exactly one whole-doc chunk
+        d2 = [r for r in rows if r[0] == 2]
+        assert d2 == [(2, 0, 2, "short doc")]
+        # every token position is covered by some chunk
+        covered = set()
+        for _, cid, _, txt in d1:
+            covered.update(txt.split())
+        assert len(covered) == 10
+
+    def test_no_shuffle_plan(self, spark):
+        from datacompy_spark.operators.textops import chunk_documents
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = (
+            chunk_documents(docs, "doc_id", "text")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # chunking is embarrassingly parallel: no hash shuffle (the only
+        # allowed Exchange is fan_out's deliberate round-robin fan-out of a
+        # sub-parallel scan, which disappears at real scale)
+        assert "Exchange hashpartitioning" not in plan
+        assert "SortMergeJoin" not in plan and "HashAggregate" not in plan
+
+    def test_bad_params_rejected(self, spark):
+        import pytest as _pytest
+
+        from datacompy_spark.operators.textops import chunk_documents
+
+        docs = spark.createDataFrame([Row(doc_id=1, text="a b")])
+        with _pytest.raises(ValueError):
+            chunk_documents(docs, "doc_id", "text", window=0)
+        with _pytest.raises(ValueError):
+            chunk_documents(docs, "doc_id", "text", stride=0)

@@ -129,6 +129,47 @@ def main() -> int:
             f"  sec={el:7.2f}  vs_x1={el/t1:5.2f} (linear => ~{mult})",
             flush=True,
         )
+    # ---- CDC scaling: snapshot diff of orders scaled by key-offset copies,
+    # each copy perturbed identically (same delete/update/insert rates), so
+    # the change-feed size grows linearly with the snapshot — the recurring
+    # nightly-diff workload shape.
+    from datacompy_spark.operators.cdc import snapshot_cdc
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    t1 = None
+    for mult in muls:
+        parts = [
+            orders.withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(10_000_000 * i)
+            )
+            for i in range(mult)
+        ]
+        old = parts[0]
+        for p in parts[1:]:
+            old = old.unionAll(p)
+        new = old.filter(F.col("o_orderkey") % 101 != 0).select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.when(F.col("o_orderkey") % 7 == 3, F.col("o_totalprice") + 1.0)
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+            "o_orderdate",
+            F.when(F.col("o_orderkey") % 11 == 4, F.lit("RECHECK"))
+            .otherwise(F.col("o_orderpriority"))
+            .alias("o_orderpriority"),
+        )
+        n = old.count()
+        t0 = time.perf_counter()
+        n_changes = snapshot_cdc(old, new, ["o_orderkey"]).count()
+        el = time.perf_counter() - t0
+        if t1 is None:
+            t1 = el
+        print(
+            f"cdc     x{mult:<3d} rows={n:>10,d}  changes={n_changes:>9,d}"
+            f"  sec={el:7.2f}  vs_x1={el/t1:5.2f} (linear => ~{mult})",
+            flush=True,
+        )
     spark.stop()
     return 0
 
