@@ -327,3 +327,52 @@ def label_centroids(
             F.sum(q).cast("double") / F.lit(float(quantum)) / F.count(F.lit(1))
         ).alias("centroid_val")
     )
+
+
+def quantize_embeddings(
+    df: DataFrame, id_col: str, vec_col: str, bits: int = 8
+) -> DataFrame:
+    """Symmetric per-vector integer quantization of an embedding column —
+    the compression step before a memory-bound ANN index (int8 vectors are
+    4x smaller than float32; dot products on them run in SIMD integer
+    units). ``q_i = floor(x_i * scale + 0.5)`` with
+    ``scale = (2^(bits-1) - 1) / max|x_i|``; the scale rides along for
+    dequantization / asymmetric scoring.
+
+    ``floor(x + 0.5)`` instead of round(): engines disagree on round()'s
+    tie rule (HALF_UP vs banker's), floor is IEEE-exact everywhere — the
+    same determinism rule the centroid operator uses. Zero vectors get
+    scale 0 and an all-zero code. Pure per-row Column expressions: no
+    shuffle, no UDF, embarrassingly parallel at any scale.
+    """
+    qmax = float(2 ** (bits - 1) - 1)
+    amax = F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x))).cast("double")
+    scale = F.when(amax > 0.0, F.lit(qmax) / amax).otherwise(F.lit(0.0))
+    out = df.select(
+        F.col(id_col),
+        scale.alias("scale"),
+        F.col(vec_col).alias("__v"),
+    )
+    return out.select(
+        id_col,
+        "scale",
+        F.transform(
+            F.col("__v"),
+            lambda x: F.floor(x.cast("double") * F.col("scale") + F.lit(0.5)).cast("int"),
+        ).alias("qvec"),
+    )
+
+
+def quantize_embeddings_sql(
+    table: str, id_col: str, vec_col: str, bits: int = 8
+) -> str:
+    """DuckDB twin of :func:`quantize_embeddings`."""
+    qmax = float(2 ** (bits - 1) - 1)
+    amax = f"list_max(list_transform({vec_col}, x -> abs(x)))::DOUBLE"
+    scale = f"CASE WHEN {amax} > 0.0 THEN {qmax}::DOUBLE / {amax} ELSE 0.0::DOUBLE END"
+    return f"""
+WITH scaled AS (
+  SELECT {id_col}, {scale} AS scale, {vec_col} AS v FROM {table})
+SELECT {id_col}, scale,
+  list_transform(v, x -> floor(x::DOUBLE * scale + 0.5)::INT) AS qvec
+FROM scaled"""

@@ -1381,6 +1381,18 @@ SQL_CHUNK_DOCUMENTS = TO.chunk_documents_sql(
 )
 
 
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric quantization of the embeddings table
+    (operators/similarity.py::quantize_embeddings)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.quantize_embeddings(emb, "vec_id", "embedding", bits=8)
+
+
+SQL_EMBEDDING_QUANTIZE = S.quantize_embeddings_sql(
+    "embeddings", "vec_id", "embedding", bits=8
+)
+
+
 PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -1428,6 +1440,7 @@ PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "drift_histogram": q_drift_histogram,
     "tfidf_top_terms": q_tfidf_top_terms,
     "chunk_documents": q_chunk_documents,
+    "embedding_quantize": q_embedding_quantize,
 }
 
 PIPELINE_ORACLES: Dict[str, str] = {
@@ -1477,4 +1490,5 @@ PIPELINE_ORACLES: Dict[str, str] = {
     "drift_histogram": SQL_DRIFT_HISTOGRAM,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
+    "embedding_quantize": SQL_EMBEDDING_QUANTIZE,
 }

@@ -231,3 +231,37 @@ class TestChunkDocuments:
             chunk_documents(docs, "doc_id", "text", window=0)
         with _pytest.raises(ValueError):
             chunk_documents(docs, "doc_id", "text", stride=0)
+
+
+class TestQuantizeEmbeddings:
+    def test_codes_and_dequant_error(self, spark):
+        from datacompy_spark.operators.similarity import quantize_embeddings
+
+        df = spark.createDataFrame(
+            [
+                Row(vec_id=1, embedding=[1.0, -0.5, 0.25]),
+                Row(vec_id=2, embedding=[0.0, 0.0, 0.0]),   # zero vector
+            ],
+            "vec_id long, embedding array<float>",
+        )
+        out = {r["vec_id"]: r for r in
+               quantize_embeddings(df, "vec_id", "embedding").collect()}
+        r1 = out[1]
+        assert r1["scale"] == pytest.approx(127.0)
+        assert r1["qvec"] == [127, -63, 32]       # floor(x*127+0.5)
+        # zero vector: scale 0, all-zero code (no division by zero)
+        assert out[2]["scale"] == 0.0 and out[2]["qvec"] == [0, 0, 0]
+        # dequantization error bounded by half a quantization step
+        deq = [q / r1["scale"] for q in r1["qvec"]]
+        for x, y in zip([1.0, -0.5, 0.25], deq):
+            assert abs(x - y) <= 0.5 / r1["scale"] + 1e-12
+
+    def test_no_shuffle(self, spark):
+        from datacompy_spark.operators.similarity import quantize_embeddings
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        plan = (
+            quantize_embeddings(emb, "vec_id", "embedding")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
