@@ -55,22 +55,31 @@ def snapshot_cdc(
         compare_cols = [c for c in old.columns if c not in keys]
     compare_cols = list(compare_cols)
 
+    # plan aliases (not df[...] references): `new` is routinely DERIVED from
+    # `old` (filter/withColumn on the same scan), which makes attribute-based
+    # references ambiguous under Spark's self-join check — qualified names
+    # through Dataset aliases stay unambiguous regardless of shared lineage
     lhs = old.select(
         *keys,
         F.lit(True).alias("__in_old"),
         *[F.col(c).alias(f"{c}_old") for c in compare_cols],
-    )
+    ).alias("__cdc_l")
     rhs = new.select(
         *keys,
         F.lit(True).alias("__in_new"),
         *[F.col(c).alias(f"{c}_new") for c in compare_cols],
-    )
+    ).alias("__cdc_r")
     # Null-safe key equality: a NULL key component pairs with NULL, matching
     # the engine-wide join semantics (compare.py J1).
-    cond = [lhs[k].eqNullSafe(rhs[k]) for k in keys]
+    cond = [
+        F.col(f"__cdc_l.{k}").eqNullSafe(F.col(f"__cdc_r.{k}")) for k in keys
+    ]
     j = lhs.join(rhs, on=cond, how="full_outer")
 
-    key_cols = [F.coalesce(lhs[k], rhs[k]).alias(k) for k in keys]
+    key_cols = [
+        F.coalesce(F.col(f"__cdc_l.{k}"), F.col(f"__cdc_r.{k}")).alias(k)
+        for k in keys
+    ]
     # array_compact drops the NULL slots left by unchanged columns, giving
     # the sorted changed-column name set as one expression.
     changed = F.array_sort(
@@ -121,9 +130,17 @@ def apply_changes(
     """
     keys = list(keys)
     compare_cols = list(compare_cols)
-    touched = feed.filter(F.col("change_type").isin(DELETE, UPDATE)).select(*keys)
-    cond = [old[k].eqNullSafe(touched[k]) for k in keys]
-    kept = old.join(touched, on=cond, how="left_anti")
+    # same alias discipline as snapshot_cdc: the feed shares lineage with old
+    touched = (
+        feed.filter(F.col("change_type").isin(DELETE, UPDATE))
+        .select(*keys)
+        .alias("__cdc_t")
+    )
+    old_a = old.alias("__cdc_o")
+    cond = [
+        F.col(f"__cdc_o.{k}").eqNullSafe(F.col(f"__cdc_t.{k}")) for k in keys
+    ]
+    kept = old_a.join(touched, on=cond, how="left_anti")
     additions = feed.filter(F.col("change_type").isin(INSERT, UPDATE)).select(
         *keys, *[F.col(f"{c}_new").alias(c) for c in compare_cols]
     )

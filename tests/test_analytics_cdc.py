@@ -76,6 +76,25 @@ class TestSnapshotCDC:
         assert s["insert"] == 1 and s["delete"] == 1 and s["update"] == 2
         assert s["updated:a"] == 1 and s["updated:b"] == 1
 
+    def test_derived_snapshot_same_lineage(self, spark):
+        """new derived from old (shared scan lineage) must not trip Spark's
+        ambiguous-self-join check — the everyday usage shape."""
+        old = spark.range(0, 100).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        new = old.filter(F.col("k") % 10 != 0).withColumn(
+            "v", F.when(F.col("k") % 3 == 0, F.col("v") + 1).otherwise(F.col("v"))
+        )
+        feed = snapshot_cdc(old, new, ["k"])
+        kinds = dict(feed.groupBy("change_type").count().rdd.map(tuple).collect())
+        assert kinds["delete"] == 10
+        # updates = |{k in 0..99 : k%10!=0 and k%3==0}|
+        want_updates = sum(1 for k in range(100) if k % 10 != 0 and k % 3 == 0)
+        assert kinds["update"] == want_updates
+        # round trip still holds on shared lineage
+        rebuilt = apply_changes(old, feed, ["k"], ["v"])
+        assert sorted(map(tuple, rebuilt.collect())) == sorted(map(tuple, new.collect()))
+
     def test_single_shuffle_plan(self, spark, snapshots):
         """The CDC join must be ONE join (no per-column re-joins)."""
         old, new = snapshots
