@@ -26,3 +26,45 @@ def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+def skew_salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with explicit hot-key salting: ``left`` rows get a
+    per-row salt in ``[0, salt)``, ``right`` rows are replicated ``salt``
+    times, and the join runs on ``keys + salt`` — each hot key's rows
+    spread over ``salt`` reducers instead of one. Result is EXACTLY the
+    plain join (the salt only refines the partitioning; every original
+    key pair still meets exactly once).
+
+    Reach for this only after AQE: Spark's adaptive skew-join split
+    (``spark.sql.adaptive.skewJoin.enabled``, on by default with AQE)
+    already splits oversized sort-merge partitions at runtime without the
+    ``salt``× replication cost. Explicit salting remains necessary when
+    (a) the join degenerates to a shuffled-hash join AQE won't split,
+    (b) a single KEY (not partition) exceeds one task's memory so
+    splitting the partition doesn't help, or (c) the skewed side feeds a
+    downstream aggregation that must also avoid the hot reducer.
+    Supported ``how``: inner / left / left_outer (the replicated side must
+    be the one whose rows may duplicate — keep it on the right).
+    """
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(
+            "skew_salted_join supports inner/left joins only; for right/full "
+            "outer, swap the sides or use AQE's skew-join split"
+        )
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    from pyspark.sql import functions as F
+
+    salted_l = left.withColumn(
+        "__salt", (F.monotonically_increasing_id() % salt).cast("int")
+    )
+    salted_r = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)).cast("array<int>"))
+    )
+    return salted_l.join(salted_r, on=keys + ["__salt"], how=how).drop("__salt")

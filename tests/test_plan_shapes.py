@@ -327,3 +327,41 @@ class TestFanOutTopology:
         # a second one would mean the CORPUS side is being shuffled for the
         # join (sort-merge) instead of streaming through the broadcast hash
         assert p.count("hashpartitioning(sh") == 1
+
+
+class TestSkewSaltedJoin:
+    def test_equals_plain_join_on_skewed_keys(self, spark):
+        from pyspark.sql import functions as F
+
+        from datacompy_spark.plans.partitioning import skew_salted_join
+
+        # one hot key (0) carrying 5k rows, plus a long tail
+        left = spark.range(0, 6000).select(
+            F.when(F.col("id") < 5000, F.lit(0)).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 50).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+        )
+        plain = left.join(right, "k").select("k", "v", "w")
+        salted = skew_salted_join(left, right, "k", salt=4).select("k", "v", "w")
+        assert sorted(map(tuple, salted.collect())) == sorted(
+            map(tuple, plain.collect())
+        )
+        # join key includes the salt → hot key spread over `salt` reducers
+        plan = salted._jdf.queryExecution().executedPlan().toString()
+        assert "__salt" in plan
+
+    def test_left_join_and_bad_how(self, spark):
+        import pytest as _pytest
+        from pyspark.sql import functions as F
+
+        from datacompy_spark.plans.partitioning import skew_salted_join
+
+        left = spark.range(0, 10).select(F.col("id").alias("k"))
+        right = spark.range(0, 5).select(F.col("id").alias("k"), F.lit(1).alias("w"))
+        out = skew_salted_join(left, right, "k", salt=3, how="left")
+        assert out.count() == 10  # unmatched left rows survive exactly once
+        assert out.filter(F.col("w").isNull()).count() == 5
+        with _pytest.raises(ValueError):
+            skew_salted_join(left, right, "k", how="full_outer")
