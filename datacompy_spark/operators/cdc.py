@@ -35,6 +35,7 @@ def snapshot_cdc(
     keys: Sequence[str],
     compare_cols: Optional[Sequence[str]] = None,
     include_unchanged: bool = False,
+    null_safe: bool = True,
 ) -> DataFrame:
     """Diff two snapshots keyed by ``keys``.
 
@@ -49,10 +50,23 @@ def snapshot_cdc(
     The key columns must be unique per snapshot (a snapshot IS a keyed
     state); duplicate keys make "the" old/new value ill-defined — use
     ``SparkCompare``'s ordinal pairing for bag semantics instead.
+
+    ``compare_cols`` defaults to the non-key columns present in BOTH
+    snapshots, so schema evolution (a column added or dropped between
+    versions) doesn't break the diff — pair with
+    ``operators.profile.schema_compare`` to report the column-level
+    changes themselves.
+
+    ``null_safe=False`` asserts the key columns contain no NULLs and joins
+    on plain equality: Spark then hashes the raw key (not
+    ``coalesce(key)/isnull(key)`` composites), which is what lets a pair of
+    bucket-sorted snapshots (``sources/loaders.py::write_bucketed``) diff
+    with ZERO Exchange — the recurring nightly-diff fast path.
     """
     keys = list(keys)
     if compare_cols is None:
-        compare_cols = [c for c in old.columns if c not in keys]
+        new_cols = set(new.columns)
+        compare_cols = [c for c in old.columns if c not in keys and c in new_cols]
     compare_cols = list(compare_cols)
 
     # plan aliases (not df[...] references): `new` is routinely DERIVED from
@@ -71,9 +85,12 @@ def snapshot_cdc(
     ).alias("__cdc_r")
     # Null-safe key equality: a NULL key component pairs with NULL, matching
     # the engine-wide join semantics (compare.py J1).
-    cond = [
-        F.col(f"__cdc_l.{k}").eqNullSafe(F.col(f"__cdc_r.{k}")) for k in keys
-    ]
+    if null_safe:
+        cond = [
+            F.col(f"__cdc_l.{k}").eqNullSafe(F.col(f"__cdc_r.{k}")) for k in keys
+        ]
+    else:
+        cond = [F.col(f"__cdc_l.{k}") == F.col(f"__cdc_r.{k}") for k in keys]
     j = lhs.join(rhs, on=cond, how="full_outer")
 
     key_cols = [

@@ -284,3 +284,47 @@ class TestQuantizeEmbeddings:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Exchange" not in plan
+
+
+class TestCdcSchemaEvolutionAndBuckets:
+    def test_default_cols_intersect_on_schema_change(self, spark):
+        """A column added in new (or dropped from old) must not break the
+        diff — default compare set is the intersection."""
+        old = spark.createDataFrame([Row(k=1, a="x", gone="g")])
+        new = spark.createDataFrame([Row(k=1, a="y", added=7)])
+        feed = snapshot_cdc(old, new, ["k"]).collect()
+        assert len(feed) == 1
+        r = feed[0]
+        assert r["change_type"] == "update" and r["changed_cols"] == ["a"]
+        assert "gone_old" not in r.asDict() and "added_new" not in r.asDict()
+
+    def test_bucketed_snapshots_diff_with_zero_exchange(self, spark, tmp_path):
+        """null_safe=False + both snapshots bucket-sorted on the key ⇒ the
+        CDC full-outer sort-merge join plans with no Exchange at all — the
+        recurring nightly-diff fast path."""
+        from pyspark.sql import functions as F
+
+        from datacompy_spark.sources.loaders import write_bucketed
+
+        base = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") % 7).cast("double").alias("v")
+        )
+        write_bucketed(base, "cdc_old", ["k"], num_buckets=4)
+        write_bucketed(
+            base.filter(F.col("k") % 10 != 0), "cdc_new", ["k"], num_buckets=4
+        )
+        try:
+            feed = snapshot_cdc(
+                spark.table("cdc_old"), spark.table("cdc_new"), ["k"],
+                null_safe=False,
+            )
+            plan = feed._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            assert "SortMergeJoin" in plan
+            kinds = dict(
+                feed.groupBy("change_type").count().rdd.map(tuple).collect()
+            )
+            assert kinds == {"delete": 100}
+        finally:
+            spark.sql("DROP TABLE IF EXISTS cdc_old")
+            spark.sql("DROP TABLE IF EXISTS cdc_new")
