@@ -1381,6 +1381,47 @@ SQL_CHUNK_DOCUMENTS = TO.chunk_documents_sql(
 )
 
 
+def q_events_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity event rollup in ONE pass via native ROLLUP
+    grouping sets: (day, hour) / (day) / () subtotals from a single scan +
+    single shuffle — the operator family the reference lacks entirely
+    (SURVEY §2.4: no grouping sets/cube/rollup anywhere). At 100 TB this
+    replaces three separate aggregation jobs with one; Spark expands the
+    grouping sets BEFORE the exchange so partial aggregation still applies.
+    ``gid`` (grouping_id) disambiguates subtotal rows from NULL-valued
+    data rows, identically in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "event_id",
+        "user_id",
+    )
+    return (
+        base.rollup("day", "hour")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("event_id").alias("first_event_id"),
+            F.max("event_id").alias("last_event_id"),
+        )
+    )
+
+
+SQL_EVENTS_MULTI_ROLLUP = """
+SELECT date_trunc('day', ts) AS day,
+       date_trunc('hour', ts) AS hour,
+       (CASE WHEN GROUPING(date_trunc('day', ts)) = 1 THEN 2 ELSE 0 END
+        + GROUPING(date_trunc('hour', ts)))::BIGINT AS gid,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       min(event_id) AS first_event_id,
+       max(event_id) AS last_event_id
+FROM events
+GROUP BY ROLLUP(date_trunc('day', ts), date_trunc('hour', ts))"""
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 symmetric quantization of the embeddings table
     (operators/similarity.py::quantize_embeddings)."""
@@ -1441,6 +1482,7 @@ PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "chunk_documents": q_chunk_documents,
     "embedding_quantize": q_embedding_quantize,
+    "events_multi_rollup": q_events_multi_rollup,
 }
 
 PIPELINE_ORACLES: Dict[str, str] = {
@@ -1491,4 +1533,5 @@ PIPELINE_ORACLES: Dict[str, str] = {
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "embedding_quantize": SQL_EMBEDDING_QUANTIZE,
+    "events_multi_rollup": SQL_EVENTS_MULTI_ROLLUP,
 }
