@@ -169,3 +169,53 @@ def drift_scores(hist: DataFrame) -> DataFrame:
     return hist.agg(
         F.sum("tv_term").alias("tv_distance"), F.sum("psi_term").alias("psi")
     )
+
+
+def missing_periods(
+    events: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str = "ts",
+    period_seconds: int = 3600,
+) -> DataFrame:
+    """Completeness check for an event stream: for every key, the fixed
+    periods between that key's first and last activity in which NO event
+    arrived — the "which hours are missing from the feed" question asked
+    before trusting any downstream rollup.
+
+    Shape: one partial-agg min/max per key (the only pass over the raw
+    events), per-key expected periods synthesized with ``sequence`` +
+    ``explode`` (rows generated ∝ key's active span, never a global
+    calendar cross-join), then a left-anti join against the observed
+    distinct (key, period) pairs — both sides shuffle on the same
+    composite key, and the observed side arrives pre-shrunk by its
+    distinct. Returns ``key_cols..., period, period_start timestamp``.
+
+    Keys whose span exceeds ``max_periods_guard`` (1M) raise rather than
+    explode rows — a 100 TB safety: one corrupt 1970 timestamp would
+    otherwise synthesize half a century of hourly rows for that key.
+    """
+    keys = list(key_cols)
+    max_periods_guard = 1_000_000
+    period = (F.unix_timestamp(F.col(ts_col)) / period_seconds).cast("long")
+    observed = events.select(*keys, period.alias("period")).distinct()
+    spans = observed.groupBy(*keys).agg(
+        F.min("period").alias("__lo"), F.max("period").alias("__hi")
+    )
+    guard = spans.filter(
+        (F.col("__hi") - F.col("__lo")) > max_periods_guard
+    ).limit(1)
+    if guard.count() > 0:
+        raise ValueError(
+            f"a key spans more than {max_periods_guard} periods — timestamp "
+            "outliers would explode the expected-period synthesis; clean or "
+            "clamp the timestamp column first"
+        )
+    expected = spans.select(
+        *keys, F.explode(F.sequence(F.col("__lo"), F.col("__hi"))).alias("period")
+    )
+    missing = expected.join(observed, on=keys + ["period"], how="left_anti")
+    return missing.select(
+        *keys,
+        "period",
+        F.timestamp_seconds(F.col("period") * period_seconds).alias("period_start"),
+    )

@@ -442,7 +442,7 @@ SQL_EVENTS_SESSIONIZE = """
 WITH g AS (
   SELECT user_id,
     CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-           OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+           OR floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)))::BIGINT > 1800
          THEN 1 ELSE 0 END AS new_session
   FROM events)
 SELECT user_id, sum(new_session)::BIGINT AS n_sessions, count(*) AS n_events
@@ -1266,7 +1266,7 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_EVENTS_RETENTION = """
 WITH pu AS (
-  SELECT user_id, (epoch(ts)::BIGINT // 604800) AS period FROM events),
+  SELECT user_id, (floor(epoch(ts))::BIGINT // 604800) AS period FROM events),
 first AS (
   SELECT user_id, min(period) AS cohort_period FROM pu GROUP BY 1)
 SELECT f.cohort_period,
@@ -1422,6 +1422,34 @@ FROM events
 GROUP BY ROLLUP(date_trunc('day', ts), date_trunc('hour', ts))"""
 
 
+def q_events_missing_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed-completeness gaps: 5-minute periods inside each event type's
+    active span with no events (operators/analytics.py::missing_periods —
+    per-key sequence synthesis + left-anti join)."""
+    from datacompy_spark.operators.analytics import missing_periods
+
+    ev = load_table(spark, sf_dir, "events")
+    return missing_periods(ev, ["event_type"], "ts", period_seconds=300)
+
+
+SQL_EVENTS_MISSING_PERIODS = """
+WITH observed AS (
+  -- floor() before the cast: epoch() carries the microsecond fraction and
+  -- ::BIGINT ROUNDS in DuckDB, while Spark's unix_timestamp truncates
+  SELECT DISTINCT event_type, (floor(epoch(ts))::BIGINT // 300) AS period
+  FROM events),
+spans AS (
+  SELECT event_type, min(period) AS lo, max(period) AS hi
+  FROM observed GROUP BY 1),
+expected AS (
+  SELECT event_type, u.p AS period
+  FROM spans, unnest(generate_series(lo, hi)) AS u(p))
+SELECT e.event_type, e.period,
+       make_timestamp(e.period * 300 * 1000000) AS period_start
+FROM expected e
+ANTI JOIN observed o ON e.event_type = o.event_type AND e.period = o.period"""
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 symmetric quantization of the embeddings table
     (operators/similarity.py::quantize_embeddings)."""
@@ -1483,6 +1511,7 @@ PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_documents": q_chunk_documents,
     "embedding_quantize": q_embedding_quantize,
     "events_multi_rollup": q_events_multi_rollup,
+    "events_missing_periods": q_events_missing_periods,
 }
 
 PIPELINE_ORACLES: Dict[str, str] = {
@@ -1534,4 +1563,5 @@ PIPELINE_ORACLES: Dict[str, str] = {
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "embedding_quantize": SQL_EMBEDDING_QUANTIZE,
     "events_multi_rollup": SQL_EVENTS_MULTI_ROLLUP,
+    "events_missing_periods": SQL_EVENTS_MISSING_PERIODS,
 }

@@ -328,3 +328,37 @@ class TestCdcSchemaEvolutionAndBuckets:
         finally:
             spark.sql("DROP TABLE IF EXISTS cdc_old")
             spark.sql("DROP TABLE IF EXISTS cdc_new")
+
+
+class TestMissingPeriods:
+    def test_detects_planted_gaps(self, spark):
+        import datetime as dt
+
+        from datacompy_spark.operators.analytics import missing_periods
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            Row(k="a", ts=base + dt.timedelta(hours=h))
+            for h in [0, 1, 2, 5, 6]          # gap: hours 3, 4
+        ] + [Row(k="b", ts=base + dt.timedelta(hours=h)) for h in [10, 12]]  # gap: 11
+        ev = spark.createDataFrame(rows)
+        out = missing_periods(ev, ["k"], "ts", period_seconds=3600)
+        got = sorted((r["k"], r["period_start"].hour) for r in out.collect())
+        assert got == [("a", 3), ("a", 4), ("b", 11)]
+
+    def test_outlier_guard(self, spark):
+        import datetime as dt
+
+        import pytest as _pytest
+
+        from datacompy_spark.operators.analytics import missing_periods
+
+        ev = spark.createDataFrame(
+            [
+                Row(k="a", ts=dt.datetime(1970, 1, 2)),   # corrupt epoch-era row
+                Row(k="a", ts=dt.datetime(2024, 1, 1)),
+            ]
+        )
+        # 54 years at 1-minute periods ≈ 28M periods — far over the guard
+        with _pytest.raises(ValueError, match="spans more than"):
+            missing_periods(ev, ["k"], "ts", period_seconds=60)
