@@ -21,7 +21,7 @@ from datacompy_spark.functions.comparators import (
 )
 from datacompy_spark.plans.report import ReportData, build_report_data
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"
 __all__ = [
     "SparkCompare",
     "ColumnStat",
