@@ -362,3 +362,85 @@ class TestMissingPeriods:
         # 54 years at 1-minute periods ≈ 28M periods — far over the guard
         with _pytest.raises(ValueError, match="spans more than"):
             missing_periods(ev, ["k"], "ts", period_seconds=60)
+
+
+class TestQuantizedRerank:
+    def test_int8_prefilter_plus_exact_rerank_recall(self, spark):
+        """Composition evidence for the ANN compression path: score ALL
+        candidates on int8 codes (exact integer dot products — the cheap,
+        4x-smaller representation), keep a 4k-candidate pool per query, then
+        exact-rerank the pool in float. On the fixed test embeddings the
+        pooled top-k must recover (almost) all of brute-force top-k."""
+        from pyspark.sql import Window
+
+        from datacompy_spark.operators.similarity import (
+            knn_bruteforce,
+            quantize_embeddings,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        probes = emb.filter(F.col("vec_id") < 5)
+        k, pool = 5, 20
+
+        exact = knn_bruteforce(emb, probes, "vec_id", "embedding", k=k)
+        want = {
+            (r["query_id"], r["neighbor_id"]) for r in exact.collect()
+        }
+
+        qc = quantize_embeddings(emb, "vec_id", "embedding")
+        qp = quantize_embeddings(probes, "vec_id", "embedding").select(
+            F.col("vec_id").alias("query_id"), F.col("qvec").alias("pq")
+        )
+        # integer dot product of the codes; scales cancel in the per-query
+        # RANKING (cos ∝ dot/(|a||b|); int codes approximate direction)
+        int_dot = F.aggregate(
+            F.zip_with("qvec", "pq", lambda a, b: (a * b).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        qnorm = F.sqrt(
+            F.aggregate(
+                F.transform("qvec", lambda x: (x * x).cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).cast("double")
+        )
+        cand = (
+            qc.crossJoin(F.broadcast(qp))
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                (int_dot.cast("double") / qnorm).alias("approx_score"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("approx_score").desc(), F.col("neighbor_id").asc()
+        )
+        pooled = cand.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= pool)
+
+        # exact re-rank of the pooled candidates only
+        joined = pooled.join(
+            emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"), "neighbor_id"
+        ).join(
+            probes.select(
+                F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+            ),
+            "query_id",
+        )
+        from datacompy_spark.functions.vector import cosine
+
+        rer = joined.select(
+            "query_id", "neighbor_id", cosine(F.col("qe"), F.col("embedding")).alias("cs")
+        )
+        w2 = Window.partitionBy("query_id").orderBy(
+            F.col("cs").desc(), F.col("neighbor_id").asc()
+        )
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in rer.withColumn("r", F.row_number().over(w2))
+            .filter(F.col("r") <= k)
+            .collect()
+        }
+        recall = len(got & want) / len(want)
+        assert recall >= 0.9, f"int8-pool recall {recall} below 0.9"
