@@ -170,6 +170,58 @@ def main() -> int:
             f"  sec={el:7.2f}  vs_x1={el/t1:5.2f} (linear => ~{mult})",
             flush=True,
         )
+    # ---- bucketed fast path: the recurring-compare claim, measured.
+    # Both snapshot sides persisted once as bucket-sorted catalog tables,
+    # then compared with null_safe_join=False + assume_unique (plain
+    # equi-join on non-null unique keys) — the sort-merge join needs zero
+    # Exchange and zero Sort. The interesting number is the marginal cost
+    # of ONE compare after the one-time bucketing investment.
+    from datacompy_spark.sources.loaders import write_bucketed
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(*LI_COLS)
+    agg_keys = ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"]
+    left = li.dropDuplicates(agg_keys)
+    right = left.filter(F.col("l_orderkey") % 997 != 0).select(
+        *[c for c in left.columns if c != "l_quantity"],
+        F.when(F.col("l_partkey") % 13 == 2, F.col("l_quantity") + 1.0)
+        .otherwise(F.col("l_quantity"))
+        .alias("l_quantity"),
+    )
+    n = left.count()
+
+    t0 = time.perf_counter()
+    cmp_plain = SparkCompare(
+        spark, left, right, join_columns=agg_keys, assume_unique=True
+    )
+    cmp_plain.report(sample_count=10)
+    t_plain = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    write_bucketed(left, "sp_left", agg_keys, num_buckets=int(cpus))
+    write_bucketed(right, "sp_right", agg_keys, num_buckets=int(cpus))
+    t_bucket = time.perf_counter() - t0
+    try:
+        t0 = time.perf_counter()
+        cmp_b = SparkCompare(
+            spark,
+            spark.table("sp_left"),
+            spark.table("sp_right"),
+            join_columns=agg_keys,
+            assume_unique=True,
+            null_safe_join=False,
+        )
+        cmp_b.report(sample_count=10)
+        t_bucketed = time.perf_counter() - t0
+        print(
+            f"bucketed rows={n:>10,d}  plain={t_plain:6.2f}s  "
+            f"bucket_once={t_bucket:6.2f}s  bucketed_cmp={t_bucketed:6.2f}s  "
+            f"speedup={t_plain / t_bucketed:5.2f}x per recurring compare",
+            flush=True,
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS sp_left")
+        spark.sql("DROP TABLE IF EXISTS sp_right")
+
     spark.stop()
     return 0
 
