@@ -313,6 +313,44 @@ def build_parser() -> argparse.ArgumentParser:
         "--spark-app-name", default="datacompy-spark-cli", metavar="NAME",
         help="Spark application name",
     )
+
+    # curate: the end-to-end corpus pipeline (quality → dedup →
+    # decontaminate → split) as one command writing a verdict table.
+    cu = sub.add_parser(
+        "curate",
+        help="corpus curation verdict (quality/dup/contamination/split) "
+        "written as parquet; summary JSON on stdout",
+        parents=[debug_parent],
+    )
+    cu.add_argument("--input", required=True, help="corpus: file path or table name")
+    cu.add_argument(
+        "--eval", dest="eval_ref", required=True,
+        help="held-out evaluation set for decontamination: path or table",
+    )
+    cu.add_argument("--id-col", default="doc_id", help="document id column")
+    cu.add_argument("--text-col", default="text", help="text column (both inputs)")
+    cu.add_argument(
+        "--contam-threshold", type=float, default=0.2,
+        help="contaminated when ≥ this fraction of a doc's shingles hit the "
+        "eval set (default 0.2)",
+    )
+    cu.add_argument(
+        "--train-pct", type=int, default=80, help="train split percent (default 80)"
+    )
+    cu.add_argument(
+        "--val-pct", type=int, default=10, help="val split percent (default 10)"
+    )
+    cu.add_argument(
+        "--verdict", metavar="PATH", required=True,
+        help="write (doc_id, verdict, keep, split) to PATH as parquet",
+    )
+    cu.add_argument("--quiet", action="store_true", help="suppress the summary line")
+    cu.add_argument("--input-format", choices=["csv", "parquet", "json", "jsonl", "orc"])
+    cu.add_argument("--delimiter", default=",", help="CSV delimiter")
+    cu.add_argument(
+        "--spark-app-name", default="datacompy-spark-cli", metavar="NAME",
+        help="Spark application name",
+    )
     return p
 
 
@@ -647,6 +685,74 @@ def run_cdc(args) -> int:
             spark.stop()
 
 
+def run_curate(args) -> int:
+    import json
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from datacompy_spark.operators.textops import curate_corpus
+    from datacompy_spark.sources.loaders import load
+
+    if args.train_pct + args.val_pct > 100 or args.train_pct < 0 or args.val_pct < 0:
+        raise CLIError("--train-pct/--val-pct must be non-negative and sum to ≤ 100")
+    created = SparkSession.getActiveSession() is None
+    spark = SparkSession.builder.appName(args.spark_app_name).getOrCreate()
+    try:
+        kwargs = {"delimiter": args.delimiter} if args.input_format == "csv" else {}
+        try:
+            df = load(spark, args.input, fmt=args.input_format, **kwargs)
+            ev = load(spark, args.eval_ref, fmt=args.input_format, **kwargs)
+        except Exception as ex:
+            raise CLIError(f"failed to load inputs: {ex}") from ex
+        for c in (args.id_col, args.text_col):
+            if c not in df.columns:
+                raise CLIError(f"column {c!r} not found in --input")
+        if args.text_col not in ev.columns:
+            raise CLIError(f"column {args.text_col!r} not found in --eval")
+        try:
+            verdict = curate_corpus(
+                df,
+                args.id_col,
+                args.text_col,
+                ev,
+                contam_threshold=args.contam_threshold,
+                train_pct=args.train_pct,
+                val_pct=args.val_pct,
+            )
+            verdict.write.mode("overwrite").parquet(args.verdict)
+            written = spark.read.parquet(args.verdict)
+            counts = dict(
+                written.groupBy("verdict").count().rdd.map(tuple).collect()
+            )
+            splits = dict(
+                written.filter(F.col("split").isNotNull())
+                .groupBy("split")
+                .count()
+                .rdd.map(tuple)
+                .collect()
+            )
+        except CLIError:
+            raise
+        except Exception as ex:
+            raise CLIError(str(ex)) from ex
+        if not args.quiet:
+            print(
+                json.dumps(
+                    {
+                        "n_docs": sum(counts.values()),
+                        "verdicts": counts,
+                        "splits": splits,
+                        "verdict": args.verdict,
+                    }
+                )
+            )
+        return 0
+    finally:
+        if created:
+            spark.stop()
+
+
 def main(argv: Optional[Sequence[str]] = None) -> int:
     parser = build_parser()
     args = parser.parse_args(argv)
@@ -661,6 +767,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             return run_dedup(args)
         if args.command == "cdc":
             return run_cdc(args)
+        if args.command == "curate":
+            return run_curate(args)
         raise CLIError(f"unknown command {args.command!r}")
     except CLIError as ex:
         print(f"error: {ex}", file=sys.stderr)

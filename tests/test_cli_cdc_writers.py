@@ -105,3 +105,49 @@ class TestWritePartitioned:
             (r["g"], r["v"]) for r in spark.read.parquet(out).collect()
         )
         assert got == [("x", 1), ("x", 3), ("y", 2)]
+
+
+class TestCliCurate:
+    def test_verdict_export_and_summary(self, spark, tmp_path, capsys):
+        docs_p = str(tmp_path / "docs.parquet")
+        eval_p = str(tmp_path / "eval.parquet")
+        # per-document unique vocabulary so only the planted eval overlap
+        # (doc 5) trips decontamination
+        rows = [
+            Row(
+                doc_id=i,
+                text=(
+                    f"document {i} covers topic{i} alpha{i} beta{i} gamma{i} "
+                    f"delta{i} epsilon{i} zeta{i} eta{i} theta{i} iota{i} "
+                    f"kappa{i} lambda{i} mu{i}"
+                ),
+            )
+            for i in range(20)
+        ]
+        rows.append(Row(doc_id=100, text="x"))                    # quality drop
+        rows.append(Row(doc_id=101, text=rows[0].text))           # exact dup of doc 0
+        spark.createDataFrame(rows).write.parquet(docs_p)
+        # eval set shares doc 5's text → contamination hit
+        spark.createDataFrame([Row(doc_id=1000, text=rows[5].text)]).write.parquet(eval_p)
+
+        out = str(tmp_path / "verdict")
+        rc = main(["curate", "--input", docs_p, "--eval", eval_p,
+                   "--verdict", out])
+        assert rc == 0
+        summary = json.loads(capsys.readouterr().out.strip())
+        assert summary["n_docs"] == 22
+        v = summary["verdicts"]
+        assert v.get("quality", 0) >= 1
+        assert v.get("duplicate", 0) >= 1
+        assert v.get("contaminated", 0) >= 1
+        assert v.get("kept", 0) >= 15
+        # split assigned only for kept docs, and all three splits total kept
+        assert sum(summary["splits"].values()) == v["kept"]
+        feed = spark.read.parquet(out)
+        assert set(feed.columns) >= {"doc_id", "verdict", "keep", "split"}
+
+    def test_bad_split_pcts_rejected(self, tmp_path, capsys):
+        rc = main(["curate", "--input", "x.parquet", "--eval", "y.parquet",
+                   "--verdict", str(tmp_path / "v"), "--train-pct", "90",
+                   "--val-pct", "20"])
+        assert rc == 2
