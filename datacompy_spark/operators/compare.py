@@ -451,6 +451,19 @@ class SparkCompare:
         self._exceptions.count()
         return self
 
+    def explain(self, mode: str = "formatted") -> str:
+        """The physical plan of the core comparison join, as a string — the
+        operability hook for checking a compare's plan before running it at
+        scale (is the join broadcast/sort-merge, are the scans pruned, did
+        the bucketed zero-Exchange path engage). ``mode`` follows
+        ``DataFrame.explain`` (``simple``/``extended``/``codegen``/
+        ``cost``/``formatted``). Builds no job: planning only."""
+        # the same JVM helper DataFrame.explain prints through, returned
+        # instead of printed
+        return self._outer._sc._jvm.PythonSQLUtils.explainString(
+            self._outer._jdf.queryExecution(), mode
+        )
+
     def uncache(self) -> None:
         """Release everything :meth:`cache_result` (or
         ``cache_intermediates``) pinned."""

@@ -90,10 +90,21 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_csv(
-    spark: SparkSession, path: str, delimiter: str = ",", header: bool = True
+    spark: SparkSession,
+    path: str,
+    delimiter: str = ",",
+    header: bool = True,
+    **options,
 ) -> DataFrame:
-    """CSV scan with schema inference (ref ``cli/backends.py:290-300``)."""
-    return spark.read.csv(path, header=header, inferSchema=True, sep=delimiter)
+    """CSV scan with schema inference (ref ``cli/backends.py:290-300``).
+
+    Extra ``options`` pass through to Spark's CSV reader (``quote``,
+    ``escape``, ``encoding``, ``nullValue``, ``dateFormat``,
+    ``multiLine``, ...) so real-world CSV dialects don't need a custom
+    loader."""
+    return spark.read.csv(
+        path, header=header, inferSchema=True, sep=delimiter, **options
+    )
 
 
 def read_json(spark: SparkSession, path: str, lines: Optional[bool] = None) -> DataFrame:

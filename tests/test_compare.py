@@ -445,3 +445,31 @@ def test_row_classes_one_pass(spark):
     c = SparkCompare(spark, df1, df2, join_columns="id")
     got = {r["id"]: r["row_class"] for r in c.row_classes().collect()}
     assert got == {1: "left_only", 2: "both", 3: "both", 4: "right_only"}
+
+
+class TestExplainAndCsvOptions:
+    def test_explain_returns_plan_without_jobs(self, spark, lineitem):
+        from datacompy_spark import SparkCompare
+
+        c = SparkCompare(
+            spark, lineitem, lineitem,
+            join_columns=["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"],
+        )
+        p = c.explain("simple")
+        assert isinstance(p, str) and "Physical Plan" in p
+        assert "Join" in p
+        pf = c.explain("formatted")
+        assert "Exchange" in pf or "Join" in pf
+
+    def test_read_csv_dialect_options(self, spark, tmp_path):
+        from datacompy_spark.sources.loaders import read_csv
+
+        path = str(tmp_path / "dialect.csv")
+        with open(path, "w") as fh:
+            fh.write("a;b\n'x;y';NULLISH\n'p';2\n")
+        df = read_csv(
+            spark, path, delimiter=";", quote="'", nullValue="NULLISH"
+        )
+        rows = sorted(df.collect(), key=lambda r: r["a"])
+        assert rows[1]["a"] == "x;y" and rows[1]["b"] is None
+        assert rows[0]["a"] == "p" and rows[0]["b"] == 2
