@@ -1255,6 +1255,23 @@ WHERE NOT in_old OR NOT in_new OR len(changed_cols) > 0"""
 SQL_CDC_DELTA = _sql_cdc_delta()
 
 
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC round trip, oracle-checked end to end: replay the change feed
+    onto the OLD snapshot and return the rebuilt table; the oracle is the
+    independently-derived v2 snapshot itself. A hash match here proves
+    diff + replay compose to the identity across engines."""
+    from datacompy_spark.operators.cdc import apply_changes, snapshot_cdc
+
+    old = load_table(spark, sf_dir, "orders")
+    new = _orders_v2(spark, sf_dir)
+    feed = snapshot_cdc(old, new, keys=["o_orderkey"])
+    return apply_changes(old, feed, ["o_orderkey"], _ORDERS_CMP_COLS)
+
+
+SQL_CDC_APPLY = f"""
+SELECT o_orderkey, {", ".join(_ORDERS_CMP_COLS)} FROM ({_ORDERS_V2_SQL})"""
+
+
 def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention over the events stream
     (operators/analytics.py — epoch-week buckets, two partial-agg shuffles)."""
@@ -1504,6 +1521,7 @@ PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_funnel": q_events_funnel,
     "curate_corpus": q_curate_corpus,
     "cdc_delta": q_cdc_delta,
+    "cdc_apply": q_cdc_apply,
     "events_retention": q_events_retention,
     "top_parts_per_supplier": q_top_parts_per_supplier,
     "drift_histogram": q_drift_histogram,
@@ -1556,6 +1574,7 @@ PIPELINE_ORACLES: Dict[str, str] = {
     "events_funnel": SQL_EVENTS_FUNNEL,
     "curate_corpus": SQL_CURATE_CORPUS,
     "cdc_delta": SQL_CDC_DELTA,
+    "cdc_apply": SQL_CDC_APPLY,
     "events_retention": SQL_EVENTS_RETENTION,
     "top_parts_per_supplier": SQL_TOP_PARTS,
     "drift_histogram": SQL_DRIFT_HISTOGRAM,
