@@ -177,3 +177,29 @@ def cdc_summary(feed: DataFrame) -> DataFrame:
         .select(F.concat(F.lit("updated:"), "column").alias("change_type"), "n_rows")
     )
     return by_type.unionByName(per_col)
+
+
+def latest_by_key(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    tiebreak: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Log compaction: collapse an append-only change log (or any
+    multi-version table) to the LATEST row per key by ``order_col`` — the
+    inverse direction of :func:`snapshot_cdc` (feed → state rather than
+    state → feed), and the standard first step before comparing a CDC log
+    against a snapshot.
+
+    One window shuffle on the key with the rank filter pushed into the
+    sort (WindowGroupLimit ⇒ O(1) memory per key, hot keys included).
+    ``tiebreak`` columns break order ties deterministically — REQUIRED for
+    reproducible compaction when ``order_col`` can repeat (e.g. same-ms
+    events).
+    """
+    from datacompy_spark.operators.analytics import top_k_per_group
+
+    tb = list(tiebreak) if tiebreak else []
+    out = top_k_per_group(df, list(keys), order_col, k=1, ascending=False,
+                          tiebreak=tb)
+    return out.drop("rank")

@@ -1272,6 +1272,31 @@ SQL_CDC_APPLY = f"""
 SELECT o_orderkey, {", ".join(_ORDERS_CMP_COLS)} FROM ({_ORDERS_V2_SQL})"""
 
 
+def q_events_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log compaction: latest event per user by (ts, event_id) — the
+    feed→state direction (operators/cdc.py::latest_by_key, WindowGroupLimit
+    O(1) state per key)."""
+    from datacompy_spark.operators.cdc import latest_by_key
+
+    ev = load_table(spark, sf_dir, "events")
+    return latest_by_key(
+        ev.select("user_id", "ts", "event_id", "event_type", "value"),
+        ["user_id"],
+        "ts",
+        tiebreak=["event_id"],
+    )
+
+
+SQL_EVENTS_LATEST = """
+SELECT user_id, ts, event_id, event_type, value
+FROM (
+  SELECT user_id, ts, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id ASC) AS rn
+  FROM events)
+WHERE rn = 1"""
+
+
 def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention over the events stream
     (operators/analytics.py — epoch-week buckets, two partial-agg shuffles)."""
@@ -1522,6 +1547,7 @@ PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curate_corpus": q_curate_corpus,
     "cdc_delta": q_cdc_delta,
     "cdc_apply": q_cdc_apply,
+    "events_latest_per_user": q_events_latest_per_user,
     "events_retention": q_events_retention,
     "top_parts_per_supplier": q_top_parts_per_supplier,
     "drift_histogram": q_drift_histogram,
@@ -1575,6 +1601,7 @@ PIPELINE_ORACLES: Dict[str, str] = {
     "curate_corpus": SQL_CURATE_CORPUS,
     "cdc_delta": SQL_CDC_DELTA,
     "cdc_apply": SQL_CDC_APPLY,
+    "events_latest_per_user": SQL_EVENTS_LATEST,
     "events_retention": SQL_EVENTS_RETENTION,
     "top_parts_per_supplier": SQL_TOP_PARTS,
     "drift_histogram": SQL_DRIFT_HISTOGRAM,
