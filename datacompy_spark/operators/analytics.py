@@ -143,8 +143,16 @@ def histogram_drift(
         F.sum("n_old").over(w).alias("t_old"),
         F.sum("n_new").over(w).alias("t_new"),
     )
-    p_old = F.col("n_old").cast("double") / F.col("t_old").cast("double")
-    p_new = F.col("n_new").cast("double") / F.col("t_new").cast("double")
+    # an EMPTY snapshot (t=0) is the most important drift case of all — the
+    # feed broke — and must yield p=0 rows, not an ANSI DIVIDE_BY_ZERO
+    p_old = F.when(
+        F.col("t_old") > 0,
+        F.col("n_old").cast("double") / F.col("t_old").cast("double"),
+    ).otherwise(F.lit(0.0))
+    p_new = F.when(
+        F.col("t_new") > 0,
+        F.col("n_new").cast("double") / F.col("t_new").cast("double"),
+    ).otherwise(F.lit(0.0))
     # psi needs ln of a ratio; smooth zeros so the term stays finite.
     eps = 1e-12
     p_old_s = F.greatest(p_old, F.lit(eps))

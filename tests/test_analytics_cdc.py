@@ -444,3 +444,16 @@ class TestQuantizedRerank:
         }
         recall = len(got & want) / len(want)
         assert recall >= 0.9, f"int8-pool recall {recall} below 0.9"
+
+
+class TestHistogramDriftEmptySnapshot:
+    def test_empty_new_snapshot_reports_total_drift(self, spark):
+        """A broken feed (empty new snapshot) must report maximal drift,
+        not throw ANSI DIVIDE_BY_ZERO."""
+        old = spark.range(0, 100).select(F.col("id").cast("double").alias("x"))
+        new = old.filter(F.col("x") < -1)  # empty
+        hist = histogram_drift(old, new, "x", 0.0, 100.0, 10)
+        rows = hist.collect()
+        assert all(r["p_new"] == 0.0 for r in rows)
+        s = drift_scores(hist).collect()[0]
+        assert s["tv_distance"] == pytest.approx(0.5)  # all mass vanished
