@@ -82,7 +82,11 @@ def quality_metrics(text: Column) -> Dict[str, Column]:
         "n_distinct_words": n_distinct.cast("long"),
         "type_token_ratio": n_distinct.cast("double") / n_words.cast("double"),
         "avg_word_len": (n_chars - n_space).cast("double") / n_words.cast("double"),
-        "punct_ratio": n_punct.cast("double") / n_chars.cast("double"),
+        # n_words is always ≥1 (splitting "" yields [""]), but n_chars is 0
+        # for the empty document — NULL, not an ANSI DIVIDE_BY_ZERO crash
+        "punct_ratio": F.when(
+            n_chars > 0, n_punct.cast("double") / n_chars.cast("double")
+        ),
         "stopword_hits": n_stop.cast("long"),
     }
 
@@ -99,9 +103,10 @@ def quality_metrics_sql(text: str) -> Dict[str, str]:
         "type_token_ratio": f"(len(list_distinct({toks}))::DOUBLE / len({toks})::DOUBLE)",
         "avg_word_len": f"(({n_chars} - {n_space})::DOUBLE / len({toks})::DOUBLE)",
         "punct_ratio": (
-            f"(({n_chars} - len(regexp_replace({text}, '[^A-Za-z]', '', 'g'))"
+            f"(CASE WHEN {n_chars} > 0 THEN "
+            f"({n_chars} - len(regexp_replace({text}, '[^A-Za-z]', '', 'g'))"
             f" - len(regexp_replace({text}, '[^0-9]', '', 'g'))"
-            f" - {n_space})::DOUBLE / {n_chars}::DOUBLE)"
+            f" - {n_space})::DOUBLE / {n_chars}::DOUBLE END)"
         ),
         "stopword_hits": f"len(list_intersect(list_distinct({toks}), {stops}))::BIGINT",
     }

@@ -659,3 +659,24 @@ class TestCorpusCuration:
         assert out[4]["verdict"] == "contaminated"
         assert out[5]["verdict"] == "kept"
         assert all(out[i]["split"] is None for i in (2, 3, 4))
+
+
+class TestDegenerateDocuments:
+    def test_empty_and_whitespace_docs_survive_ansi(self, spark):
+        """Real corpora contain empty documents; quality stats must yield
+        NULL ratios for them, not an ANSI DIVIDE_BY_ZERO crash."""
+        from pyspark.sql import Row
+
+        from datacompy_spark.operators.textops import quality_filter, text_stats
+
+        docs = spark.createDataFrame(
+            [Row(doc_id=1, text=""), Row(doc_id=2, text="   "),
+             Row(doc_id=3, text="a normal document with several words here")]
+        )
+        stats = {r["doc_id"]: r for r in text_stats(docs, "doc_id", "text").collect()}
+        assert stats[1]["punct_ratio"] is None      # 0 chars → undefined
+        assert stats[2]["punct_ratio"] == 0.0       # whitespace only
+        assert stats[3]["punct_ratio"] == 0.0
+        q = {r["doc_id"]: r for r in quality_filter(docs, "doc_id", "text").collect()}
+        assert not q[1]["keep"] and "too_few_words" in q[1]["reasons"]
+        assert q[3]["keep"]
