@@ -33,8 +33,9 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity; NULL if either norm is zero."""
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity; NULL if either norm is zero (``try_divide`` —
+    matches DuckDB's x/0.0 → NULL instead of ANSI DIVIDE_BY_ZERO)."""
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def _dot_seq_batch(a, b):

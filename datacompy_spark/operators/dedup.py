@@ -941,7 +941,9 @@ def embedding_near_dups(
         # all-pairs at loose thresholds): Arrow-batched numpy dot with the
         # identical fold order, not the interpreted HOF fold
         (
-            dot_arrow(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+            F.try_divide(
+                dot_arrow(F.col("a.v"), F.col("b.v")), F.col("a.nrm") * F.col("b.nrm")
+            )
         ).alias("cos_sim"),
     )
     # barrier: otherwise the threshold filter is pushed into the join and the

@@ -56,7 +56,7 @@ def ivf_assign(
         "v",
         "vn",
         "pivot_id",
-        (dot_arrow(F.col("v"), F.col("pv")) / (F.col("vn") * F.col("pn"))).alias("sim"),
+        F.try_divide(dot_arrow(F.col("v"), F.col("pv")), F.col("vn") * F.col("pn")).alias("sim"),
     )
     w = Window.partitionBy("vid").orderBy(F.col("sim").desc(), F.col("pivot_id").asc())
     return (
@@ -107,7 +107,7 @@ def ivf_knn(
         "qv",
         "qn",
         "pivot_id",
-        (dot_arrow(F.col("qv"), F.col("pv")) / (F.col("qn") * F.col("pn"))).alias("sim"),
+        F.try_divide(dot_arrow(F.col("qv"), F.col("pv")), F.col("qn") * F.col("pn")).alias("sim"),
     )
     wq = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("pivot_id").asc()
@@ -121,7 +121,7 @@ def ivf_knn(
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        (dot_arrow(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cos_sim"),
+        F.try_divide(dot_arrow(F.col("qv"), F.col("cv")), F.col("qn") * F.col("cn")).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -176,7 +176,7 @@ def knn_bruteforce(
     scored = c.join(q, F.col("query_id") != F.col("neighbor_id")).select(
         "query_id",
         "neighbor_id",
-        (dot_arrow(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cos_sim"),
+        F.try_divide(dot_arrow(F.col("qv"), F.col("cv")), F.col("qn") * F.col("cn")).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -286,7 +286,7 @@ def knn_lsh(
         cand.select(
             "query_id",
             "neighbor_id",
-            (dot_arrow(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias(
+            F.try_divide(dot_arrow(F.col("qv"), F.col("cv")), F.col("qn") * F.col("cn")).alias(
                 "cos_sim"
             ),
         )

@@ -680,3 +680,20 @@ class TestDegenerateDocuments:
         q = {r["doc_id"]: r for r in quality_filter(docs, "doc_id", "text").collect()}
         assert not q[1]["keep"] and "too_few_words" in q[1]["reasons"]
         assert q[3]["keep"]
+
+
+class TestZeroVectorCosine:
+    def test_zero_vector_yields_null_not_crash(self, spark):
+        """Zero embeddings (empty inputs, padding rows) must score NULL
+        cosine, matching DuckDB's x/0.0 → NULL, not raise DIVIDE_BY_ZERO."""
+        from pyspark.sql import Row
+
+        from datacompy_spark.functions.vector import cosine
+
+        df = spark.createDataFrame(
+            [Row(a=[0.0, 0.0], b=[1.0, 1.0]), Row(a=[3.0, 4.0], b=[3.0, 4.0])],
+            "a array<float>, b array<float>",
+        )
+        got = df.select(cosine(F.col("a"), F.col("b")).alias("c")).collect()
+        assert got[0]["c"] is None
+        assert got[1]["c"] == pytest.approx(1.0)
