@@ -67,6 +67,8 @@ def retention_cohorts(
     the shuffle carries one row per user per map task, not one per event.
     Returns ``cohort_period, period_offset, n_users``.
     """
+    if period_seconds <= 0:
+        raise ValueError("period_seconds must be positive")
     period = F.floor(F.unix_timestamp(F.col(ts_col)) / period_seconds).alias("period")
     pu = events.select(F.col(user_col).alias("user"), period)
     first = pu.groupBy("user").agg(F.min("period").alias("cohort_period"))
@@ -106,6 +108,8 @@ def histogram_drift(
     runs — drift time series need stable edges. Out-of-range and NULL
     values land in underflow/overflow bins -1 and ``bins``.
     """
+    if bins <= 0 or not hi > lo:
+        raise ValueError("histogram_drift needs bins > 0 and hi > lo")
     width = (hi - lo) / bins
 
     def binned(df: DataFrame, alias: str) -> DataFrame:
@@ -202,6 +206,8 @@ def missing_periods(
     explode rows — a 100 TB safety: one corrupt 1970 timestamp would
     otherwise synthesize half a century of hourly rows for that key.
     """
+    if period_seconds <= 0:
+        raise ValueError("period_seconds must be positive")
     keys = list(key_cols)
     max_periods_guard = 1_000_000
     period = (F.unix_timestamp(F.col(ts_col)) / period_seconds).cast("long")

@@ -457,3 +457,24 @@ class TestHistogramDriftEmptySnapshot:
         assert all(r["p_new"] == 0.0 for r in rows)
         s = drift_scores(hist).collect()[0]
         assert s["tv_distance"] == pytest.approx(0.5)  # all mass vanished
+
+
+class TestParamGuards:
+    def test_bad_params_raise_value_error(self, spark):
+        from datacompy_spark.operators.analytics import (
+            histogram_drift,
+            missing_periods,
+            retention_cohorts,
+        )
+
+        df = spark.range(1).select(F.col("id").cast("double").alias("x"))
+        ev = spark.createDataFrame([(1, __import__("datetime").datetime(2024, 1, 1))],
+                                   "user_id long, ts timestamp")
+        with pytest.raises(ValueError):
+            histogram_drift(df, df, "x", lo=1.0, hi=1.0, bins=10)
+        with pytest.raises(ValueError):
+            histogram_drift(df, df, "x", lo=0.0, hi=1.0, bins=0)
+        with pytest.raises(ValueError):
+            retention_cohorts(ev, period_seconds=0)
+        with pytest.raises(ValueError):
+            missing_periods(ev, ["user_id"], period_seconds=-5)
