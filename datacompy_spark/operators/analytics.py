@@ -233,3 +233,47 @@ def missing_periods(
         "period",
         F.timestamp_seconds(F.col("period") * period_seconds).alias("period_start"),
     )
+
+
+def key_skew_profile(
+    df: DataFrame, key_cols: Sequence[str], top_k: int = 10
+) -> DataFrame:
+    """Pre-join skew diagnostic: the ``top_k`` hottest key values with
+    their row counts and share of the table — the question to ask BEFORE a
+    100 TB join or aggregation ships ("does one key own 40% of the rows?"),
+    paired with the mitigation (`plans/partitioning.py::skew_salted_join`
+    or AQE's skew split) when the answer is yes.
+
+    One partial-agg count shuffle on the key (the same shuffle the planned
+    join would do, but emitting only counts), then a DISTRIBUTED global
+    top-k via ``orderBy().limit()`` — Spark plans that as TakeOrdered,
+    partial top-k per partition, so a billion-key count frame never
+    funnels through one task (a global row_number window would). The
+    table total comes from a second plain count scan of ``df`` (narrow,
+    no shuffle) rather than re-executing the count-by-key subtree.
+    ``share`` is an exact-int double division; count ties break by key
+    string ascending for determinism.
+    """
+    keys = list(key_cols)
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
+    # key rendered as one string so ranking ties break deterministically
+    # regardless of key arity/type
+    key_str = F.concat_ws("|", *[F.col(k).cast("string") for k in keys])
+    top = (
+        counts.select(*keys, "n_rows", key_str.alias("__ks"))
+        .orderBy(F.col("n_rows").desc(), F.col("__ks").asc())
+        .limit(top_k)
+    )
+    total_df = df.agg(F.count(F.lit(1)).alias("__total"))
+    w = Window.orderBy(F.col("n_rows").desc(), F.col("__ks").asc())
+    return (
+        top.crossJoin(F.broadcast(total_df))
+        .select(
+            *keys,
+            "n_rows",
+            (F.col("n_rows").cast("double") / F.col("__total").cast("double")).alias(
+                "share"
+            ),
+            F.row_number().over(w).alias("rank"),
+        )
+    )

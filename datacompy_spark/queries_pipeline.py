@@ -1272,6 +1272,29 @@ SQL_CDC_APPLY = f"""
 SELECT o_orderkey, {", ".join(_ORDERS_CMP_COLS)} FROM ({_ORDERS_V2_SQL})"""
 
 
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join skew diagnostic: the 10 hottest l_orderkey values with row
+    counts and table share (operators/analytics.py::key_skew_profile —
+    TakeOrdered global top-k, never a single-task window)."""
+    from datacompy_spark.operators.analytics import key_skew_profile
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return key_skew_profile(li, ["l_orderkey"], top_k=10)
+
+
+SQL_KEY_SKEW_PROFILE = """
+WITH counts AS (
+  SELECT l_orderkey, count(*) AS n_rows FROM lineitem GROUP BY 1),
+total AS (SELECT count(*) AS t FROM lineitem),
+top AS (
+  SELECT l_orderkey, n_rows
+  FROM counts ORDER BY n_rows DESC, l_orderkey::VARCHAR ASC LIMIT 10)
+SELECT l_orderkey, n_rows,
+       n_rows::DOUBLE / t::DOUBLE AS share,
+       row_number() OVER (ORDER BY n_rows DESC, l_orderkey::VARCHAR ASC)::INT AS rank
+FROM top CROSS JOIN total"""
+
+
 def q_events_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Log compaction: latest event per user by (ts, event_id) — the
     feed→state direction (operators/cdc.py::latest_by_key, WindowGroupLimit
@@ -1548,6 +1571,7 @@ PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_delta": q_cdc_delta,
     "cdc_apply": q_cdc_apply,
     "events_latest_per_user": q_events_latest_per_user,
+    "key_skew_profile": q_key_skew_profile,
     "events_retention": q_events_retention,
     "top_parts_per_supplier": q_top_parts_per_supplier,
     "drift_histogram": q_drift_histogram,
@@ -1602,6 +1626,7 @@ PIPELINE_ORACLES: Dict[str, str] = {
     "cdc_delta": SQL_CDC_DELTA,
     "cdc_apply": SQL_CDC_APPLY,
     "events_latest_per_user": SQL_EVENTS_LATEST,
+    "key_skew_profile": SQL_KEY_SKEW_PROFILE,
     "events_retention": SQL_EVENTS_RETENTION,
     "top_parts_per_supplier": SQL_TOP_PARTS,
     "drift_histogram": SQL_DRIFT_HISTOGRAM,

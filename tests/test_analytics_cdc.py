@@ -478,3 +478,25 @@ class TestParamGuards:
             retention_cohorts(ev, period_seconds=0)
         with pytest.raises(ValueError):
             missing_periods(ev, ["user_id"], period_seconds=-5)
+
+
+class TestKeySkewProfile:
+    def test_hot_key_surfaces_with_share(self, spark):
+        from datacompy_spark.operators.analytics import key_skew_profile
+
+        df = spark.range(0, 1000).select(
+            F.when(F.col("id") < 400, F.lit(7)).otherwise(F.col("id")).alias("k")
+        )
+        out = key_skew_profile(df, ["k"], top_k=3).collect()
+        assert out[0]["k"] == 7 and out[0]["n_rows"] == 400
+        assert out[0]["share"] == pytest.approx(0.4)
+        assert [r["rank"] for r in out] == [1, 2, 3]
+
+    def test_distributed_top_k_plan(self, spark, lineitem):
+        """Global top-k must plan as TakeOrdered (partial per partition),
+        never a single-partition row_number window over all keys."""
+        from datacompy_spark.operators.analytics import key_skew_profile
+
+        out = key_skew_profile(lineitem, ["l_orderkey"], top_k=5)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
