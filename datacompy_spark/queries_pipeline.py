@@ -1272,6 +1272,50 @@ SQL_CDC_APPLY = f"""
 SELECT o_orderkey, {", ".join(_ORDERS_CMP_COLS)} FROM ({_ORDERS_V2_SQL})"""
 
 
+def q_sales_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema rollup: lineitem ⋈ supplier ⋈ nation ⋈ region, revenue
+    per region/nation — the canonical 100 TB shape where every dimension is
+    broadcast (fact table never shuffles for the joins; the only Exchange
+    is the final small-key aggregation). Revenue sums exact DECIMAL and
+    casts to double once at the end (order-independent, oracle-safe)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    reg = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    dims = F.broadcast(
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("s_suppkey", "n_name", "r_name")
+    )
+    return (
+        li.join(dims, li.l_suppkey == dims.s_suppkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_qty"),
+        )
+    )
+
+
+SQL_SALES_BY_NATION = """
+SELECT r.r_name, n.n_name,
+       count(*) AS n_items,
+       sum(CAST(l.l_extendedprice AS DECIMAL(18,2)))::DOUBLE AS revenue,
+       sum(CAST(l.l_quantity AS DECIMAL(18,2)))::DOUBLE AS total_qty
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY 1, 2"""
+
+
 def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-join skew diagnostic: the 10 hottest l_orderkey values with row
     counts and table share (operators/analytics.py::key_skew_profile —
@@ -1572,6 +1616,7 @@ PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_apply": q_cdc_apply,
     "events_latest_per_user": q_events_latest_per_user,
     "key_skew_profile": q_key_skew_profile,
+    "sales_by_nation": q_sales_by_nation,
     "events_retention": q_events_retention,
     "top_parts_per_supplier": q_top_parts_per_supplier,
     "drift_histogram": q_drift_histogram,
@@ -1627,6 +1672,7 @@ PIPELINE_ORACLES: Dict[str, str] = {
     "cdc_apply": SQL_CDC_APPLY,
     "events_latest_per_user": SQL_EVENTS_LATEST,
     "key_skew_profile": SQL_KEY_SKEW_PROFILE,
+    "sales_by_nation": SQL_SALES_BY_NATION,
     "events_retention": SQL_EVENTS_RETENTION,
     "top_parts_per_supplier": SQL_TOP_PARTS,
     "drift_histogram": SQL_DRIFT_HISTOGRAM,

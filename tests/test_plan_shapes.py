@@ -365,3 +365,18 @@ class TestSkewSaltedJoin:
         assert out.filter(F.col("w").isNull()).count() == 5
         with _pytest.raises(ValueError):
             skew_salted_join(left, right, "k", how="full_outer")
+
+
+class TestStarSchemaRollup:
+    def test_dims_broadcast_fact_never_shuffles_for_joins(self, spark):
+        """sales_by_nation must plan all three dimension joins as broadcast
+        (the fact table's only Exchange is the final small-key agg)."""
+        from datacompy_spark.queries_pipeline import q_sales_by_nation
+
+        plan = (
+            q_sales_by_nation(spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("BroadcastHashJoin") == 3
+        assert "SortMergeJoin" not in plan
+        assert plan.count("Exchange hashpartitioning") == 1
