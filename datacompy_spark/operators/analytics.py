@@ -105,8 +105,11 @@ def histogram_drift(
     100 TB the two snapshots are scanned exactly once each (narrow
     projection, partial-agg count shuffle on a ≤``bins``-row key), with no
     preliminary min/max or quantile pass, and bins stay comparable across
-    runs — drift time series need stable edges. Out-of-range and NULL
-    values land in underflow/overflow bins -1 and ``bins``.
+    runs — drift time series need stable edges. Out-of-range values land
+    in underflow/overflow bins -1 and ``bins``; NULLs land in their own
+    NULL bin (edges NULL), merged null-safely across snapshots so null
+    mass is compared once, exactly like the DuckDB twin's
+    ``IS NOT DISTINCT FROM`` join.
     """
     if bins <= 0 or not hi > lo:
         raise ValueError("histogram_drift needs bins > 0 and hi > lo")
@@ -131,9 +134,14 @@ def histogram_drift(
         )
 
     h_old, h_new = binned(old, "n_old"), binned(new, "n_new")
-    # tiny (≤ bins+2 rows per side) — joined with a broadcast-size outer join
-    j = h_old.join(h_new, on="bin", how="full_outer").select(
-        F.col("bin"),
+    # tiny (≤ bins+3 rows per side) — joined with a broadcast-size outer
+    # join. eqNullSafe, NOT plain equality: the NULL bin must merge across
+    # snapshots or its mass is double-counted in tv/psi (one |p|/2 term
+    # per side instead of |p_old-p_new|/2).
+    j = h_old.join(
+        h_new, h_old["bin"].eqNullSafe(h_new["bin"]), "full_outer"
+    ).select(
+        F.coalesce(h_old["bin"], h_new["bin"]).alias("bin"),
         F.coalesce("n_old", F.lit(0)).alias("n_old"),
         F.coalesce("n_new", F.lit(0)).alias("n_new"),
     )
@@ -210,7 +218,10 @@ def missing_periods(
         raise ValueError("period_seconds must be positive")
     keys = list(key_cols)
     max_periods_guard = 1_000_000
-    period = (F.unix_timestamp(F.col(ts_col)) / period_seconds).cast("long")
+    # floor, not a truncating cast: pre-1970 (negative-epoch) timestamps
+    # must round toward -inf to land in the same period as the SQL twin
+    # and retention_cohorts.
+    period = F.floor(F.unix_timestamp(F.col(ts_col)) / period_seconds).cast("long")
     observed = events.select(*keys, period.alias("period")).distinct()
     spans = observed.groupBy(*keys).agg(
         F.min("period").alias("__lo"), F.max("period").alias("__hi")

@@ -815,8 +815,13 @@ def tfidf_top_terms(
     )
 
 
-def tfidf_top_terms_sql(table: str, id_col: str, text_col: str, k: int = 3) -> str:
-    """DuckDB twin of :func:`tfidf_top_terms` (same linear-IDF score)."""
+def tfidf_top_terms_sql(
+    table: str, id_col: str, text_col: str, k: int = 3, min_tf: int = 1
+) -> str:
+    """DuckDB twin of :func:`tfidf_top_terms` (same linear-IDF score).
+    ``min_tf`` filters pairs at the same pipeline point as the Spark side:
+    AFTER document-frequency is computed over all pairs, so df counts are
+    identical regardless of the threshold."""
     from datacompy_spark.functions.text import tokens_sql
 
     toks = tokens_sql(text_col)
@@ -834,7 +839,8 @@ scored AS (
          row_number() OVER (PARTITION BY p.doc_id
                             ORDER BY (p.tf * n.n_docs)::DOUBLE / d.df::DOUBLE DESC,
                                      p.term ASC) AS rank
-  FROM pairs p JOIN df_t d USING (term) CROSS JOIN n)
+  FROM pairs p JOIN df_t d USING (term) CROSS JOIN n
+  WHERE p.tf >= {min_tf})
 SELECT doc_id, term, tf, df, score, rank::INT AS rank
 FROM scored WHERE rank <= {k}"""
 

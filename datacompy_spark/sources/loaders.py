@@ -225,14 +225,17 @@ def write_partitioned(
       rows land clustered, giving parquet min/max row-group statistics real
       pruning power on those columns;
     * ``max_records_per_file`` caps file size without another shuffle (0 =
-      Spark default). Partition-key skew (one hot day) is absorbed by AQE's
-      rebalance when enabled.
+      Spark default). The shuffle is a REBALANCE hint, not a strict hash
+      ``repartition``: AQE's ``optimizeSkewsInRebalancePartitions`` only
+      splits oversized output partitions for rebalance shuffles, so a hot
+      partition value (one giant day) fans out across several write tasks
+      instead of funnelling through one.
     """
     if isinstance(partition_columns, str):
         partition_columns = [partition_columns]
     if isinstance(sort_columns, str):
         sort_columns = [sort_columns]
-    out = df.repartition(*[F.col(c) for c in partition_columns])
+    out = df.hint("rebalance", *[F.col(c) for c in partition_columns])
     if sort_columns:
         out = out.sortWithinPartitions(*[F.col(c) for c in sort_columns])
     w = out.write.mode(mode).partitionBy(*partition_columns)

@@ -208,6 +208,22 @@ def sessionize(
     )
 
 
+def _write_batch_idempotent(df: DataFrame, path: str) -> None:
+    """Idempotent foreachBatch parquet write: partition by ``batch_id`` and
+    overwrite ONLY the partitions present in this frame (dynamic partition
+    overwrite). foreachBatch is at-least-once — a crash after the write but
+    before the checkpoint commit replays the batch — so a replayed batch
+    must rewrite its own ``batch_id=N`` directory, not append a duplicate.
+    The per-writer ``partitionOverwriteMode`` option scopes the dynamic
+    mode to this write without mutating session conf."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(path)
+    )
+
+
 def validate_to_sink(
     stream: DataFrame,
     reference: DataFrame,
@@ -228,9 +244,11 @@ def validate_to_sink(
     comparison needs the full comparator chain and the mismatch projection,
     which are batch constructs — and each micro-batch IS a batch frame, so
     the exact batch semantics (tolerances, null-safety, suffixed output)
-    apply verbatim with zero reimplementation. Exactly-once: parquet appends
-    are tracked by the streaming checkpoint, so a replayed batch does not
-    double-write.
+    apply verbatim with zero reimplementation. Idempotence: foreachBatch is
+    only at-least-once (a crash between the parquet write and the
+    checkpoint commit replays the batch), so the sink partitions by
+    ``batch_id`` and writes with dynamic partition OVERWRITE — a replayed
+    batch rewrites exactly its own partition instead of double-appending.
 
     Scale notes: the reference should be broadcast-sized or bucketed; each
     micro-batch pays one join + one stats aggregate over the batch only.
@@ -261,7 +279,7 @@ def validate_to_sink(
         out = bad.unionByName(missing, allowMissingColumns=True).withColumn(
             "batch_id", F.lit(batch_id)
         )
-        out.write.mode("append").parquet(mismatch_path)
+        _write_batch_idempotent(out, mismatch_path)
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)
@@ -293,10 +311,12 @@ def cdc_to_sink(
     filtered out; run the batch ``snapshot_cdc`` over the complete
     snapshots when delete detection matters.
 
-    Same scale/exactly-once profile as ``validate_to_sink``: foreachBatch
+    Same scale/idempotence profile as ``validate_to_sink``: foreachBatch
     reuses the batch operator verbatim (one null-safe join per micro-batch,
-    reference broadcast-sized or bucketed), and replayed batches do not
-    double-append thanks to the streaming checkpoint."""
+    reference broadcast-sized or bucketed), and the feed is partitioned by
+    ``batch_id`` with dynamic partition overwrite, so a batch replayed
+    after a crash-before-checkpoint rewrites its own partition rather than
+    double-appending (foreachBatch alone is only at-least-once)."""
     from datacompy_spark.operators.cdc import snapshot_cdc
 
     key_list = list(keys)
@@ -315,8 +335,8 @@ def cdc_to_sink(
             key_list,
             cols,
         ).filter(F.col("change_type") != "delete")
-        feed.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
-            feed_path
+        _write_batch_idempotent(
+            feed.withColumn("batch_id", F.lit(batch_id)), feed_path
         )
 
     writer = (

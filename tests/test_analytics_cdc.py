@@ -175,6 +175,34 @@ class TestHistogramDrift:
         plan = hist._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Scan parquet") == 2
 
+    def test_null_bin_merges_null_safely(self, spark):
+        """NULLs form ONE shared bin across snapshots (null-safe join), so
+        null mass contributes |p_old-p_new|/2 once — not one |p|/2 term per
+        side — matching the DuckDB twin's IS NOT DISTINCT FROM join."""
+        old = spark.createDataFrame([(None,), (None,), (1.0,), (2.0,)], "x double")
+        new = spark.createDataFrame([(None,), (1.0,), (2.0,), (3.0,)], "x double")
+        rows = histogram_drift(old, new, "x", 0.0, 10.0, 10).collect()
+        null_rows = [r for r in rows if r["bin"] is None]
+        assert len(null_rows) == 1
+        nb = null_rows[0]
+        assert nb["n_old"] == 2 and nb["n_new"] == 1
+        assert nb["lo_edge"] is None and nb["hi_edge"] is None
+        assert nb["tv_term"] == pytest.approx(abs(2 / 4 - 1 / 4) / 2)
+        # identical null mass on both sides -> zero drift contribution
+        s = drift_scores(histogram_drift(old, old, "x", 0.0, 10.0, 10)).collect()[0]
+        assert s["tv_distance"] == 0.0 and abs(s["psi"]) < 1e-9
+
+    def test_null_bin_one_sided(self, spark):
+        """NULLs in only one snapshot still produce a single merged row
+        with a zero count on the other side."""
+        old = spark.createDataFrame([(None,), (1.0,)], "x double")
+        new = spark.createDataFrame([(1.0,), (2.0,)], "x double")
+        rows = histogram_drift(old, new, "x", 0.0, 10.0, 10).collect()
+        null_rows = [r for r in rows if r["bin"] is None]
+        assert len(null_rows) == 1
+        assert null_rows[0]["n_old"] == 1 and null_rows[0]["n_new"] == 0
+        assert null_rows[0]["tv_term"] == pytest.approx(0.5 / 2)
+
 
 class TestTfidf:
     def test_scores_and_ranking(self, spark):
@@ -346,6 +374,24 @@ class TestMissingPeriods:
         got = sorted((r["k"], r["period_start"].hour) for r in out.collect())
         assert got == [("a", 3), ("a", 4), ("b", 11)]
 
+    def test_negative_epoch_floors_toward_minus_inf(self, spark):
+        """Pre-1970 timestamps must floor (round toward -inf) into periods,
+        matching retention_cohorts and the SQL twin — a truncating cast
+        would shift every negative-epoch event one period late."""
+        import datetime as dt
+
+        from datacompy_spark.operators.analytics import missing_periods
+
+        ev = spark.createDataFrame(
+            [
+                Row(k="a", ts=dt.datetime(1969, 12, 31, 21, 30)),  # period -3
+                Row(k="a", ts=dt.datetime(1969, 12, 31, 23, 30)),  # period -1
+            ]
+        )
+        out = missing_periods(ev, ["k"], "ts", period_seconds=3600).collect()
+        assert [(r["k"], r["period"]) for r in out] == [("a", -2)]
+        assert out[0]["period_start"] == dt.datetime(1969, 12, 31, 22, 0)
+
     def test_outlier_guard(self, spark):
         import datetime as dt
 
@@ -362,6 +408,48 @@ class TestMissingPeriods:
         # 54 years at 1-minute periods ≈ 28M periods — far over the guard
         with _pytest.raises(ValueError, match="spans more than"):
             missing_periods(ev, ["k"], "ts", period_seconds=60)
+
+
+class TestTfidfMinTfParity:
+    def test_min_tf_matches_duckdb_twin(self, spark):
+        """min_tf > 1 must filter at the same pipeline point in both
+        engines (after doc-frequency, before ranking)."""
+        import duckdb
+        import pandas as pd
+
+        from datacompy_spark.operators.textops import (
+            tfidf_top_terms,
+            tfidf_top_terms_sql,
+        )
+
+        pdf = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "apple apple banana common common",
+                    "banana cherry common cherry",
+                    "common cherry date",
+                ],
+            }
+        )
+        docs = spark.createDataFrame(pdf)
+        got = sorted(
+            tuple(r)
+            for r in tfidf_top_terms(docs, "doc_id", "text", k=2, min_tf=2).collect()
+        )
+        con = duckdb.connect()
+        con.register("docs", pdf)
+        want = sorted(
+            tuple(r)
+            for r in con.execute(
+                tfidf_top_terms_sql("docs", "doc_id", "text", k=2, min_tf=2)
+            ).fetchall()
+        )
+        assert [g[:4] for g in got] == [w[:4] for w in want]
+        for g, w in zip(got, want):
+            assert g[4] == pytest.approx(w[4]) and g[5] == w[5]
+        # the threshold actually bit: every surviving pair has tf >= 2
+        assert got and all(g[2] >= 2 for g in got)
 
 
 class TestQuantizedRerank:

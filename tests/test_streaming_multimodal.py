@@ -252,6 +252,28 @@ class TestValidateToSink:
         assert spark.read.parquet(sink).count() == got.count()
 
 
+class TestIdempotentBatchWrite:
+    def test_replayed_batch_overwrites_its_own_partition(self, spark, tmp_path):
+        """foreachBatch is at-least-once: a crash between the parquet write
+        and the checkpoint commit replays the batch. The sink writer must
+        make that replay idempotent — rewrite batch_id=N, leave others."""
+        path = str(tmp_path / "sink")
+        b0 = spark.range(0, 10).withColumn("batch_id", F.lit(0))
+        SD._write_batch_idempotent(b0, path)
+        SD._write_batch_idempotent(b0, path)  # simulated replay
+        assert spark.read.parquet(path).count() == 10
+        b1 = spark.range(0, 5).withColumn("batch_id", F.lit(1))
+        SD._write_batch_idempotent(b1, path)
+        SD._write_batch_idempotent(b0, path)  # replay batch 0 again
+        got = spark.read.parquet(path)
+        assert got.count() == 15  # batch 1 untouched by batch 0's replay
+        per_batch = {
+            r["batch_id"]: r["n"]
+            for r in got.groupBy("batch_id").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        assert per_batch == {0: 10, 1: 5}
+
+
 class TestCdcToSink:
     def test_micro_batch_cdc_feed(self, spark, events_dir, tmp_path):
         ev = spark.read.parquet(events_dir)
