@@ -88,6 +88,82 @@ def dot_arrow(a: Column, b: Column) -> Column:
     return _DOT_ARROW(a, b)
 
 
+def dot_int(a: Column, b: Column) -> Column:
+    """EXACT dot product of two integer-code arrays (int8-quantized
+    embeddings): BIGINT multiply-accumulate, no floating point at all, so
+    the result is order-independent and bit-identical on every engine —
+    no sequential-fold contortions needed."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("bigint") * y.cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _dot_int_batch(a, b):
+    """Arrow-batch exact int64 dot. Integer arithmetic is associative, so
+    plain vectorized ``(A*B).sum(axis=1)`` is safe here (unlike the float
+    path, which must preserve fold order). int8 codes × 64 dims cannot
+    overflow int64 (|x|≤127 ⇒ |dot| ≤ 64·127² ≈ 1.03e6)."""
+    import numpy as np
+    import pandas as pd
+
+    va, vb = a.to_numpy(), b.to_numpy()
+    nulls = np.fromiter(
+        (x is None or y is None for x, y in zip(va, vb)), dtype=bool, count=len(va)
+    )
+    out = np.zeros(len(va), dtype=np.int64)
+    live = ~nulls
+    if live.any():
+        A = np.stack(va[live]).astype(np.int64)
+        B = np.stack(vb[live]).astype(np.int64)
+        out[live] = (A * B).sum(axis=1)
+    s = pd.Series(out)
+    return s.mask(nulls, None) if nulls.any() else s
+
+
+_DOT_INT_ARROW = None
+
+
+def dot_int_arrow(a: Column, b: Column) -> Column:
+    """Vectorized twin of :func:`dot_int` for the all-pairs prefilter hot
+    path — the integer-SIMD scoring pass of the quantize-then-rerank ANN."""
+    global _DOT_INT_ARROW
+    if _DOT_INT_ARROW is None:
+        from pyspark.sql.functions import pandas_udf
+
+        _DOT_INT_ARROW = pandas_udf(_dot_int_batch, "long")
+    return _DOT_INT_ARROW(a, b)
+
+
+def norm_int(a: Column) -> Column:
+    """L2 norm of an integer-code array: sqrt of the EXACT BIGINT sum of
+    squares (one correctly-rounded IEEE sqrt — cross-engine stable)."""
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("bigint") * x.cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+    )
+
+
+def dot_int_sql(a: str, b: str, dim: int) -> str:
+    """DuckDB twin of :func:`dot_int` (exact integer MAC; ``::BIGINT``
+    collapses DuckDB's HUGEINT list_sum back to int64)."""
+    return (
+        f"list_sum(list_transform(generate_series(1, {dim}),"
+        f" i -> {a}[i]::BIGINT * {b}[i]::BIGINT))::BIGINT"
+    )
+
+
+def norm_int_sql(a: str, dim: int) -> str:
+    return (
+        f"sqrt((list_sum(list_transform(generate_series(1, {dim}),"
+        f" i -> {a}[i]::BIGINT * {a}[i]::BIGINT))::BIGINT)::DOUBLE)"
+    )
+
+
 def dot_sql(a: str, b: str, dim: int) -> str:
     """DuckDB twin of :func:`dot` (same fold order → bit-identical)."""
     return (

@@ -173,16 +173,23 @@ SELECT query_id, neighbor_id, rank::INT AS rank, cos_sim FROM ranked WHERE rank 
 
 
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH ANN: 4 tables × 8 sign bits, exact re-rank."""
+    """Random-hyperplane LSH ANN: 8 tables × 4 sign bits, exact re-rank.
+
+    Band shape is recall-tuned against the measured isotropic test
+    embeddings (neighbor cos ≈ 0.32 ⇒ per-plane collision p ≈ 0.61):
+    8 short 4-bit bands give recall@5 ≈ 0.6-0.7 where the previous
+    4×8-bit config collided on essentially nothing (recall ≈ 0.03) —
+    p^8 ≈ 0.018 vs p^4 ≈ 0.135 per table. See ``knn_recall``, which pins
+    the measured recall of every approximate path against brute force."""
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") % 97 == 0)
     return S.knn_lsh(
-        emb, probes, "vec_id", "embedding", k=5, n_tables=4, n_planes=8, dim=64
+        emb, probes, "vec_id", "embedding", k=5, n_tables=8, n_planes=4, dim=64
     )
 
 
 def _sql_knn_lsh() -> str:
-    tables = [S.hyperplanes_from_seed(8, 64, f"lsh#{t}") for t in range(4)]
+    tables = [S.hyperplanes_from_seed(4, 64, f"lsh#{t}") for t in range(8)]
 
     def bucket_expr(vec: str, planes) -> str:
         terms = []
@@ -231,10 +238,15 @@ SQL_KNN_LSH = _sql_knn_lsh()
 # ------------------------------------------------------------------- text
 
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-flat ANN: deterministic pivots (vec_id % 37 = 0), nprobe=2."""
+    """IVF-flat ANN: deterministic pivots (vec_id % 37 = 0), nprobe=4.
+
+    nprobe is recall-tuned on the isotropic test embeddings: with no
+    cluster structure, true neighbors smear across cells, so nprobe=2
+    measured recall@5 ≈ 0.47; nprobe=4 reaches ≈ 0.8 at sf0.01 while
+    still scanning < half the corpus. ``knn_recall`` pins the number."""
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") % 97 == 0)
-    return S.ivf_knn(emb, probes, "vec_id", "embedding", k=5, pivot_mod=37, nprobe=2)
+    return S.ivf_knn(emb, probes, "vec_id", "embedding", k=5, pivot_mod=37, nprobe=4)
 
 
 SQL_KNN_IVF = f"""
@@ -254,7 +266,7 @@ qprobe AS (
       row_number() OVER (PARTITION BY q.query_id
         ORDER BY {V.cosine_sql('q.qv', 'p.pv', 64)} DESC, p.pivot_id ASC) AS rnk
     FROM q CROSS JOIN p)
-  WHERE rnk <= 2),
+  WHERE rnk <= 4),
 scored AS (
   SELECT qp.query_id, i.neighbor_id,
     {V.cosine_sql('qp.qv', 'i.cv', 64)} AS cos_sim
@@ -265,6 +277,133 @@ ranked AS (
     row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
   FROM scored)
 SELECT query_id, neighbor_id, rank::INT AS rank, cos_sim FROM ranked WHERE rank <= 5"""
+
+
+def q_knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantization ANN (int8 prefilter over ALL candidates, pool
+    of 50, exact float rerank) — the engine's recommended approximate
+    path; measured recall@5 = 1.0 on the isotropic test embeddings where
+    bucketed methods cap far lower (operators/similarity.py::
+    knn_int8_rerank)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 97 == 0)
+    return S.knn_int8_rerank(emb, probes, "vec_id", "embedding", k=5, pool=50)
+
+
+def _sql_knn_int8(pool: int = 50, k: int = 5) -> str:
+    from datacompy_spark.operators.similarity import quantize_embeddings_sql
+
+    quant = quantize_embeddings_sql("embeddings", "vec_id", "embedding", bits=8)
+    return f"""
+WITH codes AS ({quant}),
+qc AS (SELECT vec_id AS query_id, qvec AS q_code FROM codes WHERE vec_id % 97 = 0),
+cc AS (SELECT vec_id AS neighbor_id, qvec AS c_code,
+              {V.norm_int_sql('qvec', 64)} AS c_n
+       FROM codes),
+approx AS (
+  SELECT q.query_id, c.neighbor_id,
+         ({V.dot_int_sql('q.q_code', 'c.c_code', 64)})::DOUBLE / c.c_n AS approx
+  FROM qc q JOIN cc c ON c.neighbor_id <> q.query_id),
+pooled AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      row_number() OVER (PARTITION BY query_id
+                         ORDER BY approx DESC, neighbor_id ASC) AS prnk
+    FROM approx) WHERE prnk <= {pool}),
+scored AS (
+  SELECT p.query_id, p.neighbor_id,
+         {V.cosine_sql('q.embedding', 'c.embedding', 64)} AS cos_sim
+  FROM pooled p
+  JOIN embeddings q ON q.vec_id = p.query_id
+  JOIN embeddings c ON c.vec_id = p.neighbor_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, rank::INT AS rank, cos_sim FROM ranked WHERE rank <= {k}"""
+
+
+SQL_KNN_INT8 = _sql_knn_int8()
+
+
+def q_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the two APPROXIMATE ANN paths (LSH, IVF) against exact
+    brute force over the same probe set — the approximation-quality gate
+    the per-method oracles cannot express (they re-run the same algorithm,
+    so a bad approximation would still "match"). The recall VALUE is what
+    the correctness hash pins: a regression in banding, pivot assignment,
+    or probing shifts it immediately.
+
+    Scale shape: the three candidate frames come from the already-audited
+    knn operators; grading is a left join on the (query, neighbor) pair key
+    + one tiny aggregate per method. ``n_hits`` uses count(non-null marker)
+    so both engines produce BIGINT; ``recall`` is the single double
+    division the cross-engine gate allows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 97 == 0)
+    exact = S.knn_bruteforce(emb, probes, "vec_id", "embedding", k=5).select(
+        "query_id", "neighbor_id"
+    )
+    lsh = S.knn_lsh(
+        emb, probes, "vec_id", "embedding", k=5, n_tables=8, n_planes=4, dim=64
+    ).select("query_id", "neighbor_id")
+    ivf = S.ivf_knn(
+        emb, probes, "vec_id", "embedding", k=5, pivot_mod=37, nprobe=4
+    ).select("query_id", "neighbor_id")
+    int8 = S.knn_int8_rerank(
+        emb, probes, "vec_id", "embedding", k=5, pool=50
+    ).select("query_id", "neighbor_id")
+
+    def graded(approx: DataFrame, method: str) -> DataFrame:
+        j = exact.join(
+            approx.withColumn("__hit", F.lit(1)),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        return (
+            j.agg(
+                F.count(F.lit(1)).alias("n_exact"),
+                F.count("__hit").alias("n_hits"),
+            )
+            .select(
+                F.lit(method).alias("method"),
+                "n_exact",
+                "n_hits",
+                (
+                    F.col("n_hits").cast("double") / F.col("n_exact").cast("double")
+                ).alias("recall"),
+            )
+        )
+
+    return (
+        graded(lsh, "lsh")
+        .unionByName(graded(ivf, "ivf"))
+        .unionByName(graded(int8, "int8_rerank"))
+        .orderBy("method")
+    )
+
+
+SQL_KNN_RECALL = f"""
+WITH exact AS (SELECT query_id, neighbor_id FROM ({SQL_KNN_BRUTEFORCE})),
+lsh AS (SELECT query_id, neighbor_id FROM ({SQL_KNN_LSH})),
+ivf AS (SELECT query_id, neighbor_id FROM ({SQL_KNN_IVF})),
+int8 AS (SELECT query_id, neighbor_id FROM ({SQL_KNN_INT8})),
+g_lsh AS (
+  SELECT 'lsh' AS method, count(*) AS n_exact, count(a.query_id) AS n_hits
+  FROM exact e LEFT JOIN lsh a
+    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id),
+g_ivf AS (
+  SELECT 'ivf' AS method, count(*) AS n_exact, count(a.query_id) AS n_hits
+  FROM exact e LEFT JOIN ivf a
+    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id),
+g_int8 AS (
+  SELECT 'int8_rerank' AS method, count(*) AS n_exact, count(a.query_id) AS n_hits
+  FROM exact e LEFT JOIN int8 a
+    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id)
+SELECT method, n_exact, n_hits, n_hits::DOUBLE / n_exact::DOUBLE AS recall
+FROM (SELECT * FROM g_lsh UNION ALL SELECT * FROM g_ivf UNION ALL SELECT * FROM g_int8)
+ORDER BY method"""
 
 
 def q_cmp_rel_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1625,6 +1764,8 @@ PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_quantize": q_embedding_quantize,
     "events_multi_rollup": q_events_multi_rollup,
     "events_missing_periods": q_events_missing_periods,
+    "knn_int8": q_knn_int8,
+    "knn_recall": q_knn_recall,
 }
 
 PIPELINE_ORACLES: Dict[str, str] = {
@@ -1681,4 +1822,6 @@ PIPELINE_ORACLES: Dict[str, str] = {
     "embedding_quantize": SQL_EMBEDDING_QUANTIZE,
     "events_multi_rollup": SQL_EVENTS_MULTI_ROLLUP,
     "events_missing_periods": SQL_EVENTS_MISSING_PERIODS,
+    "knn_int8": SQL_KNN_INT8,
+    "knn_recall": SQL_KNN_RECALL,
 }

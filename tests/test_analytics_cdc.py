@@ -452,6 +452,69 @@ class TestTfidfMinTfParity:
         assert got and all(g[2] >= 2 for g in got)
 
 
+class TestKnnRecallGate:
+    def test_recall_values_meet_floors(self, spark):
+        """The approximation-quality gate the per-method oracles can't
+        express: recall@5 vs brute force, per method, on the real test
+        embeddings. int8_rerank is the blessed scale path and must stay
+        ≥0.9 (measured 1.0); the bucketed paths are capped by the data's
+        isotropy (no cluster structure, neighbor cos ≈ 0.32) — their
+        floors pin the tuned configs against silent regression."""
+        from datacompy_spark.queries_pipeline import q_knn_recall
+
+        got = {
+            r["method"]: r["recall"]
+            for r in q_knn_recall(spark, "/root/testdata/sf0.001").collect()
+        }
+        assert set(got) == {"int8_rerank", "ivf", "lsh"}
+        assert got["int8_rerank"] >= 0.9
+        assert got["lsh"] >= 0.5
+        assert got["ivf"] >= 0.5
+
+    def test_knn_int8_rerank_matches_bruteforce_topk(self, spark):
+        """With a pool that recovers everything, the int8 path's final
+        ranking must equal exact brute force pair-for-pair (the rerank is
+        the same float cosine)."""
+        from datacompy_spark.operators.similarity import (
+            knn_bruteforce,
+            knn_int8_rerank,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        probes = emb.filter(F.col("vec_id") < 5)
+        exact = {
+            (r["query_id"], r["rank"]): r["neighbor_id"]
+            for r in knn_bruteforce(emb, probes, "vec_id", "embedding", k=5).collect()
+        }
+        got = {
+            (r["query_id"], r["rank"]): r["neighbor_id"]
+            for r in knn_int8_rerank(
+                emb, probes, "vec_id", "embedding", k=5, pool=50
+            ).collect()
+        }
+        assert got == exact
+
+    def test_dot_int_exactness(self, spark):
+        """dot_int / dot_int_arrow are exact BIGINT MACs: identical to a
+        Python-side integer dot, and identical to each other."""
+        from datacompy_spark.functions.vector import dot_int, dot_int_arrow
+
+        rows = [
+            Row(i=0, a=[127, -127, 1, 0], b=[127, 127, -1, 5]),
+            Row(i=1, a=[0, 0, 0, 0], b=[1, 2, 3, 4]),
+            Row(i=2, a=[-128, -128, -128, -128], b=[-128, -128, -128, -128]),
+        ]
+        df = spark.createDataFrame(rows)
+        out = df.select(
+            "i",
+            dot_int(F.col("a"), F.col("b")).alias("d1"),
+            dot_int_arrow(F.col("a"), F.col("b")).alias("d2"),
+        ).collect()
+        for r in out:
+            py = sum(x * y for x, y in zip(rows[r["i"]].a, rows[r["i"]].b))
+            assert r["d1"] == py and r["d2"] == py
+
+
 class TestQuantizedRerank:
     def test_int8_prefilter_plus_exact_rerank_recall(self, spark):
         """Composition evidence for the ANN compression path: score ALL
