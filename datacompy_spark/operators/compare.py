@@ -336,15 +336,23 @@ class SparkCompare:
                 return F.trim(col)
             return col
 
+        # Null-safe equality is the reference semantic (null keys pair
+        # with null keys, spark.py:429-448) but its physical form —
+        # (coalesce(k, 0), isnull(k)) join keys — disqualifies bucketed
+        # scans AND stops the outer join from reusing the ordinal window's
+        # plain-key partitioning (extra exchanges). With
+        # null_safe_join=False the caller asserts keys are never null; and
+        # when EVERY join key is declared non-nullable on BOTH schemas the
+        # two predicates are provably equivalent, so the lowering is
+        # auto-selected — same results, cheaper plan.
+        keys_provably_non_null = all(
+            (not self.df1.schema[c].nullable) and (not self.df2.schema[c].nullable)
+            for c in self.join_columns
+        )
+        use_null_safe = self.null_safe_join and not keys_provably_non_null
+
         def key_eq(lc: Column, rc: Column) -> Column:
-            # Null-safe equality is the reference semantic (null keys pair
-            # with null keys, spark.py:429-448) but its physical form —
-            # (coalesce(k, 0), isnull(k)) join keys — disqualifies bucketed
-            # scans. With null_safe_join=False the caller asserts keys are
-            # never null (the norm for primary keys), the join lowers to
-            # plain equality, and two tables bucket-sorted on the key
-            # compare with ZERO exchanges.
-            return lc.eqNullSafe(rc) if self.null_safe_join else lc == rc
+            return lc.eqNullSafe(rc) if use_null_safe else lc == rc
 
         cond = reduce(
             lambda a, b: a & b,

@@ -108,6 +108,35 @@ class TestCompareTopology:
             spark.sql("DROP TABLE IF EXISTS bt_left")
             spark.sql("DROP TABLE IF EXISTS bt_right")
 
+    def test_non_nullable_keys_auto_lower_to_plain_equality(self, spark):
+        # both key schemas provably non-nullable (spark.range lineage) →
+        # the default null-safe join lowers to == automatically, so the
+        # join keys are plain (no coalesce/isnull composite), and the
+        # full-outer join reuses the ordinal window's partitioning
+        # note: the key must be the raw range id — even `id % 500` is
+        # DECLARED nullable by Spark (remainder can null under try/ANSI
+        # semantics), which correctly blocks the lowering
+        df1 = spark.range(0, 5000).select(
+            F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+        )
+        df2 = spark.range(0, 5000).select(
+            F.col("id").alias("k"), (F.col("id") % 89).alias("v")
+        )
+        assert not df1.schema["k"].nullable and not df2.schema["k"].nullable
+        c = SparkCompare(spark, df1, df2, join_columns=["k"])
+        p = plan_of(c._outer)
+        assert "isnull(k__" not in p and "coalesce(k__" not in p, p[:800]
+        # equivalent to the explicit escape hatch, plan-shape-wise
+        c2 = SparkCompare(spark, df1, df2, join_columns=["k"], null_safe_join=False)
+        assert p.count("Exchange") == plan_of(c2._outer).count("Exchange")
+
+    def test_nullable_keys_keep_null_safe_join(self, spark, li_pair):
+        # parquet schemas are nullable → the reference's null-safe pairing
+        # semantic must survive the auto-lowering optimization
+        c = SparkCompare(spark, *li_pair, join_columns=["l_orderkey"])
+        p = plan_of(c._outer)
+        assert "isnull(l_orderkey__" in p or "coalesce(l_orderkey__" in p, p[:800]
+
     def test_stats_is_single_aggregate_action(self, spark, li_pair):
         c = SparkCompare(spark, *li_pair, join_columns=KEYS)
         before = spark.sparkContext.statusTracker().getJobIdsForGroup(None) or []
