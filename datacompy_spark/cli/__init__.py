@@ -185,6 +185,11 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--assume-no-null-keys", action="store_true",
                    help="join keys are never null: use a plain equi-join, which "
                    "lets bucketed tables compare without a shuffle")
+    c.add_argument("--dup-join-on-ordinal", action="store_true",
+                   help="hot-key mode: join duplicates on (keys, ordinal) so a "
+                   "key duplicated millions of times fans out across tasks "
+                   "(costs one extra shuffle; default pairs ordinals with a "
+                   "residual condition that reuses the window partitioning)")
     c.add_argument(
         "--sample-fraction",
         type=float,
@@ -445,6 +450,7 @@ def run_compare(args) -> int:
                 cast_column_names_lower=not args.no_lowercase_columns,
                 assume_unique=args.assume_unique,
                 null_safe_join=not args.assume_no_null_keys,
+                dup_join_on_ordinal=args.dup_join_on_ordinal,
                 cache_intermediates=args.cache_intermediates,
             )
         except (ValueError, TypeError) as ex:
@@ -658,9 +664,12 @@ def run_cdc(args) -> int:
             )
             feed.write.mode("overwrite").parquet(args.export)
             written = spark.read.parquet(args.export)
-            counts = dict(
-                written.groupBy("change_type").count().rdd.map(tuple).collect()
-            )
+            # plain DataFrame collect (tiny frame): no legacy .rdd hop, so the
+            # CLI also works over Spark Connect
+            counts = {
+                r[0]: r[1]
+                for r in written.groupBy("change_type").count().collect()
+            }
         except CLIError:
             raise
         except Exception as ex:
@@ -722,16 +731,16 @@ def run_curate(args) -> int:
             )
             verdict.write.mode("overwrite").parquet(args.verdict)
             written = spark.read.parquet(args.verdict)
-            counts = dict(
-                written.groupBy("verdict").count().rdd.map(tuple).collect()
-            )
-            splits = dict(
-                written.filter(F.col("split").isNotNull())
+            counts = {
+                r[0]: r[1] for r in written.groupBy("verdict").count().collect()
+            }
+            splits = {
+                r[0]: r[1]
+                for r in written.filter(F.col("split").isNotNull())
                 .groupBy("split")
                 .count()
-                .rdd.map(tuple)
                 .collect()
-            )
+            }
         except CLIError:
             raise
         except Exception as ex:

@@ -150,6 +150,18 @@ class SparkCompare:
     ``monotonically_increasing_id`` (``spark.py:392-407``) which is
     partition-dependent; passing a deterministic ordering makes results
     reproducible across runs/cluster layouts.
+
+    ``dup_join_on_ordinal`` (extension, hot-key escape hatch): by default
+    the pairing ordinal enters the join as a range-pair residual condition
+    (``o1 <= o2 AND o1 >= o2``) so the sort-merge join reuses the ordinal
+    window's key partitioning — optimal for ordinary duplication (a few
+    rows per key), but the residual is evaluated per key-group PAIR, i.e.
+    O(k²) inside one task for a key duplicated k times. With a genuinely
+    hot key (k ≳ 10⁴; AQE's skew split cannot help a FULL OUTER join) set
+    this True: the ordinal becomes a real equi-join key, the hot key's
+    rows spread across (key, ordinal) hash partitions, and the join is
+    linear in k at the cost of one extra exchange per side. Same results
+    either way — measured in SCALING.md §hot-key.
     """
 
     def __init__(
@@ -170,6 +182,7 @@ class SparkCompare:
         dup_order_by: Optional[Sequence[str]] = None,
         assume_unique: bool = False,
         null_safe_join: bool = True,
+        dup_join_on_ordinal: bool = False,
     ) -> None:
         self.spark = spark
         if df1_name == df2_name:
@@ -183,6 +196,7 @@ class SparkCompare:
         self.cache_intermediates = cache_intermediates
         self.assume_unique = assume_unique
         self.null_safe_join = null_safe_join
+        self.dup_join_on_ordinal = dup_join_on_ordinal
 
         if isinstance(join_columns, (str, int, float)):
             join_columns = [str(join_columns)]
@@ -194,6 +208,7 @@ class SparkCompare:
 
         self.df1 = self._prep_df(df1, "df1")
         self.df2 = self._prep_df(df2, "df2")
+        self._n = self._internal_names()
 
         self._dup_order_by = list(dup_order_by or [])
         # raw inputs kept for report display: the reference prints the
@@ -221,21 +236,48 @@ class SparkCompare:
             df = df.toDF(*[c.lower() for c in df.columns])
         if len(set(df.columns)) != len(df.columns):
             raise ValueError(f"{which} has duplicate column names after case folding")
+        # columns differing only by case (ref tests/test_spark.py:2849):
+        # even with lower-casing off, Spark's default case-INsensitive
+        # resolver cannot reference them (AMBIGUOUS_REFERENCE mid-join) —
+        # fail up front with an actionable message instead
+        folded = [c.lower() for c in df.columns]
+        if len(set(folded)) != len(folded) and (
+            str(self.spark.conf.get("spark.sql.caseSensitive", "false")).lower()
+            != "true"
+        ):
+            dupes = sorted({c for c in folded if folded.count(c) > 1})
+            raise ValueError(
+                f"{which} has columns differing only by case ({dupes}); "
+                "enable spark.sql.caseSensitive or rename them before comparing"
+            )
         missing = [c for c in self.join_columns if c not in df.columns]
         if missing:
             raise ValueError(f"{which} is missing join columns: {missing}")
-        reserved = [
-            c for c in df.columns
-            if c == "__dc_ordinal" or c.startswith("__present_")
-        ]
-        if reserved:
-            # engine-internal names; a clear error beats the KEY_NOT_EXISTS
-            # the join machinery would otherwise die with
-            raise ValueError(
-                f"{which} uses reserved internal column names: {reserved} — "
-                "rename them before comparing"
-            )
         return df
+
+    def _internal_names(self) -> Dict[str, str]:
+        """Collision-proof engine-internal column names — the Spark analog
+        of the reference's ``temp_column_name`` probe (``base.py:649-672``):
+        the default names (``__dc_ordinal``, ``__present_lhs``, ``_merge``,
+        …) are used unless an input column could collide, in which case a
+        numbered variant is probed until free. Inputs may therefore own
+        columns literally named ``_merge`` or ``__dc_ordinal`` — they are
+        treated as ordinary compared data, never silently overwritten."""
+        cols = set(self.df1.columns) | set(self.df2.columns)
+        t = 0
+        while True:
+            tag = "" if t == 0 else str(t + 1)
+            names = {
+                "idx": f"__dc{tag}_idx",
+                "ordinal": f"__dc{tag}_ordinal",
+                "present_lhs": f"__present{tag}_lhs",
+                "present_rhs": f"__present{tag}_rhs",
+                "merge": f"_merge{tag}",
+                "ord": f"__dc{tag}_ord",
+            }
+            if not cols & set(names.values()):
+                return names
+            t += 1
 
     @property
     def _intersect_columns(self) -> List[str]:
@@ -269,14 +311,15 @@ class SparkCompare:
         windows already treat NULL as an ordinary partition value, so no
         sentinel (and no sentinel-collision probe) is needed here.
         """
+        idx, ordinal = self._n["idx"], self._n["ordinal"]
         if self._dup_order_by:
             order = [F.col(c) for c in self._dup_order_by]
         else:
-            df = df.withColumn("__dc_idx", F.monotonically_increasing_id())
-            order = [F.col("__dc_idx")]
+            df = df.withColumn(idx, F.monotonically_increasing_id())
+            order = [F.col(idx)]
         w = Window.partitionBy(*[F.col(c) for c in self.join_columns]).orderBy(*order)
-        df = df.withColumn("__dc_ordinal", F.row_number().over(w) - 1)
-        return df.drop("__dc_idx")
+        df = df.withColumn(ordinal, F.row_number().over(w) - 1)
+        return df.drop(idx)
 
     def _build(self) -> None:
         """Assemble the (lazy) comparison plan.
@@ -296,6 +339,8 @@ class SparkCompare:
         key uniqueness)."""
         df1, df2 = self.df1, self.df2
         n1, n2 = self.df1_name, self.df2_name
+        ordinal = self._n["ordinal"]
+        present = {"lhs": self._n["present_lhs"], "rhs": self._n["present_rhs"]}
 
         paired = not self.assume_unique
         if paired:
@@ -313,13 +358,13 @@ class SparkCompare:
             # reference's pandas-merge suffixing: v -> v_df1,
             # v_df1 -> v_df1_df1).
             def new_name(c: str) -> str:
-                if c in self.join_columns or c == "__dc_ordinal":
+                if c in self.join_columns or c == ordinal:
                     return f"{c}__{tag}"
                 return f"{c}_{public}"
 
             return df.select(
                 *[df[c].alias(new_name(c)) for c in df.columns]
-            ).withColumn(f"__present_{tag}", F.lit(True))
+            ).withColumn(present[tag], F.lit(True))
 
         left = suffixed(df1, "lhs", n1)
         right = suffixed(df2, "rhs", n2)
@@ -362,40 +407,51 @@ class SparkCompare:
             ],
         )
         if paired:
-            ol, orr = left["__dc_ordinal__lhs"], right["__dc_ordinal__rhs"]
-            cond = cond & (ol <= orr) & (ol >= orr)
+            ol, orr = left[f"{ordinal}__lhs"], right[f"{ordinal}__rhs"]
+            if self.dup_join_on_ordinal:
+                # plain equality: Catalyst's ExtractEquiJoinKeys lifts it
+                # into the hash keys — hot keys fan out, extra exchange
+                cond = cond & (ol == orr)
+            else:
+                # range-pair keeps the ordinal OUT of the hash keys so the
+                # join reuses the window's partitioning (zero extra
+                # exchanges); per-key residual cost is O(dups²)
+                cond = cond & (ol <= orr) & (ol >= orr)
         outer = left.join(right, on=cond, how="full_outer")
 
         merge = (
-            F.when(F.col("__present_rhs").isNull(), F.lit("left_only"))
-            .when(F.col("__present_lhs").isNull(), F.lit("right_only"))
+            F.when(F.col(present["rhs"]).isNull(), F.lit("left_only"))
+            .when(F.col(present["lhs"]).isNull(), F.lit("right_only"))
             .otherwise(F.lit("both"))
         )
         restored_keys = [
             F.when(
-                F.col("__present_lhs").isNotNull(), F.col(f"{c}__lhs")
+                F.col(present["lhs"]).isNotNull(), F.col(f"{c}__lhs")
             ).otherwise(F.col(f"{c}__rhs")).alias(c)
             for c in self.join_columns
         ]
-        internal = {f"{k}__{t}" for k in list(self.join_columns) + ["__dc_ordinal"] for t in ("lhs", "rhs")}
-        value_cols = [
-            c
-            for c in outer.columns
-            if not c.startswith("__present_") and c not in internal
-        ]
+        internal = {
+            f"{k}__{t}"
+            for k in list(self.join_columns) + [ordinal]
+            for t in ("lhs", "rhs")
+        } | set(present.values())
+        value_cols = [c for c in outer.columns if c not in internal]
         extras = []
         if paired:
             # max pairing ordinal → duplicate detection, for free in the stats agg
             extras.append(
                 F.greatest(
-                    F.coalesce(F.col("__dc_ordinal__lhs"), F.lit(0)),
-                    F.coalesce(F.col("__dc_ordinal__rhs"), F.lit(0)),
-                ).alias("__dc_ord")
+                    F.coalesce(F.col(f"{ordinal}__lhs"), F.lit(0)),
+                    F.coalesce(F.col(f"{ordinal}__rhs"), F.lit(0)),
+                ).alias(self._n["ord"])
             )
         else:
-            extras.append(F.lit(0).alias("__dc_ord"))
+            extras.append(F.lit(0).alias(self._n["ord"]))
         outer = outer.select(
-            *restored_keys, *[F.col(c) for c in value_cols], merge.alias("_merge"), *extras
+            *restored_keys,
+            *[F.col(c) for c in value_cols],
+            merge.alias(self._n["merge"]),
+            *extras,
         )
 
         # Per-column match expressions — one boolean Column each, all attached
@@ -403,7 +459,7 @@ class SparkCompare:
         match_exprs = {}
         for c in self._compare_columns:
             match_exprs[f"{c}_match"] = F.when(
-                F.col("_merge") != "both", F.lit(None).cast("boolean")
+                F.col(self._n["merge"]) != "both", F.lit(None).cast("boolean")
             ).otherwise(
                 columns_equal(
                     outer,
@@ -434,7 +490,7 @@ class SparkCompare:
         ``spark.py:532-537``)."""
         from pyspark import StorageLevel
 
-        pred = (F.col("_merge") != "both") | self._any_mismatch_pred()
+        pred = (F.col(self._n["merge"]) != "both") | self._any_mismatch_pred()
         return self._outer.filter(pred).persist(StorageLevel.MEMORY_AND_DISK)
 
     def _ensure_cached(self) -> None:
@@ -491,7 +547,7 @@ class SparkCompare:
         frames — each derived frame filters the same outer join, so a
         3-way union evaluates the join three times unless it was cached."""
         return self._outer.select(
-            *self.join_columns, F.col("_merge").alias("row_class")
+            *self.join_columns, F.col(self._n["merge"]).alias("row_class")
         )
 
     @cached_property
@@ -505,7 +561,7 @@ class SparkCompare:
             cols.append(f"{c}_{self.df1_name}")
         for c in self.df2_unq_columns():
             cols.append(f"{c}_{self.df2_name}")
-        return self._outer.filter(F.col("_merge") == "both").select(*cols)
+        return self._outer.filter(F.col(self._n["merge"]) == "both").select(*cols)
 
     def _unq_rows(self, side: str) -> DataFrame:
         tag, name, src = (
@@ -519,7 +575,7 @@ class SparkCompare:
                 F.col(c if c in self.join_columns else f"{c}_{name}").alias(c)
             )
         # unique rows are by definition exceptions → serve from the small cache
-        return self._exceptions.filter(F.col("_merge") == tag).select(*sel)
+        return self._exceptions.filter(F.col(self._n["merge"]) == tag).select(*sel)
 
     @cached_property
     def df1_unq_rows(self) -> DataFrame:
@@ -544,13 +600,13 @@ class SparkCompare:
         computes row classes, matching-row count, and per-column
         match/null-diff/max-diff — replacing the reference's per-column action
         loop (``spark.py:594-636``, A1+A3+A4 in SURVEY §2.4)."""
-        both = F.col("_merge") == "both"
+        both = F.col(self._n["merge"]) == "both"
         n1, n2 = self.df1_name, self.df2_name
         aggs = [
-            F.sum(F.when(F.col("_merge") == "left_only", 1).otherwise(0)).alias("__left_only"),
-            F.sum(F.when(F.col("_merge") == "right_only", 1).otherwise(0)).alias("__right_only"),
+            F.sum(F.when(F.col(self._n["merge"]) == "left_only", 1).otherwise(0)).alias("__left_only"),
+            F.sum(F.when(F.col(self._n["merge"]) == "right_only", 1).otherwise(0)).alias("__right_only"),
             F.sum(F.when(both, 1).otherwise(0)).alias("__both"),
-            F.max(F.col("__dc_ord")).alias("__max_ord"),
+            F.max(F.col(self._n["ord"])).alias("__max_ord"),
         ]
         match_cols = [F.col(f"{c}_match") for c in self._compare_columns]
         if match_cols:
@@ -729,7 +785,7 @@ class SparkCompare:
         n1, n2 = self.df1_name, self.df2_name
         out = (
             self._exceptions.filter(
-                (F.col("_merge") == "both") & ~F.col(f"{column}_match")
+                (F.col(self._n["merge"]) == "both") & ~F.col(f"{column}_match")
             )
             .select(*self.join_columns, f"{column}_{n1}", f"{column}_{n2}")
             .limit(sample_count)
@@ -755,7 +811,7 @@ class SparkCompare:
         for c in keep:
             cols += [f"{c}_{n1}", f"{c}_{n2}"]
         return self._exceptions.filter(
-            (F.col("_merge") == "both") & self._any_mismatch_pred()
+            (F.col(self._n["merge"]) == "both") & self._any_mismatch_pred()
         ).select(*cols)
 
     # ------------------------------------------------------------ sensitive

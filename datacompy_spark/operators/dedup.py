@@ -648,6 +648,7 @@ def connected_components(
     max_iter: int = 15,
     checkpoint_dir: str | None = None,
     driver_cap: int = 1_000_000,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Connected components over an undirected pair list (id_a, id_b):
     every node's label converges to the smallest id reachable from it.
@@ -682,7 +683,13 @@ def connected_components(
     doubling-round barriers from ``localCheckpoint`` to reliable
     ``checkpoint`` (a lost executor then costs a re-read, not the whole
     iterative job). Output: (node, component) where component is the
-    cluster's minimum id."""
+    cluster's minimum id.
+
+    ``stats_out`` (observability hook, used by ``tools/scale_probe.py``):
+    when a dict is passed, it is filled with ``route`` (driver|distributed),
+    ``rounds``, ``doubling_from`` (round index where pointer doubling
+    engaged, or None) and ``changed_history`` — the numbers behind the
+    convergence claims in SCALING.md."""
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -691,6 +698,11 @@ def connected_components(
     )
     n_edges = edges.count()  # also materializes the persist before reuse
     if n_edges <= driver_cap:
+        if stats_out is not None:
+            stats_out.update(
+                {"route": "driver", "rounds": 0, "doubling_from": None,
+                 "changed_history": []}
+            )
         dtype = edges.schema["src"].dataType
         # Arrow collect: numpy columns, not a list of Row objects — Row +
         # per-field dict overhead is ~10× the serialized edge size
@@ -708,6 +720,9 @@ def connected_components(
     converged = False
     doubling = False
     prev_changed: int | None = None
+    changed_history: list[int] = []
+    doubling_from: int | None = None
+    rounds = 0
     for it in range(max_iter):
         # min label arriving over incoming edges, merged with the current
         # label via `least` — one aggregation + one join per round (the
@@ -767,13 +782,22 @@ def connected_components(
         # plateaus at ~its length
         labels.unpersist()
         labels = new_labels
+        rounds = it + 1
+        changed_history.append(changed)
         if changed == 0:
             converged = True
             break
         if prev_changed is not None and changed * 2 > prev_changed:
+            if not doubling:
+                doubling_from = it + 1
             doubling = True  # shrink stalled → long chains; stays on
         prev_changed = changed
     edges.unpersist()
+    if stats_out is not None:
+        stats_out.update(
+            {"route": "distributed", "rounds": rounds,
+             "doubling_from": doubling_from, "changed_history": changed_history}
+        )
     if not converged:
         import warnings
 

@@ -21,9 +21,16 @@ def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     stage (per-row maps, blocked self-joins that shuffle on their own keys
     anyway)."""
     spark = df.sparkSession
-    target = min_parts or spark.sparkContext.defaultParallelism
-    # getNumPartitions builds the physical RDD plan but launches no job
-    if df.rdd.getNumPartitions() >= target:
+    try:
+        target = min_parts or spark.sparkContext.defaultParallelism
+        # getNumPartitions builds the physical RDD plan but launches no job
+        current = df.rdd.getNumPartitions()
+    except Exception:
+        # Spark Connect exposes neither sparkContext nor .rdd; the guard
+        # only rescues tiny single-partition local scans, so skip it there
+        # rather than inject a blind shuffle into every plan
+        return df
+    if current >= target:
         return df
     return df.repartition(target)
 

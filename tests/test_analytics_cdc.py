@@ -54,7 +54,7 @@ class TestSnapshotCDC:
         old, new = snapshots
         feed = snapshot_cdc(old, new, ["k"], include_unchanged=True)
         kinds = dict(
-            feed.groupBy("change_type").count().rdd.map(tuple).collect()
+            feed.groupBy("change_type").count().collect()
         )
         assert kinds == {"insert": 1, "delete": 1, "update": 2, "unchanged": 1}
 
@@ -71,7 +71,7 @@ class TestSnapshotCDC:
     def test_summary(self, spark, snapshots):
         old, new = snapshots
         s = dict(
-            cdc_summary(snapshot_cdc(old, new, ["k"])).rdd.map(tuple).collect()
+            cdc_summary(snapshot_cdc(old, new, ["k"])).collect()
         )
         assert s["insert"] == 1 and s["delete"] == 1 and s["update"] == 2
         assert s["updated:a"] == 1 and s["updated:b"] == 1
@@ -86,7 +86,7 @@ class TestSnapshotCDC:
             "v", F.when(F.col("k") % 3 == 0, F.col("v") + 1).otherwise(F.col("v"))
         )
         feed = snapshot_cdc(old, new, ["k"])
-        kinds = dict(feed.groupBy("change_type").count().rdd.map(tuple).collect())
+        kinds = dict(feed.groupBy("change_type").count().collect())
         assert kinds["delete"] == 10
         # updates = |{k in 0..99 : k%10!=0 and k%3==0}|
         want_updates = sum(1 for k in range(100) if k % 10 != 0 and k % 3 == 0)
@@ -350,7 +350,7 @@ class TestCdcSchemaEvolutionAndBuckets:
             assert "Exchange" not in plan, plan
             assert "SortMergeJoin" in plan
             kinds = dict(
-                feed.groupBy("change_type").count().rdd.map(tuple).collect()
+                feed.groupBy("change_type").count().collect()
             )
             assert kinds == {"delete": 100}
         finally:

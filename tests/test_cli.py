@@ -224,6 +224,7 @@ class TestParserConstructorDrift:
         "dup_order_by": None,        # niche; Python API only for now
         "assume_unique": "assume_unique",
         "null_safe_join": "assume_no_null_keys",  # CLI flag is the negation
+        "dup_join_on_ordinal": "dup_join_on_ordinal",
     }
 
     def test_constructor_params_all_mapped(self):

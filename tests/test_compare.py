@@ -312,11 +312,102 @@ class TestSuffixCollision:
         }
 
 
-    def test_reserved_internal_names_rejected(self, spark):
-        df1 = spark.createDataFrame([(1, 5)], "id bigint, __dc_ordinal bigint")
-        df2 = spark.createDataFrame([(1, 6)], "id bigint, __dc_ordinal bigint")
-        with pytest.raises(ValueError, match="reserved internal column names"):
-            SparkCompare(spark, df1, df2, join_columns="id")
+    def test_reserved_internal_names_compare_as_data(self, spark):
+        # columns named like engine internals are ordinary data: the
+        # engine probes for collision-free internal names instead of
+        # stomping on (or rejecting) the user's columns — the Spark
+        # analog of the reference's temp_column_name (base.py:649-672)
+        df1 = spark.createDataFrame(
+            [(1, 5, "x", True, 7)],
+            "id bigint, __dc_ordinal bigint, _merge string, __present_lhs boolean, __dc_ord bigint",
+        )
+        df2 = spark.createDataFrame(
+            [(1, 6, "x", True, 7)],
+            "id bigint, __dc_ordinal bigint, _merge string, __present_lhs boolean, __dc_ord bigint",
+        )
+        c = SparkCompare(spark, df1, df2, join_columns="id")
+        stats = {s["column"]: s["unequal_cnt"] for s in c.column_stats}
+        assert stats == {
+            "id": 0, "__dc_ordinal": 1, "_merge": 0,
+            "__present_lhs": 0, "__dc_ord": 0,
+        }
+        assert c.intersect_rows_count == 1 and not c.matches()
+        bad = c.all_mismatch().collect()
+        assert len(bad) == 1
+        assert bad[0]["__dc_ordinal_df1"] == 5 and bad[0]["__dc_ordinal_df2"] == 6
+        # row_classes still exposes the public name regardless of probing
+        assert c.row_classes().columns == ["id", "row_class"]
+
+    def test_reserved_name_as_join_column(self, spark):
+        # even the JOIN key may be named _merge / __dc_ordinal: dup-key
+        # ordinal pairing and the merge indicator must not collide with it
+        df1 = spark.createDataFrame(
+            [("k1", 1.0), ("k1", 2.0), ("k2", 3.0)], "_merge string, v double"
+        )
+        df2 = spark.createDataFrame(
+            [("k1", 1.0), ("k1", 2.5), ("k3", 4.0)], "_merge string, v double"
+        )
+        c = SparkCompare(
+            spark, df1, df2, join_columns="_merge", dup_order_by=["v"]
+        )
+        assert c.intersect_rows_count == 2
+        assert c.count_matching_rows() == 1
+        assert c.df1_unq_rows_count == 1 and c.df2_unq_rows_count == 1
+        assert c.has_duplicates
+
+
+class TestExoticColumnNames:
+    def test_unicode_column_names_end_to_end(self, spark):
+        # reference tests/test_spark.py:1595 compares frames with unicode
+        # column names; keys, value compare, mismatch pull and the report
+        # must all survive non-ASCII identifiers
+        df1 = spark.createDataFrame(
+            [(1, "東京", 3.5), (2, "大阪", 1.25)], ["id", "都市", "値"]
+        )
+        df2 = spark.createDataFrame(
+            [(1, "東京", 3.5), (2, "京都", 1.25)], ["id", "都市", "値"]
+        )
+        c = SparkCompare(spark, df1, df2, join_columns="id")
+        stats = {s["column"]: s["unequal_cnt"] for s in c.column_stats}
+        assert stats == {"id": 0, "都市": 1, "値": 0}
+        bad = c.all_mismatch().collect()
+        assert len(bad) == 1 and bad[0]["都市_df1"] == "大阪"
+        rep = c.report(sample_count=2)
+        assert "都市" in rep
+
+    def test_unicode_join_key(self, spark):
+        df1 = spark.createDataFrame([("α", 1), ("β", 2)], ["κλειδί", "v"])
+        df2 = spark.createDataFrame([("α", 1), ("γ", 3)], ["κλειδί", "v"])
+        c = SparkCompare(spark, df1, df2, join_columns="κλειδί")
+        assert c.intersect_rows_count == 1
+        assert c.df1_unq_rows_count == 1 and c.df2_unq_rows_count == 1
+
+    def test_case_sensitive_duplicates_rejected(self, spark):
+        # reference tests/test_spark.py:2849: columns differing only by
+        # case collapse under lower-casing — reject with a clear error
+        # instead of silently comparing the wrong pair
+        df = spark.createDataFrame([(1, 2, 3)], ["id", "Val", "val"])
+        ok = spark.createDataFrame([(1, 2)], ["id", "val"])
+        with pytest.raises(ValueError, match="duplicate column names"):
+            SparkCompare(spark, df, ok, join_columns="id")
+        with pytest.raises(ValueError, match="duplicate column names"):
+            SparkCompare(spark, ok, df, join_columns="id")
+        # lower-casing off does NOT make them referencable: Spark's default
+        # case-insensitive resolver would die with AMBIGUOUS_REFERENCE deep
+        # in the join — reject up front with an actionable message instead
+        with pytest.raises(ValueError, match="differing only by case"):
+            SparkCompare(
+                spark, df, df, join_columns="id", cast_column_names_lower=False
+            )
+        # with a case-SENSITIVE resolver the columns are distinct and legal
+        spark.conf.set("spark.sql.caseSensitive", "true")
+        try:
+            c = SparkCompare(
+                spark, df, df, join_columns="id", cast_column_names_lower=False
+            )
+            assert c.matches()
+        finally:
+            spark.conf.set("spark.sql.caseSensitive", "false")
 
 
 class TestKeyExprPerSide:

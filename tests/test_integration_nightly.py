@@ -39,7 +39,7 @@ class TestNightlyPipeline:
 
         # 2. CDC diff captures exactly the planted changes
         feed = snapshot_cdc(today, tomorrow, keys)
-        kinds = dict(feed.groupBy("change_type").count().rdd.map(tuple).collect())
+        kinds = dict(feed.groupBy("change_type").count().collect())
         n_deletes = today.filter(F.col("o_orderkey") % 50 == 0).count()
         assert kinds["delete"] == n_deletes
         assert "insert" not in kinds

@@ -137,6 +137,26 @@ class TestCompareTopology:
         p = plan_of(c._outer)
         assert "isnull(l_orderkey__" in p or "coalesce(l_orderkey__" in p, p[:800]
 
+    def test_dup_join_on_ordinal_modes(self, spark, li_pair):
+        # default: ordinal rides as a residual range-pair → NOT in the SMJ
+        # hash keys; hot-key mode: ordinal IS an equi-join key (hot key
+        # fans out across (key, ordinal) partitions, linear in dups)
+        df1, df2 = li_pair
+        base = SparkCompare(spark, df1, df2, join_columns=["l_orderkey"])
+        hot = SparkCompare(
+            spark, df1, df2, join_columns=["l_orderkey"], dup_join_on_ordinal=True
+        )
+        p_base, p_hot = plan_of(base._outer), plan_of(hot._outer)
+        m_base = re.search(r"SortMergeJoin \[([^\]]*)\]", p_base)
+        m_hot = re.search(r"SortMergeJoin \[([^\]]*)\]", p_hot)
+        assert m_base and "__dc_ordinal" not in m_base.group(1)
+        assert m_hot and "__dc_ordinal" in m_hot.group(1)
+        # both modes agree on every statistic
+        assert base.intersect_rows_count == hot.intersect_rows_count
+        assert base.count_matching_rows() == hot.count_matching_rows()
+        assert base.df1_unq_rows_count == hot.df1_unq_rows_count
+        assert base.df2_unq_rows_count == hot.df2_unq_rows_count
+
     def test_stats_is_single_aggregate_action(self, spark, li_pair):
         c = SparkCompare(spark, *li_pair, join_columns=KEYS)
         before = spark.sparkContext.statusTracker().getJobIdsForGroup(None) or []

@@ -222,6 +222,85 @@ def main() -> int:
         spark.sql("DROP TABLE IF EXISTS sp_left")
         spark.sql("DROP TABLE IF EXISTS sp_right")
 
+    # ---- distributed connected components: force driver_cap=0 so the
+    # label-propagation loop (with conditional pointer doubling) runs even
+    # at probe scale. The synthetic graph mixes the two adversarial shapes:
+    # dense star clusters (propagation converges geometrically) and ONE
+    # long chain whose diameter grows with the scale factor — the shape
+    # that needs doubling to stay O(log d) rounds. Verified against the
+    # exact expectation (every chain/star labels to its min id).
+    from datacompy_spark.operators.dedup import connected_components
+
+    t1 = None
+    for mult in muls:
+        chain_len = 4096 * mult
+        n_stars, star_size = 2000 * mult, 8
+        chain = spark.range(0, chain_len - 1).select(
+            F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+        )
+        star_base = 10_000_000
+        stars = spark.range(0, n_stars * (star_size - 1)).select(
+            (F.lit(star_base) + (F.col("id") / (star_size - 1)).cast("long") * star_size).alias("id_a"),
+            (F.lit(star_base) + (F.col("id") / (star_size - 1)).cast("long") * star_size
+             + F.col("id") % (star_size - 1) + 1).alias("id_b"),
+        )
+        pairs = chain.unionAll(stars)
+        n_edges = pairs.count()
+        stats: dict = {}
+        t0 = time.perf_counter()
+        labels = connected_components(
+            pairs, max_iter=30, driver_cap=0, stats_out=stats
+        )
+        n_comp = labels.select("component").distinct().count()
+        el = time.perf_counter() - t0
+        if t1 is None:
+            t1 = el
+        want_comp = 1 + n_stars
+        ok = "OK" if n_comp == want_comp else f"WRONG(want {want_comp})"
+        print(
+            f"cc      x{mult:<3d} edges={n_edges:>9,d}  chain={chain_len:>7,d}"
+            f"  rounds={stats.get('rounds'):>2}  doubling@{stats.get('doubling_from')}"
+            f"  comps={n_comp:,d} {ok}  sec={el:7.2f}  vs_x1={el/t1:5.2f}",
+            flush=True,
+        )
+
+    # ---- hot-key compare: ONE key duplicated k times on both sides (plus
+    # a uniform background), range-pair mode vs dup_join_on_ordinal mode.
+    # The range-pair residual is O(k²) inside the hot key's task; the
+    # ordinal-equi-key mode is linear in k at one extra exchange. The
+    # numbers justify the default (small k: range-pair wins by avoiding a
+    # shuffle) and the escape hatch (hot k: ordinal mode is the only one
+    # that finishes).
+    def hotkey_frame(k_hot: int, n_bg: int = 200_000):
+        hot = spark.range(0, k_hot).select(
+            F.lit(0).cast("long").alias("k"), F.col("id").alias("v")
+        )
+        bg = spark.range(1, n_bg + 1).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+        )
+        return hot.unionAll(bg)
+
+    for k_hot, modes in [
+        (1_000, ("range", "ordinal")),
+        (10_000, ("range", "ordinal")),
+        (1_000_000, ("ordinal",)),  # range-pair mode: ~10^12 residual evals — excluded by design
+    ]:
+        for mode in modes:
+            df = hotkey_frame(k_hot)
+            df2 = df.select("k", F.when(F.col("v") % 5 == 0, F.col("v") + 1).otherwise(F.col("v")).alias("v"))
+            t0 = time.perf_counter()
+            cmp_ = SparkCompare(
+                spark, df, df2, join_columns=["k"], dup_order_by=["v"],
+                dup_join_on_ordinal=(mode == "ordinal"),
+            )
+            n_match = cmp_.count_matching_rows()
+            el = time.perf_counter() - t0
+            print(
+                f"hotkey  k={k_hot:>9,d} mode={mode:<7s} matched={n_match:>9,d}"
+                f"  sec={el:7.2f}",
+                flush=True,
+            )
+
     spark.stop()
     return 0
 
