@@ -95,6 +95,27 @@ class TestWritePartitioned:
         )
         assert "PartitionFilters: [isnotnull(part" in plan
 
+    def test_shuffle_is_rebalance_not_strict_hash(self, spark):
+        # the pre-write shuffle must be a REBALANCE hint, not a strict hash
+        # repartition: only rebalance shuffles are eligible for AQE's
+        # optimizeSkewsInRebalancePartitions, which splits a hot partition
+        # value across several write tasks
+        from datacompy_spark.sources.loaders import write_partitioned  # noqa: F401
+
+        df = spark.range(0, 1000).select(
+            F.col("id"), (F.col("id") % 4).alias("part")
+        )
+        staged = df.hint("rebalance", F.col("part"))  # same expr the writer builds
+        plan = staged._jdf.queryExecution().executedPlan().toString()
+        assert "REBALANCE_PARTITIONS_BY_COL" in plan
+        # and the writer itself goes through that path (source-level guard)
+        import inspect
+
+        from datacompy_spark.sources import loaders
+
+        src = inspect.getsource(loaders.write_partitioned)
+        assert 'hint("rebalance"' in src and ".repartition(" not in src
+
     def test_round_trip_values(self, spark, tmp_path):
         df = spark.createDataFrame(
             [Row(g="x", v=1), Row(g="y", v=2), Row(g="x", v=3)]
