@@ -294,3 +294,64 @@ class TestCdcRoundTripProperty:
         assert canon(rebuilt) == canon(new)
         # and the feed itself is minimal: no 'unchanged' rows ever leak
         assert feed.filter(F.col("change_type") == "unchanged").count() == 0
+
+
+class TestInternalNameCollisionProperties:
+    """Whatever (reserved-looking) column names the inputs carry, the
+    compare must produce the same statistics as the same data under plain
+    names — the collision-probe contract."""
+
+    _reserved = [
+        "_merge", "__dc_ordinal", "__dc_idx", "__dc_ord",
+        "__present_lhs", "__present_rhs", "_merge2", "__dc2_ordinal",
+    ]
+
+    @settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        names=st.lists(
+            st.sampled_from(_reserved), min_size=1, max_size=3, unique=True
+        ),
+        flip=st.lists(st.booleans(), min_size=8, max_size=8),
+    )
+    def test_reserved_names_equal_plain_names(self, spark, names, flip):
+        from pyspark.sql import functions as F
+
+        from datacompy_spark import SparkCompare
+
+        n = len(flip)
+        base = spark.range(0, n).select(
+            F.col("id").alias("k"),
+            *[(F.col("id") * (i + 2)).alias(f"v{i}") for i in range(len(names))],
+        )
+        flips = spark.createDataFrame(
+            [(i, bool(b)) for i, b in enumerate(flip)], "k long, __flip boolean"
+        )
+        pert = base.join(flips, "k").select(
+            "k",
+            *[
+                F.when(F.col("__flip"), F.col(f"v{i}") + 1)
+                .otherwise(F.col(f"v{i}"))
+                .alias(f"v{i}")
+                for i in range(len(names))
+            ],
+        )
+        plain = SparkCompare(spark, base, pert, join_columns="k")
+        renamed = SparkCompare(
+            spark,
+            base.toDF("k", *names),
+            pert.toDF("k", *names),
+            join_columns="k",
+        )
+        want = {
+            s["column"].replace("v", "", 1): (s["match_cnt"], s["unequal_cnt"])
+            for s in plain.column_stats
+            if s["column"] != "k"
+        }
+        got = {
+            str(i): (s["match_cnt"], s["unequal_cnt"])
+            for i, s in enumerate(
+                s for s in renamed.column_stats if s["column"] != "k"
+            )
+        }
+        assert got == want
+        assert plain.count_matching_rows() == renamed.count_matching_rows()
