@@ -263,7 +263,12 @@ class SparkCompare:
         numbered variant is probed until free. Inputs may therefore own
         columns literally named ``_merge`` or ``__dc_ordinal`` — they are
         treated as ordinary compared data, never silently overwritten."""
-        cols = set(self.df1.columns) | set(self.df2.columns)
+        # probe case-INsensitively: Spark's default resolver folds case, so
+        # a user column `_Merge` collides with the indicator alias `_merge`
+        # (AMBIGUOUS_REFERENCE) even though the exact strings differ
+        cols = {c.lower() for c in self.df1.columns} | {
+            c.lower() for c in self.df2.columns
+        }
         t = 0
         while True:
             tag = "" if t == 0 else str(t + 1)
@@ -275,7 +280,13 @@ class SparkCompare:
                 "merge": f"_merge{tag}",
                 "ord": f"__dc{tag}_ord",
             }
-            if not cols & set(names.values()):
+            # candidates include the ordinal's join-suffixed forms — a join
+            # column named `__dc_ordinal__lhs` would otherwise collide
+            candidates = set(names.values()) | {
+                f"{names['ordinal']}__lhs",
+                f"{names['ordinal']}__rhs",
+            }
+            if not cols & candidates:
                 return names
             t += 1
 

@@ -789,7 +789,9 @@ def connected_components(
             break
         if prev_changed is not None and changed * 2 > prev_changed:
             if not doubling:
-                doubling_from = it + 1
+                # the flag is read at the top of the NEXT iteration, so the
+                # first doubling step actually runs in round it+2 (1-based)
+                doubling_from = it + 2
             doubling = True  # shrink stalled → long chains; stays on
         prev_changed = changed
     edges.unpersist()

@@ -20,17 +20,17 @@ def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     the core count in local mode). Safe before any partitioning-insensitive
     stage (per-row maps, blocked self-joins that shuffle on their own keys
     anyway)."""
+    if not hasattr(df, "_jdf"):
+        # Spark Connect exposes neither sparkContext nor .rdd, so the
+        # partition-count probe is impossible there. An EXPLICIT min_parts
+        # is still honored (repartition needs no probe); the default-guard
+        # case is skipped rather than injecting a blind shuffle into every
+        # plan. No exception swallowing: classic-Spark probe errors surface.
+        return df.repartition(min_parts) if min_parts else df
     spark = df.sparkSession
-    try:
-        target = min_parts or spark.sparkContext.defaultParallelism
-        # getNumPartitions builds the physical RDD plan but launches no job
-        current = df.rdd.getNumPartitions()
-    except Exception:
-        # Spark Connect exposes neither sparkContext nor .rdd; the guard
-        # only rescues tiny single-partition local scans, so skip it there
-        # rather than inject a blind shuffle into every plan
-        return df
-    if current >= target:
+    target = min_parts or spark.sparkContext.defaultParallelism
+    # getNumPartitions builds the physical RDD plan but launches no job
+    if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
 

@@ -342,8 +342,14 @@ def q_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     division the cross-engine gate allows."""
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") % 97 == 0)
-    exact = S.knn_bruteforce(emb, probes, "vec_id", "embedding", k=5).select(
-        "query_id", "neighbor_id"
+    # persisted: each graded() branch embeds this frame, and Spark does not
+    # share unpersisted subplans — without the persist the brute-force
+    # all-pairs scoring pass (the most expensive subtree here) would
+    # execute once per method. The cached frame is k×|probes| rows.
+    exact = (
+        S.knn_bruteforce(emb, probes, "vec_id", "embedding", k=5)
+        .select("query_id", "neighbor_id")
+        .persist()
     )
     lsh = S.knn_lsh(
         emb, probes, "vec_id", "embedding", k=5, n_tables=8, n_planes=4, dim=64

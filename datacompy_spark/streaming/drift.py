@@ -215,7 +215,13 @@ def _write_batch_idempotent(df: DataFrame, path: str) -> None:
     before the checkpoint commit replays the batch — so a replayed batch
     must rewrite its own ``batch_id=N`` directory, not append a duplicate.
     The per-writer ``partitionOverwriteMode`` option scopes the dynamic
-    mode to this write without mutating session conf."""
+    mode to this write without mutating session conf.
+
+    Layout contract: the sink is a hive-partitioned directory
+    (``batch_id=N/part-*.parquet``). Point new streams at a FRESH
+    directory — a directory holding flat ``part-*.parquet`` files from a
+    pre-partitioned layout cannot be mixed with this one (Spark refuses
+    to read conflicting directory depths)."""
     (
         df.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")

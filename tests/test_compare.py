@@ -338,6 +338,18 @@ class TestSuffixCollision:
         # row_classes still exposes the public name regardless of probing
         assert c.row_classes().columns == ["id", "row_class"]
 
+    def test_reserved_name_differs_only_by_case(self, spark):
+        # Spark's default resolver is case-insensitive, so `_Merge` would
+        # collide with the `_merge` indicator alias exactly like an exact
+        # match — the probe must fold case
+        df1 = spark.createDataFrame([("k1", 1.0)], ["_Merge", "v"])
+        df2 = spark.createDataFrame([("k1", 2.0)], ["_Merge", "v"])
+        c = SparkCompare(
+            spark, df1, df2, join_columns="_Merge", cast_column_names_lower=False
+        )
+        assert c.intersect_rows_count == 1 and not c.matches()
+        assert c.row_classes().columns == ["_Merge", "row_class"]
+
     def test_reserved_name_as_join_column(self, spark):
         # even the JOIN key may be named _merge / __dc_ordinal: dup-key
         # ordinal pairing and the merge indicator must not collide with it
