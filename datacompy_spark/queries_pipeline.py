@@ -1323,11 +1323,23 @@ SQL_STRATIFIED_SAMPLE = TO.stratified_sample_sql(
 #: deterministic "v2" perturbation of orders shared by Spark and SQL:
 #: deletes (key % 101 = 0), price/priority updates, and inserts with
 #: negated keys (guaranteed absent from v1).
+#: NULL planting (the testdata itself is 100% NULL-free, which would leave
+#: the engines' IS DISTINCT FROM / null-safe-merge logic oracle-untested):
+#: v1 nulls o_orderpriority at keys %13 ∈ {6,8}; v2 nulls it at %13 ∈ {6,7}.
+#: Covers all three NULL transitions — NULL↔NULL (unchanged, %13=6),
+#: value→NULL (update, %13=7), NULL→value (update, %13=8).
+_ORDERS_V1_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+  CASE WHEN o_orderkey % 13 IN (6, 8) THEN NULL ELSE o_orderpriority END AS o_orderpriority
+FROM orders"""
+
 _ORDERS_V2_SQL = """
 SELECT o_orderkey, o_custkey, o_orderstatus,
   CASE WHEN o_orderkey % 7 = 3 THEN o_totalprice + 1.0::DOUBLE ELSE o_totalprice END AS o_totalprice,
   o_orderdate,
-  CASE WHEN o_orderkey % 11 = 4 THEN 'RECHECK' ELSE o_orderpriority END AS o_orderpriority
+  CASE WHEN o_orderkey % 13 IN (6, 7) THEN NULL
+       WHEN o_orderkey % 11 = 4 THEN 'RECHECK'
+       ELSE o_orderpriority END AS o_orderpriority
 FROM orders WHERE o_orderkey % 101 <> 0
 UNION ALL
 SELECT -o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
@@ -1336,6 +1348,23 @@ FROM orders WHERE o_orderkey % 97 = 5"""
 _ORDERS_CMP_COLS = [
     "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority",
 ]
+
+
+def _orders_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLD snapshot with planted NULLs (see _ORDERS_V1_SQL note)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        F.when(
+            (F.col("o_orderkey") % 13).isin(6, 8), F.lit(None).cast("string")
+        )
+        .otherwise(F.col("o_orderpriority"))
+        .alias("o_orderpriority"),
+    )
 
 
 def _orders_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1348,7 +1377,10 @@ def _orders_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderkey") % 7 == 3, F.col("o_totalprice") + F.lit(1.0)
         ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
         "o_orderdate",
-        F.when(F.col("o_orderkey") % 11 == 4, F.lit("RECHECK"))
+        F.when(
+            (F.col("o_orderkey") % 13).isin(6, 7), F.lit(None).cast("string")
+        )
+        .when(F.col("o_orderkey") % 11 == 4, F.lit("RECHECK"))
         .otherwise(F.col("o_orderpriority"))
         .alias("o_orderpriority"),
     )
@@ -1361,10 +1393,12 @@ def _orders_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cdc_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-data-capture feed between two snapshots of orders: one
     null-safe full-outer key join, change classification + changed-column
-    set in the same stage (operators/cdc.py)."""
+    set in the same stage (operators/cdc.py). Both snapshots carry planted
+    NULLs so the IS DISTINCT FROM change detection is oracle-exercised
+    across all three NULL transitions (the raw testdata is NULL-free)."""
     from datacompy_spark.operators.cdc import snapshot_cdc
 
-    old = load_table(spark, sf_dir, "orders")
+    old = _orders_v1(spark, sf_dir)
     return snapshot_cdc(old, _orders_v2(spark, sf_dir), keys=["o_orderkey"])
 
 
@@ -1377,7 +1411,8 @@ def _sql_cdc_delta() -> str:
         for c in _ORDERS_CMP_COLS
     )
     return f"""
-WITH v2 AS ({_ORDERS_V2_SQL}),
+WITH v1 AS ({_ORDERS_V1_SQL}),
+v2 AS ({_ORDERS_V2_SQL}),
 j AS (
   SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
     (o.o_orderkey IS NOT NULL) AS in_old, (n.o_orderkey IS NOT NULL) AS in_new,
@@ -1385,7 +1420,7 @@ j AS (
          THEN list_sort(list_filter([{changed_items}], x -> x IS NOT NULL))
          ELSE []::VARCHAR[] END AS changed_cols,
     {pairs}
-  FROM orders o FULL OUTER JOIN v2 n ON o.o_orderkey = n.o_orderkey)
+  FROM v1 o FULL OUTER JOIN v2 n ON o.o_orderkey = n.o_orderkey)
 SELECT o_orderkey,
   CASE WHEN NOT in_old THEN 'insert'
        WHEN NOT in_new THEN 'delete'
@@ -1407,7 +1442,7 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     diff + replay compose to the identity across engines."""
     from datacompy_spark.operators.cdc import apply_changes, snapshot_cdc
 
-    old = load_table(spark, sf_dir, "orders")
+    old = _orders_v1(spark, sf_dir)
     new = _orders_v2(spark, sf_dir)
     feed = snapshot_cdc(old, new, keys=["o_orderkey"])
     return apply_changes(old, feed, ["o_orderkey"], _ORDERS_CMP_COLS)
@@ -1565,24 +1600,37 @@ def q_drift_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshots (operators/analytics.py::histogram_drift). psi_term is
     excluded from the oracle projection only because its ln() is not
     bit-stable cross-engine; the per-bin counts/proportions/tv terms are
-    exact arithmetic."""
+    exact arithmetic. Both snapshots carry planted NULLs (different
+    masses) so the null-safe NULL-bin merge — one |p_old-p_new|/2 term,
+    not one per side — is oracle-exercised (the testdata is NULL-free)."""
     from datacompy_spark.operators.analytics import histogram_drift
 
     li = load_table(spark, sf_dir, "lineitem")
-    v2 = li.filter(F.col("l_orderkey") % 5 != 0).select(
-        F.when(F.col("l_partkey") % 3 == 0, F.col("l_quantity") + F.lit(5.0))
+    v1 = li.select(
+        F.when(F.col("l_orderkey") % 13 == 0, F.lit(None).cast("double"))
         .otherwise(F.col("l_quantity"))
         .alias("l_quantity")
     )
-    hist = histogram_drift(li, v2, "l_quantity", lo=0.0, hi=50.0, bins=10)
+    v2 = li.filter(F.col("l_orderkey") % 5 != 0).select(
+        F.when(F.col("l_partkey") % 11 == 1, F.lit(None).cast("double"))
+        .when(F.col("l_partkey") % 3 == 0, F.col("l_quantity") + F.lit(5.0))
+        .otherwise(F.col("l_quantity"))
+        .alias("l_quantity")
+    )
+    hist = histogram_drift(v1, v2, "l_quantity", lo=0.0, hi=50.0, bins=10)
     return hist.select(
         "bin", "lo_edge", "hi_edge", "n_old", "n_new", "p_old", "p_new", "tv_term"
     )
 
 
 SQL_DRIFT_HISTOGRAM = """
-WITH v2 AS (
-  SELECT CASE WHEN l_partkey % 3 = 0 THEN l_quantity + 5.0::DOUBLE ELSE l_quantity END AS l_quantity
+WITH v1 AS (
+  SELECT CASE WHEN l_orderkey % 13 = 0 THEN NULL ELSE l_quantity END AS l_quantity
+  FROM lineitem),
+v2 AS (
+  SELECT CASE WHEN l_partkey % 11 = 1 THEN NULL
+              WHEN l_partkey % 3 = 0 THEN l_quantity + 5.0::DOUBLE
+              ELSE l_quantity END AS l_quantity
   FROM lineitem WHERE l_orderkey % 5 <> 0),
 binned_old AS (
   SELECT CASE WHEN l_quantity IS NULL THEN NULL
@@ -1590,7 +1638,7 @@ binned_old AS (
               WHEN l_quantity >= 50.0 THEN 10
               ELSE least(9, floor((l_quantity - 0.0) / 5.0)::INT) END AS bin,
          count(*) AS n_old
-  FROM lineitem GROUP BY 1),
+  FROM v1 GROUP BY 1),
 binned_new AS (
   SELECT CASE WHEN l_quantity IS NULL THEN NULL
               WHEN l_quantity < 0.0 THEN -1
