@@ -649,6 +649,67 @@ def corpus_mix_sample(
     )
 
 
+def cap_per_group(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    cap: int,
+    seed: str = "cap#1",
+) -> DataFrame:
+    """Per-group document cap — the domain/source-balancing step of web
+    corpus curation ("no domain contributes more than N documents"),
+    applied before mixing so one crawl-heavy host cannot dominate a
+    training set.
+
+    Survivors are chosen by a deterministic md5 lottery on the id (+
+    ``seed``), NOT by ingestion order: unbiased w.r.t. crawl ordering,
+    reproducible across runs/engines, and resampleable by changing the
+    seed. Output keeps every input column plus ``cap_rank`` (1..cap).
+
+    Scale shape (via :func:`top_k_per_group`): ONE hash shuffle on the
+    group key; Spark's ``WindowGroupLimit`` pushes the rank filter into
+    the sort, so a mega-domain with 10⁹ rows costs O(cap) memory per task,
+    not O(domain size).
+    """
+    if cap <= 0:
+        raise ValueError("cap must be positive")
+    from datacompy_spark.functions.hashing import md5_long
+    from datacompy_spark.operators.analytics import top_k_per_group
+
+    staged = df.withColumn(
+        "__pri", md5_long(F.col(id_col).cast("string"), seed)
+    )
+    return (
+        top_k_per_group(
+            staged, [group_col], "__pri", cap, ascending=True, tiebreak=[id_col]
+        )
+        .withColumnRenamed("rank", "cap_rank")
+        .drop("__pri")
+    )
+
+
+def cap_per_group_sql(
+    table: str,
+    id_col: str,
+    group_col: str,
+    cap: int,
+    seed: str = "cap#1",
+) -> str:
+    """DuckDB twin of :func:`cap_per_group` (same md5 lottery + rank)."""
+    from datacompy_spark.functions.hashing import md5_long_sql
+
+    pri = md5_long_sql(f"{id_col}::VARCHAR", seed)
+    return f"""
+WITH pri AS (
+  SELECT *, {pri} AS p FROM {table}),
+ranked AS (
+  SELECT * EXCLUDE (p),
+    row_number() OVER (PARTITION BY {group_col}
+                       ORDER BY p ASC, {id_col} ASC)::INT AS cap_rank
+  FROM pri)
+SELECT * FROM ranked WHERE cap_rank <= {cap}"""
+
+
 def corpus_mix_sample_sql(
     table: str,
     id_col: str,

@@ -279,6 +279,23 @@ ranked AS (
 SELECT query_id, neighbor_id, rank::INT AS rank, cos_sim FROM ranked WHERE rank <= 5"""
 
 
+def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain/source balancing: keep at most 10 documents per source,
+    chosen by a deterministic md5 lottery (operators/textops.py::
+    cap_per_group) — the 'no host dominates the corpus' curation step.
+    WindowGroupLimit keeps hot domains O(cap) per task."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TO.cap_per_group(
+        docs.select("doc_id", "source"), "doc_id", "source", cap=10
+    ).select("source", "doc_id", "cap_rank")
+
+
+SQL_SOURCE_CAP = f"""
+SELECT source, doc_id, cap_rank FROM (
+  {TO.cap_per_group_sql('(SELECT doc_id, source FROM documents)', 'doc_id', 'source', cap=10)}
+)"""
+
+
 def q_knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar-quantization ANN (int8 prefilter over ALL candidates, pool
     of 50, exact float rerank) — the engine's recommended approximate
@@ -1820,6 +1837,7 @@ PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_missing_periods": q_events_missing_periods,
     "knn_int8": q_knn_int8,
     "knn_recall": q_knn_recall,
+    "source_cap": q_source_cap,
 }
 
 PIPELINE_ORACLES: Dict[str, str] = {
@@ -1878,4 +1896,5 @@ PIPELINE_ORACLES: Dict[str, str] = {
     "events_missing_periods": SQL_EVENTS_MISSING_PERIODS,
     "knn_int8": SQL_KNN_INT8,
     "knn_recall": SQL_KNN_RECALL,
+    "source_cap": SQL_SOURCE_CAP,
 }

@@ -697,3 +697,46 @@ class TestZeroVectorCosine:
         got = df.select(cosine(F.col("a"), F.col("b")).alias("c")).collect()
         assert got[0]["c"] is None
         assert got[1]["c"] == pytest.approx(1.0)
+
+
+class TestCapPerGroup:
+    def test_cap_semantics_and_determinism(self, spark):
+        from datacompy_spark.operators.textops import cap_per_group
+
+        df = spark.range(0, 300).select(
+            F.col("id").alias("doc_id"), (F.col("id") % 3).cast("string").alias("src")
+        )
+        out = cap_per_group(df, "doc_id", "src", cap=7)
+        rows = out.collect()
+        per = {}
+        for r in rows:
+            per.setdefault(r["src"], []).append((r["cap_rank"], r["doc_id"]))
+        assert all(len(v) == 7 for v in per.values())
+        assert all(sorted(x[0] for x in v) == list(range(1, 8)) for v in per.values())
+        # deterministic: same seed → same survivors; different seed → resample
+        again = {r["doc_id"] for r in cap_per_group(df, "doc_id", "src", cap=7).collect()}
+        assert again == {r["doc_id"] for r in rows}
+        other = {
+            r["doc_id"]
+            for r in cap_per_group(df, "doc_id", "src", cap=7, seed="cap#2").collect()
+        }
+        assert other != again  # 100-from-300 lottery collision is ~impossible
+        # groups under the cap survive whole
+        small = cap_per_group(df.filter(F.col("doc_id") < 5), "doc_id", "src", cap=7)
+        assert small.count() == 5
+
+    def test_window_group_limit_plan(self, spark):
+        """The rank filter must push into the sort (WindowGroupLimit) so a
+        mega-domain never materializes per task."""
+        from datacompy_spark.operators.textops import cap_per_group
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out = cap_per_group(docs.select("doc_id", "source"), "doc_id", "source", 10)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" in plan
+
+    def test_bad_cap(self, spark):
+        from datacompy_spark.operators.textops import cap_per_group
+
+        with pytest.raises(ValueError, match="cap must be positive"):
+            cap_per_group(spark.range(1).withColumn("g", F.lit("a")), "id", "g", 0)
