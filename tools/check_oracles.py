@@ -76,10 +76,22 @@ def main() -> int:
 
     from pyspark.sql import SparkSession
 
+    # SPARK_GRAFT_SHUFFLE_PARTITIONS / SPARK_GRAFT_AQE: partition-count
+    # INVARIANCE probe — every oracle result must be identical under a
+    # perverse partitioning (e.g. 7 partitions, AQE off); a hash that moves
+    # with the partition count is a distributed-nondeterminism bug that
+    # would surface as flaky results on a real cluster.
     spark = (
         SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '16')}]")
-        .config("spark.sql.shuffle.partitions", "16")
-        .config("spark.sql.adaptive.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "16"),
+        )
+        .config(
+            "spark.sql.adaptive.enabled",
+            os.environ.get("SPARK_GRAFT_AQE", "true"),
+        )
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", "8g")
