@@ -22,8 +22,28 @@ from typing import List
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from datacompy_spark.functions.vector import dot, dot_arrow, norm
+from datacompy_spark.functions.vector import (
+    dot,
+    dot_arrow,
+    dot_int_arrow,
+    norm,
+    norm_int,
+)
 from datacompy_spark.plans.partitioning import fan_out
+
+
+def _rank_top_k(scored: DataFrame, k: int) -> DataFrame:
+    """Shared deterministic top-k tail of every knn variant: rank scored
+    (query_id, neighbor_id, cos_sim) pairs per query by descending cosine
+    with ascending-id tiebreak."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
 
 
 def ivf_assign(
@@ -123,14 +143,7 @@ def ivf_knn(
         "neighbor_id",
         F.try_divide(dot_arrow(F.col("qv"), F.col("cv")), F.col("qn") * F.col("cn")).alias("cos_sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cos_sim")
-    )
+    return _rank_top_k(scored, k)
 
 
 def hyperplanes_from_seed(n_planes: int, dim: int, seed: str = "lsh") -> List[List[float]]:
@@ -178,14 +191,7 @@ def knn_bruteforce(
         "neighbor_id",
         F.try_divide(dot_arrow(F.col("qv"), F.col("cv")), F.col("qn") * F.col("cn")).alias("cos_sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cos_sim")
-    )
+    return _rank_top_k(scored, k)
 
 
 def _bucket_key_from_dots(dots_col, table: int, n_planes: int):
@@ -293,14 +299,7 @@ def knn_lsh(
         .groupBy("query_id", "neighbor_id")
         .agg(F.max("cos_sim").alias("cos_sim"))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cos_sim")
-    )
+    return _rank_top_k(scored, k)
 
 
 def knn_int8_rerank(
@@ -346,8 +345,6 @@ def knn_int8_rerank(
         F.col(id_col).alias("query_id"),
         F.col("qvec").alias("q_code"),
     )
-    from datacompy_spark.functions.vector import dot_int_arrow, norm_int
-
     c = fan_out(codes).select(
         "neighbor_id", "c_code", norm_int(F.col("c_code")).alias("c_n")
     )
@@ -391,14 +388,7 @@ def knn_int8_rerank(
             ).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        exact.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cos_sim")
-    )
+    return _rank_top_k(exact, k)
 
 
 def label_centroids(

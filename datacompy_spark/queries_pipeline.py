@@ -357,26 +357,19 @@ def q_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     + one tiny aggregate per method. ``n_hits`` uses count(non-null marker)
     so both engines produce BIGINT; ``recall`` is the single double
     division the cross-engine gate allows."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    probes = emb.filter(F.col("vec_id") % 97 == 0)
-    # persisted: each graded() branch embeds this frame, and Spark does not
-    # share unpersisted subplans — without the persist the brute-force
-    # all-pairs scoring pass (the most expensive subtree here) would
-    # execute once per method. The cached frame is k×|probes| rows.
-    exact = (
-        S.knn_bruteforce(emb, probes, "vec_id", "embedding", k=5)
-        .select("query_id", "neighbor_id")
-        .persist()
-    )
-    lsh = S.knn_lsh(
-        emb, probes, "vec_id", "embedding", k=5, n_tables=8, n_planes=4, dim=64
-    ).select("query_id", "neighbor_id")
-    ivf = S.ivf_knn(
-        emb, probes, "vec_id", "embedding", k=5, pivot_mod=37, nprobe=4
-    ).select("query_id", "neighbor_id")
-    int8 = S.knn_int8_rerank(
-        emb, probes, "vec_id", "embedding", k=5, pool=50
-    ).select("query_id", "neighbor_id")
+    # grade the REGISTERED query functions themselves, not re-specified
+    # parameter sets: if knn_lsh/knn_ivf/knn_int8 are ever retuned, the
+    # recall gate follows automatically instead of silently grading a
+    # stale config (exactly the drift that produced a wrong recall row
+    # when the LSH bands were first retuned this round).
+    # exact is persisted: each graded() branch embeds this frame, and
+    # Spark does not share unpersisted subplans — without the persist the
+    # brute-force all-pairs scoring pass (the most expensive subtree here)
+    # would execute once per method. The cached frame is k×|probes| rows.
+    exact = q_knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id").persist()
+    lsh = q_knn_lsh(spark, sf_dir).select("query_id", "neighbor_id")
+    ivf = q_knn_ivf(spark, sf_dir).select("query_id", "neighbor_id")
+    int8 = q_knn_int8(spark, sf_dir).select("query_id", "neighbor_id")
 
     def graded(approx: DataFrame, method: str) -> DataFrame:
         j = exact.join(
