@@ -533,11 +533,20 @@ class SparkCompare:
         the bucketed zero-Exchange path engage). ``mode`` follows
         ``DataFrame.explain`` (``simple``/``extended``/``codegen``/
         ``cost``/``formatted``). Builds no job: planning only."""
-        # the same JVM helper DataFrame.explain prints through, returned
-        # instead of printed
-        return self._outer._sc._jvm.PythonSQLUtils.explainString(
-            self._outer._jdf.queryExecution(), mode
-        )
+        if hasattr(self._outer, "_jdf"):
+            # the same JVM helper DataFrame.explain prints through,
+            # returned instead of printed
+            return self._outer._sc._jvm.PythonSQLUtils.explainString(
+                self._outer._jdf.queryExecution(), mode
+            )
+        # Spark Connect: no JVM handle — capture the client-side print
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            self._outer.explain(mode)
+        return buf.getvalue()
 
     def uncache(self) -> None:
         """Release everything :meth:`cache_result` (or
