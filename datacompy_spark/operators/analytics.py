@@ -288,3 +288,64 @@ def key_skew_profile(
             F.row_number().over(w).alias("rank"),
         )
     )
+
+
+def join_cardinality(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: Sequence[str],
+    top_k: int = 10,
+) -> DataFrame:
+    """Pre-join output-size estimator: the EXACT number of rows an inner
+    equi-join on ``key_cols`` would produce, per key, for the ``top_k``
+    heaviest keys — the "will this 100 TB join explode?" question answered
+    from two count aggregates instead of running the join.
+
+    Per key k present on both sides, the join emits
+    ``n_left(k) × n_right(k)`` rows; a single key with 10⁵ rows on each
+    side contributes 10¹⁰ output rows — this diagnostic surfaces exactly
+    those keys (and their ``pair_share`` of the total) BEFORE the join
+    ships, pairing with :func:`key_skew_profile` (input-side skew) and the
+    mitigations (`skew_salted_join`, AQE skew split, pre-aggregation).
+
+    Shape: one partial-agg count shuffle per side (strictly cheaper than
+    the join's own shuffles — only counts move), an inner join of the two
+    count frames on the same key partitioning, ONE total-pairs aggregate,
+    and a distributed TakeOrdered top-k. Never materializes a single
+    joined row.
+    """
+    keys = list(key_cols)
+    lc = left.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_left"))
+    rc = right.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_right"))
+    pairs = lc.join(rc, keys).select(
+        *keys,
+        "n_left",
+        "n_right",
+        (F.col("n_left") * F.col("n_right")).alias("n_pairs"),
+    )
+    # the count frames are re-derived for the total (Spark shares no
+    # unpersisted subplans) — still just count shuffles, no data rows
+    total = (
+        left.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n_left"))
+        .join(right.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_right")), keys)
+        .agg(F.sum(F.col("n_left") * F.col("n_right")).alias("__total_pairs"))
+    )
+    key_str = F.concat_ws("|", *[F.col(k).cast("string") for k in keys])
+    top = (
+        pairs.select(*keys, "n_left", "n_right", "n_pairs", key_str.alias("__ks"))
+        .orderBy(F.col("n_pairs").desc(), F.col("__ks").asc())
+        .limit(top_k)
+    )
+    w = Window.orderBy(F.col("n_pairs").desc(), F.col("__ks").asc())
+    return top.crossJoin(F.broadcast(total)).select(
+        *keys,
+        "n_left",
+        "n_right",
+        "n_pairs",
+        F.col("__total_pairs").alias("total_pairs"),
+        (
+            F.col("n_pairs").cast("double") / F.col("__total_pairs").cast("double")
+        ).alias("pair_share"),
+        F.row_number().over(w).alias("rank"),
+    )

@@ -296,6 +296,38 @@ SELECT source, doc_id, cap_rank FROM (
 )"""
 
 
+def q_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join explosion diagnostic (operators/analytics.py::
+    join_cardinality): exact per-key output size of a lineitem⋈lineitem
+    join on l_partkey (left full, right limited to l_linenumber ≤ 4) —
+    the top-10 heaviest keys and their share of total join output,
+    computed from count aggregates without running the join."""
+    from datacompy_spark.operators.analytics import join_cardinality
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return join_cardinality(
+        li, li.filter(F.col("l_linenumber") <= 4), ["l_partkey"], top_k=10
+    )
+
+
+SQL_JOIN_CARDINALITY = """
+WITH lc AS (SELECT l_partkey, count(*) AS n_left FROM lineitem GROUP BY 1),
+rc AS (SELECT l_partkey, count(*) AS n_right FROM lineitem
+       WHERE l_linenumber <= 4 GROUP BY 1),
+pairs AS (
+  SELECT l.l_partkey, n_left, n_right, n_left * n_right AS n_pairs
+  FROM lc l JOIN rc r USING (l_partkey)),
+t AS (SELECT sum(n_pairs)::BIGINT AS total_pairs FROM pairs),
+ranked AS (
+  SELECT p.*, t.total_pairs,
+    row_number() OVER (ORDER BY n_pairs DESC, l_partkey::VARCHAR ASC) AS rank
+  FROM pairs p CROSS JOIN t)
+SELECT l_partkey, n_left::BIGINT AS n_left, n_right::BIGINT AS n_right,
+  n_pairs::BIGINT AS n_pairs, total_pairs,
+  n_pairs::DOUBLE / total_pairs::DOUBLE AS pair_share, rank::INT AS rank
+FROM ranked WHERE rank <= 10"""
+
+
 def q_knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar-quantization ANN (int8 prefilter over ALL candidates, pool
     of 50, exact float rerank) — the engine's recommended approximate
@@ -1831,6 +1863,7 @@ PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_int8": q_knn_int8,
     "knn_recall": q_knn_recall,
     "source_cap": q_source_cap,
+    "join_cardinality": q_join_cardinality,
 }
 
 PIPELINE_ORACLES: Dict[str, str] = {
@@ -1890,4 +1923,5 @@ PIPELINE_ORACLES: Dict[str, str] = {
     "knn_int8": SQL_KNN_INT8,
     "knn_recall": SQL_KNN_RECALL,
     "source_cap": SQL_SOURCE_CAP,
+    "join_cardinality": SQL_JOIN_CARDINALITY,
 }

@@ -651,3 +651,42 @@ class TestKeySkewProfile:
         out = key_skew_profile(lineitem, ["l_orderkey"], top_k=5)
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "TakeOrderedAndProject" in plan
+
+
+class TestJoinCardinality:
+    def test_exact_pair_counts_and_total(self, spark):
+        from datacompy_spark.operators.analytics import join_cardinality
+
+        left = spark.createDataFrame(
+            [Row(k="hot", v=i) for i in range(4)]
+            + [Row(k="a", v=0), Row(k="b", v=0), Row(k="left_only", v=0)]
+        )
+        right = spark.createDataFrame(
+            [Row(k="hot", v=i) for i in range(3)]
+            + [Row(k="a", v=0), Row(k="right_only", v=0)]
+        )
+        out = join_cardinality(left, right, ["k"], top_k=5).collect()
+        rows = {r["k"]: r for r in out}
+        # one-sided keys contribute nothing; pair counts are exact products
+        assert set(rows) == {"hot", "a"}
+        assert rows["hot"]["n_pairs"] == 12 and rows["a"]["n_pairs"] == 1
+        assert all(r["total_pairs"] == 13 for r in out)
+        assert rows["hot"]["rank"] == 1
+        assert rows["hot"]["pair_share"] == pytest.approx(12 / 13)
+        # the estimate equals the real join's output size
+        assert left.join(right, "k").count() == 13
+
+    def test_never_materializes_joined_rows(self, spark, lineitem):
+        """The estimator's plan must contain only count aggregates and the
+        count-frame join — no join of the raw tables."""
+        from datacompy_spark.operators.analytics import join_cardinality
+
+        import re
+
+        out = join_cardinality(lineitem, lineitem, ["l_partkey"], top_k=5)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # column pruning proves no data rows are carried: every parquet
+        # scan reads ONLY the key column
+        schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        assert schemas and all(s.split(":")[0] == "l_partkey" for s in schemas)
+        assert plan.count("HashAggregate") >= 4  # partial+final per side
