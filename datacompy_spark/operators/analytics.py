@@ -296,10 +296,13 @@ def join_cardinality(
     key_cols: Sequence[str],
     top_k: int = 10,
 ) -> DataFrame:
-    """Pre-join output-size estimator: the EXACT number of rows an inner
+    """Pre-join output-size estimator: the number of rows an inner
     equi-join on ``key_cols`` would produce, per key, for the ``top_k``
     heaviest keys — the "will this 100 TB join explode?" question answered
-    from two count aggregates instead of running the join.
+    from two count aggregates instead of running the join. Products and
+    the total are computed in exact DECIMAL(38,0) (presented as double):
+    a pathological key pair can exceed int64, which would wrap negative
+    and hide exactly the key this diagnostic exists to surface.
 
     Per key k present on both sides, the join emits
     ``n_left(k) × n_right(k)`` rows; a single key with 10⁵ rows on each
@@ -317,35 +320,34 @@ def join_cardinality(
     keys = list(key_cols)
     lc = left.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_left"))
     rc = right.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_right"))
+    # per-key products and their sum in DECIMAL(38,0): this diagnostic
+    # exists precisely for keys whose product overflows — int64 would wrap
+    # negative (non-ANSI) and sort the worst key LAST; double sums are
+    # partition-order-dependent. Exact decimal arithmetic is neither; the
+    # output casts to double once at the end (deterministic rounding).
+    dec = "decimal(19,0)"
     pairs = lc.join(rc, keys).select(
         *keys,
         "n_left",
         "n_right",
-        (F.col("n_left") * F.col("n_right")).alias("n_pairs"),
+        (F.col("n_left").cast(dec) * F.col("n_right").cast(dec)).alias("__pairs_dec"),
     )
-    # the count frames are re-derived for the total (Spark shares no
-    # unpersisted subplans) — still just count shuffles, no data rows
-    total = (
-        left.groupBy(*keys)
-        .agg(F.count(F.lit(1)).alias("n_left"))
-        .join(right.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_right")), keys)
-        .agg(F.sum(F.col("n_left") * F.col("n_right")).alias("__total_pairs"))
-    )
+    total = pairs.agg(F.sum("__pairs_dec").alias("__total_dec"))
     key_str = F.concat_ws("|", *[F.col(k).cast("string") for k in keys])
     top = (
-        pairs.select(*keys, "n_left", "n_right", "n_pairs", key_str.alias("__ks"))
-        .orderBy(F.col("n_pairs").desc(), F.col("__ks").asc())
+        pairs.select(*keys, "n_left", "n_right", "__pairs_dec", key_str.alias("__ks"))
+        .orderBy(F.col("__pairs_dec").desc(), F.col("__ks").asc())
         .limit(top_k)
     )
-    w = Window.orderBy(F.col("n_pairs").desc(), F.col("__ks").asc())
+    w = Window.orderBy(F.col("__pairs_dec").desc(), F.col("__ks").asc())
     return top.crossJoin(F.broadcast(total)).select(
         *keys,
         "n_left",
         "n_right",
-        "n_pairs",
-        F.col("__total_pairs").alias("total_pairs"),
+        F.col("__pairs_dec").cast("double").alias("n_pairs"),
+        F.col("__total_dec").cast("double").alias("total_pairs"),
         (
-            F.col("n_pairs").cast("double") / F.col("__total_pairs").cast("double")
+            F.col("__pairs_dec").cast("double") / F.col("__total_dec").cast("double")
         ).alias("pair_share"),
         F.row_number().over(w).alias("rank"),
     )

@@ -673,6 +673,14 @@ def cap_per_group(
     """
     if cap <= 0:
         raise ValueError("cap must be positive")
+    clash = {"__pri", "rank", "cap_rank"} & set(df.columns)
+    if clash:
+        # the lottery/rank machinery would silently overwrite these —
+        # refuse loudly rather than destroy caller data
+        raise ValueError(
+            f"cap_per_group reserves column names {sorted(clash)} — rename "
+            "them before capping"
+        )
     from datacompy_spark.functions.hashing import md5_long
     from datacompy_spark.operators.analytics import top_k_per_group
 

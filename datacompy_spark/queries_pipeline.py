@@ -315,16 +315,17 @@ WITH lc AS (SELECT l_partkey, count(*) AS n_left FROM lineitem GROUP BY 1),
 rc AS (SELECT l_partkey, count(*) AS n_right FROM lineitem
        WHERE l_linenumber <= 4 GROUP BY 1),
 pairs AS (
-  SELECT l.l_partkey, n_left, n_right, n_left * n_right AS n_pairs
+  SELECT l.l_partkey, n_left, n_right,
+         n_left::DECIMAL(19,0) * n_right::DECIMAL(19,0) AS pairs_dec
   FROM lc l JOIN rc r USING (l_partkey)),
-t AS (SELECT sum(n_pairs)::BIGINT AS total_pairs FROM pairs),
+t AS (SELECT sum(pairs_dec) AS total_dec FROM pairs),
 ranked AS (
-  SELECT p.*, t.total_pairs,
-    row_number() OVER (ORDER BY n_pairs DESC, l_partkey::VARCHAR ASC) AS rank
+  SELECT p.*, t.total_dec,
+    row_number() OVER (ORDER BY p.pairs_dec DESC, p.l_partkey::VARCHAR ASC) AS rank
   FROM pairs p CROSS JOIN t)
 SELECT l_partkey, n_left::BIGINT AS n_left, n_right::BIGINT AS n_right,
-  n_pairs::BIGINT AS n_pairs, total_pairs,
-  n_pairs::DOUBLE / total_pairs::DOUBLE AS pair_share, rank::INT AS rank
+  pairs_dec::DOUBLE AS n_pairs, total_dec::DOUBLE AS total_pairs,
+  pairs_dec::DOUBLE / total_dec::DOUBLE AS pair_share, rank::INT AS rank
 FROM ranked WHERE rank <= 10"""
 
 
@@ -394,42 +395,43 @@ def q_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # recall gate follows automatically instead of silently grading a
     # stale config (exactly the drift that produced a wrong recall row
     # when the LSH bands were first retuned this round).
-    # exact is persisted: each graded() branch embeds this frame, and
-    # Spark does not share unpersisted subplans — without the persist the
-    # brute-force all-pairs scoring pass (the most expensive subtree here)
-    # would execute once per method. The cached frame is k×|probes| rows.
+    # exact is persisted while the three grades run (Spark shares no
+    # unpersisted subplans, so the brute-force pass would otherwise
+    # execute once per method), the grades are collected eagerly (the
+    # q_cmp_column_stats precedent — tiny driver-side result), and the
+    # cache is released before returning: no session-lifetime leak.
     exact = q_knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id").persist()
-    lsh = q_knn_lsh(spark, sf_dir).select("query_id", "neighbor_id")
-    ivf = q_knn_ivf(spark, sf_dir).select("query_id", "neighbor_id")
-    int8 = q_knn_int8(spark, sf_dir).select("query_id", "neighbor_id")
 
-    def graded(approx: DataFrame, method: str) -> DataFrame:
+    def graded(approx: DataFrame, method: str):
         j = exact.join(
-            approx.withColumn("__hit", F.lit(1)),
+            approx.select("query_id", "neighbor_id").withColumn("__hit", F.lit(1)),
             ["query_id", "neighbor_id"],
             "left",
         )
+        row = j.agg(
+            F.count(F.lit(1)).alias("n_exact"), F.count("__hit").alias("n_hits")
+        ).collect()[0]
         return (
-            j.agg(
-                F.count(F.lit(1)).alias("n_exact"),
-                F.count("__hit").alias("n_hits"),
-            )
-            .select(
-                F.lit(method).alias("method"),
-                "n_exact",
-                "n_hits",
-                (
-                    F.col("n_hits").cast("double") / F.col("n_exact").cast("double")
-                ).alias("recall"),
-            )
+            method,
+            row["n_exact"],
+            row["n_hits"],
+            float(row["n_hits"]) / float(row["n_exact"]),
         )
 
-    return (
-        graded(lsh, "lsh")
-        .unionByName(graded(ivf, "ivf"))
-        .unionByName(graded(int8, "int8_rerank"))
-        .orderBy("method")
+    try:
+        rows = sorted(
+            [
+                graded(q_knn_lsh(spark, sf_dir), "lsh"),
+                graded(q_knn_ivf(spark, sf_dir), "ivf"),
+                graded(q_knn_int8(spark, sf_dir), "int8_rerank"),
+            ]
+        )
+    finally:
+        exact.unpersist()
+    schema = (
+        "method string, n_exact long, n_hits long, recall double"
     )
+    return spark.createDataFrame(rows, schema)
 
 
 SQL_KNN_RECALL = f"""

@@ -740,3 +740,12 @@ class TestCapPerGroup:
 
         with pytest.raises(ValueError, match="cap must be positive"):
             cap_per_group(spark.range(1).withColumn("g", F.lit("a")), "id", "g", 0)
+
+    def test_reserved_output_names_rejected(self, spark):
+        from datacompy_spark.operators.textops import cap_per_group
+
+        df = spark.range(5).select(
+            F.col("id"), F.lit("a").alias("g"), F.lit(1).alias("rank")
+        )
+        with pytest.raises(ValueError, match="reserves column names"):
+            cap_per_group(df, "id", "g", cap=2)
