@@ -98,7 +98,10 @@ def main() -> None:
             runs = [once()]
             # single-run numbers on a shared VM carry multi-second noise spikes;
             # re-run anything slow enough for a spike to distort and keep the min
-            if runs[0] > 2.0:
+            # (measured: an untouched 0.9 s query recorded 6.3 s in one sweep —
+            # the 1 s threshold buys a second sample for everything where a
+            # spike would be indistinguishable from a regression)
+            if runs[0] > 1.0:
                 runs.append(once())
             timings[name] = round(min(runs), 4)
             warm[name] = round(runs[-1], 4)
