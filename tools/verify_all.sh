@@ -1,0 +1,35 @@
+#!/usr/bin/env bash
+# Full verification cycle, exactly what a release should pass:
+#   1. unit/integration suite
+#   2. DuckDB oracle sweep at the correctness-gate scale (sf0.01)
+#   3. the same sweep at 10x (sf0.1) — scale-dependent divergence check
+#   4. the same sweep under a perverse partitioning (7 shuffle partitions,
+#      AQE off) — partition-count invariance, i.e. cluster-layout
+#      determinism
+#   5. plan audit (unexpected nested-loop joins fail it) + PLANS.md regen
+#   6. benchmark (one JSON line)
+# Runs serially on purpose: concurrent Spark sessions contend for the same
+# cores and poison the timings. ~35-45 min on local[32].
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+echo "=== 1/6 pytest ==="
+python -m pytest tests/ -q
+
+echo "=== 2/6 oracle sweep sf0.01 ==="
+python tools/check_oracles.py /root/testdata/sf0.01
+
+echo "=== 3/6 oracle sweep sf0.1 ==="
+python tools/check_oracles.py /root/testdata/sf0.1
+
+echo "=== 4/6 partition-invariance sweep (7 partitions, AQE off) ==="
+SPARK_GRAFT_SHUFFLE_PARTITIONS=7 SPARK_GRAFT_AQE=false \
+    python tools/check_oracles.py /root/testdata/sf0.01
+
+echo "=== 5/6 plan audit ==="
+python tools/plan_audit.py --write
+
+echo "=== 6/6 bench ==="
+python bench.py
+
+echo "ALL VERIFICATION STAGES PASSED"
