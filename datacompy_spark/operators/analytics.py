@@ -212,7 +212,11 @@ def missing_periods(
 
     Keys whose span exceeds ``max_periods_guard`` (1M) raise rather than
     explode rows — a 100 TB safety: one corrupt 1970 timestamp would
-    otherwise synthesize half a century of hourly rows for that key.
+    otherwise synthesize half a century of hourly rows for that key. The
+    guard is ``raise_error`` INSIDE the plan (fails at execution, in the
+    same pass that synthesizes the periods) — not a separate build-time
+    probe job, which would double the operator's cost by re-running the
+    span aggregation just to check it.
     """
     if period_seconds <= 0:
         raise ValueError("period_seconds must be positive")
@@ -226,18 +230,17 @@ def missing_periods(
     spans = observed.groupBy(*keys).agg(
         F.min("period").alias("__lo"), F.max("period").alias("__hi")
     )
-    guard = spans.filter(
-        (F.col("__hi") - F.col("__lo")) > max_periods_guard
-    ).limit(1)
-    if guard.count() > 0:
-        raise ValueError(
-            f"a key spans more than {max_periods_guard} periods — timestamp "
-            "outliers would explode the expected-period synthesis; clean or "
-            "clamp the timestamp column first"
-        )
-    expected = spans.select(
-        *keys, F.explode(F.sequence(F.col("__lo"), F.col("__hi"))).alias("period")
-    )
+    guarded_seq = F.when(
+        (F.col("__hi") - F.col("__lo")) > max_periods_guard,
+        F.raise_error(
+            F.lit(
+                f"a key spans more than {max_periods_guard} periods — "
+                "timestamp outliers would explode the expected-period "
+                "synthesis; clean or clamp the timestamp column first"
+            )
+        ).cast("array<bigint>"),
+    ).otherwise(F.sequence(F.col("__lo"), F.col("__hi")))
+    expected = spans.select(*keys, F.explode(guarded_seq).alias("period"))
     missing = expected.join(observed, on=keys + ["period"], how="left_anti")
     return missing.select(
         *keys,

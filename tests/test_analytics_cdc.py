@@ -405,9 +405,11 @@ class TestMissingPeriods:
                 Row(k="a", ts=dt.datetime(2024, 1, 1)),
             ]
         )
-        # 54 years at 1-minute periods ≈ 28M periods — far over the guard
-        with _pytest.raises(ValueError, match="spans more than"):
-            missing_periods(ev, ["k"], "ts", period_seconds=60)
+        # 54 years at 1-minute periods ≈ 28M periods — far over the guard.
+        # The guard is raise_error INSIDE the plan (no extra probe job), so
+        # it fires when the query executes, not at build.
+        with _pytest.raises(Exception, match="spans more than"):
+            missing_periods(ev, ["k"], "ts", period_seconds=60).count()
 
 
 class TestTfidfMinTfParity:
