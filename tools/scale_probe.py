@@ -73,8 +73,17 @@ def main() -> int:
     nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
     SparkCompare(spark, nation, nation.select(*nation.columns), join_columns="n_nationkey").report()
 
+    base_parts = max(int(cpus), 8)
     t1 = None
     for mult in muls:
+        # size shuffle partitions WITH the data (the 100 TB rule applied
+        # at probe scale): fixed 32 partitions at x32 means ~600 k-row
+        # sort/join partitions that spill — measured 128 s vs 90 s with
+        # 128 partitions on the same session. AQE coalesces the excess at
+        # small scales, so scaling up is free there.
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(base_parts * max(1, mult // 8))
+        )
         df1 = at_scale(mult)
         df2 = perturb(df1)
         n = df1.count()
@@ -92,6 +101,7 @@ def main() -> int:
             flush=True,
         )
 
+    spark.conf.set("spark.sql.shuffle.partitions", str(base_parts))
     # ---- dedup scaling: minhash-LSH pairs over a corpus scaled by copies
     # with per-copy DISJOINT vocabulary (every token suffixed by the copy
     # index), so each copy contributes the same within-copy near-dup
