@@ -217,6 +217,14 @@ def missing_periods(
     same pass that synthesizes the periods) — not a separate build-time
     probe job, which would double the operator's cost by re-running the
     span aggregation just to check it.
+
+    .. versionchanged:: round 6
+       The span guard moved from a build-time ``ValueError`` into the plan:
+       it now surfaces at ACTION time as a Spark execution error
+       (``USER_RAISED_EXCEPTION``, e.g. ``pyspark.errors.SparkRuntimeException``),
+       not at construction. Callers that wrapped the build call in
+       ``except ValueError`` must instead catch the Spark runtime error
+       around the action that consumes the result.
     """
     if period_seconds <= 0:
         raise ValueError("period_seconds must be positive")
@@ -302,10 +310,11 @@ def join_cardinality(
     """Pre-join output-size estimator: the number of rows an inner
     equi-join on ``key_cols`` would produce, per key, for the ``top_k``
     heaviest keys — the "will this 100 TB join explode?" question answered
-    from two count aggregates instead of running the join. Products and
-    the total are computed in exact DECIMAL(38,0) (presented as double):
-    a pathological key pair can exceed int64, which would wrap negative
-    and hide exactly the key this diagnostic exists to surface.
+    from two count aggregates instead of running the join. Counts are cast
+    to DECIMAL(19,0); both Spark and DuckDB promote the product (and its
+    sum) to DECIMAL(38,0), so products and the total are exact (presented
+    as double): a pathological key pair can exceed int64, which would wrap
+    negative and hide exactly the key this diagnostic exists to surface.
 
     Per key k present on both sides, the join emits
     ``n_left(k) × n_right(k)`` rows; a single key with 10⁵ rows on each
@@ -335,6 +344,14 @@ def join_cardinality(
         "n_right",
         (F.col("n_left").cast(dec) * F.col("n_right").cast(dec)).alias("__pairs_dec"),
     )
+    # total via agg + broadcast crossJoin, NOT an unpartitioned window over
+    # `pairs`: the key count is unbounded (billions at 100 TB), and a
+    # global window would ship every per-key row to ONE partition. The agg
+    # references the same `pairs` subtree as the top-k branch; the
+    # expensive parts — the two groupBy count shuffles — are deduplicated
+    # by Spark's ReuseExchange rule (plan-asserted in
+    # tests/test_plan_shapes.py), so only the cheap count-frame join and
+    # partial sum replay.
     total = pairs.agg(F.sum("__pairs_dec").alias("__total_dec"))
     key_str = F.concat_ws("|", *[F.col(k).cast("string") for k in keys])
     top = (

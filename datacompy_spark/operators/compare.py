@@ -269,6 +269,25 @@ class SparkCompare:
         cols = {c.lower() for c in self.df1.columns} | {
             c.lower() for c in self.df2.columns
         }
+        # ALSO probe the post-suffix forms each input column will take after
+        # the internal rename: with df1_name="lhs" a user column `__present`
+        # becomes `__present_lhs`, which would collide with the presence
+        # marker added AFTER suffixing — so collisions must be checked
+        # against what the columns are named at marker-attach time, not
+        # just their raw input names
+        join_lc = {j.lower() for j in self.join_columns}
+        suffixed = set()
+        for c in cols:
+            if c in join_lc:
+                suffixed.update((f"{c}__lhs", f"{c}__rhs"))
+            else:
+                suffixed.update(
+                    (
+                        f"{c}_{self.df1_name.lower()}",
+                        f"{c}_{self.df2_name.lower()}",
+                    )
+                )
+        cols |= suffixed
         t = 0
         while True:
             tag = "" if t == 0 else str(t + 1)

@@ -795,6 +795,11 @@ def connected_components(
             doubling = True  # shrink stalled → long chains; stays on
         prev_changed = changed
     edges.unpersist()
+    if doubling_from is not None and rounds < doubling_from:
+        # the flag was armed but the loop converged (or hit max_iter)
+        # before round `doubling_from` ran — don't report a doubling round
+        # that never executed
+        doubling_from = None
     if stats_out is not None:
         stats_out.update(
             {"route": "distributed", "rounds": rounds,

@@ -673,12 +673,16 @@ def cap_per_group(
     """
     if cap <= 0:
         raise ValueError("cap must be positive")
-    clash = {"__pri", "rank", "cap_rank"} & set(df.columns)
+    # case-INsensitive clash check: Spark's default resolver folds case, so
+    # a caller column named `Rank` would be silently replaced by the
+    # internal withColumn("rank", ...) just the same as a lowercase one
+    reserved = {"__pri", "rank", "cap_rank"}
+    clash = sorted(c for c in df.columns if c.lower() in reserved)
     if clash:
         # the lottery/rank machinery would silently overwrite these —
         # refuse loudly rather than destroy caller data
         raise ValueError(
-            f"cap_per_group reserves column names {sorted(clash)} — rename "
+            f"cap_per_group reserves column names {clash} — rename "
             "them before capping"
         )
     from datacompy_spark.functions.hashing import md5_long

@@ -294,6 +294,27 @@ class TestTextOps:
             D.connected_components(pairs, max_iter=1, driver_cap=0)
         assert any("did not converge" in str(w.message) for w in rec)
 
+    def test_stats_never_name_a_doubling_round_that_never_ran(self, spark):
+        # the doubling flag is read at the top of the NEXT iteration, so
+        # arming it in the final permitted iteration schedules a round the
+        # loop never executes — stats must report doubling_from=None then,
+        # not a phantom round index > rounds
+        import warnings
+
+        pairs = spark.createDataFrame(
+            [(i, i + 1, 0.9) for i in range(1, 40)],
+            "id_a bigint, id_b bigint, jaccard double",
+        )
+        for mi in (2, 3, 15):
+            stats: dict = {}
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                D.connected_components(
+                    pairs, max_iter=mi, driver_cap=0, stats_out=stats
+                ).collect()
+            df_from = stats.get("doubling_from")
+            assert df_from is None or df_from <= stats["rounds"], stats
+
 
 class TestPipelineTextOps:
     def test_scrub_pii_redacts_planted_pii(self, spark):
@@ -749,3 +770,16 @@ class TestCapPerGroup:
         )
         with pytest.raises(ValueError, match="reserves column names"):
             cap_per_group(df, "id", "g", cap=2)
+
+    def test_reserved_output_names_rejected_case_insensitive(self, spark):
+        # Spark's default resolver folds case: a caller column named `Rank`
+        # or `CAP_RANK` would be destroyed by the internal rank machinery
+        # just like a lowercase one, so the guard must fold case too
+        from datacompy_spark.operators.textops import cap_per_group
+
+        for bad in ("Rank", "CAP_RANK", "__PRI"):
+            df = spark.range(5).select(
+                F.col("id"), F.lit("a").alias("g"), F.lit(1).alias(bad)
+            )
+            with pytest.raises(ValueError, match="reserves column names"):
+                cap_per_group(df, "id", "g", cap=2)

@@ -429,3 +429,26 @@ class TestStarSchemaRollup:
         assert plan.count("BroadcastHashJoin") == 3
         assert "SortMergeJoin" not in plan
         assert plan.count("Exchange hashpartitioning") == 1
+
+
+class TestJoinCardinalityPlan:
+    def test_total_branch_reuses_count_exchanges(self, spark, lineitem, orders):
+        """join_cardinality references the per-key `pairs` subtree twice
+        (top-k branch + total aggregate). The expensive parts — the two
+        groupBy count shuffles — must be planned once and reused, so the
+        agg+crossJoin total costs only a cheap count-frame join replay
+        (the alternative, an unpartitioned window over every distinct key,
+        is a scale-killer)."""
+        import contextlib
+        import io
+
+        from datacompy_spark.operators.analytics import join_cardinality
+
+        right = orders.withColumnRenamed("o_orderkey", "l_orderkey")
+        jc = join_cardinality(lineitem, right, ["l_orderkey"], top_k=5)
+        jc.collect()  # AQE only materializes ReusedExchange in the final plan
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            jc.explain("formatted")
+        plan = buf.getvalue()
+        assert plan.count("ReusedExchange") >= 2, plan

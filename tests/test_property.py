@@ -355,3 +355,30 @@ class TestInternalNameCollisionProperties:
         }
         assert got == want
         assert plain.count_matching_rows() == renamed.count_matching_rows()
+
+    def test_suffix_collision_with_presence_markers(self, spark):
+        # with df1_name="lhs" a user column `__present` suffixes to
+        # `__present_lhs` — exactly the presence-marker name attached AFTER
+        # suffixing. The probe must consider post-suffix forms, or the
+        # marker's withColumn silently replaces the user's data.
+        from pyspark.sql import functions as F
+
+        from datacompy_spark import SparkCompare
+
+        base = spark.range(0, 8).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("__present")
+        )
+        pert = base.select(
+            "k",
+            F.when(F.col("k") % 2 == 0, F.col("__present") + 1)
+            .otherwise(F.col("__present"))
+            .alias("__present"),
+        )
+        c = SparkCompare(
+            spark, base, pert, join_columns="k", df1_name="lhs", df2_name="rhs"
+        )
+        stats = {
+            s["column"]: (s["match_cnt"], s["unequal_cnt"]) for s in c.column_stats
+        }
+        assert stats["__present"] == (4, 4)
+        assert c.count_matching_rows() == 4
