@@ -464,3 +464,146 @@ WITH scaled AS (
 SELECT {id_col}, scale,
   list_transform(v, x -> floor(x::DOUBLE * scale + 0.5)::INT) AS qvec
 FROM scaled"""
+
+
+def tune_ann(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    target_recall: float = 0.9,
+    sample: int = 256,
+    seed: str = "tune",
+) -> dict:
+    """Density-probe auto-tuner for the bucketed ANN paths.
+
+    The bucketed methods (:func:`knn_lsh`, :func:`ivf_knn`) have a recall
+    cliff whose location depends entirely on how clustered the corpus is:
+    sign-bit buckets almost never collide for neighbors at cosine ~0.3
+    (isotropic noise) and almost always collide at ~0.99 (tight clusters).
+    Fixed defaults therefore cannot promise a recall floor. This probe
+    measures the corpus's neighbor density once, cheaply, and returns
+    parameters sized for ``target_recall`` on THIS corpus — or an honest
+    recommendation to use :func:`knn_int8_rerank` when no bucketed
+    parameterization can reach the target affordably.
+
+    Cost (designed for 100 TB): ONE count aggregate plus ONE bounded
+    collect of ~``sample`` rows chosen by a deterministic md5 lottery on
+    the id (no orderBy, no full shuffle — the lottery filter is a narrow
+    scan predicate). All analysis is driver-side numpy on a ≤ sample×dim
+    matrix (kilobytes).
+
+    Model, per random-hyperplane theory (Charikar 2002): a neighbor at
+    cosine c survives one hyperplane with probability
+    ``rho = 1 - acos(c)/pi``; with p planes and T tables, recall is
+    ``1 - (1 - rho^p)^T``.
+
+    * ``est_neighbor_cos`` — the ``1 - target_recall`` quantile of each
+      sample vector's cosine to its nearest OTHER sample vector: recall is
+      governed by the HARDEST neighbors a caller still wants found, so the
+      tuner sizes for the distribution's weak tail, not its median. Doubly
+      conservative: any sample is also sparser than the full corpus.
+    * ``n_planes`` — sized from the corpus count so RANDOM collisions per
+      table stay bounded (~n/2^p candidates), clamped to [4, 16].
+    * ``n_tables`` — smallest T with ``(1 - rho^p)^T <= 1 - target``;
+      when that T exceeds 16, bucketing is judged unaffordable and
+      ``path`` flips to ``int8_rerank`` (the engine's recall-guaranteed
+      fallback for unclustered data).
+    * ``nprobe`` / ``pivot_mod`` — IVF simulated on the sample with
+      ~sqrt(s) pivots: for each vector, how many cells (ranked by pivot
+      similarity) must be probed before its true sample-NN's cell
+      appears; nprobe is that rank's ``target_recall`` quantile.
+
+    Returns a plain dict (diagnostics included) ready to splat into the
+    knn calls:  ``tune = tune_ann(...)``, then
+    ``knn_lsh(..., n_tables=tune["n_tables"], n_planes=tune["n_planes"])``
+    and ``ivf_knn(..., nprobe=tune["nprobe"], pivot_mod=tune["pivot_mod"])``.
+    """
+    import math
+
+    import numpy as np
+
+    from datacompy_spark.functions.hashing import md5_long
+
+    if not 0.0 < target_recall < 1.0:
+        raise ValueError("target_recall must be in (0, 1)")
+    n = corpus.count()
+    step = max(1, n // max(sample, 1))
+    sampled = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .filter(F.pmod(md5_long(F.col(id_col).cast("string"), seed), step) == 0)
+        .limit(2 * sample)
+        .toPandas()
+    )
+    X = np.asarray([np.asarray(v, dtype="float64") for v in sampled[vec_col]])
+    s = len(X)
+    out = {
+        "n": int(n),
+        "sample_size": int(s),
+        "target_recall": float(target_recall),
+        # conservative fallbacks, overwritten below when the sample suffices
+        "est_neighbor_cos": None,
+        "rho": None,
+        "n_planes": 8,
+        "n_tables": 4,
+        "required_tables": None,
+        "nprobe": 2,
+        "pivot_mod": 37,
+        "path": "int8_rerank",
+    }
+    if s < 8:
+        # nothing to measure — recommend the recall-guaranteed path
+        return out
+
+    norms = np.linalg.norm(X, axis=1)
+    norms[norms == 0.0] = 1.0
+    U = X / norms[:, None]
+    S = U @ U.T
+    np.fill_diagonal(S, -np.inf)
+    nn_idx = S.argmax(axis=1)
+    nn_cos = S[np.arange(s), nn_idx]
+    est = float(
+        np.clip(np.quantile(nn_cos, 1.0 - target_recall, method="lower"), -1.0, 1.0)
+    )
+    rho = 1.0 - math.acos(max(min(est, 1.0), -1.0)) / math.pi
+    out["est_neighbor_cos"] = est
+    out["rho"] = rho
+
+    # planes from corpus size: background (cos~0) pairs collide per table
+    # with prob 2^-p, so candidates/table ~ n/2^p; budget ~256
+    p = min(16, max(4, math.ceil(math.log2(max(n, 2) / 256.0))))
+    out["n_planes"] = int(p)
+    hit = rho**p
+    if hit >= 1.0:  # exact duplicates everywhere
+        required = 1
+    elif hit <= 0.0:
+        required = math.inf
+    else:
+        required = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - hit))
+    out["required_tables"] = None if required is math.inf else int(required)
+    if required <= 16:
+        out["n_tables"] = int(max(2, required))
+        out["path"] = "lsh"
+    else:
+        # no affordable (p, T) reaches the target on this corpus —
+        # bucketing has no locality to exploit; int8-prefilter + exact
+        # rerank keeps its recall guarantee regardless of clustering
+        out["path"] = "int8_rerank"
+
+    # --- IVF simulation on the sample: ~sqrt(s) pivots ------------------
+    stride = max(1, int(round(math.sqrt(s))))
+    pivot_idx = np.arange(0, s, stride)
+    if len(pivot_idx) >= 2:
+        P = U[pivot_idx]                         # (m, d) unit pivots
+        sim_to_pivots = U @ P.T                  # (s, m)
+        own_cell = sim_to_pivots.argmax(axis=1)
+        # rank (1-based) of the true NN's cell in each vector's
+        # pivot-similarity order = probes needed to reach that neighbor
+        order = np.argsort(-sim_to_pivots, axis=1)
+        nn_cell = own_cell[nn_idx]
+        ranks = (order == nn_cell[:, None]).argmax(axis=1) + 1
+        nprobe = int(np.quantile(ranks, target_recall, method="higher"))
+        out["nprobe"] = int(min(max(nprobe, 1), 16))
+    # pivot_mod so the inverted file has ~sqrt(n) cells (classic IVF
+    # sizing: probe cost and cell size balance at sqrt)
+    out["pivot_mod"] = int(max(2, round(math.sqrt(max(n, 4)))))
+    return out

@@ -181,6 +181,85 @@ class TestEmbeddingOps:
         assert len(got & exact) > 0
 
 
+class TestAnnAutoTune:
+    """tune_ann's density probe must size the bucketed paths to >=0.9
+    recall on clustered (realistic) corpora, and must honestly refuse —
+    recommending the int8-rerank path — on isotropic data where no
+    affordable bucketing has locality to exploit."""
+
+    @pytest.fixture(scope="class")
+    def clustered(self, spark):
+        # mixture of 20 Gaussians at moderate tightness (neighbor cosine
+        # ~0.8): loose enough that DEFAULT LSH params sit well under 0.9
+        # recall — exactly the regime fixed parameters get wrong
+        import random
+
+        rng = random.Random(11)
+        rows, vid = [], 0
+        for _ in range(20):
+            center = [rng.gauss(0, 1) for _ in range(64)]
+            for _ in range(20):
+                rows.append((vid, [x + rng.gauss(0, 0.5) for x in center]))
+                vid += 1
+        return spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<double>"
+        ).cache()
+
+    def _recall(self, exact, approx):
+        e = {(r["query_id"], r["neighbor_id"]) for r in exact}
+        a = {(r["query_id"], r["neighbor_id"]) for r in approx}
+        return len(e & a) / len(e)
+
+    def test_tuned_lsh_and_ivf_reach_target_on_clustered(self, spark, clustered):
+        tune = S.tune_ann(clustered, "vec_id", "embedding", target_recall=0.9)
+        assert tune["path"] == "lsh", tune
+        probes = clustered.filter(F.col("vec_id") % 10 == 0)
+        exact = S.knn_bruteforce(
+            clustered, probes, "vec_id", "embedding", k=4
+        ).collect()
+        tuned_lsh = S.knn_lsh(
+            clustered, probes, "vec_id", "embedding", k=4,
+            n_tables=tune["n_tables"], n_planes=tune["n_planes"],
+        ).collect()
+        assert self._recall(exact, tuned_lsh) >= 0.9, tune
+        tuned_ivf = S.ivf_knn(
+            clustered, probes, "vec_id", "embedding", k=4,
+            nprobe=tune["nprobe"], pivot_mod=tune["pivot_mod"],
+        ).collect()
+        assert self._recall(exact, tuned_ivf) >= 0.9, tune
+
+    def test_default_lsh_underperforms_where_tuning_rescues(self, spark, clustered):
+        # the reason the tuner exists: at this clustering level the fixed
+        # defaults (4 tables x 8 planes) miss the 0.9 floor
+        probes = clustered.filter(F.col("vec_id") % 10 == 0)
+        exact = S.knn_bruteforce(
+            clustered, probes, "vec_id", "embedding", k=4
+        ).collect()
+        dflt = S.knn_lsh(clustered, probes, "vec_id", "embedding", k=4).collect()
+        assert self._recall(exact, dflt) < 0.9
+
+    def test_isotropic_corpus_routes_to_int8_rerank(self, spark, embeddings):
+        # the driver embeddings are isotropic (neighbor cos ~0.32): the
+        # collision model should find no affordable (planes, tables) and
+        # recommend the recall-guaranteed quantized-rerank path instead of
+        # pretending bucketing will work
+        tune = S.tune_ann(embeddings, "vec_id", "embedding", target_recall=0.9)
+        assert tune["path"] == "int8_rerank", tune
+        assert tune["est_neighbor_cos"] < 0.5
+        assert tune["required_tables"] is None or tune["required_tables"] > 16
+
+    def test_tiny_corpus_falls_back_conservatively(self, spark):
+        few = spark.createDataFrame(
+            [(1, [1.0] * 8), (2, [0.5] * 8)], "vec_id bigint, embedding array<double>"
+        )
+        tune = S.tune_ann(few, "vec_id", "embedding")
+        assert tune["path"] == "int8_rerank" and tune["sample_size"] < 8
+
+    def test_bad_target_rejected(self, spark, clustered):
+        with pytest.raises(ValueError, match="target_recall"):
+            S.tune_ann(clustered, "vec_id", "embedding", target_recall=1.0)
+
+
 class TestTextOps:
     def test_stats(self, spark, docs):
         st = {r["doc_id"]: r for r in TO.text_stats(docs, "doc_id", "text").collect()}
