@@ -84,6 +84,15 @@ def main() -> None:
         timings["compare_report"] = None
         warm["compare_report"] = None
 
+    # diagnostic gates: composite approximation-quality checks (e.g.
+    # knn_recall runs brute force + three approx paths + grading as ONE
+    # job). They guard correctness, not user-visible operator speed, so
+    # they are timed once and reported under "gates" — outside the
+    # per-query comparison set, keeping bench wall-time and the
+    # round-over-round comparison focused on operators users run.
+    GATE_QUERIES = {"knn_recall"}
+
+    gates = {}
     spark.catalog.clearCache()
     for name, fn in QUERIES.items():
         def once() -> float:
@@ -95,6 +104,10 @@ def main() -> None:
         # a single failing query must not zero the whole bench (round-4
         # lesson: query #23 threw and the driver recorded rc=1, no numbers)
         try:
+            if name in GATE_QUERIES:
+                # gates: one sample, separate bucket, no noise re-runs
+                gates[name] = round(once(), 4)
+                continue
             runs = [once()]
             # single-run numbers on a shared VM carry multi-second noise spikes;
             # re-run anything slow enough for a spike to distort and keep the min
@@ -107,8 +120,11 @@ def main() -> None:
             warm[name] = round(runs[-1], 4)
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
-            timings[name] = None
-            warm[name] = None
+            if name in GATE_QUERIES:
+                gates[name] = None
+            else:
+                timings[name] = None
+                warm[name] = None
             spark.catalog.clearCache()
 
     # The driver captures only the last ~2000 chars of stdout and parses the
@@ -123,6 +139,7 @@ def main() -> None:
             "value": compact["compare_report"],
             "unit": "sec",
             "queries": compact,
+            "gates": {k: (round(v, 2) if v is not None else None) for k, v in gates.items()},
             "sf": sf,
         },
         separators=(",", ":"),
@@ -130,7 +147,8 @@ def main() -> None:
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     with open(detail_path, "w") as fh:
         json.dump(
-            {"queries": timings, "queries_warm": warm, "errors": errors, "sf": sf},
+            {"queries": timings, "queries_warm": warm, "gates": gates,
+             "errors": errors, "sf": sf},
             fh,
             indent=1,
         )
@@ -141,6 +159,7 @@ def main() -> None:
                 "value": compact["compare_report"],
                 "unit": "sec",
                 "queries": {k: v for k, v in compact.items() if v is None or v >= 0.5},
+                "gates": {k: (round(v, 2) if v is not None else None) for k, v in gates.items()},
                 "sf": sf,
             },
             separators=(",", ":"),

@@ -94,3 +94,36 @@ def test_report_data_contract(ref_scenario):
     import json
 
     json.dumps(d, default=str)  # JSON-serializable
+
+
+REF_DUPES = pathlib.Path(__file__).parent / "snapshots" / "ref_pandas_duplicates.txt"
+REF_TOL = pathlib.Path(__file__).parent / "snapshots" / "ref_pandas_with_tolerances.txt"
+
+
+def test_reference_duplicates_report_format(spark):
+    """The reference's duplicate-keys golden (``tests/snapshots/
+    pandas_duplicates.txt``, scenario from ``test_report_snapshots.py:88``):
+    identical frames with a repeated join key — 'Any duplicates on match
+    values: Yes', three common rows, zero mismatch sections."""
+    df1 = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 30)], "id bigint, val bigint"
+    )
+    df2 = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 30)], "id bigint, val bigint"
+    )
+    c = SparkCompare(spark, df1, df2, join_columns="id")
+    assert _norm(c.report()) == _norm(REF_DUPES.read_text())
+
+
+def test_reference_tolerances_report_format(spark):
+    """The reference's tolerance golden (``tests/snapshots/
+    pandas_with_tolerances.txt``, scenario from
+    ``test_report_snapshots.py:82``): abs_tol=0.001 absorbs a +0.0001
+    drift — zero unequal values, and the tolerance itself is printed in
+    the Row Summary."""
+    df1 = spark.createDataFrame([(1, 1.0), (2, 2.0)], "id bigint, val double")
+    df2 = spark.createDataFrame(
+        [(1, 1.0001), (2, 2.0001)], "id bigint, val double"
+    )
+    c = SparkCompare(spark, df1, df2, join_columns="id", abs_tol=0.001)
+    assert _norm(c.report()) == _norm(REF_TOL.read_text())
