@@ -35,6 +35,14 @@ def top_k_per_group(
     deterministic — required for the oracle gate and for reproducible
     pipelines generally.
     """
+    # case-INsensitive: Spark's default resolver folds case, so a caller
+    # column named 'Rank' would be silently replaced just like 'rank'
+    clash = sorted(c for c in df.columns if c.lower() == "rank")
+    if clash:
+        raise ValueError(
+            f"top_k_per_group reserves the output column name 'rank' "
+            f"(input has {clash}) — rename it before ranking"
+        )
     order = [F.col(order_col).asc() if ascending else F.col(order_col).desc()]
     for t in tiebreak or []:
         order.append(F.col(t).asc())

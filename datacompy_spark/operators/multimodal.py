@@ -59,6 +59,14 @@ def bucket_by_content(df: DataFrame, binary_col: str, buckets: int = 256) -> Dat
     """Repartition blobs by content-hash bucket: spreads size-skewed inputs
     evenly before a decode stage (a directory of giant videos otherwise pins
     one executor)."""
+    clash = sorted(c for c in df.columns if c.lower() == "__bucket")
+    if clash:
+        # withColumn + the trailing drop would silently destroy the
+        # caller's column (case-insensitively, per Spark's resolver)
+        raise ValueError(
+            f"bucket_by_content reserves the internal column name "
+            f"'__bucket' (input has {clash}) — rename it first"
+        )
     out = df.withColumn("__bucket", F.crc32(F.col(binary_col)) % buckets)
     return out.repartition(buckets, "__bucket").drop("__bucket")
 

@@ -551,6 +551,15 @@ def stratified_sample(
 
     from datacompy_spark.functions.hashing import md5_long
 
+    # output columns are (doc_id, *strata_cols, rk): a stratum column named
+    # doc_id or rk (any case) would duplicate an output name — Spark allows
+    # the duplicate in select() and downstream column resolution breaks
+    clash = sorted(c for c in strata_cols if c.lower() in ("doc_id", "rk"))
+    if clash:
+        raise ValueError(
+            f"stratified_sample reserves output column names 'doc_id' and "
+            f"'rk' (strata_cols has {clash}) — rename them first"
+        )
     w = (
         Window.partitionBy(*strata_cols)
         .orderBy(md5_long(F.col(id_col).cast("string"), seed), F.col(id_col))

@@ -66,6 +66,17 @@ def skew_salted_join(
             "outer, swap the sides or use AQE's skew-join split"
         )
     keys = [keys] if isinstance(keys, str) else list(keys)
+    clash = sorted(
+        c for c in set(left.columns) | set(right.columns) if c.lower() == "__salt"
+    )
+    if clash:
+        # the salt column is attached to BOTH sides and dropped at the end —
+        # a caller column of that (case-folded) name would be destroyed and
+        # the join keys corrupted
+        raise ValueError(
+            f"skew_salted_join reserves the internal column name '__salt' "
+            f"(input has {clash}) — rename it first"
+        )
     from pyspark.sql import functions as F
 
     salted_l = left.withColumn(

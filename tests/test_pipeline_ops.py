@@ -850,6 +850,36 @@ class TestCapPerGroup:
         with pytest.raises(ValueError, match="reserves column names"):
             cap_per_group(df, "id", "g", cap=2)
 
+    def test_sibling_operators_guard_reserved_names(self, spark):
+        # the same silent-replacement hazard exists in every operator that
+        # preserves arbitrary caller columns while attaching internal ones —
+        # all must refuse (case-insensitively) instead of destroying data
+        from datacompy_spark.operators.analytics import top_k_per_group
+        from datacompy_spark.operators.multimodal import bucket_by_content
+        from datacompy_spark.operators.textops import stratified_sample
+        from datacompy_spark.plans.partitioning import skew_salted_join
+
+        with pytest.raises(ValueError, match="reserves"):
+            top_k_per_group(
+                spark.range(3).withColumn("Rank", F.lit(1)), ["id"], "Rank", 1
+            )
+        with pytest.raises(ValueError, match="reserves"):
+            bucket_by_content(
+                spark.range(3).select(
+                    F.lit(b"x").alias("data"), F.lit(1).alias("__Bucket")
+                ),
+                "data",
+            )
+        left = spark.range(3).select(F.col("id").alias("k"), F.lit(0).alias("__SALT"))
+        right = spark.range(3).select(F.col("id").alias("k"))
+        with pytest.raises(ValueError, match="reserves"):
+            skew_salted_join(left, right, "k")
+        docs = spark.range(3).select(
+            F.col("id").alias("doc_id"), F.lit("a").alias("RK")
+        )
+        with pytest.raises(ValueError, match="reserves"):
+            stratified_sample(docs, ["RK"], "doc_id", 1)
+
     def test_reserved_output_names_rejected_case_insensitive(self, spark):
         # Spark's default resolver folds case: a caller column named `Rank`
         # or `CAP_RANK` would be destroyed by the internal rank machinery

@@ -9,6 +9,12 @@ with input at fixed parallelism, or does some stage go quadratic / spill?
 Usage: python tools/scale_probe.py [multipliers...]   (default: 1 4 16)
 Prints one line per scale: rows, seconds, rows/sec, and the ratio of
 seconds to the 1x run (linear scaling => ratio ~= multiplier).
+
+Env knobs: SPARK_GRAFT_SECTIONS selects sections as a comma list out of
+{compare,minhash,cdc,bucketed,cc,hotkey} (default: all) — a x64 compare
+datapoint or a memory-constrained minhash rerun shouldn't pay for every
+other section; SPARK_GRAFT_DRIVER_MEM bounds the single-JVM heap (the
+local-mode stand-in for executor memory) for constrained-memory probes.
 """
 
 from __future__ import annotations
@@ -25,6 +31,17 @@ def main() -> int:
     from pyspark.sql import functions as F
 
     muls = [int(m) for m in (sys.argv[1:] or ["1", "4", "16"])]
+    all_sections = ("compare", "minhash", "cdc", "bucketed", "cc", "hotkey")
+    sections = set(
+        s for s in os.environ.get(
+            "SPARK_GRAFT_SECTIONS", ",".join(all_sections)
+        ).split(",") if s
+    )
+    unknown = sections - set(all_sections)
+    if unknown:
+        raise SystemExit(
+            f"unknown sections {sorted(unknown)}; pick from {all_sections}"
+        )
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = (
@@ -75,7 +92,7 @@ def main() -> int:
 
     base_parts = max(int(cpus), 8)
     t1 = None
-    for mult in muls:
+    for mult in muls if "compare" in sections else []:
         # size shuffle partitions WITH the data (the 100 TB rule applied
         # at probe scale): fixed 32 partitions at x32 means ~600 k-row
         # sort/join partitions that spill — measured 128 s vs 90 s with
@@ -111,7 +128,7 @@ def main() -> int:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     t1 = None
-    for mult in muls:
+    for mult in muls if "minhash" in sections else []:
         parts = []
         for i in range(mult):
             parts.append(
@@ -147,7 +164,7 @@ def main() -> int:
 
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     t1 = None
-    for mult in muls:
+    for mult in muls if "cdc" in sections else []:
         parts = [
             orders.withColumn(
                 "o_orderkey", F.col("o_orderkey") + F.lit(10_000_000 * i)
@@ -180,57 +197,58 @@ def main() -> int:
             f"  sec={el:7.2f}  vs_x1={el/t1:5.2f} (linear => ~{mult})",
             flush=True,
         )
-    # ---- bucketed fast path: the recurring-compare claim, measured.
-    # Both snapshot sides persisted once as bucket-sorted catalog tables,
-    # then compared with null_safe_join=False + assume_unique (plain
-    # equi-join on non-null unique keys) — the sort-merge join needs zero
-    # Exchange and zero Sort. The interesting number is the marginal cost
-    # of ONE compare after the one-time bucketing investment.
-    from datacompy_spark.sources.loaders import write_bucketed
+    if "bucketed" in sections:
+        # ---- bucketed fast path: the recurring-compare claim, measured.
+        # Both snapshot sides persisted once as bucket-sorted catalog tables,
+        # then compared with null_safe_join=False + assume_unique (plain
+        # equi-join on non-null unique keys) — the sort-merge join needs zero
+        # Exchange and zero Sort. The interesting number is the marginal cost
+        # of ONE compare after the one-time bucketing investment.
+        from datacompy_spark.sources.loaders import write_bucketed
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(*LI_COLS)
-    agg_keys = ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"]
-    left = li.dropDuplicates(agg_keys)
-    right = left.filter(F.col("l_orderkey") % 997 != 0).select(
-        *[c for c in left.columns if c != "l_quantity"],
-        F.when(F.col("l_partkey") % 13 == 2, F.col("l_quantity") + 1.0)
-        .otherwise(F.col("l_quantity"))
-        .alias("l_quantity"),
-    )
-    n = left.count()
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(*LI_COLS)
+        agg_keys = ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"]
+        left = li.dropDuplicates(agg_keys)
+        right = left.filter(F.col("l_orderkey") % 997 != 0).select(
+            *[c for c in left.columns if c != "l_quantity"],
+            F.when(F.col("l_partkey") % 13 == 2, F.col("l_quantity") + 1.0)
+            .otherwise(F.col("l_quantity"))
+            .alias("l_quantity"),
+        )
+        n = left.count()
 
-    t0 = time.perf_counter()
-    cmp_plain = SparkCompare(
-        spark, left, right, join_columns=agg_keys, assume_unique=True
-    )
-    cmp_plain.report(sample_count=10)
-    t_plain = time.perf_counter() - t0
-
-    t0 = time.perf_counter()
-    write_bucketed(left, "sp_left", agg_keys, num_buckets=int(cpus))
-    write_bucketed(right, "sp_right", agg_keys, num_buckets=int(cpus))
-    t_bucket = time.perf_counter() - t0
-    try:
         t0 = time.perf_counter()
-        cmp_b = SparkCompare(
-            spark,
-            spark.table("sp_left"),
-            spark.table("sp_right"),
-            join_columns=agg_keys,
-            assume_unique=True,
-            null_safe_join=False,
+        cmp_plain = SparkCompare(
+            spark, left, right, join_columns=agg_keys, assume_unique=True
         )
-        cmp_b.report(sample_count=10)
-        t_bucketed = time.perf_counter() - t0
-        print(
-            f"bucketed rows={n:>10,d}  plain={t_plain:6.2f}s  "
-            f"bucket_once={t_bucket:6.2f}s  bucketed_cmp={t_bucketed:6.2f}s  "
-            f"speedup={t_plain / t_bucketed:5.2f}x per recurring compare",
-            flush=True,
-        )
-    finally:
-        spark.sql("DROP TABLE IF EXISTS sp_left")
-        spark.sql("DROP TABLE IF EXISTS sp_right")
+        cmp_plain.report(sample_count=10)
+        t_plain = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        write_bucketed(left, "sp_left", agg_keys, num_buckets=int(cpus))
+        write_bucketed(right, "sp_right", agg_keys, num_buckets=int(cpus))
+        t_bucket = time.perf_counter() - t0
+        try:
+            t0 = time.perf_counter()
+            cmp_b = SparkCompare(
+                spark,
+                spark.table("sp_left"),
+                spark.table("sp_right"),
+                join_columns=agg_keys,
+                assume_unique=True,
+                null_safe_join=False,
+            )
+            cmp_b.report(sample_count=10)
+            t_bucketed = time.perf_counter() - t0
+            print(
+                f"bucketed rows={n:>10,d}  plain={t_plain:6.2f}s  "
+                f"bucket_once={t_bucket:6.2f}s  bucketed_cmp={t_bucketed:6.2f}s  "
+                f"speedup={t_plain / t_bucketed:5.2f}x per recurring compare",
+                flush=True,
+            )
+        finally:
+            spark.sql("DROP TABLE IF EXISTS sp_left")
+            spark.sql("DROP TABLE IF EXISTS sp_right")
 
     # ---- distributed connected components: force driver_cap=0 so the
     # label-propagation loop (with conditional pointer doubling) runs even
@@ -242,7 +260,7 @@ def main() -> int:
     from datacompy_spark.operators.dedup import connected_components
 
     t1 = None
-    for mult in muls:
+    for mult in muls if "cc" in sections else []:
         chain_len = 4096 * mult
         n_stars, star_size = 2000 * mult, 8
         chain = spark.range(0, chain_len - 1).select(
@@ -294,7 +312,7 @@ def main() -> int:
         (1_000, ("range", "ordinal")),
         (10_000, ("range", "ordinal")),
         (1_000_000, ("ordinal",)),  # range-pair mode: ~10^12 residual evals — excluded by design
-    ]:
+    ] if "hotkey" in sections else []:
         for mode in modes:
             df = hotkey_frame(k_hot)
             df2 = df.select("k", F.when(F.col("v") % 5 == 0, F.col("v") + 1).otherwise(F.col("v")).alias("v"))
