@@ -539,6 +539,7 @@ def tune_ann(
     out = {
         "n": int(n),
         "sample_size": int(s),
+        "dim": int(X.shape[1]) if s else None,
         "target_recall": float(target_recall),
         # conservative fallbacks, overwritten below when the sample suffices
         "est_neighbor_cos": None,
@@ -606,4 +607,53 @@ def tune_ann(
     # pivot_mod so the inverted file has ~sqrt(n) cells (classic IVF
     # sizing: probe cost and cell size balance at sqrt)
     out["pivot_mod"] = int(max(2, round(math.sqrt(max(n, 4)))))
+    return out
+
+
+def knn_auto(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    target_recall: float = 0.9,
+    sample: int = 256,
+    seed: str = "tune",
+    stats_out: dict | None = None,
+) -> DataFrame:
+    """Approximate top-k cosine with automatically chosen method and
+    parameters: run :func:`tune_ann` once, then dispatch —
+    :func:`knn_lsh` with the tuned (tables, planes) when the corpus has
+    enough cluster structure for bucketing to hit ``target_recall``
+    affordably, :func:`knn_int8_rerank` otherwise (the recall-guaranteed
+    path on unclustered data). The ``int8_rerank`` pool is sized so the
+    prefilter keeps ~``max(50, 10k)`` candidates per query.
+
+    One extra count + one bounded sample collect over just calling a knn
+    function directly — negligible against any real ANN query, and it
+    removes the silent recall cliff of fixed parameters.
+
+    ``stats_out`` (observability, same convention as
+    ``connected_components``): when a dict is passed it receives the full
+    tuner output plus ``method`` — callers log WHY a path was chosen.
+    """
+    t = tune_ann(
+        corpus, id_col, vec_col,
+        target_recall=target_recall, sample=sample, seed=seed,
+    )
+    if t["path"] == "lsh":
+        out = knn_lsh(
+            corpus, queries, id_col, vec_col, k=k,
+            n_tables=t["n_tables"], n_planes=t["n_planes"],
+            dim=t["dim"], seed=seed,
+        )
+        method = "lsh"
+    else:
+        out = knn_int8_rerank(
+            corpus, queries, id_col, vec_col, k=k, pool=max(50, 10 * k)
+        )
+        method = "int8_rerank"
+    if stats_out is not None:
+        stats_out.update(t)
+        stats_out["method"] = method
     return out

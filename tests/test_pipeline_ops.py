@@ -248,6 +248,31 @@ class TestAnnAutoTune:
         assert tune["est_neighbor_cos"] < 0.5
         assert tune["required_tables"] is None or tune["required_tables"] > 16
 
+    def test_knn_auto_dispatches_and_meets_target(self, spark, clustered, embeddings):
+        # clustered corpus -> tuned LSH, recall >= target
+        probes = clustered.filter(F.col("vec_id") % 10 == 0)
+        exact = S.knn_bruteforce(
+            clustered, probes, "vec_id", "embedding", k=4
+        ).collect()
+        stats: dict = {}
+        auto = S.knn_auto(
+            clustered, probes, "vec_id", "embedding", k=4, stats_out=stats
+        ).collect()
+        assert stats["method"] == "lsh" and stats["dim"] == 64
+        assert self._recall(exact, auto) >= 0.9, stats
+        # isotropic corpus -> int8_rerank; spot-check shape + determinism
+        iso_probes = embeddings.filter(F.col("vec_id") % 997 == 0)
+        stats2: dict = {}
+        out = S.knn_auto(
+            embeddings, iso_probes, "vec_id", "embedding", k=3, stats_out=stats2
+        )
+        assert stats2["method"] == "int8_rerank"
+        rows = out.collect()
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], []).append(r["rank"])
+        assert by_q and all(sorted(v) == [1, 2, 3] for v in by_q.values())
+
     def test_tiny_corpus_falls_back_conservatively(self, spark):
         few = spark.createDataFrame(
             [(1, [1.0] * 8), (2, [0.5] * 8)], "vec_id bigint, embedding array<double>"
