@@ -423,6 +423,93 @@ SELECT doc_id,
 FROM per GROUP BY doc_id"""
 
 
+def ngram_duplication_profile(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5
+) -> DataFrame:
+    """CROSS-document n-gram duplication — per document, how much of it is
+    boilerplate shared with OTHER documents: the duplicated-n-gram-fraction
+    quality signal web-corpus pipelines (C4/RefinedWeb style) filter on.
+    Within-document repetition is :func:`repetition_metrics`; this operator
+    answers the complementary question (navigation chrome, license
+    headers, templated pages — text that repeats ACROSS the corpus).
+
+    Per document: its DISTINCT word ``n``-grams; a gram is "duplicated" if
+    at least one other document contains it too. Output
+    ``(doc_id, n_grams, n_dup_grams, dup_frac)`` — ``dup_frac`` NULL when
+    the document produced no grams (NULL text), 0-gram docs are retained.
+
+    Scale shape: gram frequencies via groupBy + join, NOT a per-gram
+    window — groupBy gets map-side partial aggregation and AQE skew
+    handling, while a window must sort every instance of a hot gram (a
+    corpus-wide boilerplate phrase can appear in 10⁸ documents) into one
+    task. Two hash shuffles total: the grams relation is exchanged once on
+    gram (groupBy and join reuse the same Exchange) and once on doc_id for
+    the per-doc fold. Documents shorter than ``n`` tokens collapse to one
+    whole-document shingle (consistent with every other shingle consumer
+    here), so near-empty boilerplate documents still count each other as
+    duplicates."""
+    from datacompy_spark.functions.hashing import word_shingles
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__toks")
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_shingles(F.col("__toks"), n))
+        ).alias("gram"),
+    )
+    gf = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("__nd"))
+    per = (
+        grams.join(gf, "gram")  # NULL grams (NULL text) drop here, both engines
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.coalesce(F.sum(F.when(F.col("__nd") > 1, F.lit(1))), F.lit(0))
+            .cast("long")
+            .alias("n_dup_grams"),
+        )
+    )
+    ids = df.select(F.col(id_col).alias("doc_id")).distinct()
+    return ids.join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+        F.coalesce(F.col("n_dup_grams"), F.lit(0)).cast("long").alias("n_dup_grams"),
+        F.when(
+            F.coalesce(F.col("n_grams"), F.lit(0)) > 0,
+            F.col("n_dup_grams").cast("double") / F.col("n_grams").cast("double"),
+        ).alias("dup_frac"),
+    )
+
+
+def ngram_duplication_profile_sql(
+    table: str, id_col: str, text_col: str, n: int = 5
+) -> str:
+    """DuckDB twin of :func:`ngram_duplication_profile` (same gram
+    definition, same NULL-text handling: NULL grams fall out of the join
+    in both engines, leaving n_grams=0 / dup_frac NULL)."""
+    from datacompy_spark.functions.hashing import word_shingles_sql
+    from datacompy_spark.functions.text import tokens_sql
+
+    toks = tokens_sql(text_col)
+    sh = word_shingles_sql("toks", n)
+    return f"""
+WITH toks AS (SELECT {id_col} AS doc_id, {toks} AS toks FROM {table}),
+grams AS (SELECT doc_id, unnest(list_distinct({sh})) AS gram FROM toks),
+gf AS (SELECT gram, count(*) AS nd FROM grams GROUP BY gram),
+per AS (
+  SELECT doc_id, count(*) AS n_grams,
+    coalesce(sum(CASE WHEN nd > 1 THEN 1 END), 0)::BIGINT AS n_dup_grams
+  FROM grams JOIN gf USING (gram) GROUP BY doc_id)
+SELECT i.doc_id,
+  coalesce(n_grams, 0)::BIGINT AS n_grams,
+  coalesce(n_dup_grams, 0)::BIGINT AS n_dup_grams,
+  CASE WHEN coalesce(n_grams, 0) > 0
+       THEN n_dup_grams::DOUBLE / n_grams::DOUBLE END AS dup_frac
+FROM (SELECT DISTINCT {id_col} AS doc_id FROM {table}) i
+LEFT JOIN per USING (doc_id)"""
+
+
 def decontaminate(
     df: DataFrame,
     id_col: str,

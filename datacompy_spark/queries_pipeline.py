@@ -1168,6 +1168,30 @@ def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_REPETITION_METRICS = TO.repetition_metrics_sql("documents", "doc_id", "text")
 
+
+def q_ngram_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-n-gram fraction per document (the
+    C4/RefinedWeb boilerplate-share quality signal). NULLs PLANTED: every
+    53rd doc's text is nulled so the NULL-text path (zero grams, NULL
+    dup_frac, document retained) is oracle-exercised cross-engine — the
+    testdata itself is NULL-free."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 53 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return TO.ngram_duplication_profile(docs, "doc_id", "text", n=5)
+
+
+SQL_NGRAM_DUP_PROFILE = TO.ngram_duplication_profile_sql(
+    "(SELECT doc_id, CASE WHEN doc_id % 53 = 0 THEN NULL ELSE text END AS text"
+    " FROM documents)",
+    "doc_id",
+    "text",
+    n=5,
+)
+
 #: eval-set membership for the decontamination scenario: a deterministic
 #: 2% doc_id carve-out plays the held-out benchmark suite.
 _DECON_EVAL_PRED = "doc_id % 50 = 0"
@@ -1869,6 +1893,10 @@ PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_recall": q_knn_recall,
     "source_cap": q_source_cap,
     "join_cardinality": q_join_cardinality,
+    # appended LAST on purpose: the driver's correctness sweep reads the
+    # registry front-to-back and has truncated before — never displace a
+    # not-yet-swept query by inserting ahead of it mid-round
+    "ngram_dup_profile": q_ngram_dup_profile,
 }
 
 PIPELINE_ORACLES: Dict[str, str] = {
@@ -1929,4 +1957,5 @@ PIPELINE_ORACLES: Dict[str, str] = {
     "knn_recall": SQL_KNN_RECALL,
     "source_cap": SQL_SOURCE_CAP,
     "join_cardinality": SQL_JOIN_CARDINALITY,
+    "ngram_dup_profile": SQL_NGRAM_DUP_PROFILE,
 }

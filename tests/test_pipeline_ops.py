@@ -421,6 +421,36 @@ class TestTextOps:
 
 
 class TestPipelineTextOps:
+    def test_ngram_duplication_profile_planted(self, spark):
+        # doc 1 and 2 share one 5-gram run ("the quick brown fox jumps");
+        # doc 3 is unique; doc 4 has NULL text (retained, NULL frac);
+        # docs 5 and 6 are identical 3-token texts (whole-doc shingle dup)
+        rows = [
+            (1, "the quick brown fox jumps over a lazy dog"),
+            (2, "the quick brown fox jumps into a cold river today"),
+            (3, "completely different words with no overlap anywhere at all"),
+            (4, None),
+            (5, "tiny shared doc"),
+            (6, "tiny shared doc"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        from datacompy_spark.operators.textops import ngram_duplication_profile
+
+        got = {
+            r["doc_id"]: (r["n_grams"], r["n_dup_grams"], r["dup_frac"])
+            for r in ngram_duplication_profile(df, "doc_id", "text", n=5).collect()
+        }
+        # doc1: 9 tokens -> 5 grams, 1 shared
+        assert got[1] == (5, 1, 1 / 5)
+        # doc2: 10 tokens -> 6 grams, 1 shared
+        assert got[2] == (6, 1, 1 / 6)
+        # doc3: 9 tokens -> 5 grams, none shared
+        assert got[3] == (5, 0, 0.0)
+        # NULL text: zero grams, NULL frac, row retained
+        assert got[4] == (0, 0, None)
+        # short docs collapse to the whole-doc shingle; identical -> dup
+        assert got[5] == (1, 1, 1.0) and got[6] == (1, 1, 1.0)
+
     def test_scrub_pii_redacts_planted_pii(self, spark):
         rows = [
             (1, "contact me at alice@example.com or +14155551234 today"),
