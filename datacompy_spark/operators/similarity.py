@@ -511,7 +511,13 @@ def tune_ann(
     * ``nprobe`` / ``pivot_mod`` — IVF simulated on the sample with
       ~sqrt(s) pivots: for each vector, how many cells (ranked by pivot
       similarity) must be probed before its true sample-NN's cell
-      appears; nprobe is that rank's ``target_recall`` quantile.
+      appears. The ``target_recall`` quantile of that rank is taken as a
+      FRACTION of the simulated cell count and rescaled to the real
+      index's ~sqrt(n) cells (``ivf_probe_frac`` in the output) — the
+      raw sim rank would under-probe by ~sqrt(n/sample²) at corpus
+      scale. A large resulting fraction is itself diagnostic: probing a
+      quarter of the cells means IVF is barely cheaper than brute force
+      on this corpus.
 
     Returns a plain dict (diagnostics included) ready to splat into the
     knn calls:  ``tune = tune_ann(...)``, then
@@ -530,11 +536,27 @@ def tune_ann(
     step = max(1, n // max(sample, 1))
     sampled = (
         corpus.select(F.col(id_col), F.col(vec_col))
-        .filter(F.pmod(md5_long(F.col(id_col).cast("string"), seed), step) == 0)
+        .filter(
+            F.col(vec_col).isNotNull()
+            & (F.pmod(md5_long(F.col(id_col).cast("string"), seed), step) == 0)
+        )
         .limit(2 * sample)
         .toPandas()
     )
-    X = np.asarray([np.asarray(v, dtype="float64") for v in sampled[vec_col]])
+    # a corpus can carry stray NULL/ragged embeddings (the knn_* operators
+    # tolerate them); the tuner must not die on one — keep only vectors of
+    # the sample's modal length so the matrix below is rectangular
+    vecs = [v for v in sampled[vec_col] if v is not None and len(v) > 0]
+    if vecs:
+        from collections import Counter
+
+        modal_len = Counter(len(v) for v in vecs).most_common(1)[0][0]
+        vecs = [v for v in vecs if len(v) == modal_len]
+    X = (
+        np.asarray([np.asarray(v, dtype="float64") for v in vecs])
+        if vecs
+        else np.zeros((0, 0))
+    )
     s = len(X)
     out = {
         "n": int(n),
@@ -549,6 +571,7 @@ def tune_ann(
         "required_tables": None,
         "nprobe": 2,
         "pivot_mod": 37,
+        "ivf_probe_frac": None,
         "path": "int8_rerank",
     }
     if s < 8:
@@ -590,23 +613,40 @@ def tune_ann(
         # rerank keeps its recall guarantee regardless of clustering
         out["path"] = "int8_rerank"
 
+    # pivot_mod so the inverted file has ~sqrt(n) cells (classic IVF
+    # sizing: probe cost and cell size balance at sqrt)
+    out["pivot_mod"] = int(max(2, round(math.sqrt(max(n, 4)))))
+    m_real = max(1, round(n / out["pivot_mod"]))
+
     # --- IVF simulation on the sample: ~sqrt(s) pivots ------------------
     stride = max(1, int(round(math.sqrt(s))))
     pivot_idx = np.arange(0, s, stride)
     if len(pivot_idx) >= 2:
-        P = U[pivot_idx]                         # (m, d) unit pivots
-        sim_to_pivots = U @ P.T                  # (s, m)
+        m_sim = len(pivot_idx)
+        P = U[pivot_idx]                         # (m_sim, d) unit pivots
+        sim_to_pivots = U @ P.T                  # (s, m_sim)
         own_cell = sim_to_pivots.argmax(axis=1)
         # rank (1-based) of the true NN's cell in each vector's
         # pivot-similarity order = probes needed to reach that neighbor
+        # IN THE SIMULATED index
         order = np.argsort(-sim_to_pivots, axis=1)
         nn_cell = own_cell[nn_idx]
         ranks = (order == nn_cell[:, None]).argmax(axis=1) + 1
-        nprobe = int(np.quantile(ranks, target_recall, method="higher"))
-        out["nprobe"] = int(min(max(nprobe, 1), 16))
-    # pivot_mod so the inverted file has ~sqrt(n) cells (classic IVF
-    # sizing: probe cost and cell size balance at sqrt)
-    out["pivot_mod"] = int(max(2, round(math.sqrt(max(n, 4)))))
+        # the sim has only m_sim (~sqrt(sample)) cells while the real
+        # index has m_real (~sqrt(n)): the neighbor's cell rank counts
+        # pivots closer to the query than the neighbor's pivot, i.e. a
+        # FRACTION of the pivot population inside a fixed angular cap —
+        # that fraction is what transfers between pivot densities, so the
+        # real nprobe is the fraction times the real cell count, not the
+        # raw sim rank (which would silently under-probe whenever
+        # n >> sample², the exact cliff this tuner exists to remove)
+        frac = float(
+            np.quantile(ranks / float(m_sim), target_recall, method="higher")
+        )
+        out["ivf_probe_frac"] = frac
+        out["nprobe"] = int(min(max(math.ceil(frac * m_real), 1), m_real))
+    else:
+        out["ivf_probe_frac"] = None
     return out
 
 

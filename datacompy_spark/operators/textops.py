@@ -442,9 +442,13 @@ def ngram_duplication_profile(
     window — groupBy gets map-side partial aggregation and AQE skew
     handling, while a window must sort every instance of a hot gram (a
     corpus-wide boilerplate phrase can appear in 10⁸ documents) into one
-    task. Two hash shuffles total: the grams relation is exchanged once on
-    gram (groupBy and join reuse the same Exchange) and once on doc_id for
-    the per-doc fold. Documents shorter than ``n`` tokens collapse to one
+    task. Exchange inventory (per PLANS.md): one gram shuffle feeding the
+    frequency aggregate (volume reduced by its partial agg), one gram
+    shuffle of the full grams relation into the join (separate subtrees —
+    the partial aggregate sits between them, so ReuseExchange cannot
+    merge these two), and one doc_id shuffle for the per-doc fold; the
+    doc-id spine join broadcasts at small scale. Documents shorter than
+    ``n`` tokens collapse to one
     whole-document shingle (consistent with every other shingle consumer
     here), so near-empty boilerplate documents still count each other as
     duplicates."""
@@ -640,12 +644,20 @@ def stratified_sample(
 
     # output columns are (doc_id, *strata_cols, rk): a stratum column named
     # doc_id or rk (any case) would duplicate an output name — Spark allows
-    # the duplicate in select() and downstream column resolution breaks
+    # the duplicate in select() and downstream column resolution breaks.
+    # id_col itself must also not be named 'rk': withColumn('rk', row_number)
+    # case-insensitively REPLACES it before the final select reads it, so
+    # doc_id would silently become the rank
     clash = sorted(c for c in strata_cols if c.lower() in ("doc_id", "rk"))
     if clash:
         raise ValueError(
             f"stratified_sample reserves output column names 'doc_id' and "
             f"'rk' (strata_cols has {clash}) — rename them first"
+        )
+    if id_col.lower() == "rk":
+        raise ValueError(
+            "stratified_sample reserves the column name 'rk' for the rank "
+            f"output — rename id column {id_col!r} first"
         )
     w = (
         Window.partitionBy(*strata_cols)

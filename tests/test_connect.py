@@ -123,8 +123,11 @@ class TestConnectRealSession:
             print("CONNECT_E2E_OK")
             """
         )
+        import pathlib
+
+        repo_root = str(pathlib.Path(__file__).resolve().parents[1])
         proc = subprocess.run(
             [sys.executable, "-c", script],
-            capture_output=True, text=True, timeout=600, cwd="/root/repo",
+            capture_output=True, text=True, timeout=600, cwd=repo_root,
         )
         assert "CONNECT_E2E_OK" in proc.stdout, proc.stderr[-2000:]

@@ -280,6 +280,37 @@ class TestAnnAutoTune:
         tune = S.tune_ann(few, "vec_id", "embedding")
         assert tune["path"] == "int8_rerank" and tune["sample_size"] < 8
 
+    def test_null_and_ragged_embeddings_tolerated(self, spark, clustered):
+        # a corpus with stray NULL and wrong-length vectors must not kill
+        # the tuner (the knn_* operators themselves tolerate them); bad
+        # rows are excluded from the sample, the verdict is unchanged
+        from pyspark.sql.types import (
+            ArrayType, DoubleType, LongType, StructField, StructType,
+        )
+
+        schema = StructType([
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(DoubleType())),
+        ])
+        bad = spark.createDataFrame(
+            [(100001, None), (100002, [1.0, 2.0]), (100003, [])], schema
+        )
+        mixed = clustered.select("vec_id", "embedding").unionByName(bad)
+        tune = S.tune_ann(mixed, "vec_id", "embedding", target_recall=0.9)
+        assert tune["path"] == "lsh" and tune["dim"] == 64, tune
+
+    def test_ivf_nprobe_rescaled_to_real_cell_count(self, spark, clustered):
+        # the sim has ~sqrt(sample) cells but the real index ~sqrt(n):
+        # nprobe must be the probe FRACTION times the real cell count, not
+        # the raw sim rank (which under-probes whenever n >> sample^2)
+        import math
+
+        tune = S.tune_ann(clustered, "vec_id", "embedding", sample=64)
+        assert tune["ivf_probe_frac"] is not None
+        m_real = max(1, round(tune["n"] / tune["pivot_mod"]))
+        want = min(max(math.ceil(tune["ivf_probe_frac"] * m_real), 1), m_real)
+        assert tune["nprobe"] == want, tune
+
     def test_bad_target_rejected(self, spark, clustered):
         with pytest.raises(ValueError, match="target_recall"):
             S.tune_ann(clustered, "vec_id", "embedding", target_recall=1.0)
@@ -934,6 +965,13 @@ class TestCapPerGroup:
         )
         with pytest.raises(ValueError, match="reserves"):
             stratified_sample(docs, ["RK"], "doc_id", 1)
+        # id_col itself named 'rk': withColumn('rk', rank) would replace it
+        # before the final select, silently returning ranks as doc ids
+        docs2 = spark.range(3).select(
+            F.col("id").alias("rk"), F.lit("a").alias("g")
+        )
+        with pytest.raises(ValueError, match="reserves"):
+            stratified_sample(docs2, ["g"], "rk", 1)
 
     def test_reserved_output_names_rejected_case_insensitive(self, spark):
         # Spark's default resolver folds case: a caller column named `Rank`

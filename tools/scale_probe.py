@@ -33,9 +33,9 @@ def main() -> int:
     muls = [int(m) for m in (sys.argv[1:] or ["1", "4", "16"])]
     all_sections = ("compare", "minhash", "cdc", "bucketed", "cc", "hotkey")
     sections = set(
-        s for s in os.environ.get(
+        s.strip() for s in os.environ.get(
             "SPARK_GRAFT_SECTIONS", ",".join(all_sections)
-        ).split(",") if s
+        ).split(",") if s.strip()
     )
     unknown = sections - set(all_sections)
     if unknown:
