@@ -250,9 +250,10 @@ def build_parser() -> argparse.ArgumentParser:
     dd.add_argument("--text-col", default="text", help="text column")
     dd.add_argument(
         "--method",
-        choices=["exact", "minhash", "simhash"],
+        choices=["exact", "minhash", "simhash", "embedding"],
         default="minhash",
-        help="exact content hash, MinHash+LSH Jaccard, or SimHash Hamming",
+        help="exact content hash, MinHash+LSH Jaccard, SimHash Hamming, or "
+        "embedding cosine (blocked + projection-bucketed)",
     )
     dd.add_argument(
         "--threshold", type=float, default=0.5,
@@ -261,6 +262,21 @@ def build_parser() -> argparse.ArgumentParser:
     dd.add_argument(
         "--max-hamming", type=int, default=3,
         help="simhash: maximum Hamming distance for a pair (default 3)",
+    )
+    dd.add_argument(
+        "--vec-col", default="embedding",
+        help="embedding: vector column (array<float/double>)",
+    )
+    dd.add_argument(
+        "--block-col",
+        help="embedding: optional blocking column (e.g. a language or "
+        "cluster label); without it the whole corpus is one block and only "
+        "the quantized-projection sub-buckets prune",
+    )
+    dd.add_argument(
+        "--min-cosine", type=float, default=0.99,
+        help="embedding: minimum cosine similarity for a near-dup pair "
+        "(default 0.99)",
     )
     dd.add_argument(
         "--verdict", metavar="PATH", required=True,
@@ -571,7 +587,11 @@ def run_dedup(args) -> int:
             df = load(spark, args.input, fmt=args.input_format, **kwargs)
         except Exception as ex:
             raise CLIError(f"failed to load input: {ex}") from ex
-        for c in (args.id_col, args.text_col):
+        need = [args.id_col]
+        need.append(args.vec_col if args.method == "embedding" else args.text_col)
+        if args.method == "embedding" and args.block_col:
+            need.append(args.block_col)
+        for c in need:
             if c not in df.columns:
                 raise CLIError(f"column {c!r} not found in input")
         try:
@@ -589,16 +609,35 @@ def run_dedup(args) -> int:
                     pairs = D.minhash_lsh_pairs(
                         df, args.id_col, args.text_col, threshold=args.threshold
                     )
-                else:
+                elif args.method == "simhash":
                     pairs = D.simhash_near_dups(
                         df, args.id_col, args.text_col, max_hamming=args.max_hamming
+                    )
+                else:  # embedding
+                    src, block = df, args.block_col
+                    if block is None:
+                        # single-block run: probe a constant column name
+                        # that cannot clash with caller data (same
+                        # case-insensitive discipline as the operators)
+                        block, t = "__dedup_block", 0
+                        lower = {c.lower() for c in df.columns}
+                        while block.lower() in lower:
+                            t += 1
+                            block = f"__dedup_block{t}"
+                        src = df.withColumn(block, F.lit(0))
+                    pairs = D.embedding_near_dups(
+                        src, args.id_col, args.vec_col, block,
+                        threshold=args.min_cosine,
                     )
                 comp = D.assign_components(df, args.id_col, pairs)
             verdict = D.dedup_verdict(comp)
             verdict.write.mode("overwrite").parquet(args.verdict)
             if args.export_pairs:
                 if pairs is None:
-                    raise CLIError("--export-pairs applies to minhash/simhash only")
+                    raise CLIError(
+                        "--export-pairs does not apply to --method exact "
+                        "(exact dedup emits no pair list)"
+                    )
                 pairs.write.mode("overwrite").parquet(args.export_pairs)
             written = spark.read.parquet(args.verdict)
             n_docs = written.count()

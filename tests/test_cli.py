@@ -385,6 +385,47 @@ class TestDedupCommand:
         v = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
         assert v[2]["component"] == 1 and v[3]["is_survivor"]
 
+    def test_embedding_dedup_verdict(self, tmp_path, capsys, spark):
+        p = str(tmp_path / "emb.parquet")
+        base = [round(0.1 * (i % 7) + 0.05, 3) for i in range(16)]
+        rows = [
+            (1, base),
+            (2, [x * 1.01 for x in base]),          # scaled -> cosine 1.0
+            (3, [1.0 if i == 0 else 0.0 for i in range(16)]),  # orthogonal-ish
+        ]
+        spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<double>"
+        ).write.parquet(p)
+        out = str(tmp_path / "v.parquet")
+        pairs = str(tmp_path / "p.parquet")
+        rc = main([
+            "dedup", "--input", p, "--method", "embedding",
+            "--id-col", "vec_id", "--min-cosine", "0.999",
+            "--verdict", out, "--export-pairs", pairs,
+        ])
+        import json as _json
+
+        summary = _json.loads(capsys.readouterr().out)
+        assert rc == 0
+        assert summary["n_docs"] == 3 and summary["n_survivors"] == 2
+        got_pairs = {(r["id_a"], r["id_b"]) for r in spark.read.parquet(pairs).collect()}
+        assert got_pairs == {(1, 2)}
+        v = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+        assert v[1]["is_survivor"] and not v[2]["is_survivor"]
+        assert v[3]["is_survivor"]
+
+    def test_embedding_dedup_missing_vec_col(self, tmp_path, capsys, spark):
+        p = str(tmp_path / "docs.parquet")
+        spark.createDataFrame(
+            [(1, "text only")], "doc_id bigint, text string"
+        ).write.parquet(p)
+        rc = main([
+            "dedup", "--input", p, "--method", "embedding",
+            "--verdict", str(tmp_path / "v.parquet"),
+        ])
+        err = capsys.readouterr().err
+        assert rc == 2 and "embedding" in err and "not found" in err
+
     def test_dedup_missing_column_errors(self, tmp_path, capsys, spark):
         p = str(tmp_path / "d.parquet")
         spark.createDataFrame([(1, "x")], "id bigint, body string").write.parquet(p)
