@@ -610,6 +610,68 @@ def ngram_jaccard_pairs(
     )
 
 
+def fuzzy_key_match(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str | None = None,
+    n: int = 3,
+    threshold: float = 0.6,
+    direct_block_cap: int = 1000,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Cross-table fuzzy key matching: pairs of DISTINCT keys from the two
+    sides whose normalized character-``n``-gram Jaccard is ≥ ``threshold``
+    — the key-mapping table for a fuzzy join between datasets whose join
+    keys drifted (typos, punctuation, case, dropped words). Output
+    ``(key_left, key_right, jaccard)``; equi-join it back onto each side
+    to realize the join.
+
+    The 100 TB design: match the DISTINCT key domains, not the row sets —
+    the mapping's size tracks key cardinality, so it is usually
+    broadcast-sized even when the tables are not, and the expensive
+    similarity work never touches full rows. The matching itself reuses
+    :func:`ngram_jaccard_pairs` whole (adaptive direct / PPJoin-prefix
+    routing): keys are tagged ``0:``/``1:`` by side and pooled into one
+    corpus; ``'0' < '1'`` makes every cross-side pair land with the left
+    key in ``id_a``, and same-side pairs are filtered out. Identical keys
+    on both sides match at Jaccard 1.0 (normalization differences — case,
+    punctuation — also land at 1.0 by construction).
+    """
+    right_key = right_key or left_key
+    lk = (
+        left.select(F.col(left_key).cast("string").alias("__fk"))
+        .filter(F.col("__fk").isNotNull())
+        .distinct()
+    )
+    rk = (
+        right.select(F.col(right_key).cast("string").alias("__fk"))
+        .filter(F.col("__fk").isNotNull())
+        .distinct()
+    )
+    tagged = (
+        lk.select(F.concat(F.lit("0:"), F.col("__fk")).alias("__kid"), F.col("__fk"))
+        .unionByName(
+            rk.select(
+                F.concat(F.lit("1:"), F.col("__fk")).alias("__kid"), F.col("__fk")
+            )
+        )
+        .withColumn("__blk", F.lit(0))
+    )
+    pairs = ngram_jaccard_pairs(
+        tagged, "__kid", "__fk", "__blk", n=n, threshold=threshold,
+        direct_block_cap=direct_block_cap, checkpoint_dir=checkpoint_dir,
+    )
+    return pairs.filter(
+        (F.substring(F.col("id_a"), 1, 2) == "0:")
+        & (F.substring(F.col("id_b"), 1, 2) == "1:")
+    ).select(
+        F.expr("substring(id_a, 3)").alias("key_left"),
+        F.expr("substring(id_b, 3)").alias("key_right"),
+        "jaccard",
+    )
+
+
 def _driver_union_find(spark, edge_rows, dtype) -> DataFrame:
     """Exact union-find over a collected (small) edge list — path-compressed,
     component labeled with its minimum node id; result parallelized back."""

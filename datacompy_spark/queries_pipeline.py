@@ -1184,6 +1184,52 @@ def q_ngram_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TO.ngram_duplication_profile(docs, "doc_id", "text", n=5)
 
 
+def q_fuzzy_key_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table fuzzy key matching on part names: the right catalog
+    drops the first word of every (3rd AND 7th)-key name — a realistic
+    key-drift scenario — and the mapping recovers (key_left, key_right,
+    jaccard ≥ 0.65) pairs over the DISTINCT key domains. At sf0.1 the
+    pooled key corpus exceeds direct_block_cap, so the PPJoin prefix
+    route is what the oracle cross-checks there."""
+    part = load_table(spark, sf_dir, "part")
+    left = part.filter(F.col("p_partkey") % 5 == 0).select("p_name")
+    right = part.filter(F.col("p_partkey") % 7 == 0).select(
+        F.when(
+            F.col("p_partkey") % 3 == 0,
+            F.expr("substring(p_name, instr(p_name, ' ') + 1)"),
+        )
+        .otherwise(F.col("p_name"))
+        .alias("p_name2")
+    )
+    return D.fuzzy_key_match(left, right, "p_name", "p_name2", threshold=0.65)
+
+
+def _sql_fuzzy_key_match() -> str:
+    grams = (
+        f"list_transform({H.char_ngrams_sql(TX.normalize_sql('k'), 3)},"
+        f" g -> {H.md5_long_sql('g')})"
+    )
+    return f"""
+WITH lk AS (
+  SELECT DISTINCT p_name::VARCHAR AS k FROM part WHERE p_partkey % 5 = 0),
+rk AS (
+  SELECT DISTINCT CASE WHEN p_partkey % 3 = 0
+           THEN substr(p_name, instr(p_name, ' ') + 1) ELSE p_name END AS k
+  FROM part WHERE p_partkey % 7 = 0),
+ga AS (SELECT k, {grams} AS grams FROM lk),
+gb AS (SELECT k, {grams} AS grams FROM rk),
+j AS (
+  SELECT a.k AS key_left, b.k AS key_right,
+    len(list_intersect(a.grams, b.grams))::DOUBLE /
+    (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))::DOUBLE
+      AS jaccard
+  FROM ga a JOIN gb b ON TRUE)
+SELECT key_left, key_right, jaccard FROM j WHERE jaccard >= 0.65::DOUBLE"""
+
+
+SQL_FUZZY_KEY_MATCH = _sql_fuzzy_key_match()
+
+
 SQL_NGRAM_DUP_PROFILE = TO.ngram_duplication_profile_sql(
     "(SELECT doc_id, CASE WHEN doc_id % 53 = 0 THEN NULL ELSE text END AS text"
     " FROM documents)",
@@ -1897,6 +1943,7 @@ PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # registry front-to-back and has truncated before — never displace a
     # not-yet-swept query by inserting ahead of it mid-round
     "ngram_dup_profile": q_ngram_dup_profile,
+    "fuzzy_key_match": q_fuzzy_key_match,
 }
 
 PIPELINE_ORACLES: Dict[str, str] = {
@@ -1958,4 +2005,5 @@ PIPELINE_ORACLES: Dict[str, str] = {
     "source_cap": SQL_SOURCE_CAP,
     "join_cardinality": SQL_JOIN_CARDINALITY,
     "ngram_dup_profile": SQL_NGRAM_DUP_PROFILE,
+    "fuzzy_key_match": SQL_FUZZY_KEY_MATCH,
 }

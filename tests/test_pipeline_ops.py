@@ -482,6 +482,45 @@ class TestPipelineTextOps:
         # short docs collapse to the whole-doc shingle; identical -> dup
         assert got[5] == (1, 1, 1.0) and got[6] == (1, 1, 1.0)
 
+    def test_fuzzy_key_match_planted(self, spark):
+        from datacompy_spark.operators.dedup import fuzzy_key_match
+
+        left = spark.createDataFrame(
+            [("Acme Corporation",), ("Zeta Industries",), ("Gamma Holdings LLC",)],
+            "name string",
+        )
+        right = spark.createDataFrame(
+            [
+                ("acme corporation!",),   # case/punct only -> 1.0 after normalize
+                ("Zeta Industry",),       # real typo -> partial similarity
+                ("Totally Different Co",),
+            ],
+            "cname string",
+        )
+        got = {
+            (r["key_left"], r["key_right"]): r["jaccard"]
+            for r in fuzzy_key_match(
+                left, right, "name", "cname", threshold=0.5
+            ).collect()
+        }
+        assert got[("Acme Corporation", "acme corporation!")] == 1.0
+        assert 0.5 <= got[("Zeta Industries", "Zeta Industry")] < 1.0
+        assert len(got) == 2  # the unrelated name pairs with nothing
+
+    def test_fuzzy_key_match_null_keys_and_duplicates(self, spark):
+        # NULL keys are dropped, duplicate rows collapse to the distinct
+        # key domain (one mapping row per key pair, not per row pair)
+        from datacompy_spark.operators.dedup import fuzzy_key_match
+
+        left = spark.createDataFrame(
+            [("same key text",), ("same key text",), (None,)], "k string"
+        )
+        right = spark.createDataFrame(
+            [("same key text",), (None,), (None,)], "k string"
+        )
+        rows = fuzzy_key_match(left, right, "k", threshold=0.9).collect()
+        assert len(rows) == 1 and rows[0]["jaccard"] == 1.0
+
     def test_scrub_pii_redacts_planted_pii(self, spark):
         rows = [
             (1, "contact me at alice@example.com or +14155551234 today"),
