@@ -1186,14 +1186,16 @@ def q_ngram_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_fuzzy_key_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-table fuzzy key matching on part names: the right catalog
-    drops the first word of every (3rd AND 7th)-key name — a realistic
+    drops the first word of every (3rd AND 13th)-key name — a realistic
     key-drift scenario — and the mapping recovers (key_left, key_right,
-    jaccard ≥ 0.65) pairs over the DISTINCT key domains. At sf0.1 the
-    pooled key corpus exceeds direct_block_cap, so the PPJoin prefix
-    route is what the oracle cross-checks there."""
+    jaccard ≥ 0.65) pairs over the DISTINCT key domains. The p_name
+    domain is small (the generator reuses ~10² names), so
+    ``direct_block_cap=50`` forces the PPJoin prefix-filter route — the
+    100 TB path — and the oracle (a plain all-pairs scan) cross-checks
+    that the prefix machinery loses nothing."""
     part = load_table(spark, sf_dir, "part")
-    left = part.filter(F.col("p_partkey") % 5 == 0).select("p_name")
-    right = part.filter(F.col("p_partkey") % 7 == 0).select(
+    left = part.filter(F.col("p_partkey") % 11 == 0).select("p_name")
+    right = part.filter(F.col("p_partkey") % 13 == 0).select(
         F.when(
             F.col("p_partkey") % 3 == 0,
             F.expr("substring(p_name, instr(p_name, ' ') + 1)"),
@@ -1201,7 +1203,9 @@ def q_fuzzy_key_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("p_name"))
         .alias("p_name2")
     )
-    return D.fuzzy_key_match(left, right, "p_name", "p_name2", threshold=0.65)
+    return D.fuzzy_key_match(
+        left, right, "p_name", "p_name2", threshold=0.65, direct_block_cap=50
+    )
 
 
 def _sql_fuzzy_key_match() -> str:
@@ -1211,11 +1215,11 @@ def _sql_fuzzy_key_match() -> str:
     )
     return f"""
 WITH lk AS (
-  SELECT DISTINCT p_name::VARCHAR AS k FROM part WHERE p_partkey % 5 = 0),
+  SELECT DISTINCT p_name::VARCHAR AS k FROM part WHERE p_partkey % 11 = 0),
 rk AS (
   SELECT DISTINCT CASE WHEN p_partkey % 3 = 0
            THEN substr(p_name, instr(p_name, ' ') + 1) ELSE p_name END AS k
-  FROM part WHERE p_partkey % 7 = 0),
+  FROM part WHERE p_partkey % 13 = 0),
 ga AS (SELECT k, {grams} AS grams FROM lk),
 gb AS (SELECT k, {grams} AS grams FROM rk),
 j AS (
