@@ -507,6 +507,34 @@ class TestPipelineTextOps:
         assert 0.5 <= got[("Zeta Industries", "Zeta Industry")] < 1.0
         assert len(got) == 2  # the unrelated name pairs with nothing
 
+    def test_fuzzy_key_match_route_invariance(self, spark):
+        # forcing every pooled key through the PPJoin prefix route must
+        # return exactly the direct route's pairs (both are exact by
+        # construction; this pins it at the fuzzy wrapper level too)
+        from datacompy_spark.operators.dedup import fuzzy_key_match
+
+        left = spark.createDataFrame(
+            [(f"item number {i} alpha beta",) for i in range(30)], "k string"
+        )
+        right = spark.createDataFrame(
+            [(f"item number {i} alpha gamma",) for i in range(0, 30, 2)],
+            "k string",
+        )
+        kw = dict(threshold=0.55)
+        direct = {
+            (r["key_left"], r["key_right"], round(r["jaccard"], 12))
+            for r in fuzzy_key_match(
+                left, right, "k", direct_block_cap=10_000, **kw
+            ).collect()
+        }
+        prefix = {
+            (r["key_left"], r["key_right"], round(r["jaccard"], 12))
+            for r in fuzzy_key_match(
+                left, right, "k", direct_block_cap=1, **kw
+            ).collect()
+        }
+        assert direct and direct == prefix
+
     def test_fuzzy_key_match_null_keys_and_duplicates(self, spark):
         # NULL keys are dropped, duplicate rows collapse to the distinct
         # key domain (one mapping row per key pair, not per row pair)
