@@ -382,3 +382,80 @@ class TestInternalNameCollisionProperties:
         }
         assert stats["__present"] == (4, 4)
         assert c.count_matching_rows() == 4
+
+
+class TestNgramDuplicationProperties:
+    """ngram_duplication_profile vs an independent pure-Python model —
+    the third implementation alongside the Spark operator and its DuckDB
+    oracle twin, over generated corpora with shared vocabulary, NULLs,
+    empty and sub-n-token documents."""
+
+    @staticmethod
+    def _model(texts, n):
+        """Pure-Python replica of the operator's contract."""
+        import re
+
+        def norm(t):
+            t = re.sub(r"[^a-z0-9 ]", " ", t.lower())
+            return re.sub(r" +", " ", t).strip()
+
+        def shingles(t):
+            toks = norm(t).split(" ")
+            if len(toks) >= n:
+                return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+            return {" ".join(toks)}
+
+        per_doc = {
+            i: (shingles(t) if t is not None else set())
+            for i, t in enumerate(texts)
+        }
+        from collections import Counter
+
+        freq = Counter(g for gs in per_doc.values() for g in gs)
+        out = {}
+        for i, gs in per_doc.items():
+            n_grams = len(gs)
+            n_dup = sum(1 for g in gs if freq[g] > 1)
+            frac = n_dup / n_grams if n_grams else None
+            out[i] = (n_grams, n_dup, frac)
+        return out
+
+    @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        texts=st.lists(
+            st.one_of(
+                st.none(),
+                st.lists(
+                    st.sampled_from(["alpha", "beta", "Gamma!", "d0g", "x"]),
+                    min_size=0,
+                    max_size=8,
+                ).map(" ".join),
+            ),
+            min_size=1,
+            max_size=12,
+        ),
+        n=st.integers(min_value=2, max_value=4),
+    )
+    def test_matches_pure_python_model(self, spark, texts, n):
+        from pyspark.sql.types import (
+            LongType, StringType, StructField, StructType,
+        )
+
+        from datacompy_spark.operators.textops import ngram_duplication_profile
+
+        schema = StructType(
+            [StructField("doc_id", LongType()), StructField("text", StringType())]
+        )
+        df = spark.createDataFrame(list(enumerate(texts)), schema)
+        got = {
+            r["doc_id"]: (r["n_grams"], r["n_dup_grams"], r["dup_frac"])
+            for r in ngram_duplication_profile(df, "doc_id", "text", n=n).collect()
+        }
+        want = self._model(texts, n)
+        assert set(got) == set(want)
+        for i in want:
+            assert got[i][:2] == want[i][:2], (i, texts[i], got[i], want[i])
+            if want[i][2] is None:
+                assert got[i][2] is None
+            else:
+                assert abs(got[i][2] - want[i][2]) < 1e-12
