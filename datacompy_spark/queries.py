@@ -562,24 +562,36 @@ from datacompy_spark.queries_pipeline import PIPELINE_ORACLES, PIPELINE_QUERIES 
 # FRONT of the registry so any prefix-truncating sweep verifies them first;
 # the long-verified cmp_* entries follow.  Relative order within each group
 # is otherwise preserved.
+# Rebuilt each round (VERDICT r7 rule): every name that has NEVER earned a
+# driver-green CORRECTNESS row leads, followed by the names whose last green
+# row is oldest (r6), so the driver's 50-name sweep alternates regression
+# coverage across rounds instead of re-proving the same fresh half.
 _SWEEP_FIRST = [
+    # never driver-green before r8: the two r7 ERRs (array-column
+    # canonicalizer crash, fixed in their wrappers) + the two r7
+    # registry-tail additions the sweep truncated away
     "cdc_delta",
-    "cdc_apply",
-    "knn_recall",
-    "knn_int8",
-    "join_cardinality",
-    "key_skew_profile",
-    "chunk_documents",
-    "drift_histogram",
     "embedding_quantize",
-    "events_latest_per_user",
-    "events_missing_periods",
-    "events_multi_rollup",
-    "events_retention",
-    "sales_by_nation",
-    "source_cap",
-    "tfidf_top_terms",
-    "top_parts_per_supplier",
+    "ngram_dup_profile",
+    "fuzzy_key_match",
+    # last green in r6 — due for re-verification
+    "corpus_mix",
+    "curate_corpus",
+    "decontaminate",
+    "dedup_collapse",
+    "embedding_centroids",
+    "events_funnel",
+    "hash_split",
+    "media_features",
+    "pack_sequences",
+    "profile_compare",
+    "profile_quantiles",
+    "quality_filter",
+    "repetition_metrics",
+    "schema_compare",
+    "stratified_sample",
+    "stream_compare",
+    "table_profile",
 ]
 
 

@@ -1516,11 +1516,18 @@ def q_cdc_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     null-safe full-outer key join, change classification + changed-column
     set in the same stage (operators/cdc.py). Both snapshots carry planted
     NULLs so the IS DISTINCT FROM change detection is oracle-exercised
-    across all three NULL transitions (the raw testdata is NULL-free)."""
+    across all three NULL transitions (the raw testdata is NULL-free).
+
+    The operator's ``changed_cols`` array is serialized to a CSV string in
+    the query wrapper only: the driver's pandas canonicalizer cannot sort
+    array-typed columns, and the driver gate is the contract (queries()
+    entries must emit atomic columns only — tests/test_entry.py)."""
     from datacompy_spark.operators.cdc import snapshot_cdc
 
     old = _orders_v1(spark, sf_dir)
-    return snapshot_cdc(old, _orders_v2(spark, sf_dir), keys=["o_orderkey"])
+    feed = snapshot_cdc(old, _orders_v2(spark, sf_dir), keys=["o_orderkey"])
+    # array is already sorted by the operator; join preserves that order
+    return feed.withColumn("changed_cols", F.array_join("changed_cols", ","))
 
 
 def _sql_cdc_delta() -> str:
@@ -1546,7 +1553,8 @@ SELECT o_orderkey,
   CASE WHEN NOT in_old THEN 'insert'
        WHEN NOT in_new THEN 'delete'
        ELSE 'update' END AS change_type,
-  changed_cols,
+  -- coalesce: DuckDB's array_to_string([]) is NULL, Spark's array_join is ''
+  coalesce(array_to_string(changed_cols, ','), '') AS changed_cols,
   {", ".join(f"{c}_old" for c in _ORDERS_CMP_COLS)},
   {", ".join(f"{c}_new" for c in _ORDERS_CMP_COLS)}
 FROM j
@@ -1875,14 +1883,26 @@ ANTI JOIN observed o ON e.event_type = o.event_type AND e.period = o.period"""
 
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 symmetric quantization of the embeddings table
-    (operators/similarity.py::quantize_embeddings)."""
+    (operators/similarity.py::quantize_embeddings).
+
+    The operator returns the raw ``qvec array<int>`` (that's its API —
+    downstream int8 scoring consumes the array); the QUERY serializes it
+    to a CSV string because the driver's pandas canonicalizer cannot sort
+    array columns (queries() atomic-columns contract, tests/test_entry.py).
+    int→string casting is exact and identical across engines."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.quantize_embeddings(emb, "vec_id", "embedding", bits=8)
+    q = S.quantize_embeddings(emb, "vec_id", "embedding", bits=8)
+    return q.select(
+        "vec_id",
+        "scale",
+        F.array_join(F.col("qvec").cast("array<string>"), ",").alias("qvec_csv"),
+    )
 
 
-SQL_EMBEDDING_QUANTIZE = S.quantize_embeddings_sql(
-    "embeddings", "vec_id", "embedding", bits=8
-)
+SQL_EMBEDDING_QUANTIZE = f"""
+SELECT vec_id, scale, array_to_string(qvec, ',') AS qvec_csv
+FROM ({S.quantize_embeddings_sql("embeddings", "vec_id", "embedding", bits=8)})
+"""
 
 
 PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
