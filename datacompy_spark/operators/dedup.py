@@ -439,11 +439,15 @@ def _rank_grams_by_frequency(base: DataFrame) -> DataFrame:
     )
 
 
-def _prefix_filter_candidates(base: DataFrame, threshold: float) -> DataFrame:
+def _prefix_filter_candidates(
+    base: DataFrame, threshold: float, pair_pred=None
+) -> DataFrame:
     """PPJoin candidate generation over (doc_id, block, grams-sorted-asc):
     inverted-index equi-join on (block, prefix-gram) with the J ≥ t length
     filter. Exposed separately so scale tests can assert the candidate set
-    stays O(near-matches) rather than O(block²)."""
+    stays O(near-matches) rather than O(block²). ``pair_pred`` narrows the
+    join condition itself, so excluded pairs never reach dedup or the
+    gram-array fetch."""
     sz = F.size(F.col("grams"))
     pref_len = (sz - F.ceil(F.lit(threshold) * sz) + 1).cast("int")
     pref = base.select(
@@ -453,16 +457,18 @@ def _prefix_filter_candidates(base: DataFrame, threshold: float) -> DataFrame:
         F.explode(F.slice(F.col("grams"), 1, pref_len)).alias("gram"),
     )
     a, b = pref.alias("a"), pref.alias("b")
+    cond = (
+        (F.col("a.block") == F.col("b.block"))
+        & (F.col("a.gram") == F.col("b.gram"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        # length filter: J ≥ t forces t·|a| ≤ |b| ≤ |a|/t
+        & (F.col("b.sz") * F.lit(threshold) <= F.col("a.sz"))
+        & (F.col("a.sz") * F.lit(threshold) <= F.col("b.sz"))
+    )
+    if pair_pred is not None:
+        cond = cond & pair_pred(F.col("a.doc_id"), F.col("b.doc_id"))
     return (
-        a.join(
-            b,
-            (F.col("a.block") == F.col("b.block"))
-            & (F.col("a.gram") == F.col("b.gram"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            # length filter: J ≥ t forces t·|a| ≤ |b| ≤ |a|/t
-            & (F.col("b.sz") * F.lit(threshold) <= F.col("a.sz"))
-            & (F.col("a.sz") * F.lit(threshold) <= F.col("b.sz")),
-        )
+        a.join(b, cond)
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -514,6 +520,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     direct_block_cap: int = 1000,
     checkpoint_dir: str | None = None,
+    pair_pred=None,
 ) -> DataFrame:
     """Exact character-n-gram Jaccard pairs (≥ ``threshold``) within a
     blocking key, with ADAPTIVE block-size routing:
@@ -534,7 +541,16 @@ def ngram_jaccard_pairs(
 
     Both routes end in the same exact set-intersection verify, so output is
     identical to a naive all-pairs scan either way; a block is never scored
-    by both routes."""
+    by both routes.
+
+    ``pair_pred`` (optional): ``f(id_a: Column, id_b: Column) -> Column``
+    boolean predicate pushed into BOTH routes' candidate generation — the
+    direct self-join condition and the prefix inverted-index join — so
+    pairs a caller will discard anyway (e.g. same-side pairs in
+    :func:`fuzzy_key_match`'s pooled cross-table corpus) are dropped on a
+    cheap codegen compare before any set intersection is paid. Must be a
+    pure function of the two id values; it narrows the OUTPUT pair set,
+    never the per-document gram stats."""
     base = _ngram_base(df, id_col, text_col, block_col, n).persist()
     # without the persist the gram hashing re-runs per joined pair
     base.count()  # materialize before the self-joins
@@ -561,13 +577,17 @@ def ngram_jaccard_pairs(
     # intersection. Sizes are projected once per row, not per pair.
     sized = small.withColumn("__sz", F.size(F.col("grams")))
     a, b = sized.alias("a"), sized.alias("b")
-    direct = a.join(
-        b,
+    direct_cond = (
         (F.col("a.block") == F.col("b.block"))
         & (F.col("a.doc_id") < F.col("b.doc_id"))
         & (F.col("b.__sz") * F.lit(threshold) <= F.col("a.__sz"))
-        & (F.col("a.__sz") * F.lit(threshold) <= F.col("b.__sz")),
-    ).select(
+        & (F.col("a.__sz") * F.lit(threshold) <= F.col("b.__sz"))
+    )
+    if pair_pred is not None:
+        direct_cond = direct_cond & pair_pred(
+            F.col("a.doc_id"), F.col("b.doc_id")
+        )
+    direct = a.join(b, direct_cond).select(
         F.col("a.doc_id").alias("id_a"),
         F.col("b.doc_id").alias("id_b"),
         _intersect_size(F.col("a.grams"), F.col("b.grams")).alias("n_inter"),
@@ -578,7 +598,7 @@ def ngram_jaccard_pairs(
     if big is not None:
         # prefix-filter route for oversized blocks
         ranked = _rank_grams_by_frequency(big)
-        cand = _prefix_filter_candidates(ranked, threshold)
+        cand = _prefix_filter_candidates(ranked, threshold, pair_pred=pair_pred)
         ga = big.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("g_a"))
         gb = big.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("g_b"))
         filtered = (
@@ -658,9 +678,18 @@ def fuzzy_key_match(
         )
         .withColumn("__blk", F.lit(0))
     )
+    # cross-side constraint pushed INTO candidate generation: same-side
+    # pairs (0:-0:, 1:-1:) — up to ~half the pooled self-join — die on two
+    # substring compares inside the join condition instead of after the
+    # O(|grams|) intersection. The post-filter below stays as a no-op
+    # safety net so the output contract never depends on the pushdown.
+    cross_side = lambda ia, ib: (  # noqa: E731
+        (F.substring(ia, 1, 2) == "0:") & (F.substring(ib, 1, 2) == "1:")
+    )
     pairs = ngram_jaccard_pairs(
         tagged, "__kid", "__fk", "__blk", n=n, threshold=threshold,
         direct_block_cap=direct_block_cap, checkpoint_dir=checkpoint_dir,
+        pair_pred=cross_side,
     )
     return pairs.filter(
         (F.substring(F.col("id_a"), 1, 2) == "0:")

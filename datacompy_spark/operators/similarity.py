@@ -488,9 +488,11 @@ def tune_ann(
 
     Cost (designed for 100 TB): ONE count aggregate plus ONE bounded
     collect of ~``sample`` rows chosen by a deterministic md5 lottery on
-    the id (no orderBy, no full shuffle — the lottery filter is a narrow
-    scan predicate). All analysis is driver-side numpy on a ≤ sample×dim
-    matrix (kilobytes).
+    the id (no full shuffle — the lottery filter is a narrow scan
+    predicate, and the over-draw cap is a TakeOrdered top-k keyed by a
+    second md5 draw, so the kept subset is a pure function of the ids,
+    never of partition layout). All analysis is driver-side numpy on a
+    ≤ sample×dim matrix (kilobytes).
 
     Model, per random-hyperplane theory (Charikar 2002): a neighbor at
     cosine c survives one hyperplane with probability
@@ -532,15 +534,23 @@ def tune_ann(
 
     if not 0.0 < target_recall < 1.0:
         raise ValueError("target_recall must be in (0, 1)")
-    n = corpus.count()
+    # count under the SAME isNotNull predicate the sample uses: planes and
+    # pivot cells are sized for the indexable population, and a corpus with
+    # many NULL/ragged embeddings must not inflate them
+    n = corpus.filter(F.col(vec_col).isNotNull()).count()
     step = max(1, n // max(sample, 1))
+    lottery = F.pmod(md5_long(F.col(id_col).cast("string"), seed), step)
     sampled = (
-        corpus.select(F.col(id_col), F.col(vec_col))
-        .filter(
-            F.col(vec_col).isNotNull()
-            & (F.pmod(md5_long(F.col(id_col).cast("string"), seed), step) == 0)
-        )
+        corpus.select(F.col(id_col), F.col(vec_col), lottery.alias("__lot"))
+        .filter(F.col(vec_col).isNotNull() & (F.col("__lot") == 0))
+        # when the lottery passes more rows than the cap (binomial noise),
+        # a bare limit() keeps a partition-order-dependent subset; ordering
+        # by a second md5 draw keeps the kept subset a pure function of the
+        # ids — deterministic across layouts, as the docstring promises.
+        # Bounded rows (~2*sample), so the sort is driver-trivial.
+        .orderBy(md5_long(F.col(id_col).cast("string"), seed + "|cap"), id_col)
         .limit(2 * sample)
+        .drop("__lot")
         .toPandas()
     )
     # a corpus can carry stray NULL/ragged embeddings (the knn_* operators
