@@ -1,7 +1,11 @@
 """Replay the driver's correctness gate locally: run every queries() entry on
 Spark and its oracle_sql() twin on DuckDB, compare row counts + sorted values.
 
-Usage: python tools/check_oracles.py [sf_dir] [query ...]
+Usage: python tools/check_oracles.py [--unswept] [sf_dir] [query ...]
+
+``--unswept`` restricts the run to the registry names OUTSIDE the driver's
+50-name sweep window (positions 51+), closing the per-round verification
+gap for the half the driver won't reach this round.
 """
 
 from __future__ import annotations
@@ -71,8 +75,15 @@ def values_close(a: pd.DataFrame, b: pd.DataFrame) -> bool:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    # --unswept: check exactly the registry names the driver's 50-name
+    # sweep window will NOT reach this round, so the non-swept half still
+    # gets a local oracle run every round (CI-side gap closure; the driver
+    # sweep alternates halves via queries._SWEEP_FIRST).
+    unswept = "--unswept" in args
+    args = [a for a in args if a != "--unswept"]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     from pyspark.sql import SparkSession
 
@@ -107,6 +118,10 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs, oracles = e.queries(), e.oracle_sql()
+    if unswept:
+        tail = set(list(qs)[50:])
+        only = tail if not only else only & tail
+        print(f"--unswept: {len(only)} queries outside the 50-name sweep window")
     failures = []
     for name, fn in sorted(qs.items()):
         if only and name not in only:
