@@ -1096,3 +1096,227 @@ def dedup_verdict(components: DataFrame) -> DataFrame:
         (F.col("doc_id") == F.col("component")).alias("is_survivor"),
         F.count(F.lit(1)).over(w).alias("n_docs"),
     )
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    method: str = "exact",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    broadcast_batch: bool = True,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Dedup a NEW batch against an EXISTING reference corpus — the
+    recurring-ingest shape of a production training-data pipeline, where
+    the corpus is the 100 TB side and the nightly batch is orders of
+    magnitude smaller. The corpus×corpus pairing is never recomputed: only
+    batch↔corpus and batch↔batch relations are examined, so per-ingest cost
+    tracks the BATCH size (plus one streaming pass over the corpus), not
+    the corpus.
+
+    Output: one row per batch document —
+    ``(doc_id, verdict ∈ {new, dup_corpus, dup_batch}, match_id)`` where
+    ``dup_corpus`` carries the minimum matching corpus id, ``dup_batch``
+    the surviving batch id, and ``new`` a NULL match_id. A batch document
+    that duplicates both the corpus and another batch document reports
+    ``dup_corpus`` (corpus precedence: it would be dropped regardless of
+    what the rest of the batch contains).
+
+    ``method='exact'`` (normalized-content hash):
+      the batch collapses to its distinct hashes FIRST (a batch-sized
+      aggregate), and when ``broadcast_batch`` (default) that distinct-hash
+      set is broadcast against the corpus scan — the 100 TB corpus is
+      STREAMED past a hash set, never shuffled; only matching corpus rows
+      survive into a batch-sized min-aggregate that is broadcast back.
+      Zero wide dependencies on the corpus. With ``broadcast_batch=False``
+      (a batch too big for the broadcast threshold) the same plan runs as
+      shuffle joins and AQE picks the strategy.
+
+    ``method='minhash'`` (near-duplicate semantics, MinHash+LSH banding):
+      batch representatives (exact-content collapse first, the hot-bucket
+      guard from :func:`minhash_lsh_pairs`) band-join against corpus band
+      keys — candidate generation is (batch band rows) × (matching corpus
+      bucket rows), never corpus×corpus — and candidates are verified with
+      the exact shingle-set Jaccard. Batch-internal near-dups among the
+      corpus-clean remainder reuse :func:`minhash_lsh_pairs` +
+      :func:`connected_components` (component minimum survives). At a real
+      deployment the corpus's ``(doc_id, band, bkey)`` and shingle tables
+      would be precomputed once and stored (they are pure functions of the
+      text); this function derives them inline for self-containment.
+    """
+    if method not in ("exact", "minhash"):
+        raise ValueError(f"unknown incremental-dedup method: {method!r}")
+    maybe_bcast = F.broadcast if broadcast_batch else (lambda df: df)
+
+    if method == "exact":
+        bh = batch.select(
+            F.col(id_col).alias("doc_id"),
+            F.md5(normalize(F.col(text_col))).alias("chash"),
+        )
+        bk = bh.groupBy("chash").agg(F.min("doc_id").alias("batch_keep"))
+        corpus_hashed = corpus.select(
+            F.md5(normalize(F.col(text_col))).alias("chash"),
+            F.col(id_col).alias("corpus_id"),
+        )
+        # corpus scan → broadcast semi-join on the batch's distinct hashes →
+        # min per hash: the only corpus-wide stage, and it is narrow
+        matches = (
+            corpus_hashed.join(maybe_bcast(bk.select("chash")), "chash")
+            .groupBy("chash")
+            .agg(F.min("corpus_id").alias("corpus_match"))
+        )
+        out = bh.join(maybe_bcast(matches), "chash", "left").join(
+            maybe_bcast(bk), "chash"
+        )
+        return out.select(
+            "doc_id",
+            F.when(F.col("corpus_match").isNotNull(), F.lit("dup_corpus"))
+            .when(F.col("doc_id") != F.col("batch_keep"), F.lit("dup_batch"))
+            .otherwise(F.lit("new"))
+            .alias("verdict"),
+            F.when(F.col("corpus_match").isNotNull(), F.col("corpus_match"))
+            .when(F.col("doc_id") != F.col("batch_keep"), F.col("batch_keep"))
+            .alias("match_id"),
+        )
+
+    # ---- minhash route --------------------------------------------------
+    rows_per_band = num_hashes // bands
+
+    def _banded_base(df: DataFrame) -> DataFrame:
+        """(doc_id, shingles, band, bkey) — persisted sketch+band table."""
+        base = (
+            df.select(
+                F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
+            )
+            .select(
+                "doc_id",
+                F.array_distinct(word_shingles(F.col("toks"), shingle_k)).alias(
+                    "shingles"
+                ),
+            )
+            .select(
+                "doc_id", "shingles", shingle_hashes(F.col("shingles")).alias("shash")
+            )
+        )
+        sig = base.withColumn(
+            "signature", minhash_from_hashes(F.col("shash"), num_hashes)
+        )
+        keys = lsh_band_keys(F.col("signature"), bands, rows_per_band)
+        return sig.select(
+            "doc_id",
+            "shingles",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(b).alias("band"), k.alias("bkey"))
+                        for b, k in enumerate(keys)
+                    ]
+                )
+            ).alias("bk"),
+        ).select("doc_id", "shingles", "bk.band", "bk.bkey")
+
+    # batch side: collapse exact-content duplicates before banding (the
+    # hot-bucket guard), then band the representatives only
+    members, reps = collapse_exact_content(batch, id_col, text_col)
+    members = members.persist()
+    members.count()
+    rep_docs = reps.select("doc_id", F.concat_ws(" ", "toks").alias("__text"))
+    bband = _banded_base(
+        rep_docs.select(F.col("doc_id").alias(id_col), F.col("__text").alias(text_col))
+    ).persist()
+    bband.count()  # materialize before the join: sketches compute once
+
+    cband = _banded_base(corpus)
+    # candidate generation: batch band rows meet only their corpus bucket —
+    # the corpus never self-joins. Batch-side band rows are small; the join
+    # shuffles the corpus band stream once on (band, bkey).
+    cand = (
+        bband.select(F.col("doc_id").alias("b_id"), "band", "bkey").join(
+            cband.select(F.col("doc_id").alias("c_id"), "band", "bkey"),
+            ["band", "bkey"],
+        )
+    ).select("b_id", "c_id").dropDuplicates(["b_id", "c_id"])
+    sh_b = bband.select(F.col("doc_id").alias("b_id"), "shingles").dropDuplicates(
+        ["b_id"]
+    )
+    sh_c = cband.select(
+        F.col("doc_id").alias("c_id"), F.col("shingles").alias("c_shingles")
+    ).dropDuplicates(["c_id"])
+    inter = F.size(F.array_intersect(F.col("shingles"), F.col("c_shingles")))
+    scored = (
+        cand.join(sh_b, "b_id")
+        .join(sh_c, "c_id")
+        .select(
+            "b_id",
+            "c_id",
+            inter.alias("n_inter"),
+            (F.size("shingles") + F.size("c_shingles")).alias("n_total"),
+        )
+    )
+    scored = lineage_barrier(scored, checkpoint_dir, eager=False)
+    rep_hits = (
+        scored.select(
+            "b_id",
+            "c_id",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_total") - F.col("n_inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .groupBy("b_id")
+        .agg(F.min("c_id").alias("corpus_match"))
+    )
+    # representative hit → every member of its exact-content group is a dup
+    rep_ch = reps.select(F.col("doc_id").alias("b_id"), "chash")
+    member_hits = (
+        rep_hits.join(rep_ch, "b_id")
+        .join(members, "chash")
+        .select("doc_id", "corpus_match")
+    )
+
+    # batch-internal near-dups among corpus-clean docs: full batch pairs,
+    # then components over the clean subgraph (a pair into a corpus-dup doc
+    # is irrelevant — that doc is dropped anyway)
+    pairs = minhash_lsh_pairs(
+        batch,
+        id_col,
+        text_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_k=shingle_k,
+        threshold=threshold,
+        checkpoint_dir=checkpoint_dir,
+    )
+    dup_ids = member_hits.select(F.col("doc_id").alias("id_a"))
+    clean_pairs = pairs.join(dup_ids, "id_a", "left_anti").join(
+        dup_ids.withColumnRenamed("id_a", "id_b"), "id_b", "left_anti"
+    )
+    comp = assign_components(
+        batch.select(F.col(id_col).alias("doc_id")).join(
+            member_hits.select("doc_id"), "doc_id", "left_anti"
+        ),
+        "doc_id",
+        clean_pairs,
+        checkpoint_dir=checkpoint_dir,
+    )
+    clean = comp.select(
+        "doc_id",
+        F.when(F.col("doc_id") != F.col("component"), F.lit("dup_batch"))
+        .otherwise(F.lit("new"))
+        .alias("verdict"),
+        F.when(F.col("doc_id") != F.col("component"), F.col("component")).alias(
+            "match_id"
+        ),
+    )
+    hits = member_hits.select(
+        "doc_id",
+        F.lit("dup_corpus").alias("verdict"),
+        F.col("corpus_match").alias("match_id"),
+    )
+    return hits.unionByName(clean)

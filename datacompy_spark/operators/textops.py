@@ -218,6 +218,67 @@ def hash_split(
     )
 
 
+def shard_corpus(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    seed: str = "shard#1",
+) -> DataFrame:
+    """Deterministic global shuffle + sharding for training order:
+    ``(doc_id, shard, pos)`` where ``shard`` is an md5 bucket of the id and
+    ``pos`` is the document's 1-based position within its shard under a
+    SECOND independent md5 ordering (id as tiebreak). Training pipelines
+    need the corpus order randomized but reproducible — re-runs, other
+    engines, and resumed jobs must agree on exactly which document is
+    sample #k of shard #s without coordination; an RNG-based shuffle can't
+    promise that, a pure hash function can.
+
+    Scale shape: ONE shuffle, partitioned by shard and sorted by the order
+    hash — precisely the physical work a shard writer performs, so the
+    plan feeds ``df.repartition(n_shards, 'shard')`` +
+    ``sortWithinPartitions('pos')`` + ``write.partitionBy('shard')`` with
+    no further exchanges. The md5 order key is uniform, so shards are
+    balanced (±binomial noise) regardless of id distribution; no skew
+    handling needed."""
+    from pyspark.sql import Window
+
+    from datacompy_spark.functions.hashing import md5_long
+
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    sid = F.col(id_col).cast("string")
+    shard = F.pmod(md5_long(sid, seed), F.lit(n_shards)).cast("int")
+    order = md5_long(sid, f"{seed}|order")
+    w = Window.partitionBy("shard").orderBy("__ord", "doc_id")
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            shard.alias("shard"),
+            order.alias("__ord"),
+        )
+        .withColumn("pos", F.row_number().over(w))
+        .select("doc_id", "shard", "pos")
+    )
+
+
+def shard_corpus_sql(
+    table: str, id_col: str, n_shards: int, seed: str = "shard#1"
+) -> str:
+    """DuckDB twin of :func:`shard_corpus`."""
+    from datacompy_spark.functions.hashing import md5_long_sql
+
+    sid = f"{id_col}::VARCHAR"
+    shard = f"(({md5_long_sql(sid, seed)}) % {n_shards})::INT"
+    order = md5_long_sql(sid, f"{seed}|order")
+    return f"""
+WITH assigned AS (
+  SELECT {id_col} AS doc_id, {shard} AS shard, {order} AS __ord
+  FROM {table})
+SELECT doc_id, shard,
+       row_number() OVER (PARTITION BY shard ORDER BY __ord, doc_id)::INT AS pos
+FROM assigned"""
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,

@@ -1905,6 +1905,50 @@ FROM ({S.quantize_embeddings_sql("embeddings", "vec_id", "embedding", bits=8)})
 """
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: the odd-id half of documents arrives as a
+    new batch against the even-id half as the standing corpus
+    (operators/dedup.py::incremental_dedup, exact mode). The corpus side
+    is only ever streamed past a broadcast of the batch's distinct content
+    hashes — per-ingest cost tracks the batch, not the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    return D.incremental_dedup(batch, corpus, "doc_id", "text", method="exact")
+
+
+def _sql_dedup_incremental() -> str:
+    norm = TX.normalize_sql("text")
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, md5({norm}) AS chash FROM documents WHERE doc_id % 2 = 0),
+batch AS (
+  SELECT doc_id, md5({norm}) AS chash FROM documents WHERE doc_id % 2 = 1),
+bk AS (SELECT chash, min(doc_id) AS batch_keep FROM batch GROUP BY 1),
+cm AS (SELECT chash, min(doc_id) AS corpus_match FROM corpus GROUP BY 1)
+SELECT b.doc_id,
+  CASE WHEN c.corpus_match IS NOT NULL THEN 'dup_corpus'
+       WHEN b.doc_id <> k.batch_keep THEN 'dup_batch'
+       ELSE 'new' END AS verdict,
+  CASE WHEN c.corpus_match IS NOT NULL THEN c.corpus_match
+       WHEN b.doc_id <> k.batch_keep THEN k.batch_keep END AS match_id
+FROM batch b JOIN bk k USING (chash) LEFT JOIN cm c USING (chash)"""
+
+
+SQL_DEDUP_INCREMENTAL = _sql_dedup_incremental()
+
+
+def q_shard_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-shuffle + sharding of documents into 8 training
+    shards (operators/textops.py::shard_corpus): reproducible training
+    order with no RNG state, one shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TO.shard_corpus(docs, "doc_id", n_shards=8)
+
+
+SQL_SHARD_CORPUS = TO.shard_corpus_sql("documents", "doc_id", n_shards=8)
+
+
 PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -1968,6 +2012,8 @@ PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # not-yet-swept query by inserting ahead of it mid-round
     "ngram_dup_profile": q_ngram_dup_profile,
     "fuzzy_key_match": q_fuzzy_key_match,
+    "dedup_incremental": q_dedup_incremental,
+    "shard_corpus": q_shard_corpus,
 }
 
 PIPELINE_ORACLES: Dict[str, str] = {
@@ -2030,4 +2076,6 @@ PIPELINE_ORACLES: Dict[str, str] = {
     "join_cardinality": SQL_JOIN_CARDINALITY,
     "ngram_dup_profile": SQL_NGRAM_DUP_PROFILE,
     "fuzzy_key_match": SQL_FUZZY_KEY_MATCH,
+    "dedup_incremental": SQL_DEDUP_INCREMENTAL,
+    "shard_corpus": SQL_SHARD_CORPUS,
 }

@@ -1052,3 +1052,162 @@ class TestCapPerGroup:
             )
             with pytest.raises(ValueError, match="reserves column names"):
                 cap_per_group(df, "id", "g", cap=2)
+
+
+class TestIncrementalDedup:
+    """incremental_dedup: batch-vs-corpus semantics, both methods."""
+
+    @pytest.fixture()
+    def split_docs(self, spark):
+        # corpus: ids 10..13; batch: ids 20..25 with planted relations
+        corpus = spark.createDataFrame(
+            [
+                (10, "the quick brown fox jumps over the lazy dog"),
+                (11, "completely different corpus content about engines"),
+                (12, "shared exact content lives on both sides"),
+                (13, "the quick brown fox jumps over the lazy dog"),  # corpus-internal dup
+            ],
+            "doc_id bigint, text string",
+        )
+        batch = spark.createDataFrame(
+            [
+                (20, "Shared exact CONTENT lives on both sides!"),  # exact dup of 12
+                (21, "brand new document the corpus has never seen"),
+                (22, "brand new document the corpus has never seen"),  # batch-internal dup of 21
+                (23, "another novel batch document entirely"),
+                (24, "the quick brown fox jumps over the lazy dog"),  # dup of 10 (min) & 13
+                (25, "brand NEW document the corpus has never seen"),  # normalizes to 21
+            ],
+            "doc_id bigint, text string",
+        )
+        return batch, corpus
+
+    def test_exact_mode(self, spark, split_docs):
+        batch, corpus = split_docs
+        out = {
+            r["doc_id"]: (r["verdict"], r["match_id"])
+            for r in D.incremental_dedup(
+                batch, corpus, "doc_id", "text", method="exact"
+            ).collect()
+        }
+        assert out[20] == ("dup_corpus", 12)
+        assert out[21] == ("new", None)
+        assert out[22] == ("dup_batch", 21)
+        assert out[23] == ("new", None)
+        assert out[24] == ("dup_corpus", 10)  # min matching corpus id
+        assert out[25] == ("dup_batch", 21)
+        assert len(out) == 6  # one row per batch doc, no corpus rows
+
+    def test_exact_mode_no_broadcast_same_result(self, spark, split_docs):
+        batch, corpus = split_docs
+        a = sorted(
+            map(
+                tuple,
+                D.incremental_dedup(
+                    batch, corpus, "doc_id", "text", method="exact"
+                ).collect(),
+            )
+        )
+        b = sorted(
+            map(
+                tuple,
+                D.incremental_dedup(
+                    batch,
+                    corpus,
+                    "doc_id",
+                    "text",
+                    method="exact",
+                    broadcast_batch=False,
+                ).collect(),
+            )
+        )
+        assert a == b
+
+    def test_minhash_mode_against_union_ground_truth(self, spark, documents):
+        """Minhash-mode verdicts must agree with the ground truth derived
+        from minhash_lsh_pairs over the pooled corpus: a batch doc is
+        dup_corpus iff the pooled pair list links it to ANY corpus doc;
+        the corpus-clean remainder components follow the batch-only pairs."""
+        docs = documents.select("doc_id", "text").limit(200)
+        corpus = docs.filter(F.col("doc_id") % 2 == 0)
+        batch = docs.filter(F.col("doc_id") % 2 == 1)
+        kw = dict(num_hashes=16, bands=4, shingle_k=3, threshold=0.5)
+
+        out = {
+            r["doc_id"]: (r["verdict"], r["match_id"])
+            for r in D.incremental_dedup(
+                batch, corpus, "doc_id", "text", method="minhash", **kw
+            ).collect()
+        }
+        batch_ids = {r["doc_id"] for r in batch.select("doc_id").collect()}
+        assert set(out) == batch_ids
+
+        pooled = {
+            (r["id_a"], r["id_b"])
+            for r in D.minhash_lsh_pairs(docs, "doc_id", "text", **kw).collect()
+        }
+        def is_corpus(i):
+            return i % 2 == 0
+        expect_dup_corpus = {}
+        for a, b in pooled:
+            if is_corpus(a) != is_corpus(b):
+                bat, cor = (b, a) if is_corpus(a) else (a, b)
+                cur = expect_dup_corpus.get(bat)
+                expect_dup_corpus[bat] = cor if cur is None else min(cur, cor)
+        got_dup_corpus = {
+            i: m for i, (v, m) in out.items() if v == "dup_corpus"
+        }
+        assert got_dup_corpus == expect_dup_corpus
+
+        # clean-side components from batch-only pairs among clean docs
+        clean = batch_ids - set(expect_dup_corpus)
+        parent = {i: i for i in clean}
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+        for a, b in pooled:
+            if a in clean and b in clean:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+        for i in sorted(clean):
+            root = find(i)
+            if root == i:
+                assert out[i] == ("new", None), i
+            else:
+                assert out[i] == ("dup_batch", root), i
+
+
+class TestShardCorpus:
+    def test_deterministic_and_dense(self, spark, documents):
+        docs = documents.select("doc_id").limit(300)
+        a = {(r["doc_id"]): (r["shard"], r["pos"])
+             for r in TO.shard_corpus(docs, "doc_id", n_shards=8).collect()}
+        # repartition perversely: assignment and order must not move
+        b = {(r["doc_id"]): (r["shard"], r["pos"])
+             for r in TO.shard_corpus(docs.repartition(13), "doc_id", n_shards=8).collect()}
+        assert a == b
+        # per-shard positions are dense 1..n
+        from collections import defaultdict
+        by_shard = defaultdict(list)
+        for _, (s, p) in a.items():
+            by_shard[s].append(p)
+        for s, ps in by_shard.items():
+            assert sorted(ps) == list(range(1, len(ps) + 1)), s
+        # 300 uniform docs over 8 shards: no shard empty, none > 2x mean
+        sizes = [len(ps) for ps in by_shard.values()]
+        assert len(by_shard) == 8 and max(sizes) < 2 * (300 / 8)
+
+    def test_seed_changes_order(self, spark, documents):
+        docs = documents.select("doc_id").limit(100)
+        a = {r["doc_id"]: (r["shard"], r["pos"])
+             for r in TO.shard_corpus(docs, "doc_id", n_shards=4, seed="s1").collect()}
+        b = {r["doc_id"]: (r["shard"], r["pos"])
+             for r in TO.shard_corpus(docs, "doc_id", n_shards=4, seed="s2").collect()}
+        assert a != b
+
+    def test_rejects_bad_shards(self, spark, documents):
+        with pytest.raises(ValueError):
+            TO.shard_corpus(documents, "doc_id", n_shards=0)
