@@ -279,6 +279,14 @@ def build_parser() -> argparse.ArgumentParser:
         "(default 0.99)",
     )
     dd.add_argument(
+        "--against", metavar="CORPUS",
+        help="incremental mode: dedup the input (the new batch) AGAINST "
+        "this standing corpus (file path or table name) instead of within "
+        "itself — corpus-vs-corpus work is never performed. Methods: exact "
+        "or minhash. The verdict parquet then carries "
+        "(doc_id, verdict in {new,dup_corpus,dup_batch}, match_id)",
+    )
+    dd.add_argument(
         "--verdict", metavar="PATH", required=True,
         help="write (doc_id, component, is_survivor, n_docs) to PATH as parquet",
     )
@@ -570,6 +578,72 @@ def run_profile(args) -> int:
             spark.stop()
 
 
+def _run_dedup_incremental(spark, batch, args) -> int:
+    """`dedup --against CORPUS`: incremental batch-vs-corpus dedup. The
+    caller owns the session lifecycle (this runs inside run_dedup's
+    try/finally)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from datacompy_spark.operators import dedup as D
+    from datacompy_spark.sources.loaders import load
+
+    if args.method not in ("exact", "minhash"):
+        raise CLIError(
+            "--against supports --method exact or minhash "
+            f"(got {args.method!r})"
+        )
+    if args.export_pairs:
+        raise CLIError("--export-pairs does not apply to incremental mode")
+    kwargs = {"delimiter": args.delimiter} if args.input_format == "csv" else {}
+    try:
+        corpus = load(spark, args.against, fmt=args.input_format, **kwargs)
+    except Exception as ex:
+        raise CLIError(f"failed to load corpus: {ex}") from ex
+    for c in (args.id_col, args.text_col):
+        if c not in corpus.columns:
+            raise CLIError(f"column {c!r} not found in corpus")
+    try:
+        out = D.incremental_dedup(
+            batch,
+            corpus,
+            args.id_col,
+            args.text_col,
+            method=args.method,
+            threshold=args.threshold,
+        )
+        out.write.mode("overwrite").parquet(args.verdict)
+        written = spark.read.parquet(args.verdict)
+        counts = {
+            r["verdict"]: r["n"]
+            for r in written.groupBy("verdict").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+    except CLIError:
+        raise
+    except Exception as ex:
+        raise CLIError(str(ex)) from ex
+    n_batch = sum(counts.values())
+    if not args.quiet:
+        print(
+            json.dumps(
+                {
+                    "method": args.method,
+                    "mode": "incremental",
+                    "n_batch": n_batch,
+                    "n_new": counts.get("new", 0),
+                    "n_dup_corpus": counts.get("dup_corpus", 0),
+                    "n_dup_batch": counts.get("dup_batch", 0),
+                    "dup_rate": round(
+                        1.0 - counts.get("new", 0) / max(n_batch, 1), 6
+                    ),
+                    "verdict": args.verdict,
+                }
+            )
+        )
+    return 0
+
+
 def run_dedup(args) -> int:
     import json
 
@@ -594,6 +668,8 @@ def run_dedup(args) -> int:
         for c in need:
             if c not in df.columns:
                 raise CLIError(f"column {c!r} not found in input")
+        if args.against:
+            return _run_dedup_incremental(spark, df, args)
         try:
             if args.method == "exact":
                 members, _ = D.collapse_exact_content(df, args.id_col, args.text_col)

@@ -432,3 +432,45 @@ class TestDedupCommand:
         rc = main(["dedup", "--input", p, "--verdict", str(tmp_path / "o.parquet")])
         assert rc == 2
         assert "not found" in capsys.readouterr().err
+
+    def test_incremental_dedup_against_corpus(self, tmp_path, capsys, spark):
+        corpus_p = str(tmp_path / "corpus.parquet")
+        batch_p = str(tmp_path / "batch.parquet")
+        spark.createDataFrame(
+            [(1, "standing corpus document one"), (2, "standing corpus document two")],
+            "doc_id bigint, text string",
+        ).write.parquet(corpus_p)
+        spark.createDataFrame(
+            [
+                (10, "Standing CORPUS document one!"),   # dup of corpus 1
+                (11, "a brand new batch document"),
+                (12, "a brand new batch document"),      # batch dup of 11
+            ],
+            "doc_id bigint, text string",
+        ).write.parquet(batch_p)
+        out = str(tmp_path / "verdict.parquet")
+        rc = main([
+            "dedup", "--input", batch_p, "--against", corpus_p,
+            "--method", "exact", "--verdict", out,
+        ])
+        import json as _json
+
+        summary = _json.loads(capsys.readouterr().out)
+        assert rc == 0 and summary["mode"] == "incremental"
+        assert summary["n_batch"] == 3 and summary["n_new"] == 1
+        assert summary["n_dup_corpus"] == 1 and summary["n_dup_batch"] == 1
+        v = {r["doc_id"]: (r["verdict"], r["match_id"])
+             for r in spark.read.parquet(out).collect()}
+        assert v[10] == ("dup_corpus", 1)
+        assert v[11] == ("new", None)
+        assert v[12] == ("dup_batch", 11)
+
+    def test_incremental_dedup_rejects_bad_method(self, tmp_path, capsys, spark):
+        p = str(tmp_path / "d.parquet")
+        spark.createDataFrame([(1, "x")], "doc_id bigint, text string").write.parquet(p)
+        rc = main([
+            "dedup", "--input", p, "--against", p, "--method", "simhash",
+            "--verdict", str(tmp_path / "o.parquet"),
+        ])
+        assert rc == 2
+        assert "exact or minhash" in capsys.readouterr().err

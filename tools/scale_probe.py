@@ -11,7 +11,7 @@ Prints one line per scale: rows, seconds, rows/sec, and the ratio of
 seconds to the 1x run (linear scaling => ratio ~= multiplier).
 
 Env knobs: SPARK_GRAFT_SECTIONS selects sections as a comma list out of
-{compare,minhash,cdc,bucketed,cc,hotkey} (default: all) — a x64 compare
+{compare,minhash,incr,cdc,bucketed,cc,hotkey} (default: all) — a x64 compare
 datapoint or a memory-constrained minhash rerun shouldn't pay for every
 other section; SPARK_GRAFT_DRIVER_MEM bounds the single-JVM heap (the
 local-mode stand-in for executor memory) for constrained-memory probes.
@@ -31,7 +31,7 @@ def main() -> int:
     from pyspark.sql import functions as F
 
     muls = [int(m) for m in (sys.argv[1:] or ["1", "4", "16"])]
-    all_sections = ("compare", "minhash", "cdc", "bucketed", "cc", "hotkey")
+    all_sections = ("compare", "minhash", "incr", "cdc", "bucketed", "cc", "hotkey")
     sections = set(
         s.strip() for s in os.environ.get(
             "SPARK_GRAFT_SECTIONS", ",".join(all_sections)
@@ -154,6 +154,51 @@ def main() -> int:
         print(
             f"minhash x{mult:<3d} docs={n:>9,d}  pairs={n_pairs:>8,d}"
             f"  sec={el:7.2f}  vs_x1={el/t1:5.2f} (linear => ~{mult})",
+            flush=True,
+        )
+    # ---- incremental dedup: BATCH FIXED, corpus scaled — the recurring-
+    # ingest shape incremental_dedup is designed for. The corpus side is
+    # only ever hashed in a narrow scan and semi-joined against a broadcast
+    # of the batch's distinct hashes (no corpus shuffle), so seconds should
+    # track the corpus SCAN (linear, small constant), never corpus-pairing
+    # work. Copy 0 keeps original text (every batch doc finds a corpus
+    # match); later copies are suffixed noise that must not add matches.
+    from datacompy_spark.operators.dedup import incremental_dedup
+
+    t1 = None
+    for mult in muls if "incr" in sections else []:
+        parts = []
+        for i in range(mult):
+            text = (
+                F.col("text")
+                if i == 0
+                else F.regexp_replace(F.col("text"), r"(\S+)", r"$1" + f"_c{i}")
+            )
+            parts.append(
+                docs.select(
+                    (F.col("doc_id") + F.lit(10_000_000 * (i + 1))).alias(
+                        "doc_id"
+                    ),
+                    text.alias("text"),
+                )
+            )
+        corpus = parts[0]
+        for p in parts[1:]:
+            corpus = corpus.unionAll(p)
+        n_corpus = corpus.count()
+        n_batch = docs.count()
+        t0 = time.perf_counter()
+        verdicts = incremental_dedup(
+            docs, corpus, "doc_id", "text", method="exact"
+        )
+        n_dup = verdicts.filter(F.col("verdict") == "dup_corpus").count()
+        el = time.perf_counter() - t0
+        if t1 is None:
+            t1 = el
+        print(
+            f"incr    x{mult:<3d} corpus={n_corpus:>9,d}  batch={n_batch:>7,d}"
+            f"  dup_corpus={n_dup:>7,d}  sec={el:7.2f}"
+            f"  vs_x1={el/t1:5.2f} (corpus-scan-bound => << {mult})",
             flush=True,
         )
     # ---- CDC scaling: snapshot diff of orders scaled by key-offset copies,
