@@ -185,6 +185,47 @@ def streaming_dedup(
     return df.dropDuplicates(list(id_cols))
 
 
+def streaming_incremental_dedup(
+    stream: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    ts_col: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Content-level incremental dedup of a document STREAM against a
+    static standing corpus — the always-on counterpart of batch
+    ``operators.dedup.incremental_dedup`` (exact mode): a streamed
+    document survives only if its normalized content hash is (a) new
+    within the stream's watermark window and (b) absent from the corpus.
+
+    Plan: narrow hash projection → ``dropDuplicatesWithinWatermark`` on
+    the content hash (bounded state: hashes older than the watermark are
+    dropped) → stream-static LEFT ANTI join against the corpus's distinct
+    hash projection. Stream-static joins are stateless on the stream side
+    — each micro-batch probes the static side, which Spark plans as a
+    broadcast when the corpus hash table is small or a shuffled join
+    otherwise; at 100 TB the corpus projection is one distinct-hash table
+    maintained incrementally (append each batch's survivors), not a
+    rescan. Batch inputs degrade gracefully to the batch-equivalent plan.
+
+    Output: the surviving stream rows (original columns), append-mode
+    compatible (no aggregation after the watermarked dedup)."""
+    from datacompy_spark.functions.text import normalize
+
+    chash = F.md5(normalize(F.col(text_col))).alias("__chash")
+    hashed = stream.select("*", chash)
+    if stream.isStreaming:
+        hashed = _watermarkable(hashed, ts_col).withWatermark(ts_col, watermark)
+        hashed = hashed.dropDuplicatesWithinWatermark(["__chash"])
+    else:
+        hashed = hashed.dropDuplicates(["__chash"])
+    corpus_hashes = corpus.select(
+        F.md5(normalize(F.col(text_col))).alias("__chash")
+    ).distinct()
+    return hashed.join(corpus_hashes, "__chash", "left_anti").drop("__chash")
+
+
 def sessionize(
     df: DataFrame,
     ts_col: str,

@@ -107,6 +107,60 @@ class TestStreamingDedup:
         assert got == batch.count()
 
 
+class TestStreamingIncrementalDedup:
+    @pytest.fixture()
+    def doc_stream_dirs(self, tmp_path, spark):
+        corpus_d = str(tmp_path / "corpus")
+        stream_d = str(tmp_path / "stream")
+        spark.createDataFrame(
+            [(1, "standing corpus doc alpha"), (2, "standing corpus doc beta")],
+            "doc_id bigint, text string",
+        ).write.parquet(corpus_d)
+        import datetime as dt
+
+        t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+        spark.createDataFrame(
+            [
+                (10, "Standing CORPUS doc alpha!", t0),  # corpus dup
+                (11, "fresh streamed doc one", t0),
+                (12, "fresh streamed doc one", t0),       # stream-internal dup
+                (13, "fresh streamed doc two", t0),
+            ],
+            "doc_id bigint, text string, ts timestamp",
+        ).coalesce(1).write.parquet(stream_d)
+        return stream_d, corpus_d
+
+    def test_stream_survivors(self, spark, doc_stream_dirs):
+        stream_d, corpus_d = doc_stream_dirs
+        corpus = spark.read.parquet(corpus_d)
+        schema = spark.read.parquet(stream_d).schema
+        stream = spark.readStream.schema(schema).parquet(stream_d)
+        out = SD.streaming_incremental_dedup(
+            stream, corpus, "doc_id", "text", "ts"
+        )
+        q = (
+            out.writeStream.format("memory").queryName("incr_dedup_stream")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        got = {r["doc_id"] for r in spark.table("incr_dedup_stream").collect()}
+        # 10 dies (corpus), exactly one of 11/12 survives, 13 survives
+        assert 13 in got and 10 not in got
+        assert len(got & {11, 12}) == 1 and len(got) == 2
+
+    def test_batch_twin_same_semantics(self, spark, doc_stream_dirs):
+        stream_d, corpus_d = doc_stream_dirs
+        corpus = spark.read.parquet(corpus_d)
+        batch = spark.read.parquet(stream_d)
+        got = {
+            r["doc_id"]
+            for r in SD.streaming_incremental_dedup(
+                batch, corpus, "doc_id", "text", "ts"
+            ).collect()
+        }
+        assert 13 in got and 10 not in got and len(got) == 2
+
+
 class TestSessionize:
     def test_stream_matches_batch(self, spark, events_dir):
         batch = spark.read.parquet(events_dir)
