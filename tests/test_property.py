@@ -459,3 +459,63 @@ class TestNgramDuplicationProperties:
                 assert got[i][2] is None
             else:
                 assert abs(got[i][2] - want[i][2]) < 1e-12
+
+
+class TestIncrementalDedupProperties:
+    @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        corpus=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=200),
+                st.sampled_from(["aa bb", "cc dd", "ee ff", "gg hh", "ii jj"]),
+            ),
+            min_size=0,
+            max_size=25,
+        ),
+        batch=st.lists(
+            st.tuples(
+                st.integers(min_value=300, max_value=500),
+                st.sampled_from(["aa bb", "cc dd", "ee ff", "xx yy", "zz ww"]),
+            ),
+            min_size=1,
+            max_size=25,
+        ),
+    )
+    def test_exact_mode_matches_python_model(self, spark, corpus, batch):
+        """incremental_dedup(exact) must agree with the obvious sequential
+        model for ANY corpus/batch contents: corpus match wins (min corpus
+        id), else first batch occurrence (min batch id) survives."""
+        from datacompy_spark.operators.dedup import incremental_dedup
+
+        corpus = dict(corpus)  # dedupe ids
+        batch = dict(batch)
+        cdf = spark.createDataFrame(
+            list(corpus.items()) or [(None, None)], "doc_id bigint, text string"
+        )
+        if not corpus:
+            cdf = cdf.filter("doc_id IS NOT NULL")
+        bdf = spark.createDataFrame(list(batch.items()), "doc_id bigint, text string")
+
+        # python model (text is pre-normalized by construction)
+        corpus_min = {}
+        for i, t in corpus.items():
+            corpus_min[t] = min(corpus_min.get(t, i), i)
+        batch_min = {}
+        for i, t in batch.items():
+            batch_min[t] = min(batch_min.get(t, i), i)
+        expect = {}
+        for i, t in batch.items():
+            if t in corpus_min:
+                expect[i] = ("dup_corpus", corpus_min[t])
+            elif i != batch_min[t]:
+                expect[i] = ("dup_batch", batch_min[t])
+            else:
+                expect[i] = ("new", None)
+
+        got = {
+            r["doc_id"]: (r["verdict"], r["match_id"])
+            for r in incremental_dedup(
+                bdf, cdf, "doc_id", "text", method="exact"
+            ).collect()
+        }
+        assert got == expect
