@@ -1187,9 +1187,9 @@ def incremental_dedup(
     # ---- minhash route --------------------------------------------------
     rows_per_band = num_hashes // bands
 
-    def _banded_base(df: DataFrame) -> DataFrame:
-        """(doc_id, shingles, band, bkey) — persisted sketch+band table."""
-        base = (
+    def _shingle_table(df: DataFrame) -> DataFrame:
+        """(doc_id, shingles, shash) — the per-document sketch base."""
+        return (
             df.select(
                 F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
             )
@@ -1203,13 +1203,16 @@ def incremental_dedup(
                 "doc_id", "shingles", shingle_hashes(F.col("shingles")).alias("shash")
             )
         )
+
+    def _band_keys_of(base: DataFrame) -> DataFrame:
+        """(doc_id, band, bkey) ONLY — shingle arrays never enter the
+        bucket shuffle (same rule as minhash_lsh_pairs)."""
         sig = base.withColumn(
             "signature", minhash_from_hashes(F.col("shash"), num_hashes)
         )
         keys = lsh_band_keys(F.col("signature"), bands, rows_per_band)
         return sig.select(
             "doc_id",
-            "shingles",
             F.explode(
                 F.array(
                     *[
@@ -1218,7 +1221,7 @@ def incremental_dedup(
                     ]
                 )
             ).alias("bk"),
-        ).select("doc_id", "shingles", "bk.band", "bk.bkey")
+        ).select("doc_id", "bk.band", "bk.bkey")
 
     # batch side: collapse exact-content duplicates before banding (the
     # hot-bucket guard), then band the representatives only
@@ -1226,12 +1229,16 @@ def incremental_dedup(
     members = members.persist()
     members.count()
     rep_docs = reps.select("doc_id", F.concat_ws(" ", "toks").alias("__text"))
-    bband = _banded_base(
+    bbase = _shingle_table(
         rep_docs.select(F.col("doc_id").alias(id_col), F.col("__text").alias(text_col))
     ).persist()
-    bband.count()  # materialize before the join: sketches compute once
+    bbase.count()  # materialize before the joins: sketches compute once
+    bband = _band_keys_of(bbase)
 
-    cband = _banded_base(corpus)
+    # corpus pass 1: band keys for every corpus doc (narrow scan → explode;
+    # at a real deployment this (doc_id, band, bkey) table is precomputed
+    # and stored — it is a pure function of the text)
+    cband = _band_keys_of(_shingle_table(corpus))
     # candidate generation: batch band rows meet only their corpus bucket —
     # the corpus never self-joins. Batch-side band rows are small; the join
     # shuffles the corpus band stream once on (band, bkey).
@@ -1241,12 +1248,17 @@ def incremental_dedup(
             ["band", "bkey"],
         )
     ).select("b_id", "c_id").dropDuplicates(["b_id", "c_id"])
-    sh_b = bband.select(F.col("doc_id").alias("b_id"), "shingles").dropDuplicates(
-        ["b_id"]
-    )
-    sh_c = cband.select(
-        F.col("doc_id").alias("c_id"), F.col("shingles").alias("c_shingles")
-    ).dropDuplicates(["c_id"])
+    cand = lineage_barrier(cand, checkpoint_dir, eager=False)
+    sh_b = bbase.select(F.col("doc_id").alias("b_id"), "shingles")
+    # corpus pass 2 (verification) computes shingles ONLY for candidate
+    # docs: semi-join the raw corpus down to the candidate id set FIRST,
+    # then shingle the survivors — the candidate set is batch-driven and
+    # small, so the expensive array construction never runs corpus-wide
+    # a second time (and no corpus-wide shingle shuffle exists at all).
+    cand_ids = cand.select(F.col("c_id").alias(id_col)).dropDuplicates()
+    sh_c = _shingle_table(
+        corpus.join(cand_ids, id_col, "left_semi")
+    ).select(F.col("doc_id").alias("c_id"), F.col("shingles").alias("c_shingles"))
     inter = F.size(F.array_intersect(F.col("shingles"), F.col("c_shingles")))
     scored = (
         cand.join(sh_b, "b_id")
