@@ -1332,3 +1332,97 @@ def incremental_dedup(
         F.col("corpus_match").alias("match_id"),
     )
     return hits.unionByName(clean)
+
+
+def incremental_dedup_with_ledger(
+    spark,
+    batch: DataFrame,
+    ledger_table: str,
+    id_col: str,
+    text_col: str,
+    num_buckets: int = 64,
+    update_ledger: bool = True,
+    broadcast_batch: bool = True,
+) -> DataFrame:
+    """Exact incremental dedup against a PERSISTENT content-hash ledger —
+    the stateful completion of :func:`incremental_dedup`: instead of
+    re-hashing a standing corpus every ingest, the corpus is represented
+    by a catalog table of ``(chash, corpus_id)`` rows, bucketed on
+    ``chash``, that each ingest appends its survivors to. Ingest #N then
+    costs O(batch) + a probe of the ledger — the 100 TB corpus itself is
+    never touched again after its hashes are registered (register an
+    existing corpus by running it through this function once as a batch
+    against a fresh ledger).
+
+    Verdict frame is identical in shape and semantics to
+    :func:`incremental_dedup` exact mode. When ``update_ledger`` (default)
+    the ``new`` rows' hashes are appended to the ledger atomically AFTER
+    the verdicts materialize (the verdicts are computed eagerly so the
+    append cannot feed back into its own probe); re-running the same batch
+    afterwards therefore reports every document as ``dup_corpus`` — the
+    idempotence a replayed ingest job needs.
+
+    Bucketing on ``chash`` means the probe join never shuffles the ledger:
+    with ``broadcast_batch`` (default) the batch's distinct hashes
+    broadcast against the ledger scan; with it off, only the batch side
+    shuffles to the ledger's bucketing. Appends preserve the bucket layout
+    (``bucketBy`` + ``saveAsTable`` append).
+
+    A minhash-semantics ledger would store ``(band, bkey, doc_id)`` rows
+    instead — same pattern, kept out of scope here because near-dup state
+    additionally needs the shingle table for verification.
+    """
+    maybe_bcast = F.broadcast if broadcast_batch else (lambda df: df)
+    bh = batch.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(normalize(F.col(text_col))).alias("chash"),
+    )
+    bk = bh.groupBy("chash").agg(F.min("doc_id").alias("batch_keep"))
+
+    if spark.catalog.tableExists(ledger_table):
+        ledger = spark.table(ledger_table)
+        matches = (
+            ledger.join(maybe_bcast(bk.select("chash")), "chash")
+            .groupBy("chash")
+            .agg(F.min("corpus_id").alias("corpus_match"))
+        )
+    else:
+        matches = spark.createDataFrame(
+            [], "chash string, corpus_match bigint"
+        )
+
+    out = (
+        bh.join(maybe_bcast(matches), "chash", "left")
+        .join(maybe_bcast(bk), "chash")
+        .select(
+            "doc_id",
+            "chash",
+            F.when(F.col("corpus_match").isNotNull(), F.lit("dup_corpus"))
+            .when(F.col("doc_id") != F.col("batch_keep"), F.lit("dup_batch"))
+            .otherwise(F.lit("new"))
+            .alias("verdict"),
+            F.when(F.col("corpus_match").isNotNull(), F.col("corpus_match"))
+            .when(F.col("doc_id") != F.col("batch_keep"), F.col("batch_keep"))
+            .alias("match_id"),
+        )
+    )
+    if not update_ledger:
+        return out.drop("chash")
+
+    # eager LINEAGE BARRIER, not a mere persist: appending to the catalog
+    # table refreshes/invalidates every cached plan that READS that table,
+    # so a persisted-but-lineage-bearing verdict frame would silently
+    # recompute against the grown ledger on the caller's first action and
+    # flip its own 'new' rows to 'dup_corpus'. localCheckpoint severs the
+    # table reference entirely — the verdicts are fixed before the append.
+    out = lineage_barrier(out, None, eager=True)
+    additions = out.filter(F.col("verdict") == "new").select(
+        "chash", F.col("doc_id").alias("corpus_id")
+    )
+    (
+        additions.write.mode("append")
+        .bucketBy(num_buckets, "chash")
+        .sortBy("chash")
+        .saveAsTable(ledger_table)
+    )
+    return out.drop("chash")

@@ -1211,3 +1211,75 @@ class TestShardCorpus:
     def test_rejects_bad_shards(self, spark, documents):
         with pytest.raises(ValueError):
             TO.shard_corpus(documents, "doc_id", n_shards=0)
+
+
+class TestIncrementalDedupLedger:
+    """Stateful ledger variant: consecutive ingests, idempotent replay."""
+
+    def test_two_ingests_and_replay(self, spark):
+        spark.sql("DROP TABLE IF EXISTS dedup_ledger_t1")
+        try:
+            b1 = spark.createDataFrame(
+                [
+                    (1, "first batch doc alpha"),
+                    (2, "first batch doc alpha"),   # within-batch dup
+                    (3, "first batch doc beta"),
+                ],
+                "doc_id bigint, text string",
+            )
+            v1 = {
+                r["doc_id"]: (r["verdict"], r["match_id"])
+                for r in D.incremental_dedup_with_ledger(
+                    spark, b1, "dedup_ledger_t1", "doc_id", "text", num_buckets=4
+                ).collect()
+            }
+            assert v1[1] == ("new", None)
+            assert v1[2] == ("dup_batch", 1)
+            assert v1[3] == ("new", None)
+            # ledger now holds hashes for docs 1 and 3 only
+            assert spark.table("dedup_ledger_t1").count() == 2
+
+            b2 = spark.createDataFrame(
+                [
+                    (10, "First BATCH doc alpha!"),   # dup of ledger entry 1
+                    (11, "second batch doc gamma"),
+                ],
+                "doc_id bigint, text string",
+            )
+            v2 = {
+                r["doc_id"]: (r["verdict"], r["match_id"])
+                for r in D.incremental_dedup_with_ledger(
+                    spark, b2, "dedup_ledger_t1", "doc_id", "text", num_buckets=4
+                ).collect()
+            }
+            assert v2[10] == ("dup_corpus", 1)
+            assert v2[11] == ("new", None)
+            assert spark.table("dedup_ledger_t1").count() == 3
+
+            # replaying ingest #2 is idempotent: everything now dup_corpus
+            v2r = {
+                r["doc_id"]: (r["verdict"], r["match_id"])
+                for r in D.incremental_dedup_with_ledger(
+                    spark, b2, "dedup_ledger_t1", "doc_id", "text", num_buckets=4
+                ).collect()
+            }
+            assert v2r[10] == ("dup_corpus", 1)
+            assert v2r[11] == ("dup_corpus", 11)
+            assert spark.table("dedup_ledger_t1").count() == 3  # no growth
+        finally:
+            spark.sql("DROP TABLE IF EXISTS dedup_ledger_t1")
+
+    def test_read_only_probe(self, spark):
+        spark.sql("DROP TABLE IF EXISTS dedup_ledger_t2")
+        try:
+            b = spark.createDataFrame(
+                [(1, "doc one"), (2, "doc two")], "doc_id bigint, text string"
+            )
+            out = D.incremental_dedup_with_ledger(
+                spark, b, "dedup_ledger_t2", "doc_id", "text",
+                update_ledger=False,
+            )
+            assert {r["verdict"] for r in out.collect()} == {"new"}
+            assert not spark.catalog.tableExists("dedup_ledger_t2")
+        finally:
+            spark.sql("DROP TABLE IF EXISTS dedup_ledger_t2")
