@@ -1087,6 +1087,101 @@ SELECT doc_id, term, tf, df, score, rank::INT AS rank
 FROM scored WHERE rank <= {k}"""
 
 
+def line_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    delimiter: str = "\n",
+) -> DataFrame:
+    """Corpus-level exact line dedup (the C4 / RefinedWeb boilerplate
+    rule): across the WHOLE corpus, every normalized line survives only at
+    its globally first occurrence (smallest ``(doc_id, position)``); later
+    occurrences — navigation chrome, cookie banners, boilerplate headers —
+    are dropped, and each document is reassembled from its surviving lines
+    in original order. Returns ``(doc_id, text, n_lines, n_kept)`` where
+    ``text`` is the cleaned document (empty string when nothing survives).
+
+    Scale design — the hot-line problem: a window
+    ``row_number() OVER (PARTITION BY line_hash)`` would funnel every
+    occurrence of a hyper-common line ("Home", "") into ONE partition.
+    Instead the global first occurrence is computed as
+    ``min(struct(doc_id, pos))`` per hash — a partial-aggregatable
+    aggregate that collapses hot lines map-side to one row per partition
+    before the shuffle — then joined back on the hash (one row per
+    DISTINCT line on the build side, so AQE can broadcast it when small
+    and skew-split the probe side otherwise). Reassembly is one groupBy
+    over doc_id with an order-struct sort — partition size bounded by the
+    longest document, not by line popularity."""
+    # \Q..\E: Spark's split() takes a Java regex; quote the delimiter so it
+    # is literal, matching the SQL twin's literal string_split
+    lines = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.split(F.col(text_col), "\\Q" + delimiter + "\\E")
+        ).alias("pos", "line"),
+    ).withColumn("lhash", F.md5(normalize(F.col("line"))))
+    first = lines.groupBy("lhash").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first_occ")
+    )
+    kept = lines.join(first, "lhash").withColumn(
+        "keep",
+        (F.col("doc_id") == F.col("first_occ.doc_id"))
+        & (F.col("pos") == F.col("first_occ.pos")),
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.concat_ws(
+                delimiter,
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("keep"), F.struct("pos", "line"))
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+            ).alias("text"),
+        )
+        .select("doc_id", "text", "n_lines", "n_kept")
+    )
+
+
+def line_dedup_sql(
+    table_expr: str, id_col: str, text_col: str, delimiter: str = "\n"
+) -> str:
+    """DuckDB twin of :func:`line_dedup`. ``table_expr`` may be a table
+    name or a parenthesized subquery."""
+    delim_sql = (
+        "chr(10)" if delimiter == "\n" else "'" + delimiter.replace("'", "''") + "'"
+    )
+    from datacompy_spark.functions.text import normalize_sql as _nsql
+
+    return f"""
+WITH split AS (
+  SELECT {id_col} AS doc_id, string_split({text_col}, {delim_sql}) AS parts
+  FROM {table_expr}),
+lines AS (
+  SELECT doc_id, g.i - 1 AS pos, parts[g.i] AS line,
+         md5({_nsql('parts[g.i]')}) AS lhash
+  FROM split, unnest(generate_series(1, len(parts))) AS g(i)),
+first_occ AS (
+  SELECT lhash, min(struct_pack(doc_id := doc_id, pos := pos)) AS fo
+  FROM lines GROUP BY 1),
+kept AS (
+  SELECT l.doc_id, l.pos, l.line,
+         (l.doc_id = f.fo.doc_id AND l.pos = f.fo.pos) AS keep
+  FROM lines l JOIN first_occ f USING (lhash))
+SELECT doc_id,
+  coalesce(string_agg(CASE WHEN keep THEN line END, {delim_sql} ORDER BY pos), '')
+    AS text,
+  count(*) AS n_lines,
+  sum(keep::INT)::BIGINT AS n_kept
+FROM kept GROUP BY doc_id"""
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str,

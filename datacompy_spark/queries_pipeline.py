@@ -1938,6 +1938,57 @@ FROM batch b JOIN bk k USING (chash) LEFT JOIN cm c USING (chash)"""
 SQL_DEDUP_INCREMENTAL = _sql_dedup_incremental()
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level exact line dedup (C4/RefinedWeb boilerplate rule,
+    operators/textops.py::line_dedup). The flat documents table carries no
+    newlines, so the query synthesizes multi-line documents first — five
+    consecutive docs fold into one 5-line document — giving the operator
+    real repeated lines to drop. Every document also gets the same banner
+    first line and footer last line (the testdata's texts are all
+    distinct, so without planted boilerplate the dedup path would never
+    fire): the first document keeps them, every later document loses
+    both — both the keep and the drop paths are oracle-exercised, as is
+    reassembly order around removed lines."""
+    docs = load_table(spark, sf_dir, "documents")
+    synth = (
+        docs.select(
+            (F.col("doc_id") / 5).cast("long").alias("doc_id"),
+            F.struct((F.col("doc_id") % 5).alias("pos"), "text").alias("s"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "\nACCEPT COOKIES TO CONTINUE\n",
+                F.transform(F.array_sort(F.collect_list("s")), lambda s: s["text"]),
+            ).alias("body")
+        )
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit("ACCEPT COOKIES TO CONTINUE\n"),
+                F.col("body"),
+                F.lit("\nsubscribe to our newsletter"),
+            ).alias("text"),
+        )
+    )
+    return TO.line_dedup(synth, "doc_id", "text")
+
+
+SQL_LINE_DEDUP = TO.line_dedup_sql(
+    """(
+  SELECT doc_id,
+         'ACCEPT COOKIES TO CONTINUE' || chr(10) || body || chr(10) ||
+         'subscribe to our newsletter' AS text
+  FROM (
+    SELECT (doc_id // 5) AS doc_id,
+           string_agg(text, chr(10) || 'ACCEPT COOKIES TO CONTINUE' || chr(10)
+                      ORDER BY doc_id % 5) AS body
+    FROM documents GROUP BY 1))""",
+    "doc_id",
+    "text",
+)
+
+
 def q_shard_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-shuffle + sharding of documents into 8 training
     shards (operators/textops.py::shard_corpus): reproducible training
@@ -2014,6 +2065,7 @@ PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_key_match": q_fuzzy_key_match,
     "dedup_incremental": q_dedup_incremental,
     "shard_corpus": q_shard_corpus,
+    "line_dedup": q_line_dedup,
 }
 
 PIPELINE_ORACLES: Dict[str, str] = {
@@ -2078,4 +2130,5 @@ PIPELINE_ORACLES: Dict[str, str] = {
     "fuzzy_key_match": SQL_FUZZY_KEY_MATCH,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "shard_corpus": SQL_SHARD_CORPUS,
+    "line_dedup": SQL_LINE_DEDUP,
 }

@@ -1283,3 +1283,39 @@ class TestIncrementalDedupLedger:
             assert not spark.catalog.tableExists("dedup_ledger_t2")
         finally:
             spark.sql("DROP TABLE IF EXISTS dedup_ledger_t2")
+
+
+class TestLineDedup:
+    def test_boilerplate_dropped_first_kept(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "COOKIE BANNER\nunique content one\nfooter text"),
+                (2, "COOKIE BANNER\nunique content two\nfooter text"),
+                (3, "cookie banner!\nunique content three"),  # normalizes same
+            ],
+            "doc_id bigint, text string",
+        )
+        out = {r["doc_id"]: r for r in TO.line_dedup(df, "doc_id", "text").collect()}
+        assert out[1]["text"] == "COOKIE BANNER\nunique content one\nfooter text"
+        assert out[1]["n_lines"] == 3 and out[1]["n_kept"] == 3
+        assert out[2]["text"] == "unique content two"
+        assert out[2]["n_lines"] == 3 and out[2]["n_kept"] == 1
+        assert out[3]["text"] == "unique content three"
+
+    def test_all_duplicate_doc_becomes_empty(self, spark):
+        df = spark.createDataFrame(
+            [(1, "same line"), (2, "same line"), (3, "Same LINE")],
+            "doc_id bigint, text string",
+        )
+        out = {r["doc_id"]: r["text"] for r in TO.line_dedup(df, "doc_id", "text").collect()}
+        assert out[1] == "same line" and out[2] == "" and out[3] == ""
+
+    def test_custom_delimiter_is_literal(self, spark):
+        # '|' is a regex alternation char — the operator must treat it
+        # literally (matching the SQL twin's literal string_split)
+        df = spark.createDataFrame(
+            [(1, "a|b|c"), (2, "b|x")], "doc_id bigint, text string"
+        )
+        out = {r["doc_id"]: r["text"]
+               for r in TO.line_dedup(df, "doc_id", "text", delimiter="|").collect()}
+        assert out[1] == "a|b|c" and out[2] == "x"
