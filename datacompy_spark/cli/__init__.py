@@ -287,6 +287,19 @@ def build_parser() -> argparse.ArgumentParser:
         "(doc_id, verdict in {new,dup_corpus,dup_batch}, match_id)",
     )
     dd.add_argument(
+        "--ledger", metavar="TABLE",
+        help="stateful incremental mode: probe AND update a persistent "
+        "content-hash ledger (a chash-bucketed catalog table) instead of "
+        "re-hashing a corpus each ingest. Exact method only; creates the "
+        "table on first use; add --ledger-read-only to probe without "
+        "appending. Mutually exclusive with --against",
+    )
+    dd.add_argument(
+        "--ledger-read-only", action="store_true",
+        help="with --ledger: probe the ledger but do not register this "
+        "batch's survivors",
+    )
+    dd.add_argument(
         "--verdict", metavar="PATH", required=True,
         help="write (doc_id, component, is_survivor, n_docs) to PATH as parquet",
     )
@@ -579,9 +592,10 @@ def run_profile(args) -> int:
 
 
 def _run_dedup_incremental(spark, batch, args) -> int:
-    """`dedup --against CORPUS`: incremental batch-vs-corpus dedup. The
-    caller owns the session lifecycle (this runs inside run_dedup's
-    try/finally)."""
+    """`dedup --against CORPUS` / `dedup --ledger TABLE`: incremental
+    batch-vs-corpus dedup (stateless corpus scan, or persistent hash
+    ledger). The caller owns the session lifecycle (this runs inside
+    run_dedup's try/finally)."""
     import json
 
     from pyspark.sql import functions as F
@@ -589,6 +603,10 @@ def _run_dedup_incremental(spark, batch, args) -> int:
     from datacompy_spark.operators import dedup as D
     from datacompy_spark.sources.loaders import load
 
+    if args.ledger and args.method != "exact":
+        raise CLIError(
+            f"--ledger supports --method exact only (got {args.method!r})"
+        )
     if args.method not in ("exact", "minhash"):
         raise CLIError(
             "--against supports --method exact or minhash "
@@ -596,23 +614,35 @@ def _run_dedup_incremental(spark, batch, args) -> int:
         )
     if args.export_pairs:
         raise CLIError("--export-pairs does not apply to incremental mode")
-    kwargs = {"delimiter": args.delimiter} if args.input_format == "csv" else {}
+    corpus = None
+    if args.against:
+        kwargs = {"delimiter": args.delimiter} if args.input_format == "csv" else {}
+        try:
+            corpus = load(spark, args.against, fmt=args.input_format, **kwargs)
+        except Exception as ex:
+            raise CLIError(f"failed to load corpus: {ex}") from ex
+        for c in (args.id_col, args.text_col):
+            if c not in corpus.columns:
+                raise CLIError(f"column {c!r} not found in corpus")
     try:
-        corpus = load(spark, args.against, fmt=args.input_format, **kwargs)
-    except Exception as ex:
-        raise CLIError(f"failed to load corpus: {ex}") from ex
-    for c in (args.id_col, args.text_col):
-        if c not in corpus.columns:
-            raise CLIError(f"column {c!r} not found in corpus")
-    try:
-        out = D.incremental_dedup(
-            batch,
-            corpus,
-            args.id_col,
-            args.text_col,
-            method=args.method,
-            threshold=args.threshold,
-        )
+        if args.ledger:
+            out = D.incremental_dedup_with_ledger(
+                spark,
+                batch,
+                args.ledger,
+                args.id_col,
+                args.text_col,
+                update_ledger=not args.ledger_read_only,
+            )
+        else:
+            out = D.incremental_dedup(
+                batch,
+                corpus,
+                args.id_col,
+                args.text_col,
+                method=args.method,
+                threshold=args.threshold,
+            )
         out.write.mode("overwrite").parquet(args.verdict)
         written = spark.read.parquet(args.verdict)
         counts = {
@@ -629,7 +659,7 @@ def _run_dedup_incremental(spark, batch, args) -> int:
             json.dumps(
                 {
                     "method": args.method,
-                    "mode": "incremental",
+                    "mode": "incremental-ledger" if args.ledger else "incremental",
                     "n_batch": n_batch,
                     "n_new": counts.get("new", 0),
                     "n_dup_corpus": counts.get("dup_corpus", 0),
@@ -668,7 +698,9 @@ def run_dedup(args) -> int:
         for c in need:
             if c not in df.columns:
                 raise CLIError(f"column {c!r} not found in input")
-        if args.against:
+        if args.against and args.ledger:
+            raise CLIError("--against and --ledger are mutually exclusive")
+        if args.against or args.ledger:
             return _run_dedup_incremental(spark, df, args)
         try:
             if args.method == "exact":

@@ -465,6 +465,49 @@ class TestDedupCommand:
         assert v[11] == ("new", None)
         assert v[12] == ("dup_batch", 11)
 
+    def test_ledger_dedup_two_ingests(self, tmp_path, capsys, spark):
+        spark.sql("DROP TABLE IF EXISTS cli_ledger_t")
+        try:
+            b1 = str(tmp_path / "b1.parquet")
+            b2 = str(tmp_path / "b2.parquet")
+            spark.createDataFrame(
+                [(1, "ledger doc one"), (2, "ledger doc two")],
+                "doc_id bigint, text string",
+            ).write.parquet(b1)
+            spark.createDataFrame(
+                [(10, "Ledger DOC one!"), (11, "a third doc")],
+                "doc_id bigint, text string",
+            ).write.parquet(b2)
+            import json as _json
+
+            out1 = str(tmp_path / "v1.parquet")
+            rc = main(["dedup", "--input", b1, "--ledger", "cli_ledger_t",
+                       "--method", "exact", "--verdict", out1])
+            s1 = _json.loads(capsys.readouterr().out)
+            assert rc == 0 and s1["mode"] == "incremental-ledger"
+            assert s1["n_new"] == 2
+
+            out2 = str(tmp_path / "v2.parquet")
+            rc = main(["dedup", "--input", b2, "--ledger", "cli_ledger_t",
+                       "--method", "exact", "--verdict", out2])
+            s2 = _json.loads(capsys.readouterr().out)
+            assert rc == 0 and s2["n_dup_corpus"] == 1 and s2["n_new"] == 1
+            v = {r["doc_id"]: (r["verdict"], r["match_id"])
+                 for r in spark.read.parquet(out2).collect()}
+            assert v[10] == ("dup_corpus", 1) and v[11] == ("new", None)
+        finally:
+            spark.sql("DROP TABLE IF EXISTS cli_ledger_t")
+
+    def test_ledger_rejects_minhash_and_against_combo(self, tmp_path, capsys, spark):
+        p = str(tmp_path / "d.parquet")
+        spark.createDataFrame([(1, "x")], "doc_id bigint, text string").write.parquet(p)
+        rc = main(["dedup", "--input", p, "--ledger", "t", "--method", "minhash",
+                   "--verdict", str(tmp_path / "o.parquet")])
+        assert rc == 2 and "exact only" in capsys.readouterr().err
+        rc = main(["dedup", "--input", p, "--ledger", "t", "--against", p,
+                   "--verdict", str(tmp_path / "o.parquet")])
+        assert rc == 2 and "mutually exclusive" in capsys.readouterr().err
+
     def test_incremental_dedup_rejects_bad_method(self, tmp_path, capsys, spark):
         p = str(tmp_path / "d.parquet")
         spark.createDataFrame([(1, "x")], "doc_id bigint, text string").write.parquet(p)
