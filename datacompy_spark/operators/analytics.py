@@ -379,3 +379,49 @@ def join_cardinality(
         ).alias("pair_share"),
         F.row_number().over(w).alias("rank"),
     )
+
+
+def parse_json_fields(
+    df: DataFrame,
+    json_col: str,
+    fields: Sequence[tuple],
+    keep_invalid: bool = True,
+) -> DataFrame:
+    """Semi-structured extraction: project typed columns out of a JSON
+    string column. ``fields`` is a sequence of ``(out_name, ddl_type)``
+    for TOP-LEVEL keys (the overwhelmingly common event-properties shape);
+    each key parses to ``out_name`` of the given Spark DDL type, with
+    malformed JSON / missing keys / type-mismatched values yielding NULL.
+    Note ``from_json`` is strictly typed — a JSON STRING ``"12"`` under a
+    ``bigint`` field is NULL, not coerced (unlike DuckDB's
+    ``json_extract(...)::BIGINT``); declare the field ``string`` and cast
+    downstream if the source mixes quoting styles.
+
+    The whole record is parsed ONCE via ``from_json`` with an explicit
+    schema — N ``get_json_object`` calls would re-parse the string N times
+    per row (JsonPath evaluation per call); ``from_json`` is a single
+    Jackson pass feeding all fields, stays inside whole-stage codegen, and
+    needs no Python. Narrow projection: zero shuffles at any scale.
+
+    ``keep_invalid=False`` additionally drops rows whose JSON failed to
+    parse at all. Detection uses the parser's corrupt-record channel, not
+    an all-fields-NULL heuristic (which would misclassify ``{}``):
+    PERMISSIVE ``from_json`` fills ``columnNameOfCorruptRecord`` with the
+    raw text exactly when parsing failed. NULL input stays NULL-extracted
+    and is kept — absent is not malformed."""
+    schema_ddl = (
+        ", ".join(f"`{n}` {t}" for n, t in fields) + ", `__corrupt` string"
+    )
+    parsed = df.withColumn(
+        "__j",
+        F.from_json(
+            F.col(json_col),
+            schema_ddl,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "__corrupt"},
+        ),
+    )
+    if not keep_invalid:
+        parsed = parsed.filter(F.col("__j.__corrupt").isNull())
+    return parsed.select(
+        "*", *[F.col(f"__j.{n}").alias(n) for n, _ in fields]
+    ).drop("__j")

@@ -1938,6 +1938,53 @@ FROM batch b JOIN bk k USING (chash) LEFT JOIN cm c USING (chash)"""
 SQL_DEDUP_INCREMENTAL = _sql_dedup_incremental()
 
 
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction + rollup: parse the events table's JSON
+    ``props`` column once per row (operators/analytics.py::
+    parse_json_fields, from_json single-pass — NOT per-field
+    get_json_object re-parses) and aggregate the extracted value per
+    event type. Determinism: int sums cast to BIGINT both engines, one
+    double division for the mean."""
+    from datacompy_spark.operators.analytics import parse_json_fields
+
+    ev = load_table(spark, sf_dir, "events")
+    parsed = parse_json_fields(ev, "props", [("k", "bigint")])
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum(F.when(F.col("k") >= 50, 1).otherwise(0)).alias("n_high"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "sum_k",
+            "min_k",
+            "max_k",
+            "n_high",
+            (F.col("sum_k").cast("double") / F.col("n_events").cast("double")).alias(
+                "avg_k"
+            ),
+        )
+    )
+
+
+SQL_EVENTS_JSON_PROPS = """
+WITH parsed AS (
+  SELECT event_type, json_extract(props, '$.k')::BIGINT AS k FROM events)
+SELECT event_type,
+  count(*) AS n_events,
+  sum(k)::BIGINT AS sum_k,
+  min(k) AS min_k,
+  max(k) AS max_k,
+  sum(CASE WHEN k >= 50 THEN 1 ELSE 0 END)::BIGINT AS n_high,
+  sum(k)::DOUBLE / count(*)::DOUBLE AS avg_k
+FROM parsed GROUP BY event_type"""
+
+
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level exact line dedup (C4/RefinedWeb boilerplate rule,
     operators/textops.py::line_dedup). The flat documents table carries no
@@ -2066,6 +2113,7 @@ PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_incremental": q_dedup_incremental,
     "shard_corpus": q_shard_corpus,
     "line_dedup": q_line_dedup,
+    "events_json_props": q_events_json_props,
 }
 
 PIPELINE_ORACLES: Dict[str, str] = {
@@ -2131,4 +2179,5 @@ PIPELINE_ORACLES: Dict[str, str] = {
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "shard_corpus": SQL_SHARD_CORPUS,
     "line_dedup": SQL_LINE_DEDUP,
+    "events_json_props": SQL_EVENTS_JSON_PROPS,
 }

@@ -1319,3 +1319,49 @@ class TestLineDedup:
         out = {r["doc_id"]: r["text"]
                for r in TO.line_dedup(df, "doc_id", "text", delimiter="|").collect()}
         assert out[1] == "a|b|c" and out[2] == "x"
+
+
+class TestParseJsonFields:
+    def test_typed_extraction_and_malformed(self, spark):
+        from datacompy_spark.operators.analytics import parse_json_fields
+
+        df = spark.createDataFrame(
+            [
+                (1, '{"k": 7, "tag": "a", "score": 1.5}'),
+                (2, '{"k": "12"}'),          # string-typed number: NULL, not coerced
+                (3, '{"tag": "b"}'),          # missing k -> NULL
+                (4, "not json at all"),       # malformed -> NULLs
+                (5, None),                    # NULL json -> NULLs
+                (6, "{}"),                    # valid but empty
+            ],
+            "id bigint, props string",
+        )
+        out = {
+            r["id"]: (r["k"], r["tag"], r["score"])
+            for r in parse_json_fields(
+                df, "props",
+                [("k", "bigint"), ("tag", "string"), ("score", "double")],
+            ).collect()
+        }
+        assert out[1] == (7, "a", 1.5)
+        assert out[2] == (None, None, None)  # JSON-string "12" is not a bigint
+        assert out[3] == (None, "b", None)
+        assert out[4] == (None, None, None)
+        assert out[5] == (None, None, None)
+        assert out[6] == (None, None, None)
+
+    def test_drop_invalid_keeps_empty_object_and_null(self, spark):
+        from datacompy_spark.operators.analytics import parse_json_fields
+
+        df = spark.createDataFrame(
+            [(1, '{"k": 1}'), (2, "garbage"), (3, "{}"), (4, None)],
+            "id bigint, props string",
+        )
+        kept = {
+            r["id"]
+            for r in parse_json_fields(
+                df, "props", [("k", "bigint")], keep_invalid=False
+            ).collect()
+        }
+        # garbage dropped; {} is VALID (empty) and NULL input stays
+        assert kept == {1, 3, 4}
