@@ -425,3 +425,30 @@ def parse_json_fields(
     return parsed.select(
         "*", *[F.col(f"__j.{n}").alias(n) for n, _ in fields]
     ).drop("__j")
+
+
+def json_key_profile(df: DataFrame, json_col: str) -> DataFrame:
+    """Schema discovery over a semi-structured JSON column: one row per
+    observed TOP-LEVEL key with its presence count, distinct-value count,
+    and lexicographic min/max of the value text — the survey a pipeline
+    owner runs BEFORE committing to a typed :func:`parse_json_fields`
+    projection. Scalar JSON values profile as their literal text
+    (``69`` → ``'69'``, ``true`` → ``'true'``); nested objects profile as
+    their JSON text.
+
+    Plan: ``from_json`` to ``map<string,string>`` (one parse per row) →
+    ``explode`` → one partial-aggregated shuffle on the key. Key
+    cardinality is the schema size, not the data size, so the result is
+    driver-tiny at any scale; a pathologically hot key is exactly the
+    partial-agg best case (map-side collapse to one row per partition)."""
+    kv = df.select(
+        F.explode(F.from_json(F.col(json_col), "map<string,string>")).alias(
+            "key", "value"
+        )
+    )
+    return kv.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("value").alias("n_values"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )

@@ -1985,6 +1985,45 @@ SELECT event_type,
 FROM parsed GROUP BY event_type"""
 
 
+def q_json_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema discovery over the events JSON props
+    (operators/analytics.py::json_key_profile). A third of the rows get a
+    second key spliced into the JSON text (identical string surgery in
+    both engines), so the profile exercises per-key presence counts that
+    differ from the row count, not just the single-key testdata shape."""
+    from datacompy_spark.operators.analytics import json_key_profile
+
+    ev = load_table(spark, sf_dir, "events")
+    enriched = ev.select(
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.concat(
+                F.lit('{"type": "'),
+                F.col("event_type"),
+                F.lit('", '),
+                F.expr("substring(props, 2)"),
+            ),
+        )
+        .otherwise(F.col("props"))
+        .alias("props")
+    )
+    return json_key_profile(enriched, "props")
+
+
+SQL_JSON_KEY_PROFILE = """
+WITH src AS (
+  SELECT CASE WHEN event_id % 3 = 0
+              THEN '{"type": "' || event_type || '", ' || substr(props, 2)
+              ELSE props END AS props
+  FROM events),
+kv AS (
+  SELECT u.k AS key, json_extract_string(props, '$.' || u.k) AS value
+  FROM src, unnest(json_keys(props)) AS u(k))
+SELECT key, count(*) AS n_rows, count(DISTINCT value) AS n_values,
+       min(value) AS min_value, max(value) AS max_value
+FROM kv GROUP BY key"""
+
+
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level exact line dedup (C4/RefinedWeb boilerplate rule,
     operators/textops.py::line_dedup). The flat documents table carries no
@@ -2114,6 +2153,7 @@ PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shard_corpus": q_shard_corpus,
     "line_dedup": q_line_dedup,
     "events_json_props": q_events_json_props,
+    "json_key_profile": q_json_key_profile,
 }
 
 PIPELINE_ORACLES: Dict[str, str] = {
@@ -2180,4 +2220,5 @@ PIPELINE_ORACLES: Dict[str, str] = {
     "shard_corpus": SQL_SHARD_CORPUS,
     "line_dedup": SQL_LINE_DEDUP,
     "events_json_props": SQL_EVENTS_JSON_PROPS,
+    "json_key_profile": SQL_JSON_KEY_PROFILE,
 }

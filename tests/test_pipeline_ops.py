@@ -1365,3 +1365,25 @@ class TestParseJsonFields:
         }
         # garbage dropped; {} is VALID (empty) and NULL input stays
         assert kept == {1, 3, 4}
+
+
+class TestJsonKeyProfile:
+    def test_counts_and_ranges(self, spark):
+        from datacompy_spark.operators.analytics import json_key_profile
+
+        df = spark.createDataFrame(
+            [
+                ('{"a": 1, "b": "x"}',),
+                ('{"a": 2}',),
+                ('{"a": 1, "c": true}',),
+                ("bad json",),
+                (None,),
+            ],
+            "props string",
+        )
+        out = {r["key"]: r for r in json_key_profile(df, "props").collect()}
+        assert set(out) == {"a", "b", "c"}
+        assert out["a"]["n_rows"] == 3 and out["a"]["n_values"] == 2
+        assert out["a"]["min_value"] == "1" and out["a"]["max_value"] == "2"
+        assert out["b"]["n_rows"] == 1 and out["b"]["min_value"] == "x"
+        assert out["c"]["min_value"] == "true"
