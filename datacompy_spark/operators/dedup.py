@@ -1098,6 +1098,13 @@ def dedup_verdict(components: DataFrame) -> DataFrame:
     )
 
 
+def _content_hash(text: "F.Column"):
+    """md5 of normalized text with NULL folded to a sentinel hash group:
+    equi-joins and group-bys must treat NULL text as one content class
+    (exact_dedup's groupBy already does), never silently drop the rows."""
+    return F.coalesce(F.md5(normalize(text)), F.lit("__null_text__"))
+
+
 def incremental_dedup(
     batch: DataFrame,
     corpus: DataFrame,
@@ -1154,13 +1161,17 @@ def incremental_dedup(
     maybe_bcast = F.broadcast if broadcast_batch else (lambda df: df)
 
     if method == "exact":
+        # NULL-text rows hash to the sentinel, not NULL: an inner equi-join
+        # on a NULL key silently drops the row from the verdict frame, and
+        # grouping all NULL texts together matches exact_dedup's groupBy
+        # semantics (NULL is one content group)
         bh = batch.select(
             F.col(id_col).alias("doc_id"),
-            F.md5(normalize(F.col(text_col))).alias("chash"),
+            _content_hash(F.col(text_col)).alias("chash"),
         )
         bk = bh.groupBy("chash").agg(F.min("doc_id").alias("batch_keep"))
         corpus_hashed = corpus.select(
-            F.md5(normalize(F.col(text_col))).alias("chash"),
+            _content_hash(F.col(text_col)).alias("chash"),
             F.col(id_col).alias("corpus_id"),
         )
         # corpus scan → broadcast semi-join on the batch's distinct hashes →
@@ -1375,7 +1386,7 @@ def incremental_dedup_with_ledger(
     maybe_bcast = F.broadcast if broadcast_batch else (lambda df: df)
     bh = batch.select(
         F.col(id_col).alias("doc_id"),
-        F.md5(normalize(F.col(text_col))).alias("chash"),
+        _content_hash(F.col(text_col)).alias("chash"),
     )
     bk = bh.groupBy("chash").agg(F.min("doc_id").alias("batch_keep"))
 

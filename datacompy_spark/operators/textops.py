@@ -1113,11 +1113,14 @@ def line_dedup(
     over doc_id with an order-struct sort — partition size bounded by the
     longest document, not by line popularity."""
     # \Q..\E: Spark's split() takes a Java regex; quote the delimiter so it
-    # is literal, matching the SQL twin's literal string_split
+    # is literal, matching the SQL twin's literal string_split.
+    # coalesce: posexplode of a NULL array emits no rows, which would drop
+    # NULL-text documents from the output entirely — they surface as one
+    # empty line instead (n_lines=1, like an empty document).
     lines = df.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(
-            F.split(F.col(text_col), "\\Q" + delimiter + "\\E")
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\\Q" + delimiter + "\\E")
         ).alias("pos", "line"),
     ).withColumn("lhash", F.md5(normalize(F.col("line"))))
     first = lines.groupBy("lhash").agg(
@@ -1161,7 +1164,8 @@ def line_dedup_sql(
 
     return f"""
 WITH split AS (
-  SELECT {id_col} AS doc_id, string_split({text_col}, {delim_sql}) AS parts
+  SELECT {id_col} AS doc_id,
+         string_split(coalesce({text_col}, ''), {delim_sql}) AS parts
   FROM {table_expr}),
 lines AS (
   SELECT doc_id, g.i - 1 AS pos, parts[g.i] AS line,

@@ -211,17 +211,19 @@ def streaming_incremental_dedup(
 
     Output: the surviving stream rows (original columns), append-mode
     compatible (no aggregation after the watermarked dedup)."""
-    from datacompy_spark.functions.text import normalize
+    from datacompy_spark.operators.dedup import _content_hash
 
-    chash = F.md5(normalize(F.col(text_col))).alias("__chash")
-    hashed = stream.select("*", chash)
+    # sentinel hash for NULL text (shared with the batch operator): a NULL
+    # anti-join key never matches, which would let every NULL-text row
+    # through regardless of corpus state
+    hashed = stream.select("*", _content_hash(F.col(text_col)).alias("__chash"))
     if stream.isStreaming:
         hashed = _watermarkable(hashed, ts_col).withWatermark(ts_col, watermark)
         hashed = hashed.dropDuplicatesWithinWatermark(["__chash"])
     else:
         hashed = hashed.dropDuplicates(["__chash"])
     corpus_hashes = corpus.select(
-        F.md5(normalize(F.col(text_col))).alias("__chash")
+        _content_hash(F.col(text_col)).alias("__chash")
     ).distinct()
     return hashed.join(corpus_hashes, "__chash", "left_anti").drop("__chash")
 

@@ -1387,3 +1387,74 @@ class TestJsonKeyProfile:
         assert out["a"]["min_value"] == "1" and out["a"]["max_value"] == "2"
         assert out["b"]["n_rows"] == 1 and out["b"]["min_value"] == "x"
         assert out["c"]["min_value"] == "true"
+
+
+class TestNullTextHandling:
+    """NULL-text rows must never silently vanish from dedup outputs: a
+    NULL equi-join key drops the row, so content hashing folds NULL into
+    a sentinel group (one content class, like exact_dedup's groupBy)."""
+
+    def test_incremental_exact_null_batch_and_corpus(self, spark):
+        corpus = spark.createDataFrame(
+            [(1, "real corpus doc"), (2, None)], "doc_id bigint, text string"
+        )
+        batch = spark.createDataFrame(
+            [(10, None), (11, None), (12, "fresh doc")],
+            "doc_id bigint, text string",
+        )
+        out = {
+            r["doc_id"]: (r["verdict"], r["match_id"])
+            for r in D.incremental_dedup(
+                batch, corpus, "doc_id", "text", method="exact"
+            ).collect()
+        }
+        assert len(out) == 3  # nothing vanished
+        assert out[10] == ("dup_corpus", 2)
+        assert out[11] == ("dup_corpus", 2)
+        assert out[12] == ("new", None)
+
+    def test_incremental_exact_null_batch_only(self, spark):
+        corpus = spark.createDataFrame(
+            [(1, "real corpus doc")], "doc_id bigint, text string"
+        )
+        batch = spark.createDataFrame(
+            [(10, None), (11, None)], "doc_id bigint, text string"
+        )
+        out = {
+            r["doc_id"]: (r["verdict"], r["match_id"])
+            for r in D.incremental_dedup(
+                batch, corpus, "doc_id", "text", method="exact"
+            ).collect()
+        }
+        assert out[10] == ("new", None)
+        assert out[11] == ("dup_batch", 10)
+
+    def test_line_dedup_null_text_doc_present(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a line"), (2, None)], "doc_id bigint, text string"
+        )
+        out = {r["doc_id"]: r for r in TO.line_dedup(df, "doc_id", "text").collect()}
+        assert set(out) == {1, 2}
+        assert out[2]["text"] == "" and out[2]["n_lines"] == 1
+
+    def test_streaming_incremental_batch_twin_null_text(self, spark):
+        from datacompy_spark.streaming import drift as SD
+
+        corpus = spark.createDataFrame(
+            [(1, None)], "doc_id bigint, text string"
+        )
+        import datetime as dt
+
+        t0 = dt.datetime(2026, 1, 1)
+        batch = spark.createDataFrame(
+            [(10, None, t0), (11, "real", t0)],
+            "doc_id bigint, text string, ts timestamp",
+        )
+        got = {
+            r["doc_id"]
+            for r in SD.streaming_incremental_dedup(
+                batch, corpus, "doc_id", "text", "ts"
+            ).collect()
+        }
+        # NULL-text doc matches the corpus's NULL-text entry and dies
+        assert got == {11}
