@@ -90,12 +90,21 @@ def collapse_exact_content(df: DataFrame, id_col: str, text_col: str):
     document and ``reps`` is one (chash, doc_id, toks) row per distinct
     token sequence (survivor = min id). The hot-bucket guard for LSH: k
     identical documents enter candidate generation as ONE row instead of
-    k rows sharing every band bucket (k² candidates)."""
+    k rows sharing every band bucket (k² candidates).
+
+    The tokenized projection is persisted HERE, eagerly: members and reps
+    both read it, and without the shared cache each consumer re-runs the
+    corpus scan + regex tokenization + md5 — measured as a full duplicate
+    tokenize pass per extra consumer at sf0.1. Callers therefore don't
+    (and shouldn't) persist `members` themselves; it is a narrow
+    projection of this cache."""
     from datacompy_spark.plans.partitioning import fan_out
 
     staged = fan_out(
         df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks"))
     ).select("doc_id", "toks", F.md5(F.concat_ws("\x1f", "toks")).alias("chash"))
+    staged = staged.persist()
+    staged.count()
     members = staged.select("doc_id", "chash")
     reps = staged.groupBy("chash").agg(
         F.min("doc_id").alias("doc_id"), F.min_by("toks", "doc_id").alias("toks")
@@ -140,8 +149,7 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     # ---- stage 0: exact-content collapse --------------------------------
     members, reps = collapse_exact_content(df, id_col, text_col)
-    members = members.persist()
-    members.count()
+    # members is a narrow projection of collapse's eager cache — no extra persist
     # Persist the per-representative sketches: Spark re-evaluates projection
     # expressions per JOINED ROW in self-joins, so without materialization the
     # shingling/minhash work would run once per candidate pair instead of
@@ -285,8 +293,7 @@ def simhash_near_dups(
     pairs are Hamming 0 by definition."""
     bits_per_band = 60 // bands
     members, reps = collapse_exact_content(df, id_col, text_col)
-    members = members.persist()
-    members.count()
+    # members is a narrow projection of collapse's eager cache — no extra persist
     sigs = (
         reps.select("doc_id", "chash", token_hashes(F.col("toks")).alias("thash"))
         .select(
@@ -1237,8 +1244,7 @@ def incremental_dedup(
     # batch side: collapse exact-content duplicates before banding (the
     # hot-bucket guard), then band the representatives only
     members, reps = collapse_exact_content(batch, id_col, text_col)
-    members = members.persist()
-    members.count()
+    # members is a narrow projection of collapse's eager cache — no extra persist
     rep_docs = reps.select("doc_id", F.concat_ws(" ", "toks").alias("__text"))
     bbase = _shingle_table(
         rep_docs.select(F.col("doc_id").alias(id_col), F.col("__text").alias(text_col))
