@@ -452,3 +452,44 @@ class TestJoinCardinalityPlan:
             jc.explain("formatted")
         plan = buf.getvalue()
         assert plan.count("ReusedExchange") >= 2, plan
+
+
+class TestLedgerTopology:
+    def test_ledger_probe_broadcasts_batch_not_ledger(self, spark):
+        """The incremental-dedup ledger claim: the persistent hash table is
+        only ever SCANNED — the batch's distinct hashes broadcast against
+        it, so no Exchange ever sits above the ledger scan and no
+        BroadcastExchange ever wraps the ledger side."""
+        from datacompy_spark.operators.dedup import incremental_dedup_with_ledger
+
+        spark.sql("DROP TABLE IF EXISTS plan_ledger_t")
+        try:
+            seed = spark.createDataFrame(
+                [(i, f"ledger doc number {i}") for i in range(20)],
+                "doc_id bigint, text string",
+            )
+            incremental_dedup_with_ledger(
+                spark, seed, "plan_ledger_t", "doc_id", "text", num_buckets=4
+            )
+            batch = spark.createDataFrame(
+                [(100, "ledger doc number 3"), (101, "a new one")],
+                "doc_id bigint, text string",
+            )
+            out = incremental_dedup_with_ledger(
+                spark, batch, "plan_ledger_t", "doc_id", "text",
+                update_ledger=False,
+            )
+            p = plan_of(out)
+            # the ledger scan appears exactly once, as a plain file scan
+            assert p.count("plan_ledger_t") >= 1
+            for line in p.splitlines():
+                if "plan_ledger_t" in line and "Scan" in line:
+                    break
+            else:
+                raise AssertionError(f"no ledger scan found:\n{p[:800]}")
+            # every join in the probe is broadcast with the BATCH side
+            # built: a SortMergeJoin would mean the ledger shuffled
+            assert "SortMergeJoin" not in p, p
+            assert "BroadcastHashJoin" in p, p
+        finally:
+            spark.sql("DROP TABLE IF EXISTS plan_ledger_t")
