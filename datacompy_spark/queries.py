@@ -574,6 +574,13 @@ _SWEEP_FIRST = [
     "embedding_quantize",
     "ngram_dup_profile",
     "fuzzy_key_match",
+    # registered new in r8 — hoisted so their first driver sweep is this
+    # round, keeping the never-driver-verified set empty
+    "dedup_incremental",
+    "shard_corpus",
+    "line_dedup",
+    "events_json_props",
+    "json_key_profile",
     # last green in r6 — due for re-verification
     "corpus_mix",
     "curate_corpus",
