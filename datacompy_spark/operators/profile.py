@@ -181,3 +181,58 @@ def profile_compare(
             | ~F.col("max_1").eqNullSafe(F.col("max_2"))
         ).alias("range_changed"),
     )
+
+
+def file_layout_profile(
+    spark,
+    tables,
+    small_file_bytes: int = 128 * 1024 * 1024,
+) -> DataFrame:
+    """Physical-layout diagnostic: per logical table, how many files back
+    it and how big they are — the first question before a 100 TB read,
+    because scan parallelism and task sizing follow the FILE layout, not
+    the row count (ten thousand 1 MB files cost more scheduler and footer
+    overhead than a hundred 100 MB ones; one 50 GB file caps parallelism
+    at its row-group count). ``tables`` maps table name → path or glob.
+
+    Returns per table: ``n_files, total_bytes, max_file_bytes,
+    n_small_files`` (files under ``small_file_bytes``, default 128 MB —
+    the classic compaction threshold; a high small-file count says run
+    compaction / raise ``maxRecordsPerFile`` at the writer).
+
+    Cost: a ``binaryFile``-source scan with the content column PRUNED —
+    Spark serves (path, length) from the file listing without opening a
+    single file, so this is a metadata-only operation even over a
+    petabyte of objects. No shuffle beyond the ≤|tables|-row aggregate."""
+    from functools import reduce as _reduce
+
+    frames = [
+        spark.read.format("binaryFile")
+        .load(path)
+        .select(F.lit(name).alias("table_name"), F.col("length"))
+        for name, path in sorted(dict(tables).items())
+    ]
+    allf = _reduce(lambda a, b: a.unionAll(b), frames)
+    return allf.groupBy("table_name").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("length").alias("total_bytes"),
+        F.max("length").alias("max_file_bytes"),
+        F.sum(
+            (F.col("length") < F.lit(int(small_file_bytes))).cast("long")
+        ).alias("n_small_files"),
+    )
+
+
+def file_layout_profile_sql(tables, small_file_bytes: int = 128 * 1024 * 1024) -> str:
+    """DuckDB twin of :func:`file_layout_profile` (``read_blob``'s size
+    column is the same filesystem byte count as binaryFile's length)."""
+    selects = "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS table_name, size FROM read_blob('{path}')"
+        for name, path in sorted(dict(tables).items())
+    )
+    return f"""
+WITH files AS ({selects})
+SELECT table_name, count(*) AS n_files, sum(size)::BIGINT AS total_bytes,
+       max(size)::BIGINT AS max_file_bytes,
+       sum((size < {int(small_file_bytes)})::INT)::BIGINT AS n_small_files
+FROM files GROUP BY table_name"""

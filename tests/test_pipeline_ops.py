@@ -1458,3 +1458,49 @@ class TestNullTextHandling:
         }
         # NULL-text doc matches the corpus's NULL-text entry and dies
         assert got == {11}
+
+
+class TestFileLayoutProfile:
+    def test_matches_duckdb_on_real_testdata(self, spark, sf_dir):
+        """Cross-engine check in pytest (the driver's oracle harness only
+        pre-registers table VIEWS, so a path-parameterized query cannot
+        ride it): byte counts from Spark's binaryFile listing must equal
+        DuckDB's read_blob sizes for every testdata table."""
+        import duckdb
+
+        from datacompy_spark.operators.profile import (
+            file_layout_profile,
+            file_layout_profile_sql,
+        )
+
+        tables = {
+            t: f"{sf_dir}/{t}.parquet"
+            for t in ("lineitem", "orders", "documents", "embeddings")
+        }
+        got = {
+            r["table_name"]: (
+                r["n_files"], r["total_bytes"], r["max_file_bytes"], r["n_small_files"]
+            )
+            for r in file_layout_profile(spark, tables).collect()
+        }
+        want_df = duckdb.sql(file_layout_profile_sql(tables)).df()
+        want = {
+            r.table_name: (
+                int(r.n_files), int(r.total_bytes),
+                int(r.max_file_bytes), int(r.n_small_files),
+            )
+            for r in want_df.itertuples()
+        }
+        assert got == want
+        assert all(v[0] >= 1 for v in got.values())
+        # testdata files are all < 128 MB -> every file counts as small
+        assert all(v[3] == v[0] for v in got.values())
+
+    def test_content_column_pruned_from_plan(self, spark, sf_dir):
+        """The operator's metadata-only claim: the binaryFile scan must not
+        read file CONTENT — ReadSchema carries only path/length columns."""
+        from datacompy_spark.operators.profile import file_layout_profile
+
+        df = file_layout_profile(spark, {"lineitem": f"{sf_dir}/lineitem.parquet"})
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "content" not in plan, plan[:800]
