@@ -227,6 +227,20 @@ def build_parser() -> argparse.ArgumentParser:
         help="exact distinct counts instead of the HyperLogLog sketch "
         "(plans an Expand — only for modest tables)",
     )
+    pr.add_argument(
+        "--files",
+        action="store_true",
+        help="profile the PHYSICAL file layout of --input (a path/glob) "
+        "instead of its data: file count, bytes, max file size, and "
+        "small-file count (metadata-only, no file contents read). "
+        "Incompatible with --compare-to/--columns",
+    )
+    pr.add_argument(
+        "--small-file-mb",
+        type=int,
+        default=128,
+        help="with --files: small-file threshold in MB (default 128)",
+    )
     pr.add_argument("--format", choices=["text", "json"], default="text")
     pr.add_argument("--output", help="also write the result to this file")
     pr.add_argument("--quiet", action="store_true", help="suppress stdout output")
@@ -548,6 +562,34 @@ def run_profile(args) -> int:
     created = SparkSession.getActiveSession() is None
     spark = SparkSession.builder.appName(args.spark_app_name).getOrCreate()
     try:
+        if args.files:
+            if args.compare_to or args.columns:
+                raise CLIError(
+                    "--files profiles the physical layout only; it cannot "
+                    "combine with --compare-to or --columns"
+                )
+            from datacompy_spark.operators.profile import file_layout_profile
+
+            try:
+                out = file_layout_profile(
+                    spark,
+                    {"input": args.input},
+                    small_file_bytes=args.small_file_mb * 1024 * 1024,
+                )
+                rows = out.toPandas()
+            except Exception as ex:
+                raise CLIError(str(ex)) from ex
+            rendered = (
+                rows.to_json(orient="records", indent=2)
+                if args.format == "json"
+                else rows.to_string(index=False)
+            )
+            if args.output:
+                with open(args.output, "w") as fh:
+                    fh.write(rendered + "\n")
+            if not args.quiet:
+                print(rendered)
+            return 0
         kwargs = {"delimiter": args.delimiter} if args.input_format == "csv" else {}
         try:
             df = load(spark, args.input, fmt=args.input_format, **kwargs)

@@ -517,3 +517,26 @@ class TestDedupCommand:
         ])
         assert rc == 2
         assert "exact or minhash" in capsys.readouterr().err
+
+
+class TestProfileFiles:
+    def test_files_layout_json(self, tmp_path, capsys, spark, sf_dir):
+        import json as _json
+
+        rc = main([
+            "profile", "--input", f"{sf_dir}/lineitem.parquet",
+            "--files", "--format", "json",
+        ])
+        out = _json.loads(capsys.readouterr().out)
+        assert rc == 0 and len(out) == 1
+        row = out[0]
+        assert row["n_files"] == 1 and row["total_bytes"] > 0
+        assert row["n_small_files"] == 1  # test file < 128 MB
+
+    def test_files_rejects_compare_to(self, tmp_path, capsys, spark, sf_dir):
+        rc = main([
+            "profile", "--input", f"{sf_dir}/lineitem.parquet",
+            "--files", "--compare-to", f"{sf_dir}/orders.parquet",
+        ])
+        assert rc == 2
+        assert "physical layout" in capsys.readouterr().err
