@@ -452,3 +452,70 @@ def json_key_profile(df: DataFrame, json_col: str) -> DataFrame:
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
     )
+
+
+def rolling_anomaly(
+    df: DataFrame,
+    ts_col: str,
+    group_cols: Sequence[str],
+    bucket_seconds: int = 3600,
+    trailing: int = 24,
+    min_history: int = 6,
+) -> DataFrame:
+    """Volume-anomaly detection per group: bucket events into fixed epoch
+    windows, then score each bucket's count against its TRAILING window
+    (the ``trailing`` buckets strictly before it) — the feed-monitoring
+    primitive behind "did this source suddenly halve/spike?".
+
+    Returns per (group, bucket): ``n_events``, the trailing window's
+    ``n_history/hist_sum/hist_sumsq`` and a ``zscore`` (NULL until
+    ``min_history`` buckets of history exist, and NULL when the history
+    variance is zero — a constant feed has no scale for deviation).
+
+    Cross-engine determinism: the window carries INTEGER sums only
+    (count, Σx, Σx²) — exact in any accumulation order — and the z-score
+    derives from them in a fixed scalar expression per row:
+    ``(n·x − Σx) / sqrt(n·Σx² − (Σx)²)`` (the n-scaled z-score, algebra
+    of ``(x−μ)/σ`` with population σ). Float accumulation across a
+    window would hash differently per partition layout; integer
+    accumulation cannot.
+
+    Scale shape: one partial-agg shuffle to (group, bucket) — output
+    cardinality is groups × time, tiny vs the event count — then a window
+    per group ordered by bucket with a ``trailing``-row frame: bounded
+    state, no skew exposure beyond the bucket agg's partial combine."""
+    if bucket_seconds <= 0 or trailing <= 0:
+        raise ValueError("bucket_seconds and trailing must be positive")
+    gcols = list(group_cols)
+    bucket = F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_seconds)
+    counts = (
+        df.select(*gcols, bucket.alias("bucket"))
+        .groupBy(*gcols, "bucket")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = (
+        Window.partitionBy(*gcols)
+        .orderBy("bucket")
+        .rowsBetween(-trailing, -1)
+    )
+    hist = counts.select(
+        *gcols,
+        "bucket",
+        "n_events",
+        F.count("n_events").over(w).alias("n_history"),
+        F.sum("n_events").over(w).alias("hist_sum"),
+        F.sum(F.col("n_events") * F.col("n_events")).over(w).alias("hist_sumsq"),
+    )
+    n = F.col("n_history")
+    s1 = F.col("hist_sum")
+    s2 = F.col("hist_sumsq")
+    var_num = n * s2 - s1 * s1  # n^2 * variance, exact integer
+    z = F.when(
+        (n >= F.lit(min_history)) & (var_num > 0),
+        (n.cast("double") * F.col("n_events").cast("double") - s1.cast("double"))
+        / F.sqrt(var_num.cast("double")),
+    )
+    return hist.select(
+        *gcols, "bucket", "n_events", "n_history", "hist_sum", "hist_sumsq",
+        z.alias("zscore"),
+    )

@@ -581,6 +581,7 @@ _SWEEP_FIRST = [
     "line_dedup",
     "events_json_props",
     "json_key_profile",
+    "events_anomaly",
     # last green in r6 — due for re-verification
     "corpus_mix",
     "curate_corpus",

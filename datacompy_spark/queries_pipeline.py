@@ -1985,6 +1985,47 @@ SELECT event_type,
 FROM parsed GROUP BY event_type"""
 
 
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling volume-anomaly scores per event type (operators/
+    analytics.py::rolling_anomaly): hourly buckets, 24-bucket trailing
+    window, z-score from exact integer sums only — the window carries
+    (count, Σx, Σx²) and the score derives per row, so the hash is
+    partition-layout-invariant despite the floating-point output."""
+    from datacompy_spark.operators.analytics import rolling_anomaly
+
+    ev = load_table(spark, sf_dir, "events")
+    return rolling_anomaly(
+        ev, "ts", ["event_type"], bucket_seconds=3600, trailing=24, min_history=6
+    )
+
+
+SQL_EVENTS_ANOMALY = """
+WITH counts AS (
+  -- floor() before the cast: epoch() carries fractional seconds and
+  -- ::BIGINT ROUNDS in DuckDB while Spark's unix_timestamp truncates
+  SELECT event_type, (floor(epoch(ts))::BIGINT // 3600) AS bucket,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2),
+hist AS (
+  SELECT event_type, bucket, n_events,
+         count(n_events) OVER w AS n_history,
+         sum(n_events) OVER w AS hist_sum,
+         sum(n_events * n_events) OVER w AS hist_sumsq
+  FROM counts
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+SELECT event_type, bucket, n_events,
+  n_history::BIGINT AS n_history,
+  hist_sum::BIGINT AS hist_sum,
+  hist_sumsq::BIGINT AS hist_sumsq,
+  CASE WHEN n_history >= 6
+        AND (n_history * hist_sumsq - hist_sum * hist_sum) > 0
+       THEN (n_history::DOUBLE * n_events::DOUBLE - hist_sum::DOUBLE)
+            / sqrt((n_history * hist_sumsq - hist_sum * hist_sum)::DOUBLE)
+       END AS zscore
+FROM hist"""
+
+
 def q_json_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema discovery over the events JSON props
     (operators/analytics.py::json_key_profile). A third of the rows get a
@@ -2154,6 +2195,7 @@ PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "line_dedup": q_line_dedup,
     "events_json_props": q_events_json_props,
     "json_key_profile": q_json_key_profile,
+    "events_anomaly": q_events_anomaly,
 }
 
 PIPELINE_ORACLES: Dict[str, str] = {
@@ -2221,4 +2263,5 @@ PIPELINE_ORACLES: Dict[str, str] = {
     "line_dedup": SQL_LINE_DEDUP,
     "events_json_props": SQL_EVENTS_JSON_PROPS,
     "json_key_profile": SQL_JSON_KEY_PROFILE,
+    "events_anomaly": SQL_EVENTS_ANOMALY,
 }

@@ -1504,3 +1504,66 @@ class TestFileLayoutProfile:
         df = file_layout_profile(spark, {"lineitem": f"{sf_dir}/lineitem.parquet"})
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "content" not in plan, plan[:800]
+
+
+class TestRollingAnomaly:
+    def test_planted_spike_scores_high(self, spark):
+        from datacompy_spark.operators.analytics import rolling_anomaly
+        import datetime as dt
+
+        base = dt.datetime(2026, 1, 1)
+        rows = []
+        eid = 0
+        # 30 hourly buckets of 10 events, then one bucket of 100
+        for h in range(30):
+            n = 100 if h == 29 else 10
+            for _ in range(n):
+                rows.append((eid, "click", base + dt.timedelta(hours=h)))
+                eid += 1
+        df = spark.createDataFrame(rows, "event_id bigint, event_type string, ts timestamp")
+        out = {
+            r["bucket"]: r
+            for r in rolling_anomaly(
+                df, "ts", ["event_type"], bucket_seconds=3600,
+                trailing=24, min_history=6,
+            ).collect()
+        }
+        buckets = sorted(out)
+        # warmup buckets: no score until min_history, and a constant feed
+        # has zero variance -> NULL all the way until the spike
+        assert all(out[b]["zscore"] is None for b in buckets[:-1])
+        spike = out[buckets[-1]]
+        assert spike["n_events"] == 100 and spike["n_history"] == 24
+        # constant history has zero variance... the spike bucket's HISTORY
+        # is the 24 buckets before it (all 10s) -> variance 0 -> NULL too?
+        # No: zero-variance history yields NULL by design; plant variance
+        # instead below.
+
+    def test_variance_history_scores_spike(self, spark):
+        from datacompy_spark.operators.analytics import rolling_anomaly
+        import datetime as dt
+
+        base = dt.datetime(2026, 1, 1)
+        rows, eid = [], 0
+        # alternating 9/11 history (mean 10, var 1), then a 20-event spike
+        for h in range(25):
+            n = 20 if h == 24 else (9 if h % 2 == 0 else 11)
+            for _ in range(n):
+                rows.append((eid, "click", base + dt.timedelta(hours=h)))
+                eid += 1
+        df = spark.createDataFrame(rows, "event_id bigint, event_type string, ts timestamp")
+        out = sorted(
+            rolling_anomaly(
+                df, "ts", ["event_type"], bucket_seconds=3600,
+                trailing=24, min_history=6,
+            ).collect(),
+            key=lambda r: r["bucket"],
+        )
+        spike = out[-1]
+        assert spike["n_events"] == 20
+        # history: 24 buckets alternating 9/11 -> mean 10, pop var 1 -> z = 10
+        assert spike["zscore"] == pytest.approx(10.0)
+        # zero-variance guard never fires here after warmup EXCEPT where
+        # history variance is zero; mid-series scores exist
+        scored = [r for r in out if r["zscore"] is not None]
+        assert len(scored) >= 2
