@@ -472,6 +472,13 @@ def rolling_anomaly(
     ``min_history`` buckets of history exist, and NULL when the history
     variance is zero — a constant feed has no scale for deviation).
 
+    The trailing window is a TIME RANGE (``bucket − trailing ≤ b <
+    bucket``), not a row frame: "the last 24 hours", with empty buckets
+    simply absent from the history (they reduce ``n_history``, guarded by
+    ``min_history``), never "the last 24 buckets we happened to observe"
+    — a feed that was silent for a week must not be scored against
+    week-old history as if it were adjacent.
+
     Cross-engine determinism: the window carries INTEGER sums only
     (count, Σx, Σx²) — exact in any accumulation order — and the z-score
     derives from them in a fixed scalar expression per row:
@@ -496,7 +503,7 @@ def rolling_anomaly(
     w = (
         Window.partitionBy(*gcols)
         .orderBy("bucket")
-        .rowsBetween(-trailing, -1)
+        .rangeBetween(-trailing, -1)
     )
     hist = counts.select(
         *gcols,

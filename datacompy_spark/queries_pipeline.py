@@ -2013,7 +2013,7 @@ hist AS (
          sum(n_events * n_events) OVER w AS hist_sumsq
   FROM counts
   WINDOW w AS (PARTITION BY event_type ORDER BY bucket
-               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+               RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING))
 SELECT event_type, bucket, n_events,
   n_history::BIGINT AS n_history,
   hist_sum::BIGINT AS hist_sum,

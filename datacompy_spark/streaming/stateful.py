@@ -75,3 +75,132 @@ def running_totals(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+ANOMALY_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("bucket", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("n_history", T.LongType()),
+        T.StructField("hist_sum", T.LongType()),
+        T.StructField("hist_sumsq", T.LongType()),
+        T.StructField("zscore", T.DoubleType()),
+    ]
+)
+
+_ANOMALY_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("buckets", T.ArrayType(T.LongType())),
+        T.StructField("counts", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def streaming_anomaly(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    bucket_seconds: int = 3600,
+    trailing: int = 24,
+    min_history: int = 6,
+) -> DataFrame:
+    """Always-on volume-anomaly scores — the streaming counterpart of
+    ``operators.analytics.rolling_anomaly``, built on
+    ``applyInPandasWithState`` because no watermarked window can express
+    "score THIS bucket against the N buckets before it" (the frame
+    reaches backwards across window boundaries).
+
+    State per key: the (bucket → count) map of the most recent
+    ``2 × trailing`` buckets as two parallel arrays — O(trailing) per
+    key, pruned on every update, engine-checkpointed. Each micro-batch
+    folds its events into the map and re-emits scores for the buckets it
+    touched (update mode: a late event revises its bucket's score).
+    Events older than the pruning horizon are folded into nothing —
+    documented loss, same contract as a watermark.
+
+    The z-score uses the IDENTICAL exact-integer formula as the batch
+    operator — ``(n·x − Σx)/sqrt(n·Σx² − (Σx)²)`` over int sums — so a
+    single-batch replay reproduces the batch operator's floats bit for
+    bit (the equivalence test pins this).
+
+    On a batch frame: delegates to ``rolling_anomaly`` (the oracle twin),
+    key column renamed/cast to the streaming output shape."""
+    from pyspark.sql import functions as F
+
+    if not df.isStreaming:
+        from datacompy_spark.operators.analytics import rolling_anomaly
+
+        out = rolling_anomaly(
+            df, ts_col, [key_col], bucket_seconds=bucket_seconds,
+            trailing=trailing, min_history=min_history,
+        )
+        return out.select(
+            F.col(key_col).cast("string").alias("key"),
+            "bucket", "n_events", "n_history", "hist_sum", "hist_sumsq", "zscore",
+        )
+
+    def update(
+        key: Tuple[str], pdfs: Iterator["pandas.DataFrame"], state: GroupState  # noqa: F821
+    ) -> Iterator["pandas.DataFrame"]:
+        import math
+
+        import pandas as pd
+
+        if state.exists:
+            bks, cts = state.get
+            hist = dict(zip(list(bks), list(cts)))
+        else:
+            hist = {}
+        touched = set()
+        for pdf in pdfs:
+            for b, c in pdf.groupby("bucket").size().items():
+                b = int(b)
+                hist[b] = hist.get(b, 0) + int(c)
+                touched.add(b)
+        # score BEFORE pruning: the horizon bounds what future batches can
+        # revise, never what this batch already knows — a backfill batch
+        # spanning more than the horizon must still score its early
+        # buckets against the full history it just delivered (and a
+        # single-batch replay must reproduce the batch operator exactly)
+        rows = []
+        for b in sorted(touched):
+            prior = [hist[x] for x in hist if b - trailing <= x < b]
+            n, s1 = len(prior), sum(prior)
+            s2 = sum(v * v for v in prior)
+            var_num = n * s2 - s1 * s1
+            z = (
+                (float(n) * float(hist[b]) - float(s1)) / math.sqrt(float(var_num))
+                if n >= min_history and var_num > 0
+                else None
+            )
+            # SQL window sums over an EMPTY frame are NULL (count is 0);
+            # match that so the single-batch replay is value-identical
+            rows.append(
+                (key[0], b, hist[b], n,
+                 s1 if n else None, s2 if n else None, z)
+            )
+        # prune for the SAVED state only: bounded O(trailing) per key
+        if hist:
+            horizon = max(hist) - 2 * trailing
+            hist = {b: c for b, c in hist.items() if b >= horizon}
+        state.update((sorted(hist), [hist[b] for b in sorted(hist)]))
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "key", "bucket", "n_events", "n_history",
+                "hist_sum", "hist_sumsq", "zscore",
+            ],
+        )
+
+    bucketed = df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_seconds).alias("bucket"),
+    )
+    return bucketed.groupBy("key").applyInPandasWithState(
+        update,
+        outputStructType=ANOMALY_SCHEMA,
+        stateStructType=_ANOMALY_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

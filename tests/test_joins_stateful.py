@@ -169,3 +169,82 @@ class TestFunnel:
         # one hash exchange for the user window; the final count agg collapses
         # to a single partition but adds no user-keyed shuffle
         assert plan.count("hashpartitioning(user_id") == 1
+
+
+class TestStreamingAnomaly:
+    def test_single_batch_replay_matches_batch_operator(self, spark, sf_dir, tmp_path):
+        """One micro-batch containing all events must reproduce the batch
+        rolling_anomaly floats bit for bit (identical exact-integer
+        formula on both paths)."""
+        from datacompy_spark.streaming.stateful import streaming_anomaly
+
+        ev = load_table(spark, sf_dir, "events")
+        d = str(tmp_path / "ev_anom")
+        ev.coalesce(1).write.parquet(d)
+        batch = spark.read.parquet(d)
+        stream = spark.readStream.schema(batch.schema).parquet(d)
+        q = (
+            streaming_anomaly(stream, "ts", "event_type", trailing=24)
+            .writeStream.format("memory")
+            .queryName("anom_stream")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {
+            (r["key"], r["bucket"]): (
+                r["n_events"], r["n_history"], r["hist_sum"],
+                r["hist_sumsq"], r["zscore"],
+            )
+            for r in spark.table("anom_stream").collect()
+        }
+        want = {
+            (r["key"], r["bucket"]): (
+                r["n_events"], r["n_history"], r["hist_sum"],
+                r["hist_sumsq"], r["zscore"],
+            )
+            for r in streaming_anomaly(batch, "ts", "event_type", trailing=24).collect()
+        }
+        assert got == want  # exact, including the float z-scores
+
+    def test_state_carries_across_micro_batches(self, spark, tmp_path):
+        """Buckets split across micro-batches: the second batch's score
+        must see the first batch's history through the state store."""
+        import datetime as dt
+
+        from datacompy_spark.streaming.stateful import streaming_anomaly
+
+        base = dt.datetime(2026, 1, 1)
+        # file 0: 10 hourly buckets of exactly 2 events (history)
+        f0 = [(i, "click", base + dt.timedelta(hours=h))
+              for h in range(10) for i in (2 * h, 2 * h + 1)]
+        # file 1: one later bucket with a 7-event spike
+        f1 = [(100 + i, "click", base + dt.timedelta(hours=10)) for i in range(7)]
+        schema = "event_id bigint, event_type string, ts timestamp"
+        d = str(tmp_path / "split")
+        spark.createDataFrame(f0, schema).coalesce(1).write.parquet(d)
+        spark.createDataFrame(f1, schema).coalesce(1).write.mode("append").parquet(d)
+        stream = (
+            spark.readStream.schema(spark.read.parquet(d).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        q = (
+            streaming_anomaly(stream, "ts", "event_type", trailing=24, min_history=6)
+            .writeStream.format("memory")
+            .queryName("anom_split")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        rows = {r["bucket"]: r for r in spark.table("anom_split").collect()}
+        spike_bucket = max(rows)
+        spike = rows[spike_bucket]
+        assert spike["n_events"] == 7
+        # history from the OTHER micro-batch: 10 buckets of 2 (var 0 -> NULL
+        # would fire if variance were zero; it IS zero -> NULL score, but
+        # history sums prove the state carried)
+        assert spike["n_history"] == 10 and spike["hist_sum"] == 20
+        assert spike["hist_sumsq"] == 40 and spike["zscore"] is None
