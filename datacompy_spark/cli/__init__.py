@@ -370,6 +370,52 @@ def build_parser() -> argparse.ArgumentParser:
         help="Spark application name",
     )
 
+    # anomaly: rolling volume-anomaly gate over an event feed. Extension
+    # beyond the reference CLI (the monitoring question between snapshots).
+    an = sub.add_parser(
+        "anomaly",
+        help="rolling volume-anomaly scores per group over time buckets; "
+        "exit 1 when any |zscore| crosses the threshold (CI feed gate)",
+        parents=[debug_parent],
+    )
+    an.add_argument("--input", required=True, help="input: file path or table name")
+    an.add_argument("--ts-col", default="ts", help="event-time column (default ts)")
+    an.add_argument(
+        "--by", required=True,
+        help="comma-separated grouping columns (e.g. event_type,source)",
+    )
+    an.add_argument(
+        "--bucket-seconds", type=int, default=3600,
+        help="bucket width in seconds (default 3600)",
+    )
+    an.add_argument(
+        "--trailing", type=int, default=24,
+        help="trailing time-range width in buckets (default 24)",
+    )
+    an.add_argument(
+        "--min-history", type=int, default=6,
+        help="buckets of history required before scoring (default 6)",
+    )
+    an.add_argument(
+        "--threshold", type=float, default=3.0,
+        help="|zscore| at or above this flags an anomaly (default 3.0)",
+    )
+    an.add_argument(
+        "--fail-on-anomaly", action="store_true",
+        help="exit 1 when any bucket crosses the threshold (CI gate)",
+    )
+    an.add_argument(
+        "--export", metavar="PATH",
+        help="also write the full score table to PATH as parquet",
+    )
+    an.add_argument("--quiet", action="store_true", help="suppress the summary line")
+    an.add_argument("--input-format", choices=["csv", "parquet", "json", "jsonl", "orc"])
+    an.add_argument("--delimiter", default=",", help="CSV delimiter")
+    an.add_argument(
+        "--spark-app-name", default="datacompy-spark-cli", metavar="NAME",
+        help="Spark application name",
+    )
+
     # curate: the end-to-end corpus pipeline (quality → dedup →
     # decontaminate → split) as one command writing a verdict table.
     cu = sub.add_parser(
@@ -883,6 +929,78 @@ def run_cdc(args) -> int:
             spark.stop()
 
 
+def run_anomaly(args) -> int:
+    import json
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from datacompy_spark.operators.analytics import rolling_anomaly
+    from datacompy_spark.sources.loaders import load
+
+    by = [c.strip() for c in args.by.split(",") if c.strip()]
+    if not by:
+        raise CLIError("--by must name at least one column")
+    if args.threshold <= 0:
+        raise CLIError("--threshold must be positive")
+    created = SparkSession.getActiveSession() is None
+    spark = SparkSession.builder.appName(args.spark_app_name).getOrCreate()
+    try:
+        kwargs = {"delimiter": args.delimiter} if args.input_format == "csv" else {}
+        try:
+            df = load(spark, args.input, fmt=args.input_format, **kwargs)
+        except Exception as ex:
+            raise CLIError(f"failed to load input: {ex}") from ex
+        for c in by + [args.ts_col]:
+            if c not in df.columns:
+                raise CLIError(f"column {c!r} not found in input")
+        try:
+            scores = rolling_anomaly(
+                df, args.ts_col, by,
+                bucket_seconds=args.bucket_seconds,
+                trailing=args.trailing,
+                min_history=args.min_history,
+            )
+            if args.export:
+                scores.write.mode("overwrite").parquet(args.export)
+                scores = spark.read.parquet(args.export)
+            flagged = scores.filter(
+                F.abs(F.col("zscore")) >= F.lit(args.threshold)
+            )
+            # one aggregate: totals + worst offender, no driver-side loops
+            agg = scores.agg(
+                F.count(F.lit(1)).alias("n_buckets"),
+                F.count("zscore").alias("n_scored"),
+                F.max(F.abs(F.col("zscore"))).alias("max_abs_z"),
+            ).collect()[0]
+            n_anomalies = flagged.count()
+        except CLIError:
+            raise
+        except Exception as ex:
+            raise CLIError(str(ex)) from ex
+        if not args.quiet:
+            print(
+                json.dumps(
+                    {
+                        "n_buckets": agg["n_buckets"],
+                        "n_scored": agg["n_scored"],
+                        "max_abs_zscore": (
+                            round(agg["max_abs_z"], 4)
+                            if agg["max_abs_z"] is not None
+                            else None
+                        ),
+                        "threshold": args.threshold,
+                        "n_anomalies": n_anomalies,
+                        "export": args.export,
+                    }
+                )
+            )
+        return 1 if (args.fail_on_anomaly and n_anomalies > 0) else 0
+    finally:
+        if created:
+            spark.stop()
+
+
 def run_curate(args) -> int:
     import json
 
@@ -965,6 +1083,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             return run_dedup(args)
         if args.command == "cdc":
             return run_cdc(args)
+        if args.command == "anomaly":
+            return run_anomaly(args)
         if args.command == "curate":
             return run_curate(args)
         raise CLIError(f"unknown command {args.command!r}")

@@ -540,3 +540,54 @@ class TestProfileFiles:
         ])
         assert rc == 2
         assert "physical layout" in capsys.readouterr().err
+
+
+class TestAnomalyCommand:
+    @pytest.fixture()
+    def feed(self, tmp_path, spark):
+        import datetime as dt
+
+        base = dt.datetime(2026, 1, 1)
+        rows, eid = [], 0
+        # alternating 9/11 history then a 20-event spike (z = 10)
+        for h in range(25):
+            n = 20 if h == 24 else (9 if h % 2 == 0 else 11)
+            for _ in range(n):
+                rows.append((eid, "click", base + dt.timedelta(hours=h)))
+                eid += 1
+        p = str(tmp_path / "feed.parquet")
+        spark.createDataFrame(
+            rows, "event_id bigint, event_type string, ts timestamp"
+        ).write.parquet(p)
+        return p
+
+    def test_gate_flags_spike(self, feed, capsys):
+        import json as _json
+
+        rc = main([
+            "anomaly", "--input", feed, "--by", "event_type",
+            "--threshold", "3", "--fail-on-anomaly",
+        ])
+        out = _json.loads(capsys.readouterr().out)
+        assert rc == 1
+        assert out["n_anomalies"] == 1
+        assert out["max_abs_zscore"] == pytest.approx(10.0)
+
+    def test_gate_passes_under_higher_threshold(self, feed, capsys, tmp_path):
+        import json as _json
+
+        exp = str(tmp_path / "scores.parquet")
+        rc = main([
+            "anomaly", "--input", feed, "--by", "event_type",
+            "--threshold", "11", "--fail-on-anomaly", "--export", exp,
+        ])
+        out = _json.loads(capsys.readouterr().out)
+        assert rc == 0 and out["n_anomalies"] == 0
+        import os
+
+        assert os.path.isdir(exp)
+
+    def test_bad_column_exits_2(self, feed, capsys):
+        rc = main(["anomaly", "--input", feed, "--by", "no_such"])
+        assert rc == 2
+        assert "not found" in capsys.readouterr().err
