@@ -204,3 +204,127 @@ def streaming_anomaly(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+HEAVY_HITTERS_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("value", T.StringType()),
+        T.StructField("min_count", T.LongType()),
+        T.StructField("n_total", T.LongType()),
+    ]
+)
+
+_HH_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("values", T.ArrayType(T.StringType())),
+        T.StructField("counts", T.ArrayType(T.LongType())),
+        T.StructField("total", T.LongType()),
+    ]
+)
+
+
+def _misra_gries_fold(counters: dict, values, capacity: int) -> dict:
+    """Fold a value sequence into Misra-Gries counters of size ≤ capacity.
+
+    Classic guarantee: every value with true frequency > n/(capacity+1)
+    survives, and each surviving counter undercounts its value's true
+    frequency by at most n/(capacity+1)."""
+    for v in values:
+        if v in counters:
+            counters[v] += 1
+        elif len(counters) < capacity:
+            counters[v] = 1
+        else:
+            # decrement-all step; drop zeroed counters
+            dead = []
+            for k in counters:
+                counters[k] -= 1
+                if counters[k] == 0:
+                    dead.append(k)
+            for k in dead:
+                del counters[k]
+    return counters
+
+
+def streaming_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    capacity: int = 64,
+) -> DataFrame:
+    """Per-key heavy hitters over an unbounded stream in O(capacity)
+    state — Misra-Gries summaries maintained across micro-batches via
+    ``applyInPandasWithState``. Answers "which values dominate this key's
+    feed?" (top user-ids per event type, top domains per source, …)
+    without the unbounded per-key value dictionary an exact count needs.
+
+    Guarantee (per key, n = events seen): any value with true frequency
+    > n/(capacity+1) is present, and each reported ``min_count``
+    undercounts the true frequency by at most n/(capacity+1) — a LOWER
+    bound, never an overcount. With ``capacity`` ≥ the key's distinct
+    value count the summary is exact (the batch-equality test pins this).
+
+    Each micro-batch re-emits the key's full current summary (update
+    mode). On a batch frame: exact per-value groupBy counts (no
+    truncation) — with capacity ≥ the distinct value count the streaming
+    summary is identical to it, which is the equality oracle in tests."""
+    from pyspark.sql import functions as F
+
+    if capacity < 1:
+        raise ValueError("capacity must be >= 1")
+
+    if not df.isStreaming:
+        counts = (
+            df.select(
+                F.col(key_col).cast("string").alias("key"),
+                F.col(value_col).cast("string").alias("value"),
+            )
+            .groupBy("key", "value")
+            .agg(F.count(F.lit(1)).alias("min_count"))
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("key")
+        return counts.select(
+            "key", "value", "min_count",
+            F.sum("min_count").over(w).alias("n_total"),
+        )
+
+    def update(
+        key: Tuple[str], pdfs: Iterator["pandas.DataFrame"], state: GroupState  # noqa: F821
+    ) -> Iterator["pandas.DataFrame"]:
+        import pandas as pd
+
+        if state.exists:
+            vals, cts, total = state.get
+            counters = dict(zip(list(vals), list(cts)))
+            total = int(total)
+        else:
+            counters, total = {}, 0
+        for pdf in pdfs:
+            seq = pdf[value_col].astype("string").tolist()
+            total += len(seq)
+            _misra_gries_fold(counters, seq, capacity)
+        items = sorted(counters)
+        state.update((items, [counters[v] for v in items], total))
+        yield pd.DataFrame(
+            {
+                "key": [key[0]] * len(items),
+                "value": items,
+                "min_count": [counters[v] for v in items],
+                "n_total": [total] * len(items),
+            }
+        )
+
+    src = df.select(
+        F.col(key_col).cast("string").alias(key_col),
+        F.col(value_col).cast("string").alias(value_col),
+    )
+    return src.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=HEAVY_HITTERS_SCHEMA,
+        stateStructType=_HH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

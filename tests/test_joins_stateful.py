@@ -248,3 +248,77 @@ class TestStreamingAnomaly:
         # history sums prove the state carried)
         assert spike["n_history"] == 10 and spike["hist_sum"] == 20
         assert spike["hist_sumsq"] == 40 and spike["zscore"] is None
+
+
+class TestStreamingHeavyHitters:
+    def test_exact_when_capacity_covers_distinct(self, spark, tmp_path):
+        """capacity >= distinct values per key -> MG summary is exact and
+        must equal the batch groupBy counts, across micro-batches."""
+        from datacompy_spark.streaming.stateful import streaming_heavy_hitters
+
+        rows = []
+        for i, (k, v, n) in enumerate(
+            [("click", "u1", 30), ("click", "u2", 12), ("click", "u3", 5),
+             ("view", "u1", 7), ("view", "u9", 3)]
+        ):
+            rows += [(k, v)] * n
+        schema = "event_type string, user string"
+        d = str(tmp_path / "hh")
+        half = len(rows) // 2
+        spark.createDataFrame(rows[:half], schema).coalesce(1).write.parquet(d)
+        spark.createDataFrame(rows[half:], schema).coalesce(1).write.mode("append").parquet(d)
+        stream = (
+            spark.readStream.schema(spark.read.parquet(d).schema)
+            .option("maxFilesPerTrigger", 1).parquet(d)
+        )
+        q = (
+            streaming_heavy_hitters(stream, "event_type", "user", capacity=16)
+            .writeStream.format("memory").queryName("hh_stream")
+            .outputMode("update").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(180)
+        got_df = spark.table("hh_stream").toPandas()
+        # update mode re-emits summaries; keep the LAST emission per (key,value)
+        got = {
+            (r.key, r.value): (int(r.min_count), int(r.n_total))
+            for r in got_df.itertuples()
+        }
+        batch = spark.read.parquet(d)
+        from datacompy_spark.streaming.stateful import streaming_heavy_hitters as hh
+
+        want = {
+            (r["key"], r["value"]): (r["min_count"], r["n_total"])
+            for r in hh(batch, "event_type", "user", capacity=16).collect()
+        }
+        assert got == want
+
+    def test_misra_gries_guarantees(self):
+        """Pure-sketch properties on an adversarial stream: every value
+        with freq > n/(cap+1) survives; counters never overcount and
+        undercount by at most n/(cap+1)."""
+        import random
+
+        from datacompy_spark.streaming.stateful import _misra_gries_fold
+
+        rng = random.Random(7)
+        stream = (
+            ["hot"] * 400
+            + ["warm"] * 150
+            + [f"cold{i}" for i in range(300)] * 1
+            + ["hot"] * 100
+        )
+        rng.shuffle(stream)
+        cap = 8
+        counters = _misra_gries_fold({}, stream, cap)
+        n = len(stream)
+        exact = {}
+        for v in stream:
+            exact[v] = exact.get(v, 0) + 1
+        bound = n / (cap + 1)
+        assert len(counters) <= cap
+        for v, c in exact.items():
+            if c > bound:
+                assert v in counters, v
+        for v, c in counters.items():
+            assert c <= exact[v]            # never overcounts
+            assert exact[v] - c <= bound    # bounded undercount
