@@ -66,3 +66,71 @@ class TestNightlyPipeline:
         back = spark.read.parquet(out).drop("status_part")
         cmp2 = SparkCompare(spark, back, tomorrow, join_columns=keys)
         assert cmp2.matches()
+
+
+class TestNightlyIngestPipeline:
+    """The r8 ingest composition: feed-health gate → incremental dedup
+    against the standing ledger → deterministic sharding of survivors.
+    Each operator is tested alone elsewhere; this asserts they compose on
+    the same frames with no glue beyond what a user would write."""
+
+    def test_anomaly_gate_ledger_dedup_shard(self, spark, documents, tmp_path):
+        import datetime as dt
+
+        from pyspark.sql import functions as F
+
+        from datacompy_spark.operators.analytics import rolling_anomaly
+        from datacompy_spark.operators.dedup import incremental_dedup_with_ledger
+        from datacompy_spark.operators.textops import shard_corpus
+
+        spark.sql("DROP TABLE IF EXISTS nightly_ledger")
+        try:
+            # ingest log: one event per arriving doc, steady feed
+            docs = documents.select("doc_id", "text").limit(120)
+            base = dt.datetime(2026, 1, 2)
+            arrivals = docs.select(
+                "doc_id",
+                F.lit("ingest").alias("event_type"),
+                (
+                    F.lit(base)
+                    + (F.col("doc_id") % 24).cast("int") * F.expr("INTERVAL 1 HOUR")
+                ).alias("ts"),
+            )
+            scores = rolling_anomaly(
+                arrivals, "ts", ["event_type"], bucket_seconds=3600,
+                trailing=24, min_history=3,
+            )
+            flagged = scores.filter(F.abs(F.col("zscore")) >= 6).count()
+            assert flagged == 0  # steady feed → gate passes
+
+            # day 1: seed the ledger with the even half
+            day1 = docs.filter(F.col("doc_id") % 2 == 0)
+            v1 = incremental_dedup_with_ledger(
+                spark, day1, "nightly_ledger", "doc_id", "text", num_buckets=4
+            )
+            n_seeded = v1.filter(F.col("verdict") == "new").count()
+            assert n_seeded > 0
+
+            # day 2: odd half + a replayed even doc → replay must die
+            day2 = docs.filter(
+                (F.col("doc_id") % 2 == 1) | (F.col("doc_id") == 0)
+            )
+            v2 = incremental_dedup_with_ledger(
+                spark, day2, "nightly_ledger", "doc_id", "text", num_buckets=4
+            )
+            verdicts = {r["doc_id"]: r["verdict"] for r in v2.collect()}
+            assert verdicts.get(0) == "dup_corpus"
+            survivors = v2.filter(F.col("verdict") == "new").select("doc_id")
+            assert survivors.count() > 0
+
+            # shard the survivors for training order: deterministic, dense
+            shards = shard_corpus(survivors, "doc_id", n_shards=4)
+            rows = shards.collect()
+            assert len(rows) == survivors.count()
+            per = {}
+            for r in rows:
+                per.setdefault(r["shard"], []).append(r["pos"])
+            for s, ps in per.items():
+                assert sorted(ps) == list(range(1, len(ps) + 1))
+        finally:
+            spark.sql("DROP TABLE IF EXISTS nightly_ledger")
