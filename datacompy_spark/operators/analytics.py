@@ -526,3 +526,53 @@ def rolling_anomaly(
         *gcols, "bucket", "n_events", "n_history", "hist_sum", "hist_sumsq",
         z.alias("zscore"),
     )
+
+
+def transition_matrix(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak: Optional[str] = None,
+) -> DataFrame:
+    """First-order behavioral transition counts: for each user's
+    time-ordered event path, count every adjacent (from_type → to_type)
+    step corpus-wide, with each from-state's total and the transition
+    probability — the Markov matrix behind funnel design and
+    next-action analysis.
+
+    ``tiebreak`` (an extra ordering column, e.g. the event id) makes the
+    per-user order total when timestamps collide — REQUIRED for
+    cross-engine determinism whenever ts ties are possible; without a
+    total order, which event "follows" which is engine-dependent.
+
+    Scale shape: one shuffle partitioned by user for the ``lead`` window
+    (per-user state only — the window frame is a single following row),
+    then a partial-agg shuffle on the tiny (from, to) key space. The
+    probability is the single allowed double division, from exact BIGINT
+    counts; window state never exceeds one user's events."""
+    order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy("u").orderBy(*order)
+    steps = (
+        events.select(
+            F.col(user_col).alias("u"),
+            F.col(type_col).alias("from_type"),
+            *[F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else []),
+        )
+        .withColumn("to_type", F.lead("from_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+    )
+    counts = steps.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_steps")
+    )
+    wf = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n_steps",
+        F.sum("n_steps").over(wf).alias("n_from"),
+        (
+            F.col("n_steps").cast("double")
+            / F.sum("n_steps").over(wf).cast("double")
+        ).alias("p_transition"),
+    )

@@ -582,6 +582,7 @@ _SWEEP_FIRST = [
     "events_json_props",
     "json_key_profile",
     "events_anomaly",
+    "events_transitions",
     # last green in r6 — due for re-verification
     "corpus_mix",
     "curate_corpus",

@@ -2026,6 +2026,36 @@ SELECT event_type, bucket, n_events,
 FROM hist"""
 
 
+def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral transition matrix over user event paths
+    (operators/analytics.py::transition_matrix). event_id tiebreaks equal
+    timestamps so the per-user order is total — without it, which event
+    "follows" which under a ts tie is engine-dependent and the hash gate
+    would flap."""
+    from datacompy_spark.operators.analytics import transition_matrix
+
+    ev = load_table(spark, sf_dir, "events")
+    return transition_matrix(
+        ev, "user_id", "event_type", "ts", tiebreak="event_id"
+    )
+
+
+SQL_EVENTS_TRANSITIONS = """
+WITH steps AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events),
+counts AS (
+  SELECT from_type, to_type, count(*) AS n_steps
+  FROM steps WHERE to_type IS NOT NULL GROUP BY 1, 2)
+SELECT from_type, to_type, n_steps,
+  sum(n_steps) OVER wf::BIGINT AS n_from,
+  n_steps::DOUBLE / (sum(n_steps) OVER wf)::DOUBLE AS p_transition
+FROM counts
+WINDOW wf AS (PARTITION BY from_type)"""
+
+
 def q_json_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema discovery over the events JSON props
     (operators/analytics.py::json_key_profile). A third of the rows get a
@@ -2196,6 +2226,7 @@ PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_json_props": q_events_json_props,
     "json_key_profile": q_json_key_profile,
     "events_anomaly": q_events_anomaly,
+    "events_transitions": q_events_transitions,
 }
 
 PIPELINE_ORACLES: Dict[str, str] = {
@@ -2264,4 +2295,5 @@ PIPELINE_ORACLES: Dict[str, str] = {
     "events_json_props": SQL_EVENTS_JSON_PROPS,
     "json_key_profile": SQL_JSON_KEY_PROFILE,
     "events_anomaly": SQL_EVENTS_ANOMALY,
+    "events_transitions": SQL_EVENTS_TRANSITIONS,
 }

@@ -1567,3 +1567,46 @@ class TestRollingAnomaly:
         # history variance is zero; mid-series scores exist
         scored = [r for r in out if r["zscore"] is not None]
         assert len(scored) >= 2
+
+
+class TestTransitionMatrix:
+    def test_known_paths(self, spark):
+        from datacompy_spark.operators.analytics import transition_matrix
+        import datetime as dt
+
+        t = lambda s: dt.datetime(2026, 1, 1, 0, 0, s)  # noqa: E731
+        rows = [
+            (1, "view", t(0), 1), (1, "click", t(1), 2), (1, "buy", t(2), 3),
+            (2, "view", t(0), 4), (2, "click", t(1), 5),
+            (3, "view", t(0), 6), (3, "view", t(1), 7),
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id bigint, event_type string, ts timestamp, event_id bigint"
+        )
+        out = {
+            (r["from_type"], r["to_type"]): (r["n_steps"], r["n_from"], r["p_transition"])
+            for r in transition_matrix(
+                df, "user_id", "event_type", "ts", tiebreak="event_id"
+            ).collect()
+        }
+        assert out[("view", "click")] == (2, 3, pytest.approx(2 / 3))
+        assert out[("view", "view")] == (1, 3, pytest.approx(1 / 3))
+        assert out[("click", "buy")] == (1, 1, pytest.approx(1.0))
+        assert ("buy", "view") not in out  # path ends; no wraparound
+
+    def test_tiebreak_totalizes_order(self, spark):
+        from datacompy_spark.operators.analytics import transition_matrix
+        import datetime as dt
+
+        t0 = dt.datetime(2026, 1, 1)
+        rows = [(1, "a", t0, 10), (1, "b", t0, 11)]  # SAME timestamp
+        df = spark.createDataFrame(
+            rows, "user_id bigint, event_type string, ts timestamp, event_id bigint"
+        )
+        out = {
+            (r["from_type"], r["to_type"])
+            for r in transition_matrix(
+                df, "user_id", "event_type", "ts", tiebreak="event_id"
+            ).collect()
+        }
+        assert out == {("a", "b")}  # event_id order, deterministically
