@@ -1105,6 +1105,107 @@ def dedup_verdict(components: DataFrame) -> DataFrame:
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    pivot_mod: int = 37,
+    threshold: float = 0.99,
+) -> DataFrame:
+    """SemDedup (Abbas et al. 2023, arXiv:2303.09540): cluster embeddings
+    with a coarse quantizer, then prune inside each cluster — a vector is a
+    semantic duplicate when its cosine to any LOWER-id cluster-mate reaches
+    ``threshold``, so the lowest id in every tight group survives.
+
+    The quantizer is the same deterministic one :func:`ivf_knn` uses
+    (nearest of the vectors whose id ≡ 0 mod ``pivot_mod``) — reproducible
+    and SQL-expressible, no k-means training loop. Output is one row per
+    input vector: ``(id, cell, max_lower_cos, is_dup)``, where
+    ``max_lower_cos`` is NULL for a vector with no lower-id cluster-mate.
+
+    Scale shape: the assignment pass is narrow (pivots broadcast, one
+    cosine per pivot per row); the pairwise stage is one self-join shuffled
+    on cell id, O(Σ cell²) work exactly as published — cells average
+    ``pivot_mod`` vectors, so pairwise cost is ~n·pivot_mod dot products,
+    linear in n for a fixed quantizer density. At 100 TB you grow the pivot
+    count with √n (pivot_mod ~ √n) to keep cells bounded; vectors with no
+    pivot-id match still assign (every vector scores against every pivot).
+    """
+    from datacompy_spark.functions.vector import dot_arrow
+    from datacompy_spark.operators.similarity import ivf_assign
+
+    pivots = df.filter(F.col(id_col) % pivot_mod == 0)
+    # (vid, v, vn, cell, cell_sim) — persisted AND materialized: it feeds
+    # both sides of the pairwise self-join plus the final per-vector output,
+    # and an unpopulated cache would race all three branches into
+    # recomputing the quantizer pass
+    assign = ivf_assign(df, pivots, id_col, vec_col).persist()
+    assign.count()
+    a = assign.alias("a")
+    b = assign.alias("b")
+    lower_max = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(
+            F.col("b.vid").alias("vid"),
+            F.try_divide(
+                dot_arrow(F.col("a.v"), F.col("b.v")),
+                F.col("a.vn") * F.col("b.vn"),
+            ).alias("cos"),
+        )
+        .groupBy("vid")
+        .agg(F.max("cos").alias("max_lower_cos"))
+    )
+    return (
+        assign.join(lower_max, "vid", "left")
+        .select(
+            F.col("vid").alias(id_col),
+            "cell",
+            "max_lower_cos",
+            F.coalesce(
+                F.col("max_lower_cos") >= F.lit(float(threshold)), F.lit(False)
+            ).alias("is_dup"),
+        )
+    )
+
+
+def semantic_dedup_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    pivot_mod: int = 37,
+    threshold: float = 0.99,
+) -> str:
+    """DuckDB twin of :func:`semantic_dedup` (same quantizer tie-break:
+    highest cosine, then lowest pivot id)."""
+    from datacompy_spark.functions.vector import cosine_sql
+
+    cos_ap = cosine_sql(f"e.{vec_col}", f"p.{vec_col}", dim)
+    cos_ab = cosine_sql(f"a.{vec_col}", f"b.{vec_col}", dim)
+    return f"""
+WITH pivots AS (
+  SELECT {id_col}, {vec_col} FROM {table} WHERE {id_col} % {pivot_mod} = 0),
+scored AS (
+  SELECT e.{id_col} AS vid, e.{vec_col}, p.{id_col} AS cell,
+    row_number() OVER (
+      PARTITION BY e.{id_col}
+      ORDER BY {cos_ap} DESC, p.{id_col} ASC) AS rnk
+  FROM {table} e CROSS JOIN pivots p),
+assigned AS (
+  SELECT vid, {vec_col}, cell FROM scored WHERE rnk = 1),
+lower_max AS (
+  SELECT b.vid, max({cos_ab}) AS max_lower_cos
+  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vid < b.vid
+  GROUP BY b.vid)
+SELECT s.vid AS {id_col}, s.cell, l.max_lower_cos,
+  coalesce(l.max_lower_cos >= {threshold!r}::DOUBLE, FALSE) AS is_dup
+FROM assigned s LEFT JOIN lower_max l ON s.vid = l.vid"""
+
+
 def _content_hash(text: "F.Column"):
     """md5 of normalized text with NULL folded to a sentinel hash group:
     equi-joins and group-bys must treat NULL text as one content class

@@ -583,6 +583,7 @@ _SWEEP_FIRST = [
     "json_key_profile",
     "events_anomaly",
     "events_transitions",
+    "dedup_semantic",
     # last green in r6 — due for re-verification
     "corpus_mix",
     "curate_corpus",

@@ -2157,6 +2157,21 @@ def q_shard_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_SHARD_CORPUS = TO.shard_corpus_sql("documents", "doc_id", n_shards=8)
 
 
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup over the embeddings table (operators/dedup.py::
+    semantic_dedup): deterministic IVF-style clustering, then in-cluster
+    cosine pruning against lower-id mates. Threshold 0.3 because the
+    synthetic embeddings are isotropic (neighbor cos ≈ 0.32) — the
+    published 1-eps ≈ 0.95 would mark nothing here."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return D.semantic_dedup(emb, "vec_id", "embedding", pivot_mod=37, threshold=0.3)
+
+
+SQL_DEDUP_SEMANTIC = D.semantic_dedup_sql(
+    "embeddings", "vec_id", "embedding", dim=64, pivot_mod=37, threshold=0.3
+)
+
+
 PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -2222,6 +2237,7 @@ PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_key_match": q_fuzzy_key_match,
     "dedup_incremental": q_dedup_incremental,
     "shard_corpus": q_shard_corpus,
+    "dedup_semantic": q_dedup_semantic,
     "line_dedup": q_line_dedup,
     "events_json_props": q_events_json_props,
     "json_key_profile": q_json_key_profile,
@@ -2291,6 +2307,7 @@ PIPELINE_ORACLES: Dict[str, str] = {
     "fuzzy_key_match": SQL_FUZZY_KEY_MATCH,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "shard_corpus": SQL_SHARD_CORPUS,
+    "dedup_semantic": SQL_DEDUP_SEMANTIC,
     "line_dedup": SQL_LINE_DEDUP,
     "events_json_props": SQL_EVENTS_JSON_PROPS,
     "json_key_profile": SQL_JSON_KEY_PROFILE,

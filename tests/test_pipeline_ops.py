@@ -133,6 +133,36 @@ class TestEmbeddingOps:
         knn = S.knn_bruteforce(emb, emb.filter("vec_id = 1"), "vec_id", "embedding", k=2).collect()
         assert [r["neighbor_id"] for r in sorted(knn, key=lambda r: r["rank"])] == [2, 3]
 
+    def test_semantic_dedup_prunes_lowest_id_survivor(self, spark):
+        import math
+
+        def vec(seed, dim=8):
+            return [math.sin(seed * (i + 1)) for i in range(dim)]
+
+        rows = [
+            (0, vec(1.0)),
+            (1, [x * 0.98 for x in vec(1.0)]),   # cosine 1.0 to id 0
+            (2, [x + 0.001 for x in vec(1.0)]),  # cosine ≈ 1 to id 0
+            (3, vec(7.0)),
+            (4, [x * 1.05 for x in vec(7.0)]),   # cosine 1.0 to id 3
+            (5, vec(13.0)),
+        ]
+        emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+        out = {
+            r["vec_id"]: r
+            for r in D.semantic_dedup(
+                emb, "vec_id", "embedding", pivot_mod=3, threshold=0.99
+            ).collect()
+        }
+        assert len(out) == 6  # one row per input vector, dup or not
+        # the lowest id of every tight group survives; its mates are pruned
+        assert not out[0]["is_dup"] and out[1]["is_dup"] and out[2]["is_dup"]
+        assert not out[3]["is_dup"] and out[4]["is_dup"]
+        assert not out[5]["is_dup"]
+        # a vector with no lower-id cluster-mate reports NULL, not 0.0
+        assert out[0]["max_lower_cos"] is None
+        assert out[1]["max_lower_cos"] >= 0.99
+
     def test_lsh_recall_on_clustered_data(self, spark):
         # LSH recall guarantees apply to genuinely-near neighbors (the driver
         # embeddings top out at cosine ~0.47, where sign-bit buckets rarely
