@@ -302,11 +302,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     dd.add_argument(
         "--ledger", metavar="TABLE",
-        help="stateful incremental mode: probe AND update a persistent "
-        "content-hash ledger (a chash-bucketed catalog table) instead of "
-        "re-hashing a corpus each ingest. Exact method only; creates the "
-        "table on first use; add --ledger-read-only to probe without "
-        "appending. Mutually exclusive with --against",
+        help="stateful incremental mode: probe AND update persistent dedup "
+        "state instead of re-hashing a corpus each ingest. With --method "
+        "exact, TABLE is a chash-bucketed content-hash catalog table; with "
+        "--method minhash, TABLE is a prefix for the TABLE_bands / "
+        "TABLE_shingles near-dup state tables. Created on first use; add "
+        "--ledger-read-only to probe without appending. Mutually exclusive "
+        "with --against",
     )
     dd.add_argument(
         "--ledger-read-only", action="store_true",
@@ -691,9 +693,9 @@ def _run_dedup_incremental(spark, batch, args) -> int:
     from datacompy_spark.operators import dedup as D
     from datacompy_spark.sources.loaders import load
 
-    if args.ledger and args.method != "exact":
+    if args.ledger and args.method not in ("exact", "minhash"):
         raise CLIError(
-            f"--ledger supports --method exact only (got {args.method!r})"
+            f"--ledger supports --method exact or minhash (got {args.method!r})"
         )
     if args.method not in ("exact", "minhash"):
         raise CLIError(
@@ -713,7 +715,17 @@ def _run_dedup_incremental(spark, batch, args) -> int:
             if c not in corpus.columns:
                 raise CLIError(f"column {c!r} not found in corpus")
     try:
-        if args.ledger:
+        if args.ledger and args.method == "minhash":
+            out = D.incremental_minhash_ledger(
+                spark,
+                batch,
+                args.ledger,
+                args.id_col,
+                args.text_col,
+                threshold=args.threshold,
+                update_ledger=not args.ledger_read_only,
+            )
+        elif args.ledger:
             out = D.incremental_dedup_with_ledger(
                 spark,
                 batch,
@@ -772,7 +784,17 @@ def run_dedup(args) -> int:
     from datacompy_spark.sources.loaders import load
 
     created = SparkSession.getActiveSession() is None
-    spark = SparkSession.builder.appName(args.spark_app_name).getOrCreate()
+    builder = SparkSession.builder.appName(args.spark_app_name)
+    if getattr(args, "ledger", None) and created:
+        # a 'persistent' ledger registered in the default in-memory catalog
+        # dies with the process — the next CLI invocation sees no table but
+        # an orphaned warehouse directory (LOCATION_ALREADY_EXISTS). The
+        # hive catalog's derby metastore (./metastore_db) persists catalog
+        # entries across invocations, which is the whole point of --ledger.
+        # Only when this process owns the session: enableHiveSupport cannot
+        # retrofit an already-running session (e.g. under pytest).
+        builder = builder.enableHiveSupport()
+    spark = builder.getOrCreate()
     try:
         kwargs = {"delimiter": args.delimiter} if args.input_format == "csv" else {}
         try:

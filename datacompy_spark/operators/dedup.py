@@ -1213,6 +1213,38 @@ def _content_hash(text: "F.Column"):
     return F.coalesce(F.md5(normalize(text)), F.lit("__null_text__"))
 
 
+def _shingle_base(df: DataFrame, id_col: str, text_col: str, shingle_k: int) -> DataFrame:
+    """(doc_id, shingles, shash) — the per-document sketch base shared by
+    the incremental near-dup routes."""
+    return (
+        df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks"))
+        .select(
+            "doc_id",
+            F.array_distinct(word_shingles(F.col("toks"), shingle_k)).alias("shingles"),
+        )
+        .select("doc_id", "shingles", shingle_hashes(F.col("shingles")).alias("shash"))
+    )
+
+
+def _band_key_rows(base: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(doc_id, band, bkey) ONLY — shingle arrays never enter the bucket
+    shuffle (same rule as minhash_lsh_pairs)."""
+    rows_per_band = num_hashes // bands
+    sig = base.withColumn("signature", minhash_from_hashes(F.col("shash"), num_hashes))
+    keys = lsh_band_keys(F.col("signature"), bands, rows_per_band)
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), k.alias("bkey"))
+                    for b, k in enumerate(keys)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.bkey")
+
+
 def incremental_dedup(
     batch: DataFrame,
     corpus: DataFrame,
@@ -1304,43 +1336,11 @@ def incremental_dedup(
         )
 
     # ---- minhash route --------------------------------------------------
-    rows_per_band = num_hashes // bands
-
     def _shingle_table(df: DataFrame) -> DataFrame:
-        """(doc_id, shingles, shash) — the per-document sketch base."""
-        return (
-            df.select(
-                F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
-            )
-            .select(
-                "doc_id",
-                F.array_distinct(word_shingles(F.col("toks"), shingle_k)).alias(
-                    "shingles"
-                ),
-            )
-            .select(
-                "doc_id", "shingles", shingle_hashes(F.col("shingles")).alias("shash")
-            )
-        )
+        return _shingle_base(df, id_col, text_col, shingle_k)
 
     def _band_keys_of(base: DataFrame) -> DataFrame:
-        """(doc_id, band, bkey) ONLY — shingle arrays never enter the
-        bucket shuffle (same rule as minhash_lsh_pairs)."""
-        sig = base.withColumn(
-            "signature", minhash_from_hashes(F.col("shash"), num_hashes)
-        )
-        keys = lsh_band_keys(F.col("signature"), bands, rows_per_band)
-        return sig.select(
-            "doc_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(F.lit(b).alias("band"), k.alias("bkey"))
-                        for b, k in enumerate(keys)
-                    ]
-                )
-            ).alias("bk"),
-        ).select("doc_id", "bk.band", "bk.bkey")
+        return _band_key_rows(base, num_hashes, bands)
 
     # batch side: collapse exact-content duplicates before banding (the
     # hot-bucket guard), then band the representatives only
@@ -1544,3 +1544,184 @@ def incremental_dedup_with_ledger(
         .saveAsTable(ledger_table)
     )
     return out.drop("chash")
+
+
+def incremental_minhash_ledger(
+    spark,
+    batch: DataFrame,
+    ledger_prefix: str,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    num_buckets: int = 64,
+    update_ledger: bool = True,
+    broadcast_batch: bool = True,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """NEAR-duplicate incremental dedup against PERSISTENT MinHash state —
+    the stateful completion of :func:`incremental_dedup`'s minhash mode,
+    exactly the "(band, bkey, doc_id) ledger" the exact-hash ledger's
+    docstring leaves out of scope. Two catalog tables carry the corpus:
+
+    * ``{prefix}_bands``    — (bkey, band, doc_id), bucketed on ``bkey``:
+      the LSH candidate index. An ingest probes it with the batch's band
+      keys; bucketing means the probe streams the index without shuffling
+      it (batch side broadcasts by default).
+    * ``{prefix}_shingles`` — (doc_id, shash), bucketed on ``doc_id``: the
+      verification sketches (hashed-shingle sets, not raw shingle strings —
+      candidate Jaccard over 60-bit md5 hashes equals shingle Jaccard up to
+      a ~2⁻⁶⁰ collision). Only candidate doc ids are ever read from it.
+
+    Per-ingest cost tracks the BATCH: batch docs collapse to exact-content
+    representatives, reps band-key against the bands table, survivors'
+    sketch rows append back. The standing corpus is never re-shingled —
+    its sketches were paid for once, at its own ingest. Register an
+    existing corpus by ingesting it once against fresh tables.
+
+    Verdict frame matches :func:`incremental_dedup`: one row per batch doc,
+    ``(doc_id, verdict ∈ {new, dup_corpus, dup_batch}, match_id)``, corpus
+    precedence on double hits, batch-internal near-dups resolved by
+    connected components (minimum id survives). When ``update_ledger``
+    (default) the ``new`` docs' band + sketch rows append AFTER the
+    verdicts pass a localCheckpoint lineage barrier — appending to a
+    catalog table invalidates every cached plan reading it, so un-barriered
+    verdicts would recompute against the grown ledger and flip their own
+    ``new`` rows to ``dup_corpus`` (same hazard as the exact ledger).
+    Replaying an ingest is then idempotent: every doc reports dup_corpus.
+    """
+    maybe_bcast = F.broadcast if broadcast_batch else (lambda df: df)
+    bands_table = f"{ledger_prefix}_bands"
+    shingles_table = f"{ledger_prefix}_shingles"
+
+    # batch side: exact-content collapse first (hot-bucket guard), then one
+    # persisted sketch pass over the representatives — it feeds candidate
+    # generation, verification, and the ledger append
+    members, reps = collapse_exact_content(batch, id_col, text_col)
+    rep_docs = reps.select(
+        F.col("doc_id").alias(id_col),
+        F.concat_ws(" ", "toks").alias(text_col),
+    )
+    bbase = _shingle_base(rep_docs, id_col, text_col, shingle_k).persist()
+    bbase.count()
+    bband = _band_key_rows(bbase, num_hashes, bands)
+
+    if spark.catalog.tableExists(bands_table):
+        cand = (
+            maybe_bcast(bband.select(F.col("doc_id").alias("b_id"), "band", "bkey"))
+            .join(
+                spark.table(bands_table).select(
+                    F.col("doc_id").alias("c_id"), "band", "bkey"
+                ),
+                ["band", "bkey"],
+            )
+            .select("b_id", "c_id")
+            .dropDuplicates(["b_id", "c_id"])
+        )
+        cand = lineage_barrier(cand, checkpoint_dir, eager=False)
+        # verification reads ONLY candidate sketches from the ledger: the
+        # candidate id set is batch-driven and small, so it broadcasts and
+        # the sketch table streams past it unshuffled
+        sh_c = spark.table(shingles_table).join(
+            maybe_bcast(cand.select(F.col("c_id").alias("doc_id")).dropDuplicates()),
+            "doc_id",
+            "left_semi",
+        ).select(F.col("doc_id").alias("c_id"), F.col("shash").alias("c_shash"))
+        sh_b = bbase.select(F.col("doc_id").alias("b_id"), "shash")
+        inter = F.size(F.array_intersect(F.col("shash"), F.col("c_shash")))
+        rep_hits = (
+            cand.join(maybe_bcast(sh_b), "b_id")
+            .join(sh_c, "c_id")
+            .select(
+                "b_id",
+                "c_id",
+                inter.alias("n_inter"),
+                (F.size("shash") + F.size("c_shash")).alias("n_total"),
+            )
+            .select(
+                "b_id",
+                "c_id",
+                (
+                    F.col("n_inter").cast("double")
+                    / (F.col("n_total") - F.col("n_inter")).cast("double")
+                ).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= F.lit(threshold))
+            .groupBy("b_id")
+            .agg(F.min("c_id").alias("corpus_match"))
+        )
+        rep_ch = reps.select(F.col("doc_id").alias("b_id"), "chash")
+        member_hits = (
+            rep_hits.join(rep_ch, "b_id")
+            .join(members, "chash")
+            .select("doc_id", "corpus_match")
+        )
+    else:
+        member_hits = spark.createDataFrame([], "doc_id bigint, corpus_match bigint")
+
+    # batch-internal near-dups among corpus-clean docs (same subgraph rule
+    # as incremental_dedup: a pair into a corpus-dup doc is irrelevant)
+    pairs = minhash_lsh_pairs(
+        batch,
+        id_col,
+        text_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_k=shingle_k,
+        threshold=threshold,
+        checkpoint_dir=checkpoint_dir,
+    )
+    dup_ids = member_hits.select(F.col("doc_id").alias("id_a"))
+    clean_pairs = pairs.join(dup_ids, "id_a", "left_anti").join(
+        dup_ids.withColumnRenamed("id_a", "id_b"), "id_b", "left_anti"
+    )
+    comp = assign_components(
+        batch.select(F.col(id_col).alias("doc_id")).join(
+            member_hits.select("doc_id"), "doc_id", "left_anti"
+        ),
+        "doc_id",
+        clean_pairs,
+        checkpoint_dir=checkpoint_dir,
+    )
+    clean = comp.select(
+        "doc_id",
+        F.when(F.col("doc_id") != F.col("component"), F.lit("dup_batch"))
+        .otherwise(F.lit("new"))
+        .alias("verdict"),
+        F.when(F.col("doc_id") != F.col("component"), F.col("component")).alias(
+            "match_id"
+        ),
+    )
+    hits = member_hits.select(
+        "doc_id",
+        F.lit("dup_corpus").alias("verdict"),
+        F.col("corpus_match").alias("match_id"),
+    )
+    out = hits.unionByName(clean)
+    if not update_ledger:
+        return out
+
+    # verdicts fixed BEFORE either append (see docstring); survivors are
+    # always exact-content representatives, so their band and sketch rows
+    # come straight from the cached batch sketch pass
+    out = lineage_barrier(out, None, eager=True)
+    new_ids = out.filter(F.col("verdict") == "new").select("doc_id")
+    (
+        bband.join(F.broadcast(new_ids), "doc_id")
+        .select("bkey", "band", "doc_id")
+        .write.mode("append")
+        .bucketBy(num_buckets, "bkey")
+        .sortBy("bkey")
+        .saveAsTable(bands_table)
+    )
+    (
+        bbase.join(F.broadcast(new_ids), "doc_id")
+        .select("doc_id", "shash")
+        .write.mode("append")
+        .bucketBy(num_buckets, "doc_id")
+        .sortBy("doc_id")
+        .saveAsTable(shingles_table)
+    )
+    return out

@@ -498,12 +498,46 @@ class TestDedupCommand:
         finally:
             spark.sql("DROP TABLE IF EXISTS cli_ledger_t")
 
-    def test_ledger_rejects_minhash_and_against_combo(self, tmp_path, capsys, spark):
+    def test_minhash_ledger_dedup_two_ingests(self, tmp_path, capsys, spark):
+        for t in ("cli_mhl_bands", "cli_mhl_shingles"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        near = "the quick brown fox jumps over the lazy dog by the river"
+        try:
+            b1 = str(tmp_path / "b1.parquet")
+            b2 = str(tmp_path / "b2.parquet")
+            spark.createDataFrame(
+                [(1, near), (2, "a different doc about adaptive query execution")],
+                "doc_id bigint, text string",
+            ).write.parquet(b1)
+            spark.createDataFrame(
+                [(10, near + " today"), (11, "fresh text on shuffle partitions")],
+                "doc_id bigint, text string",
+            ).write.parquet(b2)
+            import json as _json
+
+            rc = main(["dedup", "--input", b1, "--ledger", "cli_mhl",
+                       "--method", "minhash", "--verdict", str(tmp_path / "v1.parquet")])
+            s1 = _json.loads(capsys.readouterr().out)
+            assert rc == 0 and s1["n_new"] == 2
+
+            out2 = str(tmp_path / "v2.parquet")
+            rc = main(["dedup", "--input", b2, "--ledger", "cli_mhl",
+                       "--method", "minhash", "--verdict", out2])
+            s2 = _json.loads(capsys.readouterr().out)
+            assert rc == 0 and s2["n_dup_corpus"] == 1 and s2["n_new"] == 1
+            v = {r["doc_id"]: (r["verdict"], r["match_id"])
+                 for r in spark.read.parquet(out2).collect()}
+            assert v[10] == ("dup_corpus", 1) and v[11] == ("new", None)
+        finally:
+            for t in ("cli_mhl_bands", "cli_mhl_shingles"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    def test_ledger_rejects_simhash_and_against_combo(self, tmp_path, capsys, spark):
         p = str(tmp_path / "d.parquet")
         spark.createDataFrame([(1, "x")], "doc_id bigint, text string").write.parquet(p)
-        rc = main(["dedup", "--input", p, "--ledger", "t", "--method", "minhash",
+        rc = main(["dedup", "--input", p, "--ledger", "t", "--method", "simhash",
                    "--verdict", str(tmp_path / "o.parquet")])
-        assert rc == 2 and "exact only" in capsys.readouterr().err
+        assert rc == 2 and "exact or minhash" in capsys.readouterr().err
         rc = main(["dedup", "--input", p, "--ledger", "t", "--against", p,
                    "--verdict", str(tmp_path / "o.parquet")])
         assert rc == 2 and "mutually exclusive" in capsys.readouterr().err

@@ -1299,6 +1299,100 @@ class TestIncrementalDedupLedger:
         finally:
             spark.sql("DROP TABLE IF EXISTS dedup_ledger_t1")
 
+
+class TestIncrementalMinhashLedger:
+    """Near-dup state tables: consecutive ingests, idempotent replay."""
+
+    def test_near_dup_ingests_and_replay(self, spark):
+        for t in ("mh_ledger_t1_bands", "mh_ledger_t1_shingles"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        base_text = "the quick brown fox jumps over the lazy dog near the river bank"
+        try:
+            b1 = spark.createDataFrame(
+                [
+                    (1, base_text),
+                    (2, base_text + " today"),       # near-dup of 1
+                    (3, "a completely different document about spark physical plans"),
+                ],
+                "doc_id bigint, text string",
+            )
+            v1 = {
+                r["doc_id"]: (r["verdict"], r["match_id"])
+                for r in D.incremental_minhash_ledger(
+                    spark, b1, "mh_ledger_t1", "doc_id", "text",
+                    num_buckets=4, threshold=0.5,
+                ).collect()
+            }
+            assert v1[1] == ("new", None)
+            assert v1[2] == ("dup_batch", 1)
+            assert v1[3] == ("new", None)
+            # state covers survivors only (docs 1 and 3), one sketch each
+            assert spark.table("mh_ledger_t1_shingles").count() == 2
+
+            b2 = spark.createDataFrame(
+                [
+                    (10, base_text + " yesterday"),  # near-dup of ledger doc 1
+                    (11, "fresh content on watermarks and stateful streaming"),
+                ],
+                "doc_id bigint, text string",
+            )
+            v2 = {
+                r["doc_id"]: (r["verdict"], r["match_id"])
+                for r in D.incremental_minhash_ledger(
+                    spark, b2, "mh_ledger_t1", "doc_id", "text",
+                    num_buckets=4, threshold=0.5,
+                ).collect()
+            }
+            assert v2[10] == ("dup_corpus", 1)
+            assert v2[11] == ("new", None)
+            assert spark.table("mh_ledger_t1_shingles").count() == 3
+
+            # replay of ingest #2 is idempotent: everything dup_corpus,
+            # no state growth
+            v2r = {
+                r["doc_id"]: (r["verdict"], r["match_id"])
+                for r in D.incremental_minhash_ledger(
+                    spark, b2, "mh_ledger_t1", "doc_id", "text",
+                    num_buckets=4, threshold=0.5,
+                ).collect()
+            }
+            assert v2r[10] == ("dup_corpus", 1)
+            assert v2r[11] == ("dup_corpus", 11)
+            assert spark.table("mh_ledger_t1_shingles").count() == 3
+            assert spark.table("mh_ledger_t1_bands").select("doc_id").distinct().count() == 3
+        finally:
+            for t in ("mh_ledger_t1_bands", "mh_ledger_t1_shingles"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    def test_read_only_mode_leaves_state_untouched(self, spark):
+        for t in ("mh_ledger_ro_bands", "mh_ledger_ro_shingles"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        try:
+            b1 = spark.createDataFrame(
+                [(1, "some document body with enough words to shingle")],
+                "doc_id bigint, text string",
+            )
+            D.incremental_minhash_ledger(
+                spark, b1, "mh_ledger_ro", "doc_id", "text", num_buckets=4
+            ).collect()
+            n_bands = spark.table("mh_ledger_ro_bands").count()
+            b2 = spark.createDataFrame(
+                [(2, "an unrelated second document mentioning catalyst rules")],
+                "doc_id bigint, text string",
+            )
+            v = {
+                r["doc_id"]: r["verdict"]
+                for r in D.incremental_minhash_ledger(
+                    spark, b2, "mh_ledger_ro", "doc_id", "text",
+                    num_buckets=4, update_ledger=False,
+                ).collect()
+            }
+            assert v[2] == "new"
+            assert spark.table("mh_ledger_ro_bands").count() == n_bands
+        finally:
+            for t in ("mh_ledger_ro_bands", "mh_ledger_ro_shingles"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+
     def test_read_only_probe(self, spark):
         spark.sql("DROP TABLE IF EXISTS dedup_ledger_t2")
         try:
