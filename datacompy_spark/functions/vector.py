@@ -181,3 +181,28 @@ def norm_sql(a: str, dim: int) -> str:
 
 def cosine_sql(a: str, b: str, dim: int) -> str:
     return f"({dot_sql(a, b, dim)} / ({norm_sql(a, dim)} * {norm_sql(b, dim)}))"
+
+
+def l2sq_slice(a: Column, b: Column, start: int, length: int) -> Column:
+    """Squared L2 distance over a 1-based subvector window — the
+    product-quantization subspace metric. Sequential double fold, same
+    order as :func:`l2sq_slice_sql`, so results are bit-identical."""
+    return F.aggregate(
+        F.zip_with(
+            F.slice(a, start, length),
+            F.slice(b, start, length),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2sq_slice_sql(a: str, b: str, start: int, length: int) -> str:
+    """DuckDB twin of :func:`l2sq_slice` (1-based, same fold order)."""
+    return (
+        f"list_sum(list_transform(generate_series({start}, {start + length - 1}),"
+        f" i -> ({a}[i]::DOUBLE - {b}[i]::DOUBLE)"
+        f" * ({a}[i]::DOUBLE - {b}[i]::DOUBLE)))"
+    )

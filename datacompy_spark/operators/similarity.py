@@ -391,6 +391,237 @@ def knn_int8_rerank(
     return _rank_top_k(exact, k)
 
 
+def pq_encode(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int = 8,
+    pivot_mod: int = 37,
+) -> DataFrame:
+    """Product-quantization encoder: split each vector into ``m`` subvectors
+    and store, per subspace, the id of the nearest sub-codeword — ``m``
+    small ints replace ``dim`` floats (the PQ memory compression, Jégou et
+    al. 2011). Codebooks are deterministic: subspace ``j``'s codewords are
+    the ``j``-th subvectors of the pivot rows (id ≡ 0 mod ``pivot_mod``) —
+    no k-means loop, reproducible anywhere, SQL-expressible.
+
+    Output: (vid, code_0 … code_{m-1}). Argmin ties (possible only on
+    duplicate pivot subvectors) break to the lowest pivot id via a
+    min-over-struct — deterministic in both engines.
+
+    Scale: one narrow pass (pivots broadcast) + one groupBy shuffle on the
+    vector id. The emitted code table is the ONLY thing the ADC scan phase
+    reads — ``m`` ints per vector instead of the raw embedding."""
+    from datacompy_spark.functions.vector import l2sq_slice
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    p = F.broadcast(
+        corpus.filter(F.col(id_col) % pivot_mod == 0).select(
+            F.col(id_col).alias("pivot_id"), F.col(vec_col).alias("pv")
+        )
+    )
+    cross = fan_out(corpus).select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
+    ).join(p)
+    aggs = [
+        F.min(
+            F.struct(
+                l2sq_slice(F.col("v"), F.col("pv"), j * sub + 1, sub).alias("d"),
+                F.col("pivot_id").alias("p"),
+            )
+        )
+        .getField("p")
+        .alias(f"code_{j}")
+        for j in range(m)
+    ]
+    return cross.groupBy("vid").agg(*aggs)
+
+
+def knn_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    dim: int = 64,
+    m: int = 8,
+    pivot_mod: int = 37,
+    rerank: int = 32,
+) -> DataFrame:
+    """PQ + asymmetric-distance (ADC) approximate top-k cosine: corpus
+    vectors are scanned as ``m``-int PQ codes, each query's distance to
+    every codeword is a broadcast lookup table, and the approximate L2 of a
+    (query, vector) pair is the fixed-order sum of ``m`` table entries —
+    never a touch of the raw corpus vector. The best ``rerank`` candidates
+    per query are then exactly re-scored with true cosine.
+
+    Scale shape: the ADC scan streams the code table (m ints/vector — at
+    100 TB of fp32 embeddings the codes are a ~32× smaller scan) against
+    ``m`` broadcast-joined lookup tables of |queries|·|codewords| rows; one
+    window ranks candidates; only |queries|·rerank raw vectors are ever
+    fetched, via a broadcast semi-probe of the corpus. Output matches every
+    other knn: (query_id, neighbor_id, rank, cos_sim)."""
+    from datacompy_spark.functions.vector import l2sq_slice
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    codes = pq_encode(corpus, id_col, vec_col, dim, m, pivot_mod)
+    pivots = corpus.filter(F.col(id_col) % pivot_mod == 0).select(
+        F.col(id_col).alias("pivot_id"), F.col(vec_col).alias("pv")
+    )
+    # per-query ADC lookup table: distance from the query's j-th subvector
+    # to every codeword of subspace j (|queries| × |codewords| rows, tiny)
+    qtab = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        .join(pivots)
+        .select(
+            "query_id",
+            "pivot_id",
+            *[
+                l2sq_slice(F.col("qv"), F.col("pv"), j * sub + 1, sub).alias(f"qd_{j}")
+                for j in range(m)
+            ],
+        )
+    )
+    scored = codes
+    for j in range(m):
+        tab = F.broadcast(
+            qtab.select(
+                "query_id", F.col("pivot_id").alias(f"code_{j}"), f"qd_{j}"
+            )
+        )
+        on = [f"code_{j}"] if j == 0 else ["query_id", f"code_{j}"]
+        scored = scored.join(tab, on)
+    # fixed left-to-right addition order — bit-identical to the SQL twin
+    approx = F.col("qd_0")
+    for j in range(1, m):
+        approx = approx + F.col(f"qd_{j}")
+    cand = (
+        scored.filter(F.col("vid") != F.col("query_id"))
+        .select("query_id", "vid", approx.alias("approx"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx").asc(), F.col("vid").asc()
+    )
+    cand = (
+        cand.withColumn("rr", F.row_number().over(w))
+        .filter(F.col("rr") <= rerank)
+        .select("query_id", "vid")
+    )
+    # exact rerank touches raw vectors for candidates only: the corpus
+    # streams past a broadcast of |queries|·rerank ids
+    cv = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("cn"),
+    ).join(F.broadcast(cand), "vid")
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            norm(F.col(vec_col)).alias("qn"),
+        )
+    )
+    rescored = cv.join(q, "query_id").select(
+        "query_id",
+        F.col("vid").alias("neighbor_id"),
+        F.try_divide(
+            dot_arrow(F.col("qv"), F.col("cv")), F.col("qn") * F.col("cn")
+        ).alias("cos_sim"),
+    )
+    return _rank_top_k(rescored, k)
+
+
+def knn_pq_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    probe_mod: int,
+    k: int = 5,
+    dim: int = 64,
+    m: int = 8,
+    pivot_mod: int = 37,
+    rerank: int = 32,
+) -> str:
+    """DuckDB twin of :func:`knn_pq` over ``table`` with the standard
+    probe set (``id % probe_mod = 0``). Same codebooks, same fixed-order
+    ADC sum, same tie-breaks.
+
+    The ADC lookups are a chain of MATERIALIZED CTEs (s0…s{m-1}), one
+    lookup table per step, NOT one m-way star join: DuckDB's join-order
+    optimizer sees the qtab copies sharing only ``query_id`` and explores
+    qtab×qtab orders whose intermediates are |codewords|^m-sized —
+    the flat form never finished at 2000 rows. Materialization fences
+    force the left-deep order (and keep the ``qd_0 + qd_1 + …``
+    accumulation left-to-right, bit-identical to the Spark chain)."""
+    from datacompy_spark.functions.vector import cosine_sql, l2sq_slice_sql
+
+    sub = dim // m
+    code_aggs = ",\n    ".join(
+        f"(min({{'d': {l2sq_slice_sql('c.' + vec_col, 'p.pv', j * sub + 1, sub)},"
+        f" 'p': p.pivot_id}})).p AS code_{j}"
+        for j in range(m)
+    )
+    qd_cols = ",\n    ".join(
+        f"{l2sq_slice_sql('q.' + vec_col, 'p.pv', j * sub + 1, sub)} AS qd_{j}"
+        for j in range(m)
+    )
+    steps = []
+    carry = ", ".join(f"c.code_{j}" for j in range(1, m))
+    steps.append(
+        f"""s0 AS MATERIALIZED (
+  SELECT t.query_id, c.vid{", " + carry if carry else ""}, t.qd_0 AS acc
+  FROM codes c JOIN qtab t ON t.pivot_id = c.code_0
+  WHERE c.vid <> t.query_id)"""
+    )
+    for j in range(1, m):
+        carry = ", ".join(f"s.code_{i}" for i in range(j + 1, m))
+        steps.append(
+            f"""s{j} AS MATERIALIZED (
+  SELECT s.query_id, s.vid{", " + carry if carry else ""}, s.acc + t.qd_{j} AS acc
+  FROM s{j - 1} s JOIN qtab t
+    ON t.query_id = s.query_id AND t.pivot_id = s.code_{j})"""
+        )
+    steps_sql = ",\n".join(steps)
+    return f"""
+WITH pivots AS MATERIALIZED (
+  SELECT {id_col} AS pivot_id, {vec_col} AS pv FROM {table}
+  WHERE {id_col} % {pivot_mod} = 0),
+codes AS MATERIALIZED (
+  SELECT c.{id_col} AS vid,
+    {code_aggs}
+  FROM {table} c CROSS JOIN pivots p GROUP BY c.{id_col}),
+qtab AS MATERIALIZED (
+  SELECT q.{id_col} AS query_id, p.pivot_id,
+    {qd_cols}
+  FROM {table} q CROSS JOIN pivots p WHERE q.{id_col} % {probe_mod} = 0),
+{steps_sql},
+cand AS (
+  SELECT query_id, vid,
+    row_number() OVER (
+      PARTITION BY query_id
+      ORDER BY acc ASC, vid ASC) AS rr
+  FROM s{m - 1}),
+rescored AS (
+  SELECT cand.query_id, cand.vid AS neighbor_id,
+    {cosine_sql('q.' + vec_col, 'c.' + vec_col, dim)} AS cos_sim
+  FROM cand
+  JOIN {table} c ON c.{id_col} = cand.vid
+  JOIN {table} q ON q.{id_col} = cand.query_id
+  WHERE cand.rr <= {rerank})
+SELECT query_id, neighbor_id, rank::INT AS rank, cos_sim FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+    row_number() OVER (
+      PARTITION BY query_id
+      ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM rescored)
+WHERE rank <= {k}"""
+
+
 def label_centroids(
     df: DataFrame, label_col: str, vec_col: str, quantum: int = 1_000_000
 ) -> DataFrame:

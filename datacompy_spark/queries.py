@@ -584,6 +584,7 @@ _SWEEP_FIRST = [
     "events_anomaly",
     "events_transitions",
     "dedup_semantic",
+    "knn_pq",
     # last green in r6 — due for re-verification
     "corpus_mix",
     "curate_corpus",

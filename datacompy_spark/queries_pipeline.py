@@ -279,6 +279,24 @@ ranked AS (
 SELECT query_id, neighbor_id, rank::INT AS rank, cos_sim FROM ranked WHERE rank <= 5"""
 
 
+def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/similarity.py::knn_pq): 8
+    subspaces over deterministic pivot codebooks, ADC scan over the m-int
+    code table, exact cosine rerank of the best 32. The memory-compressed
+    scale path — the ADC phase never reads a raw corpus vector."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 97 == 0)
+    return S.knn_pq(
+        emb, probes, "vec_id", "embedding", k=5, dim=64, m=8, pivot_mod=37, rerank=32
+    )
+
+
+SQL_KNN_PQ = S.knn_pq_sql(
+    "embeddings", "vec_id", "embedding", probe_mod=97,
+    k=5, dim=64, m=8, pivot_mod=37, rerank=32,
+)
+
+
 def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain/source balancing: keep at most 10 documents per source,
     chosen by a deterministic md5 lottery (operators/textops.py::
@@ -2189,6 +2207,7 @@ PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cmp_ignore_flags": q_cmp_ignore_flags,
     "stream_hourly_profile": q_stream_hourly_profile,
     "knn_ivf": q_knn_ivf,
+    "knn_pq": q_knn_pq,
     "cmp_rel_tol": q_cmp_rel_tol,
     "cmp_decimal": q_cmp_decimal,
     "word_frequencies": q_word_frequencies,
@@ -2262,6 +2281,7 @@ PIPELINE_ORACLES: Dict[str, str] = {
     "cmp_ignore_flags": SQL_CMP_IGNORE_FLAGS,
     "stream_hourly_profile": SQL_STREAM_HOURLY_PROFILE,
     "knn_ivf": SQL_KNN_IVF,
+    "knn_pq": SQL_KNN_PQ,
     "cmp_rel_tol": SQL_CMP_REL_TOL,
     "cmp_decimal": SQL_CMP_DECIMAL,
     "word_frequencies": SQL_WORD_FREQUENCIES,

@@ -193,6 +193,41 @@ class TestEmbeddingOps:
         recall = len(exact & approx) / len(exact)
         assert recall >= 0.8, f"LSH recall {recall} too low on clustered data"
 
+    def test_pq_recall_on_clustered_data(self, spark):
+        # PQ codes quantize aggressively, but within a tight cluster the
+        # nearest codewords coincide, so the ADC ranking keeps true
+        # neighbors inside the rerank window and exact rerank recovers them.
+        import random
+
+        rng = random.Random(11)
+        rows = []
+        vid = 0
+        for cluster in range(10):
+            center = [rng.gauss(0, 1) for _ in range(64)]
+            for _ in range(5):
+                noisy = [x + rng.gauss(0, 0.02) for x in center]
+                rows.append((vid, noisy))
+                vid += 1
+        emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+        probes = emb.filter(F.col("vec_id") % 5 == 0)
+        exact = {
+            (r["query_id"], r["neighbor_id"])
+            for r in S.knn_bruteforce(emb, probes, "vec_id", "embedding", k=4).collect()
+        }
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in S.knn_pq(
+                emb, probes, "vec_id", "embedding", k=4, dim=64, m=8,
+                pivot_mod=7, rerank=10,
+            ).collect()
+        }
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.8, f"PQ recall {recall} too low on clustered data"
+
+    def test_pq_rejects_indivisible_subspaces(self, spark, embeddings):
+        with pytest.raises(ValueError):
+            S.knn_pq(embeddings, embeddings.limit(1), "vec_id", "embedding", dim=64, m=7)
+
     def test_ivf_recall_and_probe_bound(self, spark, embeddings):
         probes = embeddings.filter(F.col("vec_id") % 97 == 0)
         exact = {
