@@ -418,6 +418,40 @@ def build_parser() -> argparse.ArgumentParser:
         help="Spark application name",
     )
 
+    # compact: rewrite a fragmented dataset into target-sized files — the
+    # fix for what `profile --files` diagnoses. Extension beyond the
+    # reference CLI.
+    co = sub.add_parser(
+        "compact",
+        help="rewrite a fragmented dataset into ~target-sized files "
+        "(small-file compaction); summary JSON on stdout",
+        parents=[debug_parent],
+    )
+    co.add_argument("--input", required=True, help="input path or glob")
+    co.add_argument("--output", required=True, help="output directory (overwritten)")
+    co.add_argument(
+        "--target-mb", type=int, default=512,
+        help="target output file size in MB (default 512)",
+    )
+    co.add_argument(
+        "--sort-by",
+        help="comma-separated columns: range-partition + sort within files "
+        "so downstream scans get min/max pruning",
+    )
+    co.add_argument(
+        "--format", choices=["parquet", "orc"], default="parquet",
+        help="output format (default parquet)",
+    )
+    co.add_argument(
+        "--input-format", choices=["csv", "parquet", "json", "jsonl", "orc"],
+        help="input format when not parquet",
+    )
+    co.add_argument("--quiet", action="store_true", help="suppress the summary line")
+    co.add_argument(
+        "--spark-app-name", default="datacompy-spark-cli", metavar="NAME",
+        help="Spark application name",
+    )
+
     # curate: the end-to-end corpus pipeline (quality → dedup →
     # decontaminate → split) as one command writing a verdict table.
     cu = sub.add_parser(
@@ -1023,6 +1057,45 @@ def run_anomaly(args) -> int:
             spark.stop()
 
 
+def run_compact(args) -> int:
+    import json
+
+    from pyspark.sql import SparkSession
+
+    from datacompy_spark.operators.profile import compact_files
+
+    if args.target_mb <= 0:
+        raise CLIError("--target-mb must be positive")
+    sort_by = (
+        [c.strip() for c in args.sort_by.split(",") if c.strip()]
+        if args.sort_by
+        else None
+    )
+    created = SparkSession.getActiveSession() is None
+    spark = SparkSession.builder.appName(args.spark_app_name).getOrCreate()
+    try:
+        try:
+            summary = compact_files(
+                spark,
+                args.input,
+                args.output,
+                target_file_bytes=args.target_mb * 1024 * 1024,
+                fmt=args.format,
+                input_format=args.input_format,
+                sort_by=sort_by,
+            )
+        except CLIError:
+            raise
+        except Exception as ex:
+            raise CLIError(str(ex)) from ex
+        if not args.quiet:
+            print(json.dumps(summary))
+        return 0
+    finally:
+        if created:
+            spark.stop()
+
+
 def run_curate(args) -> int:
     import json
 
@@ -1107,6 +1180,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             return run_cdc(args)
         if args.command == "anomaly":
             return run_anomaly(args)
+        if args.command == "compact":
+            return run_compact(args)
         if args.command == "curate":
             return run_curate(args)
         raise CLIError(f"unknown command {args.command!r}")

@@ -223,6 +223,76 @@ def file_layout_profile(
     )
 
 
+def compact_files(
+    spark,
+    input_path: str,
+    output_path: str,
+    target_file_bytes: int = 512 * 1024 * 1024,
+    fmt: str = "parquet",
+    input_format: str | None = None,
+    sort_by: list | None = None,
+) -> dict:
+    """Small-file compaction — the fix :func:`file_layout_profile`
+    diagnoses: rewrite a fragmented dataset into ~``target_file_bytes``
+    files. File count is sized from the INPUT's on-disk bytes (metadata
+    listing, no data read), so columnar compression carries over ~1:1 for
+    parquet→parquet; one round-robin repartition spreads rows evenly
+    (``coalesce`` would skip the shuffle but inherits input skew — a
+    compaction that writes one giant and many tiny files has not
+    compacted). With ``sort_by`` the repartition is range-based on those
+    columns and each file is sorted within — the layout that gives
+    min/max-pruning teeth to downstream scans.
+
+    Returns a summary dict (files/bytes before, files planned/written).
+    Non-destructive: writes to ``output_path``, never touches the input.
+
+    At 100 TB: the listing stays metadata-only, the rewrite is one wide
+    pass, and target sizing bounds every output task's write volume; run
+    per-partition-directory for partitioned tables to keep the shuffle
+    scoped."""
+    import math
+
+    listing = (
+        spark.read.format("binaryFile")
+        .load(input_path)
+        .select("length")
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("length").alias("total_bytes"),
+        )
+        .first()
+    )
+    n_before, total_bytes = listing["n_files"], listing["total_bytes"] or 0
+    n_target = max(1, math.ceil(total_bytes / max(int(target_file_bytes), 1)))
+    df = (
+        spark.read.format(input_format or fmt).load(input_path)
+        if (input_format or fmt) != "csv"
+        else spark.read.format("csv").option("header", True).load(input_path)
+    )
+    if sort_by:
+        shaped = df.repartitionByRange(n_target, *sort_by).sortWithinPartitions(
+            *sort_by
+        )
+    else:
+        shaped = df.repartition(n_target)
+    shaped.write.mode("overwrite").format(fmt).save(output_path)
+    written = (
+        spark.read.format("binaryFile")
+        .load(output_path + "/*." + ("parquet" if fmt == "parquet" else "*"))
+        .select("length")
+        .count()
+    )
+    return {
+        "files_before": int(n_before),
+        "bytes_before": int(total_bytes),
+        "target_file_bytes": int(target_file_bytes),
+        "files_planned": int(n_target),
+        "files_written": int(written),
+        "output": output_path,
+    }
+
+
 def file_layout_profile_sql(tables, small_file_bytes: int = 128 * 1024 * 1024) -> str:
     """DuckDB twin of :func:`file_layout_profile` (``read_blob``'s size
     column is the same filesystem byte count as binaryFile's length)."""

@@ -576,6 +576,27 @@ class TestProfileFiles:
         assert "physical layout" in capsys.readouterr().err
 
 
+class TestCompactCommand:
+    def test_compacts_and_reports(self, tmp_path, capsys, spark):
+        import json as _json
+
+        src = str(tmp_path / "frag")
+        dst = str(tmp_path / "out")
+        spark.range(0, 5_000).selectExpr(
+            "id", "repeat('z', 64) AS pad"
+        ).repartition(20).write.parquet(src)
+        rc = main(["compact", "--input", src, "--output", dst, "--target-mb", "1"])
+        s = _json.loads(capsys.readouterr().out)
+        assert rc == 0
+        assert s["files_before"] == 20
+        assert s["files_written"] == s["files_planned"] >= 1
+        assert spark.read.parquet(dst).count() == 5_000
+
+    def test_rejects_bad_target(self, tmp_path, capsys):
+        rc = main(["compact", "--input", "x", "--output", "y", "--target-mb", "0"])
+        assert rc == 2 and "positive" in capsys.readouterr().err
+
+
 class TestAnomalyCommand:
     @pytest.fixture()
     def feed(self, tmp_path, spark):

@@ -1665,6 +1665,67 @@ class TestFileLayoutProfile:
         assert "content" not in plan, plan[:800]
 
 
+class TestCompactFiles:
+    def test_fragmented_input_compacts_to_planned_count(self, spark, tmp_path):
+        from datacompy_spark.operators.profile import compact_files
+
+        src = str(tmp_path / "fragmented")
+        dst = str(tmp_path / "compacted")
+        spark.range(0, 10_000).selectExpr(
+            "id", "id % 97 AS k", "repeat('x', 64) AS pad"
+        ).repartition(40).write.parquet(src)
+        before = spark.read.format("binaryFile").load(src).count()
+        assert before == 40
+        total = sum(
+            r["length"]
+            for r in spark.read.format("binaryFile").load(src).select("length").collect()
+        )
+        # target ~1/4 of the data -> exactly 4 planned files
+        summary = compact_files(
+            spark, src, dst, target_file_bytes=(total + 3) // 4
+        )
+        assert summary["files_before"] == 40
+        assert summary["files_planned"] == 4
+        assert summary["files_written"] == 4
+        # rewrite is lossless
+        assert spark.read.parquet(dst).count() == 10_000
+        assert (
+            spark.read.parquet(dst).selectExpr("sum(id)").first()[0]
+            == spark.read.parquet(src).selectExpr("sum(id)").first()[0]
+        )
+
+    def test_sort_by_gives_disjoint_file_ranges(self, spark, tmp_path):
+        from datacompy_spark.operators.profile import compact_files
+
+        src = str(tmp_path / "frag2")
+        dst = str(tmp_path / "sorted")
+        spark.range(0, 8_000).selectExpr(
+            "id", "repeat('y', 64) AS pad"
+        ).repartition(16).write.parquet(src)
+        total = sum(
+            r["length"]
+            for r in spark.read.format("binaryFile").load(src).select("length").collect()
+        )
+        compact_files(
+            spark, src, dst, target_file_bytes=(total + 3) // 4, sort_by=["id"]
+        )
+        # range partitioning + in-file sort -> per-file id ranges are
+        # disjoint (the min/max-pruning layout)
+        import pyspark.sql.functions as _F
+
+        spans = (
+            spark.read.parquet(dst)
+            .select("id", _F.input_file_name().alias("f"))
+            .groupBy("f")
+            .agg(_F.min("id").alias("lo"), _F.max("id").alias("hi"))
+            .orderBy("lo")
+            .collect()
+        )
+        assert len(spans) >= 2
+        for a, b in zip(spans, spans[1:]):
+            assert a["hi"] < b["lo"]
+
+
 class TestRollingAnomaly:
     def test_planted_spike_scores_high(self, spark):
         from datacompy_spark.operators.analytics import rolling_anomaly
