@@ -20,6 +20,7 @@ for recurring diffs of the same table, bucket both snapshots on the key
 
 from __future__ import annotations
 
+from functools import reduce
 from typing import List, Optional, Sequence
 
 from pyspark.sql import DataFrame
@@ -162,6 +163,159 @@ def apply_changes(
         *keys, *[F.col(f"{c}_new").alias(c) for c in compare_cols]
     )
     return kept.select(*keys, *compare_cols).unionByName(additions)
+
+
+def scd2_merge(
+    history: Optional[DataFrame],
+    snapshot: DataFrame,
+    keys: Sequence[str],
+    version,
+    compare_cols: Optional[Sequence[str]] = None,
+    version_type: str = "bigint",
+    null_safe: bool = True,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension maintenance: merge one ``snapshot``
+    (tagged ``version``) into an SCD2 ``history`` table — the standard
+    warehouse materialization of what :func:`snapshot_cdc` detects.
+
+    History schema: ``keys…, compare_cols…, valid_from, valid_to,
+    is_current`` — one row per (key, value-span); ``valid_to`` NULL while
+    the span is open. Merge semantics per key of the CURRENT slice vs the
+    snapshot: an insert opens a span; an update closes the open span at
+    ``version`` and opens a new one; a delete closes the span; an
+    unchanged key passes through. Closed history rows are never touched.
+    ``history=None`` bootstraps: every snapshot row opens at ``version``.
+
+    Plan shape: ONE full-outer key join of the current slice against the
+    snapshot; the up-to-two output rows per key (close + reopen on update)
+    come from exploding a per-row candidate array inside the same stage —
+    no second join, no second pass. Closed rows ride a union straight from
+    the history scan. At 100 TB: the join is the cost floor (bucket the
+    history on the key to kill the Exchange); history grows append-only,
+    so store it partitioned by ``valid_to IS NULL`` to keep the current
+    slice a partition-pruned scan.
+
+    ``version`` must be orderable and castable to ``version_type``
+    (bigint by default; pass ``version_type='date'``/``'timestamp'`` for
+    calendar versions)."""
+    keys = list(keys)
+    ver = F.lit(version).cast(version_type)
+    open_to = F.lit(None).cast(version_type)
+    snap_data = [c for c in snapshot.columns if c not in keys]
+    if compare_cols is None:
+        compare_cols = (
+            snap_data
+            if history is None
+            else [c for c in snap_data if c in history.columns]
+        )
+    cols = list(compare_cols)
+
+    if history is None:
+        return snapshot.select(
+            *keys,
+            *cols,
+            ver.alias("valid_from"),
+            open_to.alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+
+    out_cols = [*keys, *cols, "valid_from", "valid_to", "is_current"]
+    closed = history.filter(~F.col("is_current")).select(*out_cols)
+    lhs = (
+        history.filter(F.col("is_current"))
+        .select(
+            *keys,
+            F.lit(True).alias("__in_old"),
+            F.col("valid_from").alias("__vf"),
+            *[F.col(c).alias(f"{c}_old") for c in cols],
+        )
+        .alias("__scd_l")
+    )
+    rhs = snapshot.select(
+        *keys,
+        F.lit(True).alias("__in_new"),
+        *[F.col(c).alias(f"{c}_new") for c in cols],
+    ).alias("__scd_r")
+    if null_safe:
+        cond = [F.col(f"__scd_l.{k}").eqNullSafe(F.col(f"__scd_r.{k}")) for k in keys]
+    else:
+        cond = [F.col(f"__scd_l.{k}") == F.col(f"__scd_r.{k}") for k in keys]
+    j = lhs.join(rhs, on=cond, how="full_outer")
+
+    key_vals = [
+        F.coalesce(F.col(f"__scd_l.{k}"), F.col(f"__scd_r.{k}")).alias(k)
+        for k in keys
+    ]
+    in_old = F.col("__in_old").isNotNull()
+    in_new = F.col("__in_new").isNotNull()
+    changed = reduce(
+        lambda a, b: a | b,
+        [~F.col(f"{c}_old").eqNullSafe(F.col(f"{c}_new")) for c in cols],
+        F.lit(False),
+    )
+
+    def span(side: str, vf, vt, current: bool):
+        return F.struct(
+            *key_vals,
+            *[F.col(f"{c}_{side}").alias(c) for c in cols],
+            vf.alias("valid_from"),
+            vt.alias("valid_to"),
+            F.lit(current).alias("is_current"),
+        )
+
+    candidates = F.array_compact(
+        F.array(
+            # close the open span: key gone or values moved
+            F.when(
+                in_old & (~in_new | changed),
+                span("old", F.col("__vf"), ver, False),
+            ),
+            # untouched open span passes through
+            F.when(
+                in_old & in_new & ~changed,
+                span("old", F.col("__vf"), open_to, True),
+            ),
+            # open a new span: fresh key or the post-update values
+            F.when(
+                in_new & (~in_old | changed),
+                span("new", ver, open_to, True),
+            ),
+        )
+    )
+    merged = (
+        j.select(F.explode(candidates).alias("__span"))
+        .select(*[F.col(f"__span.{c}").alias(c) for c in out_cols])
+    )
+    return closed.unionByName(merged)
+
+
+def scd2_build(
+    snapshots: Sequence,
+    keys: Sequence[str],
+    compare_cols: Optional[Sequence[str]] = None,
+    version_type: str = "bigint",
+    null_safe: bool = True,
+) -> DataFrame:
+    """Fold a version-ordered sequence of ``(version, snapshot)`` pairs
+    into one SCD2 history via repeated :func:`scd2_merge` — the bootstrap
+    path when no history table exists yet. The fold is a driver-side loop
+    over the (bounded) snapshot COUNT; each step is one distributed join,
+    so the plan depth grows linearly with versions — localCheckpoint
+    between steps if folding many."""
+    history = None
+    for version, snap in snapshots:
+        history = scd2_merge(
+            history,
+            snap,
+            keys,
+            version,
+            compare_cols=compare_cols,
+            version_type=version_type,
+            null_safe=null_safe,
+        )
+    if history is None:
+        raise ValueError("scd2_build needs at least one snapshot")
+    return history
 
 
 def cdc_summary(feed: DataFrame) -> DataFrame:

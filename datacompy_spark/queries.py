@@ -585,6 +585,7 @@ _SWEEP_FIRST = [
     "events_transitions",
     "dedup_semantic",
     "knn_pq",
+    "scd2_history",
     # last green in r6 — due for re-verification
     "corpus_mix",
     "curate_corpus",

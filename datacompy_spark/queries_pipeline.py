@@ -1599,6 +1599,56 @@ SQL_CDC_APPLY = f"""
 SELECT o_orderkey, {", ".join(_ORDERS_CMP_COLS)} FROM ({_ORDERS_V2_SQL})"""
 
 
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history materialization (operators/cdc.py::scd2_build): fold
+    the two planted order snapshots into one type-2 dimension table —
+    close-at-version + reopen on update, closed span on delete, open span
+    on insert/unchanged. Exercises the same NULL transitions as cdc_delta
+    through the IS DISTINCT FROM change predicate."""
+    from datacompy_spark.operators.cdc import scd2_build
+
+    hist = scd2_build(
+        [(1, _orders_v1(spark, sf_dir)), (2, _orders_v2(spark, sf_dir))],
+        ["o_orderkey"],
+    )
+    return hist
+
+
+def _sql_scd2_history() -> str:
+    old_cols = ", ".join(f"{c}_old AS {c}" for c in _ORDERS_CMP_COLS)
+    new_cols = ", ".join(f"{c}_new AS {c}" for c in _ORDERS_CMP_COLS)
+    pairs = ",\n    ".join(
+        f"a.{c} AS {c}_old, b.{c} AS {c}_new" for c in _ORDERS_CMP_COLS
+    )
+    changed = " OR ".join(
+        f"a.{c} IS DISTINCT FROM b.{c}" for c in _ORDERS_CMP_COLS
+    )
+    return f"""
+WITH v1 AS ({_ORDERS_V1_SQL}),
+v2 AS ({_ORDERS_V2_SQL}),
+j AS (
+  SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+    a.o_orderkey IS NOT NULL AS in_old,
+    b.o_orderkey IS NOT NULL AS in_new,
+    ({changed}) AS changed,
+    {pairs}
+  FROM v1 a FULL JOIN v2 b ON a.o_orderkey = b.o_orderkey)
+SELECT o_orderkey, {old_cols},
+  1::BIGINT AS valid_from, 2::BIGINT AS valid_to, FALSE AS is_current
+FROM j WHERE in_old AND (NOT in_new OR changed)
+UNION ALL
+SELECT o_orderkey, {old_cols},
+  1::BIGINT AS valid_from, NULL::BIGINT AS valid_to, TRUE AS is_current
+FROM j WHERE in_old AND in_new AND NOT changed
+UNION ALL
+SELECT o_orderkey, {new_cols},
+  2::BIGINT AS valid_from, NULL::BIGINT AS valid_to, TRUE AS is_current
+FROM j WHERE in_new AND (NOT in_old OR changed)"""
+
+
+SQL_SCD2_HISTORY = _sql_scd2_history()
+
+
 def q_sales_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Star-schema rollup: lineitem ⋈ supplier ⋈ nation ⋈ region, revenue
     per region/nation — the canonical 100 TB shape where every dimension is
@@ -2234,6 +2284,7 @@ PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curate_corpus": q_curate_corpus,
     "cdc_delta": q_cdc_delta,
     "cdc_apply": q_cdc_apply,
+    "scd2_history": q_scd2_history,
     "events_latest_per_user": q_events_latest_per_user,
     "key_skew_profile": q_key_skew_profile,
     "sales_by_nation": q_sales_by_nation,
@@ -2308,6 +2359,7 @@ PIPELINE_ORACLES: Dict[str, str] = {
     "curate_corpus": SQL_CURATE_CORPUS,
     "cdc_delta": SQL_CDC_DELTA,
     "cdc_apply": SQL_CDC_APPLY,
+    "scd2_history": SQL_SCD2_HISTORY,
     "events_latest_per_user": SQL_EVENTS_LATEST,
     "key_skew_profile": SQL_KEY_SKEW_PROFILE,
     "sales_by_nation": SQL_SALES_BY_NATION,

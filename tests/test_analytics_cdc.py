@@ -102,6 +102,81 @@ class TestSnapshotCDC:
         assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") == 1
 
 
+class TestScd2:
+    def test_two_version_history(self, spark, snapshots):
+        from datacompy_spark.operators.cdc import scd2_build
+
+        old, new = snapshots
+        hist = scd2_build([(1, old), (2, new)], ["k"]).collect()
+        spans = {}
+        for r in hist:
+            spans.setdefault(r["k"], []).append(
+                (r["a"], r["b"], r["valid_from"], r["valid_to"], r["is_current"])
+            )
+        for v in spans.values():
+            v.sort(key=lambda t: (t[2], t[3] is None, t[3] or 0))
+        # unchanged key: one span, still open from v1
+        assert spans[1] == [("x", 10.0, 1, None, True)]
+        # updated key: v1 span closed at 2, new open span at 2
+        assert spans[2] == [("y", 20.0, 1, 2, False), ("y2", 20.0, 2, None, True)]
+        # deleted key: span closed at 2, nothing open
+        assert spans[3] == [("z", 30.0, 1, 2, False)]
+        # inserted key: opens at 2
+        assert spans[4] == [("w", 40.0, 2, None, True)]
+        # NULL key pairs null-safely: b updated -> close + reopen
+        assert spans[None] == [("n", 0.0, 1, 2, False), ("n", 99.0, 2, None, True)]
+
+    def test_third_merge_touches_only_current_slice(self, spark, snapshots):
+        from pyspark.sql import Row
+
+        from datacompy_spark.operators.cdc import scd2_build, scd2_merge
+
+        old, new = snapshots
+        h2 = scd2_build([(1, old), (2, new)], ["k"])
+        v3 = spark.createDataFrame(
+            [
+                Row(k=1, a="x", b=10.0),    # still unchanged
+                Row(k=2, a="y3", b=20.0),   # second update
+                Row(k=4, a="w", b=40.0),    # unchanged
+                Row(k=None, a="n", b=99.0), # unchanged
+            ]
+        )
+        h3 = scd2_merge(h2, v3, ["k"], 3)
+        rows = {(r["k"], r["valid_from"]): r for r in h3.collect()}
+        # the v1 closed span for k=2 is untouched
+        assert rows[(2, 1)]["valid_to"] == 2 and not rows[(2, 1)]["is_current"]
+        # the v2 span closed at 3; a v3 span opened
+        assert rows[(2, 2)]["valid_to"] == 3 and not rows[(2, 2)]["is_current"]
+        assert rows[(2, 3)]["a"] == "y3" and rows[(2, 3)]["is_current"]
+        # exactly one open span per surviving key
+        open_keys = sorted(
+            (r["k"] for r in h3.collect() if r["is_current"]),
+            key=lambda x: (x is None, x),
+        )
+        assert open_keys == [1, 2, 4, None]
+
+    def test_current_slice_reproduces_snapshot(self, spark, snapshots):
+        from datacompy_spark.operators.cdc import scd2_build
+
+        old, new = snapshots
+        cur = (
+            scd2_build([(1, old), (2, new)], ["k"])
+            .filter("is_current")
+            .select("k", "a", "b")
+        )
+        got = {tuple(r) for r in cur.collect()}
+        want = {tuple(r) for r in new.select("k", "a", "b").collect()}
+        assert got == want
+
+    def test_build_requires_snapshots(self, spark):
+        import pytest as _pytest
+
+        from datacompy_spark.operators.cdc import scd2_build
+
+        with _pytest.raises(ValueError):
+            scd2_build([], ["k"])
+
+
 class TestTopKPerGroup:
     def test_basic_and_ties(self, spark):
         df = spark.createDataFrame(
