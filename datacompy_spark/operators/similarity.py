@@ -487,19 +487,26 @@ def knn_pq(
             ],
         )
     )
-    scored = codes
-    for j in range(m):
-        tab = F.broadcast(
-            qtab.select(
-                "query_id", F.col("pivot_id").alias(f"code_{j}"), f"qd_{j}"
+    # fold the lookup table into ONE broadcast map per query (pivot_id →
+    # per-subspace distances): the ADC scan is then a single broadcast
+    # join with m codegen map lookups per row, not m join stages
+    lut = qtab.groupBy("query_id").agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    "pivot_id",
+                    F.struct(*[F.col(f"qd_{j}") for j in range(m)]),
+                )
             )
-        )
-        on = [f"code_{j}"] if j == 0 else ["query_id", f"code_{j}"]
-        scored = scored.join(tab, on)
+        ).alias("__lut")
+    )
+    scored = codes.join(F.broadcast(lut))
     # fixed left-to-right addition order — bit-identical to the SQL twin
-    approx = F.col("qd_0")
+    approx = F.col("__lut").getItem(F.col("code_0")).getField("qd_0")
     for j in range(1, m):
-        approx = approx + F.col(f"qd_{j}")
+        approx = approx + F.col("__lut").getItem(F.col(f"code_{j}")).getField(
+            f"qd_{j}"
+        )
     cand = (
         scored.filter(F.col("vid") != F.col("query_id"))
         .select("query_id", "vid", approx.alias("approx"))

@@ -396,8 +396,9 @@ SQL_KNN_INT8 = _sql_knn_int8()
 
 
 def q_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@5 of the two APPROXIMATE ANN paths (LSH, IVF) against exact
-    brute force over the same probe set — the approximation-quality gate
+    """Recall@5 of every APPROXIMATE ANN path (LSH, IVF, int8-rerank,
+    PQ-ADC) against exact brute force over the same probe set — the
+    approximation-quality gate
     the per-method oracles cannot express (they re-run the same algorithm,
     so a bad approximation would still "match"). The recall VALUE is what
     the correctness hash pins: a regression in banding, pivot assignment,
@@ -438,6 +439,7 @@ def q_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             graded(q_knn_lsh(spark, sf_dir), "lsh")
             .unionByName(graded(q_knn_ivf(spark, sf_dir), "ivf"))
             .unionByName(graded(q_knn_int8(spark, sf_dir), "int8_rerank"))
+            .unionByName(graded(q_knn_pq(spark, sf_dir), "pq_adc"))
             .collect()
         )
     finally:
@@ -460,6 +462,7 @@ WITH exact AS (SELECT query_id, neighbor_id FROM ({SQL_KNN_BRUTEFORCE})),
 lsh AS (SELECT query_id, neighbor_id FROM ({SQL_KNN_LSH})),
 ivf AS (SELECT query_id, neighbor_id FROM ({SQL_KNN_IVF})),
 int8 AS (SELECT query_id, neighbor_id FROM ({SQL_KNN_INT8})),
+pq AS (SELECT query_id, neighbor_id FROM ({SQL_KNN_PQ})),
 g_lsh AS (
   SELECT 'lsh' AS method, count(*) AS n_exact, count(a.query_id) AS n_hits
   FROM exact e LEFT JOIN lsh a
@@ -471,9 +474,14 @@ g_ivf AS (
 g_int8 AS (
   SELECT 'int8_rerank' AS method, count(*) AS n_exact, count(a.query_id) AS n_hits
   FROM exact e LEFT JOIN int8 a
+    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id),
+g_pq AS (
+  SELECT 'pq_adc' AS method, count(*) AS n_exact, count(a.query_id) AS n_hits
+  FROM exact e LEFT JOIN pq a
     ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id)
 SELECT method, n_exact, n_hits, n_hits::DOUBLE / n_exact::DOUBLE AS recall
-FROM (SELECT * FROM g_lsh UNION ALL SELECT * FROM g_ivf UNION ALL SELECT * FROM g_int8)
+FROM (SELECT * FROM g_lsh UNION ALL SELECT * FROM g_ivf
+      UNION ALL SELECT * FROM g_int8 UNION ALL SELECT * FROM g_pq)
 ORDER BY method"""
 
 
