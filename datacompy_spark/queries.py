@@ -586,6 +586,9 @@ _SWEEP_FIRST = [
     "dedup_semantic",
     "knn_pq",
     "scd2_history",
+    # output changed in r8 session 5 (now grades 4 ANN paths incl. PQ) —
+    # re-earn its driver-green row
+    "knn_recall",
     # last green in r6 — due for re-verification
     "corpus_mix",
     "curate_corpus",
