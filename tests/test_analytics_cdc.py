@@ -543,10 +543,16 @@ class TestKnnRecallGate:
             r["method"]: r["recall"]
             for r in q_knn_recall(spark, "/root/testdata/sf0.001").collect()
         }
-        assert set(got) == {"int8_rerank", "ivf", "lsh"}
+        assert set(got) == {"int8_rerank", "ivf", "lsh", "pq_adc"}
         assert got["int8_rerank"] >= 0.9
         assert got["lsh"] >= 0.5
         assert got["ivf"] >= 0.5
+        # pq_adc is low at sf0.001 by construction: ~200 isotropic vectors
+        # give the deterministic pivot codebook almost no structure to
+        # quantize, so ADC ranking is noisy even before the exact rerank
+        # (measured 0.3). The floor pins against silent regression; the
+        # sf0.01 driver oracle pins the exact cross-engine value.
+        assert got["pq_adc"] >= 0.25
 
     def test_knn_int8_rerank_matches_bruteforce_topk(self, spark):
         """With a pool that recovers everything, the int8 path's final
