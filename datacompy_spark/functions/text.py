@@ -159,3 +159,65 @@ def language_id_sql(text: str) -> str:
         )
         expr_score = f"CASE WHEN {s} >= {expr_score} THEN {s} ELSE {expr_score} END"
     return expr_best
+
+
+# --- Unicode normalization -------------------------------------------------
+# The one Arrow-batched exception to this module's no-UDF rule: Spark has no
+# built-in Unicode normalizer (java.text.Normalizer is not exposed as a SQL
+# function), so NFC composition runs as a pandas_udf. Everything around it
+# (case mapping, whitespace collapse) stays JVM-side.
+
+_NFC_ARROW = None
+
+
+def _nfc_batch(s):
+    """pandas Series[str] -> Series[str]: Unicode NFC (canonical
+    composition). NULL-safe: None passes through."""
+    import unicodedata
+
+    return s.map(
+        lambda t: unicodedata.normalize("NFC", t) if t is not None else None
+    )
+
+
+def nfc(text: Column) -> Column:
+    """Unicode NFC normalization as an Arrow-batched column.
+
+    Python's ``unicodedata.normalize("NFC", ...)`` and DuckDB's
+    ``nfc_normalize`` both implement UAX #15 canonical composition, so the
+    twins agree byte-for-byte (pinned by the ``normalize_corpus`` oracle,
+    which plants decomposed sequences). Scale shape: narrow projection, no
+    shuffle; Arrow batch transfer only for the string column itself."""
+    global _NFC_ARROW
+    if _NFC_ARROW is None:
+        from pyspark.sql.functions import pandas_udf
+
+        _NFC_ARROW = pandas_udf(_nfc_batch, "string")
+    return _NFC_ARROW(text)
+
+
+def nfc_sql(text: str) -> str:
+    return f"nfc_normalize({text})"
+
+
+#: explicit ASCII whitespace class — Java regex ``\s`` and RE2 ``\s`` differ
+#: at the edges (``\x0B``), so both engines get the same literal class.
+_WS_CLASS = "[ \\t\\n\\r\\f]+"
+
+
+def unicode_clean(text: Column) -> Column:
+    """Corpus-cleaning normal form: NFC -> lower -> collapse ASCII
+    whitespace -> trim. Unlike :func:`normalize` (the lossy ASCII-only
+    hashing form), this keeps every word character — accents, CJK,
+    fullwidth — and only canonicalizes representation. NULL passes
+    through."""
+    t = F.lower(nfc(text))
+    t = F.regexp_replace(t, _WS_CLASS, " ")
+    return F.trim(t)
+
+
+def unicode_clean_sql(text: str) -> str:
+    return (
+        f"trim(regexp_replace(lower(nfc_normalize({text})),"
+        f" '{_WS_CLASS}', ' ', 'g'))"
+    )

@@ -279,6 +279,110 @@ SELECT doc_id, shard,
 FROM assigned"""
 
 
+def normalize_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "norm_text",
+) -> DataFrame:
+    """Unicode corpus cleaning: NFC composition -> lowercase -> ASCII
+    whitespace collapse -> trim, as ``out_col`` alongside the original.
+
+    The representation-canonicalizing step of an ingest pipeline (mojibake
+    from mixed encoders, decomposed accents from macOS filenames, fullwidth
+    forms from CJK sources all collapse to one spelling) — unlike
+    ``normalize`` (the lossy ASCII hashing form) no word character is
+    dropped. Scale shape: one narrow projection, no shuffle; the only
+    Python stage is the Arrow-batched NFC batch (Spark has no built-in
+    Unicode normalizer). Cross-engine caveat: special case mappings where
+    Java and utf8proc disagree (Turkish dotted I) are NOT canonicalized
+    identically by every engine; the oracle plants only agreeing
+    sequences."""
+    from datacompy_spark.functions.text import unicode_clean
+
+    return df.withColumn(out_col, unicode_clean(F.col(text_col)))
+
+
+def normalize_corpus_sql(table: str, text_col: str, out_col: str) -> str:
+    """DuckDB twin of :func:`normalize_corpus` (projection form)."""
+    from datacompy_spark.functions.text import unicode_clean_sql
+
+    return (
+        f"SELECT *, {unicode_clean_sql(text_col)} AS {out_col} FROM {table}"
+    )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    train_pct: int = 80,
+    val_pct: int = 10,
+    seed: str = "split#1",
+) -> DataFrame:
+    """Dedup-aware train/val/test assignment: every exact-content duplicate
+    group receives ONE split decision, keyed by the group's smallest id, so
+    identical documents can never straddle train and test (the eval-leakage
+    failure mode a naive per-row ``hash_split`` has by construction).
+
+    Mechanics: content hash of the normalized text (NULL text folds into a
+    sentinel group — NULL rows never silently vanish), group representative
+    = ``min(id)`` over that hash, then the same engine-independent md5
+    lottery as ``hash_split`` applied to the REPRESENTATIVE. Scale shape:
+    one shuffle (window over content hash — the same partitioning an exact
+    dedup already pays), then narrow projections; no join, no second pass.
+    Output: ``doc_id, content_hash, group_rep, split``."""
+    from pyspark.sql import Window
+
+    from datacompy_spark.functions.hashing import md5_long
+
+    chash = F.md5(
+        F.coalesce(normalize(F.col(text_col)), F.lit("\x00null"))
+    )
+    w = Window.partitionBy("content_hash")
+    rep = F.min("doc_id").over(w)
+    bucket = md5_long(rep.cast("string"), seed) % 100
+    return (
+        df.select(F.col(id_col).alias("doc_id"), chash.alias("content_hash"))
+        .select(
+            "doc_id",
+            "content_hash",
+            rep.alias("group_rep"),
+            F.when(bucket < train_pct, F.lit("train"))
+            .when(bucket < train_pct + val_pct, F.lit("val"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        )
+    )
+
+
+def leakage_safe_split_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    train_pct: int = 80,
+    val_pct: int = 10,
+    seed: str = "split#1",
+) -> str:
+    """DuckDB twin of :func:`leakage_safe_split`."""
+    from datacompy_spark.functions.hashing import md5_long_sql
+    from datacompy_spark.functions.text import normalize_sql
+
+    chash = f"md5(coalesce({normalize_sql(text_col)}, chr(0) || 'null'))"
+    bucket = f"(({md5_long_sql('group_rep::VARCHAR', seed)}) % 100)"
+    return f"""
+WITH hashed AS (
+  SELECT {id_col} AS doc_id, {chash} AS content_hash FROM {table}),
+grouped AS (
+  SELECT doc_id, content_hash,
+         min(doc_id) OVER (PARTITION BY content_hash) AS group_rep
+  FROM hashed)
+SELECT doc_id, content_hash, group_rep,
+       CASE WHEN {bucket} < {train_pct} THEN 'train'
+            WHEN {bucket} < {train_pct + val_pct} THEN 'val'
+            ELSE 'test' END AS split
+FROM grouped"""
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,

@@ -586,6 +586,8 @@ _SWEEP_FIRST = [
     "dedup_semantic",
     "knn_pq",
     "scd2_history",
+    "corpus_normalize",
+    "leakage_split",
     # output changed in r8 session 5 (now grades 4 ANN paths incl. PQ) —
     # re-earn its driver-green row
     "knn_recall",

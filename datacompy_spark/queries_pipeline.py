@@ -2248,6 +2248,74 @@ SQL_DEDUP_SEMANTIC = D.semantic_dedup_sql(
 )
 
 
+def q_corpus_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode corpus cleaning (operators/textops.py::normalize_corpus).
+    The test corpus is ASCII-lowercase, so the query PLANTS the mess the
+    operator exists for — decomposed accents (e + U+0301), fullwidth CJK
+    compatibility forms, uppercase runs, tab/double-space runs — by
+    doc_id % 4, identically in the DuckDB twin, then pins that Python's
+    ``unicodedata`` NFC + Spark's JVM lowercase equal DuckDB's utf8proc
+    byte-for-byte on the cleaned output. (Turkish dotted-I, where JVM and
+    utf8proc genuinely disagree, is deliberately not planted — see the
+    operator docstring.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    mod = F.col("doc_id") % 4
+    messy = (
+        F.when(mod == 0, F.upper(F.col("text")))
+        .when(
+            mod == 1,
+            F.concat(
+                # decomposed e + U+0301: a no-op NFC would hash-mismatch
+                F.lit("Café  "),
+                F.col("text"),
+                F.lit("\t du Monde"),
+            ),
+        )
+        .when(
+            mod == 2,
+            F.concat(F.col("text"), F.lit(" École ＡＢＣ ﬁn")),
+        )
+        .otherwise(F.col("text"))
+    )
+    out = TO.normalize_corpus(
+        docs.select("doc_id", messy.alias("messy")), "messy", "norm_text"
+    )
+    return out.select(
+        "doc_id",
+        "norm_text",
+        F.length("norm_text").alias("n_norm_chars"),
+    )
+
+
+SQL_CORPUS_NORMALIZE = f"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 0 THEN upper(text)
+           WHEN 1 THEN 'Cafe' || chr(769) || '  ' || text || chr(9) || ' du Monde'
+           WHEN 2 THEN text || ' ' || chr(201) || 'cole ＡＢＣ ﬁn'
+           ELSE text END AS messy
+  FROM documents),
+cleaned AS (
+  {TO.normalize_corpus_sql('planted', 'messy', 'norm_text')})
+SELECT doc_id, norm_text, length(norm_text)::INT AS n_norm_chars
+FROM cleaned"""
+
+
+def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware train/val/test split (operators/textops.py::
+    leakage_safe_split): exact-content duplicate groups get ONE split
+    decision keyed by the group's min doc_id, so duplicates never straddle
+    train and test. The documents table carries real exact-dup groups
+    (same ones dedup_exact collapses), so the leakage property is
+    exercised, not vacuous."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TO.leakage_safe_split(docs, "doc_id", "text")
+
+
+SQL_LEAKAGE_SPLIT = TO.leakage_safe_split_sql("documents", "doc_id", "text")
+
+
 PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -2321,6 +2389,8 @@ PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "json_key_profile": q_json_key_profile,
     "events_anomaly": q_events_anomaly,
     "events_transitions": q_events_transitions,
+    "corpus_normalize": q_corpus_normalize,
+    "leakage_split": q_leakage_split,
 }
 
 PIPELINE_ORACLES: Dict[str, str] = {
@@ -2393,4 +2463,6 @@ PIPELINE_ORACLES: Dict[str, str] = {
     "json_key_profile": SQL_JSON_KEY_PROFILE,
     "events_anomaly": SQL_EVENTS_ANOMALY,
     "events_transitions": SQL_EVENTS_TRANSITIONS,
+    "corpus_normalize": SQL_CORPUS_NORMALIZE,
+    "leakage_split": SQL_LEAKAGE_SPLIT,
 }

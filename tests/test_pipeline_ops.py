@@ -1830,3 +1830,92 @@ class TestTransitionMatrix:
             ).collect()
         }
         assert out == {("a", "b")}  # event_id order, deterministically
+
+
+class TestNormalizeCorpus:
+    def test_nfc_composes_and_cleans(self, spark):
+        from datacompy_spark.operators.textops import normalize_corpus
+
+        rows = [
+            (0, "Café  du\tMonde "),  # decomposed é, runs of ws
+            (1, "UPPER Case"),
+            (2, "ＡＢＣ ﬁn École"),  # fullwidth + ligature survive NFC
+            (3, None),  # NULL passes through, never dropped
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {
+            r["doc_id"]: r["norm_text"]
+            for r in normalize_corpus(df).collect()
+        }
+        assert got[0] == "café du monde"  # composed, collapsed, trimmed
+        assert got[1] == "upper case"
+        # NFC (unlike NFKC) preserves compatibility forms; lower() still maps
+        assert got[2] == "ａｂｃ ﬁn école"
+        assert got[3] is None
+        assert len(got) == 4
+
+    def test_spark_output_equals_duckdb_twin(self, spark):
+        """The planted-mess oracle at sf0.01 pins this cross-engine; this is
+        the minimal in-suite pin so a unicodedata/utf8proc drift shows up in
+        pytest, not only in the round sweep."""
+        import duckdb
+
+        from datacompy_spark.functions.text import unicode_clean_sql
+        from datacompy_spark.operators.textops import normalize_corpus
+
+        texts = ["Café\t x", "ÉCOLE  ﬁn", "ＡＢＣ des"]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+        )
+        got = [
+            r["norm_text"]
+            for r in normalize_corpus(df).orderBy("doc_id").collect()
+        ]
+        con = duckdb.connect()
+        want = [
+            con.execute(
+                f"SELECT {unicode_clean_sql('?')}", [t]
+            ).fetchone()[0]
+            for t in texts
+        ]
+        assert got == want
+
+
+class TestLeakageSafeSplit:
+    def test_duplicates_never_straddle_splits(self, spark):
+        from datacompy_spark.operators.textops import leakage_safe_split
+
+        # 60 duplicate groups of 3 (ids i, i+1000, i+2000 share content),
+        # plus two NULL-text docs that must fold into ONE group
+        rows = [(i + k * 1000, f"doc body {i}") for i in range(60) for k in range(3)]
+        rows += [(9001, None), (9002, None)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = leakage_safe_split(df, "doc_id", "text").collect()
+        assert len(out) == len(rows)  # nothing dropped, NULLs included
+        by_hash = {}
+        for r in out:
+            by_hash.setdefault(r["content_hash"], set()).add(
+                (r["split"], r["group_rep"])
+            )
+        # one split decision and one representative per content group
+        assert all(len(v) == 1 for v in by_hash.values())
+        assert len(by_hash) == 61  # 60 text groups + 1 NULL sentinel group
+        null_rows = [r for r in out if r["doc_id"] in (9001, 9002)]
+        assert {r["group_rep"] for r in null_rows} == {9001}
+        # the lottery actually spreads groups across all three splits
+        assert {r["split"] for r in out} == {"train", "val", "test"}
+
+    def test_matches_per_group_hash_split_model(self, spark):
+        """Every member's split equals hash_split of its group rep — i.e.
+        the operator IS hash_split lifted from rows to content groups."""
+        from datacompy_spark.operators.textops import hash_split, leakage_safe_split
+
+        rows = [(i, f"body {i % 40}") for i in range(120)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = leakage_safe_split(df, "doc_id", "text")
+        reps = got.select(F.col("group_rep").alias("doc_id")).distinct()
+        model = {
+            r["doc_id"]: r["split"] for r in hash_split(reps, "doc_id").collect()
+        }
+        for r in got.collect():
+            assert r["split"] == model[r["group_rep"]]
