@@ -945,3 +945,173 @@ def knn_auto(
         stats_out.update(t)
         stats_out["method"] = method
     return out
+
+
+def _km_quantize(df: DataFrame, id_col: str, vec_col: str, quantum: int) -> DataFrame:
+    """(vid, vq): embedding snapped to the 1/quantum integer grid with
+    floor(x·Q + 0.5) — the cross-engine rounding rule. All k-means
+    arithmetic downstream is exact BIGINT, so results are bit-identical
+    under any partition layout and on any engine."""
+    return df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("vid"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * quantum + F.lit(0.5)).cast(
+                "long"
+            ),
+        ).alias("vq"),
+    )
+
+
+def _km_assign(vq: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the k centroids past every
+    vector, integer squared-L2 via a fixed zip_with fold (associative, so
+    no ordering contortions), argmin by min(struct(dist, cid)) with the
+    centroid id as the deterministic tiebreak."""
+    dist = F.aggregate(
+        F.zip_with("vq", "cq", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        vq.crossJoin(F.broadcast(cents))
+        .select("vid", "cid", dist.alias("dist"))
+        .groupBy("vid")
+        .agg(F.min(F.struct("dist", "cid")).alias("m"))
+        .select(
+            "vid", F.col("m.cid").alias("cid"), F.col("m.dist").alias("dist")
+        )
+    )
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 2,
+    quantum: int = 10_000,
+) -> DataFrame:
+    """Lloyd k-means over an embedding column, EXACT on a 1/quantum integer
+    grid — the corpus-clustering primitive under SemDedup-style pruning,
+    domain discovery, and cluster-balanced sampling.
+
+    Why not MLlib KMeans: random init + float accumulation make its
+    assignments irreproducible across layouts; a data pipeline wants the
+    same clusters on every backfill. Here init is the ``k`` smallest ids,
+    distances are BIGINT squared-L2 on the quantized grid (associative —
+    partition-order-proof), and centroid updates requantize the exact
+    integer mean back onto the grid with floor(x+0.5), so every engine
+    walks the identical trajectory (pinned cross-engine by the
+    ``kmeans_assign`` oracle).
+
+    Scale shape per iteration: one broadcast cross join (k centroids —
+    tiny) + one map-side-combinable argmin shuffle on vid + one (cid,dim)
+    partial-agg shuffle for the update; centroids are collected to the
+    driver (k×dim ints, bounded) and re-broadcast, which also CUTS LINEAGE
+    — the standard Spark iterative pattern, no unbounded plan growth.
+    Fixed-length vectors only (like knn_pq); empty clusters drop
+    (classic Lloyd degeneracy), deterministically on both engines."""
+    spark = df.sparkSession
+    vq = _km_quantize(df, id_col, vec_col, quantum)
+    cents = (
+        vq.orderBy("vid")
+        .limit(k)
+        .select(F.col("vid").alias("cid"), F.col("vq").alias("cq"))
+    )
+    for _ in range(iters):
+        assign = _km_assign(vq, cents)
+        ex = (
+            assign.select("vid", "cid")
+            .join(vq, "vid")
+            .select("cid", F.posexplode("vq").alias("dim_idx", "q"))
+        )
+        upd = ex.groupBy("cid", "dim_idx").agg(
+            F.floor(
+                F.sum("q").cast("double") / F.count(F.lit(1)) + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("q")
+        )
+        new_cents = (
+            upd.groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim_idx", "q"))),
+                    lambda s: s["q"],
+                ).alias("cq")
+            )
+            .collect()
+        )
+        cents = spark.createDataFrame(
+            [(r["cid"], r["cq"]) for r in new_cents],
+            "cid long, cq array<bigint>",
+        )
+    return _km_assign(vq, cents).select(
+        F.col("vid").alias(id_col),
+        F.col("cid").alias("cluster_id"),
+        F.col("dist").alias("dist_q"),
+    )
+
+
+def kmeans_lloyd_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 2,
+    quantum: int = 10_000,
+) -> str:
+    """DuckDB twin of :func:`kmeans_lloyd`: the same trajectory as a CTE
+    chain — long-form integer distances (associative, so the engines'
+    different aggregation orders cannot diverge), min-over-struct argmin,
+    floor(x+0.5) requantized means."""
+    argmin = "(min({'d': d, 'c': cid})).c"
+    ctes = [
+        f"""vq AS (
+  SELECT {id_col} AS vid,
+         list_transform({vec_col},
+                        x -> floor(x::DOUBLE * {quantum} + 0.5)::BIGINT) AS vq
+  FROM {table} WHERE {vec_col} IS NOT NULL)""",
+        """vql AS (
+  SELECT vid, unnest(generate_series(1, len(vq))) - 1 AS dim_idx,
+         unnest(vq) AS q
+  FROM vq)""",
+        f"""c0 AS (
+  SELECT cid, unnest(generate_series(1, len(cq))) - 1 AS dim_idx,
+         unnest(cq) AS q
+  FROM (SELECT vid AS cid, vq AS cq FROM vq ORDER BY vid LIMIT {k}))""",
+    ]
+    prev = "c0"
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""d{i} AS (
+  SELECT v.vid, c.cid, sum((v.q - c.q) * (v.q - c.q))::BIGINT AS d
+  FROM vql v JOIN {prev} c USING (dim_idx)
+  GROUP BY v.vid, c.cid)"""
+        )
+        ctes.append(f"a{i} AS (SELECT vid, {argmin} AS cid FROM d{i} GROUP BY vid)")
+        ctes.append(
+            f"""c{i} AS (
+  SELECT cid, dim_idx,
+         floor(sum(q)::DOUBLE / count(*) + 0.5)::BIGINT AS q
+  FROM a{i} JOIN vql USING (vid)
+  GROUP BY cid, dim_idx)"""
+        )
+        prev = f"c{i}"
+    ctes.append(
+        f"""df AS (
+  SELECT v.vid, c.cid, sum((v.q - c.q) * (v.q - c.q))::BIGINT AS d
+  FROM vql v JOIN {prev} c USING (dim_idx)
+  GROUP BY v.vid, c.cid)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+af AS (
+  SELECT vid, (min({{'d': d, 'c': cid}})).c AS cid,
+         (min({{'d': d, 'c': cid}})).d AS d
+  FROM df GROUP BY vid)
+SELECT vid AS {id_col}, cid AS cluster_id, d AS dist_q FROM af"""
+    )

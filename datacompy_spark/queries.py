@@ -588,6 +588,7 @@ _SWEEP_FIRST = [
     "scd2_history",
     "corpus_normalize",
     "leakage_split",
+    "kmeans_assign",
     # output changed in r8 session 5 (now grades 4 ANN paths incl. PQ) —
     # re-earn its driver-green row
     "knn_recall",

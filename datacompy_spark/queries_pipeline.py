@@ -2248,6 +2248,21 @@ SQL_DEDUP_SEMANTIC = D.semantic_dedup_sql(
 )
 
 
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd k-means over the embeddings table (operators/
+    similarity.py::kmeans_lloyd): k=8 min-id seeds, 2 iterations, all
+    arithmetic exact BIGINT on the 1e-4 grid — the full per-vector
+    assignment AND integer distance hash-pin the entire trajectory
+    (seeding, argmin tiebreaks, requantized means) across engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.kmeans_lloyd(emb, "vec_id", "embedding", k=8, iters=2)
+
+
+SQL_KMEANS_ASSIGN = S.kmeans_lloyd_sql(
+    "embeddings", "vec_id", "embedding", k=8, iters=2
+)
+
+
 def q_corpus_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode corpus cleaning (operators/textops.py::normalize_corpus).
     The test corpus is ASCII-lowercase, so the query PLANTS the mess the
@@ -2391,6 +2406,7 @@ PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_transitions": q_events_transitions,
     "corpus_normalize": q_corpus_normalize,
     "leakage_split": q_leakage_split,
+    "kmeans_assign": q_kmeans_assign,
 }
 
 PIPELINE_ORACLES: Dict[str, str] = {
@@ -2465,4 +2481,5 @@ PIPELINE_ORACLES: Dict[str, str] = {
     "events_transitions": SQL_EVENTS_TRANSITIONS,
     "corpus_normalize": SQL_CORPUS_NORMALIZE,
     "leakage_split": SQL_LEAKAGE_SPLIT,
+    "kmeans_assign": SQL_KMEANS_ASSIGN,
 }

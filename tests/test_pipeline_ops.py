@@ -1919,3 +1919,58 @@ class TestLeakageSafeSplit:
         }
         for r in got.collect():
             assert r["split"] == model[r["group_rep"]]
+
+
+class TestKmeansLloyd:
+    def test_separates_planted_blobs(self, spark):
+        from datacompy_spark.operators.similarity import kmeans_lloyd
+
+        # three tight blobs in 8-d; ids interleaved so min-id seeding has to
+        # actually converge, not start one seed per blob
+        import random
+
+        rng = random.Random(7)
+        centers = {0: [5.0] * 8, 1: [-5.0] * 8, 2: [0.0] * 4 + [9.0] * 4}
+        rows = []
+        for i in range(90):
+            c = i % 3
+            rows.append(
+                (i, [v + rng.uniform(-0.3, 0.3) for v in centers[c]], c)
+            )
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, blob int"
+        )
+        out = kmeans_lloyd(df, "vec_id", "embedding", k=3, iters=4).collect()
+        assert len(out) == 90
+        # every blob maps to exactly one cluster id and vice versa
+        blob_of = {r[0]: r[2] for r in rows}
+        mapping = {}
+        for r in out:
+            mapping.setdefault(r["cluster_id"], set()).add(blob_of[r["vec_id"]])
+        assert len(mapping) == 3
+        assert all(len(v) == 1 for v in mapping.values())
+
+    def test_layout_invariant_trajectory(self, spark):
+        """Same assignments and distances under a perverse repartition —
+        the integer-grid arithmetic is what guarantees it."""
+        from datacompy_spark.operators.similarity import kmeans_lloyd
+
+        import random
+
+        rng = random.Random(11)
+        rows = [
+            (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(120)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        a = sorted(
+            map(tuple, kmeans_lloyd(df, "vec_id", "embedding", k=5, iters=2).collect())
+        )
+        b = sorted(
+            map(
+                tuple,
+                kmeans_lloyd(
+                    df.repartition(13), "vec_id", "embedding", k=5, iters=2
+                ).collect(),
+            )
+        )
+        assert a == b
