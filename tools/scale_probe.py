@@ -11,7 +11,7 @@ Prints one line per scale: rows, seconds, rows/sec, and the ratio of
 seconds to the 1x run (linear scaling => ratio ~= multiplier).
 
 Env knobs: SPARK_GRAFT_SECTIONS selects sections as a comma list out of
-{compare,minhash,incr,cdc,bucketed,cc,hotkey} (default: all) — a x64 compare
+{compare,minhash,incr,cdc,bucketed,cc,kmeans,hotkey} (default: all) — a x64 compare
 datapoint or a memory-constrained minhash rerun shouldn't pay for every
 other section; SPARK_GRAFT_DRIVER_MEM bounds the single-JVM heap (the
 local-mode stand-in for executor memory) for constrained-memory probes.
@@ -31,7 +31,9 @@ def main() -> int:
     from pyspark.sql import functions as F
 
     muls = [int(m) for m in (sys.argv[1:] or ["1", "4", "16"])]
-    all_sections = ("compare", "minhash", "incr", "cdc", "bucketed", "cc", "hotkey")
+    all_sections = (
+        "compare", "minhash", "incr", "cdc", "bucketed", "cc", "kmeans", "hotkey"
+    )
     sections = set(
         s.strip() for s in os.environ.get(
             "SPARK_GRAFT_SECTIONS", ",".join(all_sections)
@@ -334,6 +336,41 @@ def main() -> int:
             f"cc      x{mult:<3d} edges={n_edges:>9,d}  chain={chain_len:>7,d}"
             f"  rounds={stats.get('rounds'):>2}  doubling@{stats.get('doubling_from')}"
             f"  comps={n_comp:,d} {ok}  sec={el:7.2f}  vs_x1={el/t1:5.2f}",
+            flush=True,
+        )
+
+    # ---- k-means: corpus scaled by id-offset copies, k and iters FIXED —
+    # the iterative-operator shape. Per iteration the work is one broadcast
+    # assignment pass (n·k integer folds) + one (cid,dim) partial agg, so
+    # seconds should track n linearly; the driver-side state is k×dim ints
+    # regardless of scale (the collect can never grow with the corpus).
+    from datacompy_spark.operators.similarity import kmeans_lloyd
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    t1 = None
+    for mult in muls if "kmeans" in sections else []:
+        emb = spark.read.parquet(emb_path)
+        parts = [
+            emb.select(
+                (F.col("vec_id") + F.lit(10_000_000 * i)).alias("vec_id"),
+                "embedding",
+            )
+            for i in range(mult)
+        ]
+        corpus = parts[0]
+        for p in parts[1:]:
+            corpus = corpus.unionAll(p)
+        n = corpus.count()
+        t0 = time.perf_counter()
+        out = kmeans_lloyd(corpus, "vec_id", "embedding", k=8, iters=2)
+        n_out = out.count()
+        el = time.perf_counter() - t0
+        if t1 is None:
+            t1 = el
+        ok = "OK" if n_out == n else f"WRONG(want {n})"
+        print(
+            f"kmeans  x{mult:<3d} vecs={n:>9,d}  assigned={n_out:>9,d} {ok}"
+            f"  sec={el:7.2f}  vs_x1={el/t1:5.2f} (linear => ~{mult})",
             flush=True,
         )
 
