@@ -589,6 +589,7 @@ _SWEEP_FIRST = [
     "corpus_normalize",
     "leakage_split",
     "kmeans_assign",
+    "cluster_sample",
     # output changed in r8 session 5 (now grades 4 ANN paths incl. PQ) —
     # re-earn its driver-green row
     "knn_recall",

@@ -2263,6 +2263,28 @@ SQL_KMEANS_ASSIGN = S.kmeans_lloyd_sql(
 )
 
 
+def q_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced sampling capstone: kmeans_lloyd assigns every
+    embedding to one of 8 deterministic clusters, then cap_per_group's md5
+    lottery keeps at most 40 per cluster — the 'sample evenly across the
+    embedding space, not the crawl distribution' curation step. Composes
+    two already-pinned operators; the hash pins the composition."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = S.kmeans_lloyd(emb, "vec_id", "embedding", k=8, iters=2)
+    return TO.cap_per_group(
+        assign.select("vec_id", "cluster_id"), "vec_id", "cluster_id", cap=40
+    ).select("cluster_id", "vec_id", "cap_rank")
+
+
+SQL_CLUSTER_SAMPLE = f"""
+SELECT cluster_id, vec_id, cap_rank FROM (
+  {TO.cap_per_group_sql(
+    f'''(SELECT vec_id, cluster_id FROM ({S.kmeans_lloyd_sql(
+        "embeddings", "vec_id", "embedding", k=8, iters=2)}))''',
+    'vec_id', 'cluster_id', cap=40)}
+)"""
+
+
 def q_corpus_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode corpus cleaning (operators/textops.py::normalize_corpus).
     The test corpus is ASCII-lowercase, so the query PLANTS the mess the
@@ -2407,6 +2429,7 @@ PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_normalize": q_corpus_normalize,
     "leakage_split": q_leakage_split,
     "kmeans_assign": q_kmeans_assign,
+    "cluster_sample": q_cluster_sample,
 }
 
 PIPELINE_ORACLES: Dict[str, str] = {
@@ -2482,4 +2505,5 @@ PIPELINE_ORACLES: Dict[str, str] = {
     "corpus_normalize": SQL_CORPUS_NORMALIZE,
     "leakage_split": SQL_LEAKAGE_SPLIT,
     "kmeans_assign": SQL_KMEANS_ASSIGN,
+    "cluster_sample": SQL_CLUSTER_SAMPLE,
 }
