@@ -964,23 +964,28 @@ def _km_quantize(df: DataFrame, id_col: str, vec_col: str, quantum: int) -> Data
 
 
 def _km_assign(vq: DataFrame, cents: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment: broadcast the k centroids past every
-    vector, integer squared-L2 via a fixed zip_with fold (associative, so
-    no ordering contortions), argmin by min(struct(dist, cid)) with the
-    centroid id as the deterministic tiebreak."""
-    dist = F.aggregate(
-        F.zip_with("vq", "cq", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    return (
-        vq.crossJoin(F.broadcast(cents))
-        .select("vid", "cid", dist.alias("dist"))
-        .groupBy("vid")
-        .agg(F.min(F.struct("dist", "cid")).alias("m"))
-        .select(
-            "vid", F.col("m.cid").alias("cid"), F.col("m.dist").alias("dist")
+    """Nearest-centroid assignment with ZERO shuffles: the k centroids fold
+    into ONE broadcast row of array<struct(cid, cq)>, and each vector picks
+    its argmin as a narrow projection — integer squared-L2 via a zip_with
+    fold (associative), ``array_min`` over (dist, cid) structs so the
+    centroid id is the deterministic tiebreak. Per-row cost is k folds of
+    dim integer ops; no groupBy state, which also makes the same helper
+    legal on an unbounded STREAM in append mode."""
+    one = F.broadcast(cents.agg(F.collect_list(F.struct("cid", "cq")).alias("__cents")))
+
+    def scored(c):
+        d = F.aggregate(
+            F.zip_with(F.col("vq"), c["cq"], lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
         )
+        return F.struct(d.alias("dist"), c["cid"].alias("cid"))
+
+    pick = F.array_min(F.transform(F.col("__cents"), scored))
+    return vq.crossJoin(one).select(
+        "vid",
+        pick["cid"].alias("cid"),
+        pick["dist"].alias("dist"),
     )
 
 
@@ -1005,13 +1010,35 @@ def kmeans_lloyd(
     walks the identical trajectory (pinned cross-engine by the
     ``kmeans_assign`` oracle).
 
-    Scale shape per iteration: one broadcast cross join (k centroids —
-    tiny) + one map-side-combinable argmin shuffle on vid + one (cid,dim)
-    partial-agg shuffle for the update; centroids are collected to the
-    driver (k×dim ints, bounded) and re-broadcast, which also CUTS LINEAGE
-    — the standard Spark iterative pattern, no unbounded plan growth.
-    Fixed-length vectors only (like knn_pq); empty clusters drop
-    (classic Lloyd degeneracy), deterministically on both engines."""
+    Scale shape per iteration: the assignment is a SHUFFLE-FREE narrow
+    projection against one broadcast row of centroids (see ``_km_assign``)
+    + one (cid,dim) partial-agg shuffle for the update; centroids are
+    collected to the driver (k×dim ints, bounded) and re-broadcast, which
+    also CUTS LINEAGE — the standard Spark iterative pattern, no unbounded
+    plan growth. Fixed-length vectors only (like knn_pq); empty clusters
+    drop (classic Lloyd degeneracy), deterministically on both engines."""
+    vq = _km_quantize(df, id_col, vec_col, quantum)
+    cents = kmeans_fit(df, id_col, vec_col, k, iters, quantum)
+    return _km_assign(vq, cents).select(
+        F.col("vid").alias(id_col),
+        F.col("cid").alias("cluster_id"),
+        F.col("dist").alias("dist_q"),
+    )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 2,
+    quantum: int = 10_000,
+) -> DataFrame:
+    """The training half of :func:`kmeans_lloyd`: returns the final
+    centroid table ``(cid, cq array<bigint>)`` on the quantized grid —
+    hand it to :func:`streaming.drift.streaming_cluster_assign` to score
+    an unbounded stream against a batch-trained model, or persist it as
+    the reusable quantizer for recurring ingests."""
     spark = df.sparkSession
     vq = _km_quantize(df, id_col, vec_col, quantum)
     cents = (
@@ -1047,11 +1074,7 @@ def kmeans_lloyd(
             [(r["cid"], r["cq"]) for r in new_cents],
             "cid long, cq array<bigint>",
         )
-    return _km_assign(vq, cents).select(
-        F.col("vid").alias(id_col),
-        F.col("cid").alias("cluster_id"),
-        F.col("dist").alias("dist_q"),
-    )
+    return cents
 
 
 def kmeans_lloyd_sql(

@@ -228,6 +228,35 @@ def streaming_incremental_dedup(
     return hashed.join(corpus_hashes, "__chash", "left_anti").drop("__chash")
 
 
+def streaming_cluster_assign(
+    stream: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    quantum: int = 10_000,
+) -> DataFrame:
+    """Score an unbounded embedding STREAM against a batch-trained k-means
+    model (operators/similarity.py::kmeans_fit) — the serving half of
+    cluster-routed ingest: tag each arriving document's embedding with its
+    cluster before routing/dedup/balancing decisions downstream.
+
+    Entirely STATELESS: the quantize step is a narrow projection and the
+    argmin folds the static k-row centroid table into one broadcast row
+    (``_km_assign``), so there is no stateful aggregation, no watermark
+    requirement, and append output mode works unchanged. A batch input
+    degrades to exactly the batch assignment (pinned by the equivalence
+    test). Same integer-grid arithmetic as training: the stream scores
+    with bit-identical distances to a batch rescore."""
+    from datacompy_spark.operators.similarity import _km_assign, _km_quantize
+
+    vq = _km_quantize(stream, id_col, vec_col, quantum)
+    return _km_assign(vq, centroids).select(
+        F.col("vid").alias(id_col),
+        F.col("cid").alias("cluster_id"),
+        F.col("dist").alias("dist_q"),
+    )
+
+
 def sessionize(
     df: DataFrame,
     ts_col: str,

@@ -410,3 +410,51 @@ class TestCdcToSink:
             for r in spark.read.parquet(sink).collect()
         )
         assert second == first
+
+
+class TestStreamingClusterAssign:
+    def test_stream_matches_batch_assignment(self, spark, sf_dir, tmp_path):
+        """Serve a batch-trained kmeans model over a file stream in
+        multiple micro-batches; every assignment and integer distance must
+        equal a batch rescore with the same centroids (the operator is
+        stateless, so micro-batch boundaries cannot matter)."""
+        from datacompy_spark.operators.similarity import kmeans_fit
+        from datacompy_spark.streaming.drift import streaming_cluster_assign
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        cents = kmeans_fit(emb, "vec_id", "embedding", k=4, iters=2)
+        d = str(tmp_path / "emb_stream")
+        # repartition, not coalesce: the source is one file and coalesce
+        # cannot split it — we need >=3 files for real micro-batching
+        emb.repartition(3).write.parquet(d)
+
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        out = streaming_cluster_assign(stream, cents, "vec_id", "embedding")
+        assert out.isStreaming
+        q = (
+            out.writeStream.format("memory")
+            .queryName("cluster_assign_stream")
+            .outputMode("append")  # stateless: no agg, no watermark needed
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # genuinely exercised micro-batching, not one big batch
+        assert q.lastProgress["batchId"] >= 2
+
+        got = sorted(
+            map(tuple, spark.table("cluster_assign_stream").collect())
+        )
+        want = sorted(
+            map(
+                tuple,
+                streaming_cluster_assign(
+                    emb, cents, "vec_id", "embedding"
+                ).collect(),
+            )
+        )
+        assert got == want and len(got) == emb.count()
