@@ -452,6 +452,43 @@ def build_parser() -> argparse.ArgumentParser:
         help="Spark application name",
     )
 
+    # cluster: deterministic k-means over an embedding column — train,
+    # assign, optionally balance-sample per cluster. Extension beyond the
+    # reference CLI.
+    cl = sub.add_parser(
+        "cluster",
+        help="deterministic k-means over an embedding column; per-row "
+        "assignments written as parquet, summary JSON on stdout",
+        parents=[debug_parent],
+    )
+    cl.add_argument("--input", required=True, help="input: file path or table name")
+    cl.add_argument("--id-col", default="vec_id", help="row id column")
+    cl.add_argument("--vec-col", default="embedding", help="embedding column")
+    cl.add_argument("--k", type=int, default=8, help="number of clusters (default 8)")
+    cl.add_argument(
+        "--iters", type=int, default=2, help="Lloyd iterations (default 2)"
+    )
+    cl.add_argument(
+        "--cap", type=int,
+        help="balanced-sample mode: keep at most CAP rows per cluster "
+        "(deterministic md5 lottery)",
+    )
+    cl.add_argument(
+        "--assignments", required=True, metavar="PATH",
+        help="output parquet for per-row cluster assignments",
+    )
+    cl.add_argument(
+        "--centroids", metavar="PATH",
+        help="also write the trained centroid table (the reusable "
+        "quantizer for streaming/recurring assignment)",
+    )
+    cl.add_argument("--quiet", action="store_true", help="suppress the summary line")
+    cl.add_argument("--input-format", choices=["csv", "parquet", "json", "jsonl", "orc"])
+    cl.add_argument(
+        "--spark-app-name", default="datacompy-spark-cli", metavar="NAME",
+        help="Spark application name",
+    )
+
     # curate: the end-to-end corpus pipeline (quality → dedup →
     # decontaminate → split) as one command writing a verdict table.
     cu = sub.add_parser(
@@ -1057,6 +1094,87 @@ def run_anomaly(args) -> int:
             spark.stop()
 
 
+def run_cluster(args) -> int:
+    import json
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from datacompy_spark.operators.similarity import kmeans_fit
+    from datacompy_spark.sources.loaders import load
+    from datacompy_spark.streaming.drift import streaming_cluster_assign
+
+    if args.k <= 0:
+        raise CLIError("--k must be positive")
+    if args.iters <= 0:
+        raise CLIError("--iters must be positive")
+    if args.cap is not None and args.cap <= 0:
+        raise CLIError("--cap must be positive")
+    created = SparkSession.getActiveSession() is None
+    spark = SparkSession.builder.appName(args.spark_app_name).getOrCreate()
+    try:
+        try:
+            df = load(spark, args.input, fmt=args.input_format)
+        except Exception as ex:
+            raise CLIError(f"failed to load input: {ex}") from ex
+        for c in (args.id_col, args.vec_col):
+            if c not in df.columns:
+                raise CLIError(f"column {c!r} not found in input")
+        try:
+            # train once, assign via the batch-degraded serving path —
+            # the centroids written (if requested) are exactly the ones
+            # the assignments came from
+            cents = kmeans_fit(
+                df, args.id_col, args.vec_col, k=args.k, iters=args.iters
+            )
+            assign = streaming_cluster_assign(
+                df, cents, args.id_col, args.vec_col
+            )
+            if args.cap is not None:
+                from datacompy_spark.operators.textops import cap_per_group
+
+                assign = cap_per_group(
+                    assign, args.id_col, "cluster_id", cap=args.cap
+                )
+            assign.write.mode("overwrite").parquet(args.assignments)
+            if args.centroids:
+                cents.write.mode("overwrite").parquet(args.centroids)
+            # summarize from the written output (never recompute the fit)
+            out = spark.read.parquet(args.assignments)
+            sizes = out.groupBy("cluster_id").agg(
+                F.count(F.lit(1)).alias("n")
+            )
+            agg = sizes.agg(
+                F.count(F.lit(1)).alias("k_effective"),
+                F.sum("n").alias("n_rows"),
+                F.max("n").alias("largest"),
+                F.min("n").alias("smallest"),
+            ).collect()[0]
+        except CLIError:
+            raise
+        except Exception as ex:
+            raise CLIError(str(ex)) from ex
+        if not args.quiet:
+            print(
+                json.dumps(
+                    {
+                        "n_rows": agg["n_rows"],
+                        "k": args.k,
+                        "k_effective": agg["k_effective"],
+                        "largest_cluster": agg["largest"],
+                        "smallest_cluster": agg["smallest"],
+                        "cap": args.cap,
+                        "assignments": args.assignments,
+                        "centroids": args.centroids,
+                    }
+                )
+            )
+        return 0
+    finally:
+        if created:
+            spark.stop()
+
+
 def run_compact(args) -> int:
     import json
 
@@ -1182,6 +1300,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             return run_anomaly(args)
         if args.command == "compact":
             return run_compact(args)
+        if args.command == "cluster":
+            return run_cluster(args)
         if args.command == "curate":
             return run_curate(args)
         raise CLIError(f"unknown command {args.command!r}")

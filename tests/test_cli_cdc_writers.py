@@ -172,3 +172,57 @@ class TestCliCurate:
                    "--verdict", str(tmp_path / "v"), "--train-pct", "90",
                    "--val-pct", "20"])
         assert rc == 2
+
+
+class TestCliCluster:
+    def test_assignments_centroids_and_cap(self, spark, tmp_path, capsys):
+        import random
+
+        rng = random.Random(3)
+        centers = {0: [4.0] * 6, 1: [-4.0] * 6}
+        rows = [
+            Row(
+                vec_id=i,
+                embedding=[v + rng.uniform(-0.2, 0.2) for v in centers[i % 2]],
+            )
+            for i in range(40)
+        ]
+        inp = str(tmp_path / "emb.parquet")
+        spark.createDataFrame(rows).write.parquet(inp)
+        out = str(tmp_path / "assign")
+        cents_p = str(tmp_path / "cents")
+        rc = main([
+            "cluster", "--input", inp, "--k", "2", "--iters", "3",
+            "--assignments", out, "--centroids", cents_p,
+        ])
+        assert rc == 0
+        summary = json.loads(capsys.readouterr().out.strip())
+        assert summary["n_rows"] == 40
+        assert summary["k_effective"] == 2
+        assert summary["largest_cluster"] == 20  # perfect blob split
+        feed = spark.read.parquet(out)
+        assert set(feed.columns) == {"vec_id", "cluster_id", "dist_q"}
+        # every even id shares a cluster, every odd id the other
+        got = {r["vec_id"]: r["cluster_id"] for r in feed.collect()}
+        assert len({got[i] for i in range(0, 40, 2)}) == 1
+        assert len({got[i] for i in range(1, 40, 2)}) == 1
+        cents = spark.read.parquet(cents_p)
+        assert cents.count() == 2 and set(cents.columns) == {"cid", "cq"}
+
+        # balanced-sample mode caps each cluster
+        capped = str(tmp_path / "capped")
+        rc = main([
+            "cluster", "--input", inp, "--k", "2", "--iters", "3",
+            "--cap", "5", "--assignments", capped,
+        ])
+        assert rc == 0
+        summary = json.loads(capsys.readouterr().out.strip())
+        assert summary["n_rows"] == 10 and summary["largest_cluster"] == 5
+
+    def test_bad_args_rejected(self, tmp_path, capsys):
+        rc = main([
+            "cluster", "--input", "x.parquet", "--k", "0",
+            "--assignments", str(tmp_path / "a"),
+        ])
+        assert rc == 2
+        assert "k must be positive" in capsys.readouterr().err
