@@ -302,7 +302,9 @@ def normalize_corpus(
     return df.withColumn(out_col, unicode_clean(F.col(text_col)))
 
 
-def normalize_corpus_sql(table: str, text_col: str, out_col: str) -> str:
+def normalize_corpus_sql(
+    table: str, text_col: str = "text", out_col: str = "norm_text"
+) -> str:
     """DuckDB twin of :func:`normalize_corpus` (projection form)."""
     from datacompy_spark.functions.text import unicode_clean_sql
 
