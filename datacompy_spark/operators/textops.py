@@ -357,6 +357,53 @@ def leakage_safe_split(
     )
 
 
+def split_by_group(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    train_pct: int = 80,
+    val_pct: int = 10,
+    seed: str = "split#1",
+) -> DataFrame:
+    """Group-aware train/val/test assignment: ONE md5-lottery decision per
+    ``group_col`` value, so every member of a group lands in the same
+    split. The generic core under :func:`leakage_safe_split` (exact-content
+    groups) — hand it a NEAR-dup component label instead and fuzzy
+    duplicates stop straddling train/test too. Narrow projection, no
+    shuffle: the lottery is a pure function of the group value."""
+    from datacompy_spark.functions.hashing import md5_long
+
+    bucket = md5_long(F.col(group_col).cast("string"), seed) % 100
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(group_col),
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+def split_by_group_sql(
+    table: str,
+    id_col: str,
+    group_col: str,
+    train_pct: int = 80,
+    val_pct: int = 10,
+    seed: str = "split#1",
+) -> str:
+    """DuckDB twin of :func:`split_by_group`."""
+    from datacompy_spark.functions.hashing import md5_long_sql
+
+    bucket = f"(({md5_long_sql(f'{group_col}::VARCHAR', seed)}) % 100)"
+    return f"""
+SELECT {id_col} AS doc_id, {group_col},
+       CASE WHEN {bucket} < {train_pct} THEN 'train'
+            WHEN {bucket} < {train_pct + val_pct} THEN 'val'
+            ELSE 'test' END AS split
+FROM {table}"""
+
+
 def leakage_safe_split_sql(
     table: str,
     id_col: str,

@@ -2248,6 +2248,25 @@ SQL_DEDUP_SEMANTIC = D.semantic_dedup_sql(
 )
 
 
+def q_leakage_split_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-dup-aware split: MinHash pairs → connected components → one
+    md5-lottery split decision per component (operators/textops.py::
+    split_by_group), so fuzzy duplicates — not just byte-identical ones —
+    can never straddle train and test. The fuzzy capstone of the leakage
+    story (exact version: leakage_split)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=16, bands=4, shingle_k=3, threshold=0.3
+    )
+    comp = D.assign_components(docs, "doc_id", pairs)
+    return TO.split_by_group(comp, "doc_id", "component")
+
+
+SQL_LEAKAGE_SPLIT_FUZZY = TO.split_by_group_sql(
+    f"({_sql_dedup_components()})", "doc_id", "component"
+)
+
+
 def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Lloyd k-means over the embeddings table (operators/
     similarity.py::kmeans_lloyd): k=8 min-id seeds, 2 iterations, all
@@ -2430,6 +2449,7 @@ PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "leakage_split": q_leakage_split,
     "kmeans_assign": q_kmeans_assign,
     "cluster_sample": q_cluster_sample,
+    "leakage_split_fuzzy": q_leakage_split_fuzzy,
 }
 
 PIPELINE_ORACLES: Dict[str, str] = {
@@ -2506,4 +2526,5 @@ PIPELINE_ORACLES: Dict[str, str] = {
     "leakage_split": SQL_LEAKAGE_SPLIT,
     "kmeans_assign": SQL_KMEANS_ASSIGN,
     "cluster_sample": SQL_CLUSTER_SAMPLE,
+    "leakage_split_fuzzy": SQL_LEAKAGE_SPLIT_FUZZY,
 }

@@ -1974,3 +1974,36 @@ class TestKmeansLloyd:
             )
         )
         assert a == b
+
+
+class TestSplitByGroup:
+    def test_near_dups_share_split(self, spark):
+        """Fuzzy leakage property end-to-end: near-identical docs (one word
+        changed) land in the same component and therefore the same split."""
+        from datacompy_spark.operators.dedup import assign_components, minhash_lsh_pairs
+        from datacompy_spark.operators.textops import split_by_group
+
+        base = (
+            "the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the quiet green forest before sunset tonight"
+        )
+        rows = []
+        for i in range(30):
+            text = base.replace("fox", f"fox{i // 3}")  # triples of near-dups
+            if i % 3 == 1:
+                text = text.replace("sunset", "dusk")  # one-word edit
+            rows.append((i, text))
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        pairs = minhash_lsh_pairs(
+            df, "doc_id", "text", num_hashes=16, bands=8, shingle_k=3,
+            threshold=0.5,
+        )
+        comp = assign_components(df, "doc_id", pairs)
+        out = split_by_group(comp, "doc_id", "component").collect()
+        assert len(out) == 30
+        splits_by_comp = {}
+        for r in out:
+            splits_by_comp.setdefault(r["component"], set()).add(r["split"])
+        assert all(len(v) == 1 for v in splits_by_comp.values())
+        # the triples actually grouped (near-dup edges found)
+        assert len(splits_by_comp) <= 10
