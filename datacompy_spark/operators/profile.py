@@ -306,3 +306,91 @@ SELECT table_name, count(*) AS n_files, sum(size)::BIGINT AS total_bytes,
        max(size)::BIGINT AS max_file_bytes,
        sum((size < {int(small_file_bytes)})::INT)::BIGINT AS n_small_files
 FROM files GROUP BY table_name"""
+
+
+def embedding_health(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    quantum: int = 10_000,
+    norm_lo: float = 0.5,
+    norm_hi: float = 2.0,
+) -> DataFrame:
+    """Per-row embedding QA — the ingest gate before any ANN/dedup/cluster
+    step trusts a vector column: flags missing vectors, wrong
+    dimensionality, NaN components, all-zero vectors, and L2-norm
+    outliers. One narrow projection, no shuffle, no Python.
+
+    Verdict precedence (first match wins): ``missing`` (NULL column),
+    ``bad_dim`` (length != dim), ``has_nan``, ``zero`` (all components
+    quantize to 0), ``norm_outlier`` (quantized squared norm outside
+    [lo², hi²] on the 1/quantum integer grid — exact BIGINT compare, no
+    float threshold drift cross-engine), else ``ok``. NaNs are excluded
+    from the norm (scored 0) so ``has_nan`` rows still report the norm of
+    their finite part."""
+    v = F.col(vec_col)
+    q = F.transform(
+        v,
+        lambda x: F.when(F.isnan(x.cast("double")), F.lit(0).cast("long"))
+        .otherwise(
+            F.floor(x.cast("double") * quantum + F.lit(0.5)).cast("long")
+        ),
+    )
+    norm_sq = F.aggregate(
+        q, F.lit(0).cast("long"), lambda acc, x: acc + x * x
+    )
+    n_nan = F.size(F.filter(v, lambda x: F.isnan(x.cast("double"))))
+    lo_sq = int(norm_lo * quantum) ** 2
+    hi_sq = int(norm_hi * quantum) ** 2
+    out = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.coalesce(F.size(v), F.lit(-1)).alias("n_dims"),
+        F.coalesce(n_nan, F.lit(0)).alias("n_nan"),
+        F.coalesce(norm_sq, F.lit(0)).alias("norm_sq_q"),
+    )
+    verdict = (
+        F.when(F.col("n_dims") == -1, F.lit("missing"))
+        .when(F.col("n_dims") != dim, F.lit("bad_dim"))
+        .when(F.col("n_nan") > 0, F.lit("has_nan"))
+        .when(F.col("norm_sq_q") == 0, F.lit("zero"))
+        .when(
+            (F.col("norm_sq_q") < lo_sq) | (F.col("norm_sq_q") > hi_sq),
+            F.lit("norm_outlier"),
+        )
+        .otherwise(F.lit("ok"))
+    )
+    return out.select("*", verdict.alias("verdict"))
+
+
+def embedding_health_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    quantum: int = 10_000,
+    norm_lo: float = 0.5,
+    norm_hi: float = 2.0,
+) -> str:
+    """DuckDB twin of :func:`embedding_health`."""
+    lo_sq = int(norm_lo * quantum) ** 2
+    hi_sq = int(norm_hi * quantum) ** 2
+    q = (
+        f"list_transform({vec_col}, x -> CASE WHEN isnan(x::DOUBLE) THEN 0 "
+        f"ELSE floor(x::DOUBLE * {quantum} + 0.5)::BIGINT END)"
+    )
+    return f"""
+WITH raw AS (
+  SELECT {id_col} AS vec_id,
+         coalesce(len({vec_col}), -1) AS n_dims,
+         coalesce(len(list_filter({vec_col}, x -> isnan(x::DOUBLE))), 0) AS n_nan,
+         coalesce(list_sum(list_transform({q}, y -> y * y))::BIGINT, 0) AS norm_sq_q
+  FROM {table})
+SELECT *,
+  CASE WHEN n_dims = -1 THEN 'missing'
+       WHEN n_dims <> {dim} THEN 'bad_dim'
+       WHEN n_nan > 0 THEN 'has_nan'
+       WHEN norm_sq_q = 0 THEN 'zero'
+       WHEN norm_sq_q < {lo_sq} OR norm_sq_q > {hi_sq} THEN 'norm_outlier'
+       ELSE 'ok' END AS verdict
+FROM raw"""

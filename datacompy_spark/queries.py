@@ -591,6 +591,7 @@ _SWEEP_FIRST = [
     "kmeans_assign",
     "cluster_sample",
     "leakage_split_fuzzy",
+    "embedding_health",
     # output changed in r8 session 5 (now grades 4 ANN paths incl. PQ) —
     # re-earn its driver-green row
     "knn_recall",

@@ -18,6 +18,7 @@ from datacompy_spark.functions import text as TX
 from datacompy_spark.functions import hashing as H
 from datacompy_spark.functions import vector as V
 from datacompy_spark.operators import dedup as D
+from datacompy_spark.operators import profile as PR
 from datacompy_spark.operators import similarity as S
 from datacompy_spark.operators import textops as TO
 from datacompy_spark.sources.loaders import load_table
@@ -2248,6 +2249,50 @@ SQL_DEDUP_SEMANTIC = D.semantic_dedup_sql(
 )
 
 
+def q_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-column QA (operators/profile.py::embedding_health). The
+    test embeddings are clean, so the query PLANTS every pathology the
+    gate exists for — NULL vector, truncated dim, NaN component, all-zero,
+    10x norm blow-up — by vec_id % 7, identically in the DuckDB twin
+    (double-cast before planting: float32*10 would round differently than
+    float64*10)."""
+    from datacompy_spark.operators.profile import embedding_health
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    m = F.col("vec_id") % 7
+    planted = (
+        F.when(m == 1, F.lit(None).cast("array<double>"))
+        .when(m == 2, F.slice(vd, 1, 10))
+        .when(
+            m == 3,
+            F.concat(F.array(F.lit(float("nan"))), F.slice(vd, 2, 63)),
+        )
+        .when(m == 4, F.transform(vd, lambda x: x * F.lit(0.0)))
+        .when(m == 5, F.transform(vd, lambda x: x * F.lit(10)))
+        .otherwise(vd)
+    )
+    messy = emb.select("vec_id", planted.alias("vec"))
+    return embedding_health(messy, "vec_id", "vec", dim=64)
+
+
+_PLANTED_EMB = """(
+  SELECT vec_id,
+         CASE vec_id % 7
+           WHEN 1 THEN NULL
+           WHEN 2 THEN vd[1:10]
+           WHEN 3 THEN list_concat(['NaN'::DOUBLE], vd[2:64])
+           WHEN 4 THEN list_transform(vd, x -> x * 0.0)
+           WHEN 5 THEN list_transform(vd, x -> x * 10)
+           ELSE vd END AS vec
+  FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vd
+        FROM embeddings))"""
+
+SQL_EMBEDDING_HEALTH = PR.embedding_health_sql(
+    _PLANTED_EMB, "vec_id", "vec", dim=64
+)
+
+
 def q_leakage_split_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NEAR-dup-aware split: MinHash pairs → connected components → one
     md5-lottery split decision per component (operators/textops.py::
@@ -2450,6 +2495,7 @@ PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_assign": q_kmeans_assign,
     "cluster_sample": q_cluster_sample,
     "leakage_split_fuzzy": q_leakage_split_fuzzy,
+    "embedding_health": q_embedding_health,
 }
 
 PIPELINE_ORACLES: Dict[str, str] = {
@@ -2527,4 +2573,5 @@ PIPELINE_ORACLES: Dict[str, str] = {
     "kmeans_assign": SQL_KMEANS_ASSIGN,
     "cluster_sample": SQL_CLUSTER_SAMPLE,
     "leakage_split_fuzzy": SQL_LEAKAGE_SPLIT_FUZZY,
+    "embedding_health": SQL_EMBEDDING_HEALTH,
 }

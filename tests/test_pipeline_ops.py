@@ -2007,3 +2007,39 @@ class TestSplitByGroup:
         assert all(len(v) == 1 for v in splits_by_comp.values())
         # the triples actually grouped (near-dup edges found)
         assert len(splits_by_comp) <= 10
+
+
+class TestEmbeddingHealth:
+    def test_each_pathology_flagged(self, spark):
+        from datacompy_spark.operators.profile import embedding_health
+
+        good = [0.5] * 4  # norm 1.0, inside [0.5, 2.0]
+        rows = [
+            (0, good),
+            (1, None),                          # missing
+            (2, [0.5] * 3),                     # bad_dim
+            (3, [float("nan"), 0.5, 0.5, 0.5]), # has_nan
+            (4, [0.0] * 4),                     # zero
+            (5, [5.0] * 4),                     # norm 10 -> outlier
+            (6, [0.1] * 4),                     # norm 0.2 -> outlier (low side)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, vec array<double>")
+        got = {
+            r["vec_id"]: r["verdict"]
+            for r in embedding_health(df, "vec_id", "vec", dim=4).collect()
+        }
+        assert got == {
+            0: "ok", 1: "missing", 2: "bad_dim", 3: "has_nan",
+            4: "zero", 5: "norm_outlier", 6: "norm_outlier",
+        }
+
+    def test_nan_excluded_from_norm(self, spark):
+        from datacompy_spark.operators.profile import embedding_health
+
+        df = spark.createDataFrame(
+            [(0, [float("nan"), 1.0])], "vec_id long, vec array<double>"
+        )
+        r = embedding_health(df, "vec_id", "vec", dim=2).collect()[0]
+        assert r["verdict"] == "has_nan"
+        assert r["n_nan"] == 1
+        assert r["norm_sq_q"] == 10_000 ** 2  # finite part only
