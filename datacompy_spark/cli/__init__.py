@@ -241,6 +241,29 @@ def build_parser() -> argparse.ArgumentParser:
         default=128,
         help="with --files: small-file threshold in MB (default 128)",
     )
+    pr.add_argument(
+        "--vec-col", metavar="COL",
+        help="embedding-health mode: per-row QA verdicts for this vector "
+        "column (missing/bad_dim/has_nan/zero/norm_outlier), summary "
+        "counts on stdout. Incompatible with --compare-to/--columns/--files",
+    )
+    pr.add_argument(
+        "--vec-id-col", default="vec_id", metavar="COL",
+        help="with --vec-col: row id column (default vec_id)",
+    )
+    pr.add_argument(
+        "--dim", type=int, metavar="N",
+        help="with --vec-col: expected dimensionality (required)",
+    )
+    pr.add_argument(
+        "--vec-export", metavar="PATH",
+        help="with --vec-col: write the per-row verdict table to PATH "
+        "as parquet",
+    )
+    pr.add_argument(
+        "--fail-on-bad", action="store_true",
+        help="with --vec-col: exit 1 when any row is not 'ok' (CI gate)",
+    )
     pr.add_argument("--format", choices=["text", "json"], default="text")
     pr.add_argument("--output", help="also write the result to this file")
     pr.add_argument("--quiet", action="store_true", help="suppress stdout output")
@@ -709,6 +732,58 @@ def run_profile(args) -> int:
             if not args.quiet:
                 print(rendered)
             return 0
+        if args.vec_col:
+            import json as _json
+
+            from pyspark.sql import functions as F
+
+            from datacompy_spark.operators.profile import embedding_health
+
+            if args.compare_to or args.columns:
+                raise CLIError(
+                    "--vec-col profiles embedding health only; it cannot "
+                    "combine with --compare-to or --columns"
+                )
+            if not args.dim:
+                raise CLIError("--vec-col requires --dim")
+            try:
+                df = load(spark, args.input, fmt=args.input_format)
+            except Exception as ex:
+                raise CLIError(f"failed to load input: {ex}") from ex
+            for c in (args.vec_id_col, args.vec_col):
+                if c not in df.columns:
+                    raise CLIError(f"column {c!r} not found in input")
+            try:
+                health = embedding_health(
+                    df, args.vec_id_col, args.vec_col, dim=args.dim
+                )
+                if args.vec_export:
+                    health.write.mode("overwrite").parquet(args.vec_export)
+                    health = spark.read.parquet(args.vec_export)
+                counts = {
+                    r["verdict"]: r["n"]
+                    for r in health.groupBy("verdict")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                }
+            except CLIError:
+                raise
+            except Exception as ex:
+                raise CLIError(str(ex)) from ex
+            n_bad = sum(v for k, v in counts.items() if k != "ok")
+            if not args.quiet:
+                print(
+                    _json.dumps(
+                        {
+                            "n_rows": sum(counts.values()),
+                            "n_bad": n_bad,
+                            "verdicts": dict(sorted(counts.items())),
+                            "dim": args.dim,
+                            "export": args.vec_export,
+                        }
+                    )
+                )
+            return 1 if (args.fail_on_bad and n_bad > 0) else 0
         kwargs = {"delimiter": args.delimiter} if args.input_format == "csv" else {}
         try:
             df = load(spark, args.input, fmt=args.input_format, **kwargs)

@@ -646,3 +646,39 @@ class TestAnomalyCommand:
         rc = main(["anomaly", "--input", feed, "--by", "no_such"])
         assert rc == 2
         assert "not found" in capsys.readouterr().err
+
+
+class TestProfileVecHealth:
+    def test_summary_and_gate(self, tmp_path, capsys, spark):
+        rows = [
+            (0, [0.5] * 4),
+            (1, None),
+            (2, [0.5] * 3),
+            (3, [5.0] * 4),
+        ]
+        p = str(tmp_path / "emb.parquet")
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>").write.parquet(p)
+        out = str(tmp_path / "health")
+        rc = main(["profile", "--input", p, "--vec-col", "embedding",
+                   "--dim", "4", "--vec-export", out, "--fail-on-bad"])
+        assert rc == 1  # three bad rows -> CI gate trips
+        import json as _json
+
+        summary = _json.loads(capsys.readouterr().out.strip())
+        assert summary["n_rows"] == 4 and summary["n_bad"] == 3
+        assert summary["verdicts"] == {
+            "bad_dim": 1, "missing": 1, "norm_outlier": 1, "ok": 1,
+        }
+        feed = spark.read.parquet(out)
+        assert feed.count() == 4 and "verdict" in feed.columns
+        # clean input passes the gate
+        clean = str(tmp_path / "clean.parquet")
+        spark.createDataFrame([(0, [0.5] * 4)], "vec_id long, embedding array<double>").write.parquet(clean)
+        rc = main(["profile", "--input", clean, "--vec-col", "embedding",
+                   "--dim", "4", "--fail-on-bad"])
+        assert rc == 0
+
+    def test_requires_dim(self, tmp_path, capsys):
+        rc = main(["profile", "--input", "x.parquet", "--vec-col", "embedding"])
+        assert rc == 2
+        assert "--dim" in capsys.readouterr().err
