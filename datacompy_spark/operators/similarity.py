@@ -86,6 +86,46 @@ def ivf_assign(
     )
 
 
+def _probe_cells(
+    queries: DataFrame,
+    pivots: DataFrame,
+    id_col: str,
+    vec_col: str,
+    nprobe: int,
+) -> DataFrame:
+    """Each query's ``nprobe`` nearest cells: (query_id, qv, qn, cell).
+    Pivots broadcast; one window per query — shared by the in-memory IVF
+    path and the persistent-index path so probing can never drift between
+    them."""
+    p = F.broadcast(
+        pivots.select(
+            F.col(id_col).alias("pivot_id"),
+            F.col(vec_col).alias("pv"),
+            norm(F.col(vec_col)).alias("pn"),
+        )
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qn"),
+    )
+    qcells = q.join(p).select(
+        "query_id",
+        "qv",
+        "qn",
+        "pivot_id",
+        F.try_divide(dot_arrow(F.col("qv"), F.col("pv")), F.col("qn") * F.col("pn")).alias("sim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("pivot_id").asc()
+    )
+    return (
+        qcells.withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= nprobe)
+        .select("query_id", "qv", "qn", F.col("pivot_id").alias("cell"))
+    )
+
+
 def ivf_knn(
     corpus: DataFrame,
     queries: DataFrame,
@@ -109,39 +149,97 @@ def ivf_knn(
         {"vid": "neighbor_id", "v": "cv", "vn": "cn"}
     )
 
-    # queries probe their nprobe nearest cells
-    p = F.broadcast(
-        pivots.select(
-            F.col(id_col).alias("pivot_id"),
-            F.col(vec_col).alias("pv"),
-            norm(F.col(vec_col)).alias("pn"),
-        )
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        norm(F.col(vec_col)).alias("qn"),
-    )
-    qcells = q.join(p).select(
-        "query_id",
-        "qv",
-        "qn",
-        "pivot_id",
-        F.try_divide(dot_arrow(F.col("qv"), F.col("pv")), F.col("qn") * F.col("pn")).alias("sim"),
-    )
-    wq = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("pivot_id").asc()
-    )
-    probes = (
-        qcells.withColumn("rnk", F.row_number().over(wq))
-        .filter(F.col("rnk") <= nprobe)
-        .select("query_id", "qv", "qn", F.col("pivot_id").alias("cell"))
-    )
+    probes = _probe_cells(queries, pivots, id_col, vec_col, nprobe)
     cand = probes.join(inv, "cell").filter(F.col("query_id") != F.col("neighbor_id"))
     scored = cand.select(
         "query_id",
         "neighbor_id",
         F.try_divide(dot_arrow(F.col("qv"), F.col("cv")), F.col("qn") * F.col("cn")).alias("cos_sim"),
+    )
+    return _rank_top_k(scored, k)
+
+
+def build_ivf_index(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    path: str,
+    pivot_mod: int = 37,
+) -> dict:
+    """Persist an IVF-flat ANN index as a HIVE-PARTITIONED table: one
+    directory per inverted-file cell (plus the pivot table the queries
+    re-quantize against). The on-disk twin of :func:`ivf_knn`'s in-memory
+    inverted file — build once, probe forever.
+
+    Why this layout matters at 100 TB: a probe touches ``nprobe`` cells,
+    and with cells as partition directories the filter becomes partition
+    PRUNING — the scan literally never opens the other |cells| - nprobe
+    directories. Norms are precomputed at build time, so queries pay no
+    per-vector norm pass. Writes go through ``write_partitioned`` (rebalance
+    on cell, no small-file explosion). Returns a summary dict."""
+    from datacompy_spark.sources.loaders import write_partitioned
+
+    pivots = df.filter(F.col(id_col) % pivot_mod == 0).select(id_col, vec_col)
+    inv = ivf_assign(df, pivots, id_col, vec_col)
+    write_partitioned(
+        inv.select("vid", "v", "vn", "cell"), f"{path}/cells", "cell"
+    )
+    pivots.write.mode("overwrite").parquet(f"{path}/pivots")
+    spark = df.sparkSession
+    cells = spark.read.parquet(f"{path}/cells")
+    agg = cells.groupBy().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("cell").alias("n_cells"),
+    ).collect()[0]
+    return {
+        "path": path,
+        "n_rows": agg["n_rows"],
+        "n_cells": agg["n_cells"],
+        "pivot_mod": pivot_mod,
+        "id_col": id_col,
+        "vec_col": vec_col,
+    }
+
+
+def query_ivf_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Approximate top-k cosine against a PERSISTED IVF index
+    (:func:`build_ivf_index`) — identical results to :func:`ivf_knn` over
+    the same corpus and parameters (same quantizer, same probe stage, same
+    tie-breaks; pinned by the equivalence test).
+
+    Scale shape: queries re-quantize against the broadcast pivot table,
+    the probed cell set (≤ |queries|·nprobe values, collected driver-side
+    — bounded by the probe fan-out, never the corpus) is pushed into the
+    index scan as a partition filter (``PartitionFilters`` in the plan —
+    asserted by a test), and only those directories are read. The corpus
+    itself is never re-assigned, re-normed, or re-shuffled."""
+    pivots = spark.read.parquet(f"{path}/pivots")
+    probes = _probe_cells(queries, pivots, id_col, vec_col, nprobe)
+    needed = sorted(
+        r["cell"] for r in probes.select("cell").distinct().collect()
+    )
+    inv = (
+        spark.read.parquet(f"{path}/cells")
+        .filter(F.col("cell").isin(needed))
+        .withColumnsRenamed({"vid": "neighbor_id", "v": "cv", "vn": "cn"})
+    )
+    cand = probes.join(inv, "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.try_divide(
+            dot_arrow(F.col("qv"), F.col("cv")), F.col("qn") * F.col("cn")
+        ).alias("cos_sim"),
     )
     return _rank_top_k(scored, k)
 

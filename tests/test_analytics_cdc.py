@@ -773,3 +773,67 @@ class TestJoinCardinality:
         schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
         assert schemas and all(s.split(":")[0] == "l_partkey" for s in schemas)
         assert plan.count("HashAggregate") >= 4  # partial+final per side
+
+
+class TestPersistedIvfIndex:
+    def test_equivalent_to_in_memory_ivf(self, spark, tmp_path):
+        from datacompy_spark.operators.similarity import (
+            build_ivf_index,
+            ivf_knn,
+            query_ivf_index,
+        )
+        from datacompy_spark.sources.loaders import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        queries = emb.filter(F.col("vec_id") % 97 == 0)
+        path = str(tmp_path / "ivf")
+        summary = build_ivf_index(emb, "vec_id", "embedding", path)
+        assert summary["n_rows"] == emb.count()
+        assert summary["n_cells"] >= 2
+
+        got = sorted(
+            map(
+                tuple,
+                query_ivf_index(
+                    spark, path, queries, "vec_id", "embedding", k=5, nprobe=2
+                ).collect(),
+            )
+        )
+        want = sorted(
+            map(
+                tuple,
+                ivf_knn(
+                    emb, queries, "vec_id", "embedding", k=5, nprobe=2
+                ).collect(),
+            )
+        )
+        assert got == want and len(got) > 0
+
+    def test_probe_scan_is_partition_pruned(self, spark, tmp_path):
+        """The point of the on-disk layout: the index scan must carry the
+        probed cells as PartitionFilters (pruning), not a post-scan
+        Filter over all directories."""
+        import os
+
+        from datacompy_spark.operators.similarity import (
+            build_ivf_index,
+            query_ivf_index,
+        )
+        from datacompy_spark.sources.loaders import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        path = str(tmp_path / "ivf")
+        build_ivf_index(emb, "vec_id", "embedding", path)
+        # hive layout on disk: one directory per cell
+        assert any(
+            d.startswith("cell=") for d in os.listdir(f"{path}/cells")
+        )
+        one_query = emb.filter(F.col("vec_id") == 0)
+        out = query_ivf_index(
+            spark, path, one_query, "vec_id", "embedding", k=3, nprobe=2
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [cell" in plan.replace("#", " #").replace(
+            "cell #", "cell#"
+        ) or "PartitionFilters: [cell" in plan
+        assert len(out.collect()) > 0
