@@ -165,6 +165,7 @@ def build_ivf_index(
     vec_col: str,
     path: str,
     pivot_mod: int = 37,
+    pivots: DataFrame | None = None,
 ) -> dict:
     """Persist an IVF-flat ANN index as a HIVE-PARTITIONED table: one
     directory per inverted-file cell (plus the pivot table the queries
@@ -176,10 +177,25 @@ def build_ivf_index(
     PRUNING — the scan literally never opens the other |cells| - nprobe
     directories. Norms are precomputed at build time, so queries pay no
     per-vector norm pass. Writes go through ``write_partitioned`` (rebalance
-    on cell, no small-file explosion). Returns a summary dict."""
+    on cell, no small-file explosion). Returns a summary dict.
+
+    Pivot scaling: the default id-mod quantizer grows pivots LINEARLY with
+    the corpus, which makes the (corpus × pivots) assignment pass go
+    quadratic — measured in SCALING.md. Fine at test scale; at real scale
+    pass ``pivots`` explicitly and size it ~sqrt(n) (e.g. quantized
+    ``kmeans_fit`` centroids, or a coarser id sample) so build stays
+    ~n·sqrt(n) and cells stay probe-sized."""
     from datacompy_spark.sources.loaders import write_partitioned
 
-    pivots = df.filter(F.col(id_col) % pivot_mod == 0).select(id_col, vec_col)
+    if pivots is None:
+        pivots = df.filter(F.col(id_col) % pivot_mod == 0).select(
+            id_col, vec_col
+        )
+    else:
+        pivots = pivots.select(
+            F.col(pivots.columns[0]).alias(id_col),
+            F.col(pivots.columns[1]).alias(vec_col),
+        )
     inv = ivf_assign(df, pivots, id_col, vec_col)
     write_partitioned(
         inv.select("vid", "v", "vn", "cell"), f"{path}/cells", "cell"

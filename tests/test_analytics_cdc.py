@@ -837,3 +837,38 @@ class TestPersistedIvfIndex:
             "cell #", "cell#"
         ) or "PartitionFilters: [cell" in plan
         assert len(out.collect()) > 0
+
+    def test_custom_pivots_scale_path(self, spark, tmp_path):
+        """The sqrt(n) scale path: explicit pivots (here a coarser id
+        sample standing in for trained centroids) drive both build and
+        probe, and results still match an in-memory rerun with the same
+        pivots."""
+        from datacompy_spark.operators.similarity import (
+            build_ivf_index,
+            ivf_assign,
+            query_ivf_index,
+        )
+        from datacompy_spark.sources.loaders import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        pivots = emb.filter(F.col("vec_id") % 101 == 0).select(
+            "vec_id", "embedding"
+        )
+        path = str(tmp_path / "ivf_custom")
+        summary = build_ivf_index(
+            emb, "vec_id", "embedding", path, pivots=pivots
+        )
+        assert summary["n_cells"] == pivots.count()
+        got = query_ivf_index(
+            spark, path, emb.filter(F.col("vec_id") == 0),
+            "vec_id", "embedding", k=3, nprobe=2,
+        ).collect()
+        assert len(got) == 3
+        # index cells reproduce a fresh in-memory assignment
+        on_disk = spark.read.parquet(f"{path}/cells").select("vid", "cell")
+        fresh = ivf_assign(emb, pivots, "vec_id", "embedding").select(
+            "vid", "cell"
+        )
+        assert sorted(map(tuple, on_disk.collect())) == sorted(
+            map(tuple, fresh.collect())
+        )

@@ -11,7 +11,7 @@ Prints one line per scale: rows, seconds, rows/sec, and the ratio of
 seconds to the 1x run (linear scaling => ratio ~= multiplier).
 
 Env knobs: SPARK_GRAFT_SECTIONS selects sections as a comma list out of
-{compare,minhash,incr,cdc,bucketed,cc,kmeans,hotkey} (default: all) — a x64 compare
+{compare,minhash,incr,cdc,bucketed,cc,kmeans,ivfindex,hotkey} (default: all) — a x64 compare
 datapoint or a memory-constrained minhash rerun shouldn't pay for every
 other section; SPARK_GRAFT_DRIVER_MEM bounds the single-JVM heap (the
 local-mode stand-in for executor memory) for constrained-memory probes.
@@ -32,7 +32,8 @@ def main() -> int:
 
     muls = [int(m) for m in (sys.argv[1:] or ["1", "4", "16"])]
     all_sections = (
-        "compare", "minhash", "incr", "cdc", "bucketed", "cc", "kmeans", "hotkey"
+        "compare", "minhash", "incr", "cdc", "bucketed", "cc", "kmeans",
+        "ivfindex", "hotkey"
     )
     sections = set(
         s.strip() for s in os.environ.get(
@@ -371,6 +372,57 @@ def main() -> int:
         print(
             f"kmeans  x{mult:<3d} vecs={n:>9,d}  assigned={n_out:>9,d} {ok}"
             f"  sec={el:7.2f}  vs_x1={el/t1:5.2f} (linear => ~{mult})",
+            flush=True,
+        )
+
+    # ---- persisted IVF index: corpus scaled, probe set FIXED — the ANN
+    # serving shape. Build cost should track the corpus (one assignment
+    # pass + partitioned write); PROBE cost should stay ~flat, because a
+    # fixed nprobe reads the same number of cell directories no matter how
+    # many exist (partition pruning) and each cell grows only ~linearly
+    # with corpus/|cells|. Pivot count grows with the corpus (ids % 37), so
+    # cells stay ~constant-sized and probe work is genuinely ~flat.
+    import shutil
+    import tempfile
+
+    from datacompy_spark.operators.similarity import (
+        build_ivf_index,
+        query_ivf_index,
+    )
+
+    t1 = None
+    for mult in muls if "ivfindex" in sections else []:
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        parts = [
+            emb.select(
+                (F.col("vec_id") + F.lit(10_000_000 * i)).alias("vec_id"),
+                "embedding",
+            )
+            for i in range(mult)
+        ]
+        corpus = parts[0]
+        for p in parts[1:]:
+            corpus = corpus.unionAll(p)
+        probes_df = emb.filter(F.col("vec_id") % 97 == 0)  # fixed ~20 queries
+        d = tempfile.mkdtemp(prefix="ivfidx_")
+        try:
+            tb0 = time.perf_counter()
+            summary = build_ivf_index(corpus, "vec_id", "embedding", d)
+            build_s = time.perf_counter() - tb0
+            tq0 = time.perf_counter()
+            n_out = query_ivf_index(
+                spark, d, probes_df, "vec_id", "embedding", k=5, nprobe=2
+            ).count()
+            probe_s = time.perf_counter() - tq0
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+        if t1 is None:
+            t1 = probe_s
+        print(
+            f"ivfidx  x{mult:<3d} vecs={summary['n_rows']:>9,d}"
+            f"  cells={summary['n_cells']:>5,d}  build={build_s:7.2f}s"
+            f"  probe={probe_s:6.2f}s ({n_out} rows)"
+            f"  probe_vs_x1={probe_s/t1:5.2f} (flat => ~1)",
             flush=True,
         )
 
