@@ -475,6 +475,44 @@ def build_parser() -> argparse.ArgumentParser:
         help="Spark application name",
     )
 
+    # ann: persistent IVF index lifecycle — build once, probe forever.
+    # Extension beyond the reference CLI.
+    ann = sub.add_parser(
+        "ann",
+        help="persistent IVF ANN index: --build writes a hive-partitioned "
+        "index, --queries probes it (partition-pruned scan)",
+        parents=[debug_parent],
+    )
+    ann.add_argument("--index", required=True, metavar="DIR", help="index directory")
+    ann.add_argument("--build", metavar="CORPUS", help="build the index from this input")
+    ann.add_argument("--queries", metavar="INPUT", help="probe the index with these vectors")
+    ann.add_argument("--id-col", default="vec_id", help="row id column")
+    ann.add_argument("--vec-col", default="embedding", help="embedding column")
+    ann.add_argument(
+        "--pivot-mod", type=int, default=37,
+        help="build: id-mod coarse quantizer (default 37); at scale prefer "
+        "--pivots",
+    )
+    ann.add_argument(
+        "--pivots", metavar="INPUT",
+        help="build: explicit pivot table (id, vector) — e.g. trained "
+        "centroids; overrides --pivot-mod",
+    )
+    ann.add_argument("--k", type=int, default=5, help="query: neighbors per query")
+    ann.add_argument(
+        "--nprobe", type=int, default=2, help="query: cells probed per query"
+    )
+    ann.add_argument(
+        "--output", metavar="PATH",
+        help="query: write (query_id, neighbor_id, cos_sim, rank) parquet",
+    )
+    ann.add_argument("--quiet", action="store_true", help="suppress the summary line")
+    ann.add_argument("--input-format", choices=["csv", "parquet", "json", "jsonl", "orc"])
+    ann.add_argument(
+        "--spark-app-name", default="datacompy-spark-cli", metavar="NAME",
+        help="Spark application name",
+    )
+
     # cluster: deterministic k-means over an embedding column — train,
     # assign, optionally balance-sample per cluster. Extension beyond the
     # reference CLI.
@@ -1169,6 +1207,86 @@ def run_anomaly(args) -> int:
             spark.stop()
 
 
+def run_ann(args) -> int:
+    import json
+
+    from pyspark.sql import SparkSession
+
+    from datacompy_spark.operators.similarity import (
+        build_ivf_index,
+        query_ivf_index,
+    )
+    from datacompy_spark.sources.loaders import load
+
+    if bool(args.build) == bool(args.queries):
+        raise CLIError("pass exactly one of --build or --queries")
+    if args.k <= 0 or args.nprobe <= 0:
+        raise CLIError("--k and --nprobe must be positive")
+    created = SparkSession.getActiveSession() is None
+    spark = SparkSession.builder.appName(args.spark_app_name).getOrCreate()
+    try:
+        if args.build:
+            try:
+                corpus = load(spark, args.build, fmt=args.input_format)
+                pivots = (
+                    load(spark, args.pivots, fmt=args.input_format)
+                    if args.pivots
+                    else None
+                )
+            except Exception as ex:
+                raise CLIError(f"failed to load input: {ex}") from ex
+            for c in (args.id_col, args.vec_col):
+                if c not in corpus.columns:
+                    raise CLIError(f"column {c!r} not found in corpus")
+            try:
+                summary = build_ivf_index(
+                    corpus, args.id_col, args.vec_col, args.index,
+                    pivot_mod=args.pivot_mod, pivots=pivots,
+                )
+            except Exception as ex:
+                raise CLIError(str(ex)) from ex
+            if not args.quiet:
+                print(json.dumps(summary))
+            return 0
+        try:
+            queries = load(spark, args.queries, fmt=args.input_format)
+        except Exception as ex:
+            raise CLIError(f"failed to load input: {ex}") from ex
+        for c in (args.id_col, args.vec_col):
+            if c not in queries.columns:
+                raise CLIError(f"column {c!r} not found in queries")
+        try:
+            out = query_ivf_index(
+                spark, args.index, queries, args.id_col, args.vec_col,
+                k=args.k, nprobe=args.nprobe,
+            )
+            if args.output:
+                out.write.mode("overwrite").parquet(args.output)
+                out = spark.read.parquet(args.output)
+            n_pairs = out.count()
+            n_queries = out.select("query_id").distinct().count()
+        except CLIError:
+            raise
+        except Exception as ex:
+            raise CLIError(str(ex)) from ex
+        if not args.quiet:
+            print(
+                json.dumps(
+                    {
+                        "n_queries": n_queries,
+                        "n_pairs": n_pairs,
+                        "k": args.k,
+                        "nprobe": args.nprobe,
+                        "output": args.output,
+                    }
+                )
+            )
+        return 0
+    finally:
+        if created:
+            spark.stop()
+
+
 def run_cluster(args) -> int:
     import json
 
@@ -1377,6 +1495,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             return run_compact(args)
         if args.command == "cluster":
             return run_cluster(args)
+        if args.command == "ann":
+            return run_ann(args)
         if args.command == "curate":
             return run_curate(args)
         raise CLIError(f"unknown command {args.command!r}")

@@ -226,3 +226,33 @@ class TestCliCluster:
         ])
         assert rc == 2
         assert "k must be positive" in capsys.readouterr().err
+
+
+class TestCliAnn:
+    def test_build_then_query(self, spark, tmp_path, capsys):
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        inp = str(tmp_path / "emb.parquet")
+        emb.select("vec_id", "embedding").write.parquet(inp)
+        idx = str(tmp_path / "idx")
+        rc = main(["ann", "--index", idx, "--build", inp])
+        assert rc == 0
+        summary = json.loads(capsys.readouterr().out.strip())
+        assert summary["n_rows"] == emb.count() and summary["n_cells"] >= 2
+
+        q = str(tmp_path / "q.parquet")
+        emb.filter(F.col("vec_id") % 97 == 0).select(
+            "vec_id", "embedding"
+        ).write.parquet(q)
+        res = str(tmp_path / "res")
+        rc = main(["ann", "--index", idx, "--queries", q, "--k", "3",
+                   "--output", res])
+        assert rc == 0
+        summary = json.loads(capsys.readouterr().out.strip())
+        assert summary["n_pairs"] == summary["n_queries"] * 3
+        feed = spark.read.parquet(res)
+        assert set(feed.columns) >= {"query_id", "neighbor_id", "cos_sim"}
+
+    def test_build_and_query_mutually_exclusive(self, tmp_path, capsys):
+        rc = main(["ann", "--index", str(tmp_path / "i")])
+        assert rc == 2
+        assert "exactly one" in capsys.readouterr().err
