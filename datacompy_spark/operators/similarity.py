@@ -217,6 +217,35 @@ def build_ivf_index(
     }
 
 
+def append_to_ivf_index(
+    spark,
+    path: str,
+    batch: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> dict:
+    """Incremental index maintenance: assign an ingest batch against the
+    index's STORED pivot table and append the new rows in the same
+    cell-partitioned layout — the standing corpus is never re-assigned,
+    re-normed, or rewritten (the same per-ingest contract as the minhash
+    ledger). Because the quantizer is frozen at build time, an index built
+    incrementally is row-identical to one built from the pooled corpus in
+    one shot (pinned by test). Appends only touch the directories the
+    batch lands in."""
+    from datacompy_spark.sources.loaders import write_partitioned
+
+    pivots = spark.read.parquet(f"{path}/pivots")
+    inv = ivf_assign(batch, pivots, id_col, vec_col)
+    write_partitioned(
+        inv.select("vid", "v", "vn", "cell"),
+        f"{path}/cells",
+        "cell",
+        mode="append",
+    )
+    n = batch.count()
+    return {"path": path, "appended": n}
+
+
 def query_ivf_index(
     spark,
     path: str,

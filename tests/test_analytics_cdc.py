@@ -872,3 +872,52 @@ class TestPersistedIvfIndex:
         assert sorted(map(tuple, on_disk.collect())) == sorted(
             map(tuple, fresh.collect())
         )
+
+    def test_incremental_append_equals_one_shot_build(self, spark, tmp_path):
+        """Frozen quantizer ⇒ build(half) + append(half) must be
+        row-identical to build(all), and queries against either index
+        agree exactly."""
+        from datacompy_spark.operators.similarity import (
+            append_to_ivf_index,
+            build_ivf_index,
+            query_ivf_index,
+        )
+        from datacompy_spark.sources.loaders import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        # pivots must come from the FIRST half so the frozen-quantizer
+        # premise holds (ids % 37 == 0 rows all land in half A by choosing
+        # the split accordingly is fragile — instead pass explicit pivots)
+        pivots = emb.filter(F.col("vec_id") % 101 == 0).select(
+            "vec_id", "embedding"
+        )
+        half_a = emb.filter(F.col("vec_id") % 2 == 0)
+        half_b = emb.filter(F.col("vec_id") % 2 == 1)
+
+        inc = str(tmp_path / "inc")
+        build_ivf_index(half_a, "vec_id", "embedding", inc, pivots=pivots)
+        out = append_to_ivf_index(spark, inc, half_b, "vec_id", "embedding")
+        assert out["appended"] == half_b.count()
+
+        full = str(tmp_path / "full")
+        build_ivf_index(emb, "vec_id", "embedding", full, pivots=pivots)
+
+        canon = lambda p: sorted(
+            map(
+                tuple,
+                spark.read.parquet(f"{p}/cells")
+                .select("vid", "cell")
+                .collect(),
+            )
+        )
+        assert canon(inc) == canon(full)
+        q = emb.filter(F.col("vec_id") % 97 == 0)
+        run = lambda p: sorted(
+            map(
+                tuple,
+                query_ivf_index(
+                    spark, p, q, "vec_id", "embedding", k=5, nprobe=2
+                ).collect(),
+            )
+        )
+        assert run(inc) == run(full)
