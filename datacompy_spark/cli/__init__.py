@@ -485,6 +485,10 @@ def build_parser() -> argparse.ArgumentParser:
     )
     ann.add_argument("--index", required=True, metavar="DIR", help="index directory")
     ann.add_argument("--build", metavar="CORPUS", help="build the index from this input")
+    ann.add_argument(
+        "--append", metavar="BATCH",
+        help="append an ingest batch under the index's frozen quantizer",
+    )
     ann.add_argument("--queries", metavar="INPUT", help="probe the index with these vectors")
     ann.add_argument("--id-col", default="vec_id", help="row id column")
     ann.add_argument("--vec-col", default="embedding", help="embedding column")
@@ -1218,8 +1222,9 @@ def run_ann(args) -> int:
     )
     from datacompy_spark.sources.loaders import load
 
-    if bool(args.build) == bool(args.queries):
-        raise CLIError("pass exactly one of --build or --queries")
+    n_modes = sum(bool(x) for x in (args.build, args.append, args.queries))
+    if n_modes != 1:
+        raise CLIError("pass exactly one of --build, --append, or --queries")
     if args.k <= 0 or args.nprobe <= 0:
         raise CLIError("--k and --nprobe must be positive")
     created = SparkSession.getActiveSession() is None
@@ -1242,6 +1247,27 @@ def run_ann(args) -> int:
                 summary = build_ivf_index(
                     corpus, args.id_col, args.vec_col, args.index,
                     pivot_mod=args.pivot_mod, pivots=pivots,
+                )
+            except Exception as ex:
+                raise CLIError(str(ex)) from ex
+            if not args.quiet:
+                print(json.dumps(summary))
+            return 0
+        if args.append:
+            from datacompy_spark.operators.similarity import (
+                append_to_ivf_index,
+            )
+
+            try:
+                batch = load(spark, args.append, fmt=args.input_format)
+            except Exception as ex:
+                raise CLIError(f"failed to load input: {ex}") from ex
+            for c in (args.id_col, args.vec_col):
+                if c not in batch.columns:
+                    raise CLIError(f"column {c!r} not found in batch")
+            try:
+                summary = append_to_ivf_index(
+                    spark, args.index, batch, args.id_col, args.vec_col
                 )
             except Exception as ex:
                 raise CLIError(str(ex)) from ex
