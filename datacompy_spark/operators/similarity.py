@@ -198,7 +198,11 @@ def build_ivf_index(
         )
     inv = ivf_assign(df, pivots, id_col, vec_col)
     write_partitioned(
-        inv.select("vid", "v", "vn", "cell"), f"{path}/cells", "cell"
+        inv.select(
+            "vid", "v", "vn", "cell", F.lit(0).alias("ingest")
+        ),
+        f"{path}/cells",
+        ["cell", "ingest"],
     )
     pivots.write.mode("overwrite").parquet(f"{path}/pivots")
     spark = df.sparkSession
@@ -223,27 +227,44 @@ def append_to_ivf_index(
     batch: DataFrame,
     id_col: str,
     vec_col: str,
+    ingest_id: int | None = None,
 ) -> dict:
     """Incremental index maintenance: assign an ingest batch against the
-    index's STORED pivot table and append the new rows in the same
-    cell-partitioned layout — the standing corpus is never re-assigned,
+    index's STORED pivot table and append the new rows under a fresh
+    ``ingest=N`` sub-partition — the standing corpus is never re-assigned,
     re-normed, or rewritten (the same per-ingest contract as the minhash
     ledger). Because the quantizer is frozen at build time, an index built
     incrementally is row-identical to one built from the pooled corpus in
-    one shot (pinned by test). Appends only touch the directories the
-    batch lands in."""
+    one shot (pinned by test).
+
+    Idempotence: the write is a DYNAMIC partition overwrite of exactly the
+    (cell, ingest) directories this batch produces, so replaying the same
+    ``ingest_id`` (crash-retry, at-least-once streaming) rewrites its own
+    leaves instead of double-appending. When ``ingest_id`` is None the
+    next id is read from the partition values (metadata-sized scan) —
+    callers with a natural id (stream batch id, pipeline run id) should
+    pass it for replay safety."""
     from datacompy_spark.sources.loaders import write_partitioned
 
     pivots = spark.read.parquet(f"{path}/pivots")
+    if ingest_id is None:
+        prev = (
+            spark.read.parquet(f"{path}/cells")
+            .agg(F.max("ingest"))
+            .collect()[0][0]
+        )
+        ingest_id = int(prev or 0) + 1
     inv = ivf_assign(batch, pivots, id_col, vec_col)
     write_partitioned(
-        inv.select("vid", "v", "vn", "cell"),
+        inv.select(
+            "vid", "v", "vn", "cell", F.lit(int(ingest_id)).alias("ingest")
+        ),
         f"{path}/cells",
-        "cell",
-        mode="append",
+        ["cell", "ingest"],
+        mode="overwrite_dynamic",
     )
     n = batch.count()
-    return {"path": path, "appended": n}
+    return {"path": path, "appended": n, "ingest": int(ingest_id)}
 
 
 def query_ivf_index(

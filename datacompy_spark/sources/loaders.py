@@ -238,7 +238,18 @@ def write_partitioned(
     out = df.hint("rebalance", *[F.col(c) for c in partition_columns])
     if sort_columns:
         out = out.sortWithinPartitions(*[F.col(c) for c in sort_columns])
-    w = out.write.mode(mode).partitionBy(*partition_columns)
+    if mode == "overwrite_dynamic":
+        # overwrite ONLY the partitions present in this frame (scoped to
+        # this writer, session conf untouched) — the replay-idempotent
+        # append shape: a re-run batch rewrites its own directories
+        # instead of duplicating rows
+        w = (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*partition_columns)
+        )
+    else:
+        w = out.write.mode(mode).partitionBy(*partition_columns)
     if max_records_per_file:
         w = w.option("maxRecordsPerFile", str(max_records_per_file))
     w.format(fmt).save(path)

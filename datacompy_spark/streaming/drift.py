@@ -257,6 +257,45 @@ def streaming_cluster_assign(
     )
 
 
+def streaming_ivf_ingest(
+    stream: DataFrame,
+    index_path: str,
+    id_col: str,
+    vec_col: str,
+    checkpoint_path: str,
+    trigger_available_now: bool = True,
+):
+    """Always-on ANN index maintenance: each micro-batch of embeddings is
+    assigned against the index's frozen pivot table and lands under its
+    own ``ingest`` sub-partition (operators/similarity.py::
+    append_to_ivf_index) — the streaming counterpart of ``ann --append``.
+
+    Idempotence: foreachBatch is at-least-once, so the ingest id is
+    ``1 + batch_id`` and the write is a dynamic partition overwrite — a
+    replayed batch rewrites its own (cell, ingest) leaves instead of
+    double-appending (build occupies ingest=0). The standing index is
+    never rewritten; probes see new vectors as soon as the batch commits."""
+    from datacompy_spark.operators.similarity import append_to_ivf_index
+
+    spark = stream.sparkSession
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        append_to_ivf_index(
+            spark, index_path, batch_df, id_col, vec_col,
+            ingest_id=1 + batch_id,
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def sessionize(
     df: DataFrame,
     ts_col: str,

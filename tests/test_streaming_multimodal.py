@@ -458,3 +458,83 @@ class TestStreamingClusterAssign:
             )
         )
         assert got == want and len(got) == emb.count()
+
+
+class TestStreamingIvfIngest:
+    def test_stream_builds_queryable_index(self, spark, sf_dir, tmp_path):
+        """Build from half the corpus, stream the other half in micro-
+        batches; the final index must be row-identical to a one-shot build
+        (frozen quantizer) and queries must agree exactly."""
+        from datacompy_spark.operators.similarity import (
+            build_ivf_index,
+            query_ivf_index,
+        )
+        from datacompy_spark.streaming.drift import streaming_ivf_ingest
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        pivots = emb.filter(F.col("vec_id") % 101 == 0).select(
+            "vec_id", "embedding"
+        )
+        half_a = emb.filter(F.col("vec_id") % 2 == 0)
+        half_b = emb.filter(F.col("vec_id") % 2 == 1).select(
+            "vec_id", "embedding"
+        )
+        idx = str(tmp_path / "idx")
+        build_ivf_index(half_a, "vec_id", "embedding", idx, pivots=pivots)
+
+        stream_dir = str(tmp_path / "stream")
+        half_b.repartition(3).write.parquet(stream_dir)
+        stream = (
+            spark.readStream.schema(half_b.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+        )
+        q = streaming_ivf_ingest(
+            stream, idx, "vec_id", "embedding",
+            checkpoint_path=str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(120)
+        assert q.lastProgress["batchId"] >= 2  # real micro-batching
+
+        cells = spark.read.parquet(f"{idx}/cells")
+        assert cells.count() == emb.count()
+        # multiple ingest generations present (0 = build, 1.. = stream)
+        gens = {r["ingest"] for r in cells.select("ingest").distinct().collect()}
+        assert 0 in gens and len(gens) >= 3
+
+        full = str(tmp_path / "full")
+        build_ivf_index(emb, "vec_id", "embedding", full, pivots=pivots)
+        probes = emb.filter(F.col("vec_id") % 97 == 0)
+        run = lambda p: sorted(
+            map(
+                tuple,
+                query_ivf_index(
+                    spark, p, probes, "vec_id", "embedding", k=5, nprobe=2
+                ).collect(),
+            )
+        )
+        assert run(idx) == run(full)
+
+    def test_replayed_ingest_id_is_idempotent(self, spark, sf_dir, tmp_path):
+        """The at-least-once contract: appending the same batch under the
+        same ingest id twice leaves ONE copy (dynamic partition overwrite),
+        not two."""
+        from datacompy_spark.operators.similarity import (
+            append_to_ivf_index,
+            build_ivf_index,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        idx = str(tmp_path / "idx")
+        build_ivf_index(
+            emb.filter(F.col("vec_id") % 2 == 0), "vec_id", "embedding", idx,
+            pivots=emb.filter(F.col("vec_id") % 101 == 0).select(
+                "vec_id", "embedding"
+            ),
+        )
+        batch = emb.filter(F.col("vec_id") % 2 == 1)
+        append_to_ivf_index(spark, idx, batch, "vec_id", "embedding", ingest_id=7)
+        n1 = spark.read.parquet(f"{idx}/cells").count()
+        append_to_ivf_index(spark, idx, batch, "vec_id", "embedding", ingest_id=7)
+        n2 = spark.read.parquet(f"{idx}/cells").count()
+        assert n1 == n2 == emb.count()
