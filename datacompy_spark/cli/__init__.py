@@ -490,6 +490,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="append an ingest batch under the index's frozen quantizer",
     )
     ann.add_argument("--queries", metavar="INPUT", help="probe the index with these vectors")
+    ann.add_argument(
+        "--compact", action="store_true",
+        help="collapse accumulated ingest generations to a single layout "
+        "(small-file maintenance after many appends)",
+    )
     ann.add_argument("--id-col", default="vec_id", help="row id column")
     ann.add_argument("--vec-col", default="embedding", help="embedding column")
     ann.add_argument(
@@ -1222,9 +1227,13 @@ def run_ann(args) -> int:
     )
     from datacompy_spark.sources.loaders import load
 
-    n_modes = sum(bool(x) for x in (args.build, args.append, args.queries))
+    n_modes = sum(
+        bool(x) for x in (args.build, args.append, args.queries, args.compact)
+    )
     if n_modes != 1:
-        raise CLIError("pass exactly one of --build, --append, or --queries")
+        raise CLIError(
+            "pass exactly one of --build, --append, --queries, or --compact"
+        )
     if args.k <= 0 or args.nprobe <= 0:
         raise CLIError("--k and --nprobe must be positive")
     created = SparkSession.getActiveSession() is None
@@ -1248,6 +1257,18 @@ def run_ann(args) -> int:
                     corpus, args.id_col, args.vec_col, args.index,
                     pivot_mod=args.pivot_mod, pivots=pivots,
                 )
+            except Exception as ex:
+                raise CLIError(str(ex)) from ex
+            if not args.quiet:
+                print(json.dumps(summary))
+            return 0
+        if args.compact:
+            from datacompy_spark.operators.similarity import (
+                compact_ivf_index,
+            )
+
+            try:
+                summary = compact_ivf_index(spark, args.index)
             except Exception as ex:
                 raise CLIError(str(ex)) from ex
             if not args.quiet:

@@ -267,6 +267,42 @@ def append_to_ivf_index(
     return {"path": path, "appended": n, "ingest": int(ingest_id)}
 
 
+def compact_ivf_index(spark, path: str) -> dict:
+    """Collapse accumulated ingest generations back to a single
+    ``ingest=0`` layout — the maintenance step after many small appends
+    (each ingest adds a leaf directory per touched cell; a year of hourly
+    micro-batches is a small-file problem). Row content is untouched:
+    compaction changes only the physical layout, so queries before and
+    after are identical (pinned by test).
+
+    The rewrite stages to a sibling temp directory and swaps via rename —
+    readers never observe a half-written index. Local-FS rename here; on
+    a cluster store the same two-step pattern runs through the
+    FileSystem API (rename is atomic on HDFS, copy+delete on object
+    stores — use a manifest/catalog there)."""
+    import shutil
+    import uuid
+
+    from datacompy_spark.sources.loaders import write_partitioned
+
+    cells_dir = f"{path}/cells"
+    before = spark.read.parquet(cells_dir)
+    n_rows = before.count()
+    tmp = f"{path}/cells_compact_{uuid.uuid4().hex[:8]}"
+    write_partitioned(
+        before.select(
+            "vid", "v", "vn", "cell", F.lit(0).alias("ingest")
+        ),
+        tmp,
+        ["cell", "ingest"],
+    )
+    old = f"{path}/cells_old_{uuid.uuid4().hex[:8]}"
+    shutil.move(cells_dir, old)
+    shutil.move(tmp, cells_dir)
+    shutil.rmtree(old, ignore_errors=True)
+    return {"path": path, "n_rows": n_rows}
+
+
 def query_ivf_index(
     spark,
     path: str,

@@ -921,3 +921,46 @@ class TestPersistedIvfIndex:
             )
         )
         assert run(inc) == run(full)
+
+    def test_compact_preserves_results_and_collapses_generations(
+        self, spark, tmp_path
+    ):
+        from datacompy_spark.operators.similarity import (
+            append_to_ivf_index,
+            build_ivf_index,
+            compact_ivf_index,
+            query_ivf_index,
+        )
+        from datacompy_spark.sources.loaders import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        pivots = emb.filter(F.col("vec_id") % 101 == 0).select(
+            "vec_id", "embedding"
+        )
+        idx = str(tmp_path / "idx")
+        build_ivf_index(
+            emb.filter(F.col("vec_id") % 3 == 0), "vec_id", "embedding", idx,
+            pivots=pivots,
+        )
+        for i, m in enumerate((1, 2)):
+            append_to_ivf_index(
+                spark, idx, emb.filter(F.col("vec_id") % 3 == m),
+                "vec_id", "embedding", ingest_id=i + 1,
+            )
+        probes = emb.filter(F.col("vec_id") % 97 == 0)
+        run = lambda: sorted(
+            map(
+                tuple,
+                query_ivf_index(
+                    spark, idx, probes, "vec_id", "embedding", k=5, nprobe=2
+                ).collect(),
+            )
+        )
+        before = run()
+        out = compact_ivf_index(spark, idx)
+        assert out["n_rows"] == emb.count()
+        cells = spark.read.parquet(f"{idx}/cells")
+        gens = {r["ingest"] for r in cells.select("ingest").distinct().collect()}
+        assert gens == {0}
+        assert cells.count() == emb.count()
+        assert run() == before

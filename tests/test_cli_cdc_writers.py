@@ -271,3 +271,19 @@ class TestCliAnn:
         assert summary["appended"] == emb.count() - emb.filter(F.col("vec_id") % 2 == 0).count()
         total = spark.read.parquet(f"{idx}/cells").count()
         assert total == emb.count()
+
+    def test_compact_mode(self, spark, tmp_path, capsys):
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        a = str(tmp_path / "a.parquet")
+        b = str(tmp_path / "b.parquet")
+        emb.filter(F.col("vec_id") % 2 == 0).select("vec_id", "embedding").write.parquet(a)
+        emb.filter(F.col("vec_id") % 2 == 1).select("vec_id", "embedding").write.parquet(b)
+        idx = str(tmp_path / "idx")
+        assert main(["ann", "--index", idx, "--build", a]) == 0
+        assert main(["ann", "--index", idx, "--append", b]) == 0
+        capsys.readouterr()
+        assert main(["ann", "--index", idx, "--compact"]) == 0
+        summary = json.loads(capsys.readouterr().out.strip())
+        assert summary["n_rows"] == emb.count()
+        cells = spark.read.parquet(f"{idx}/cells")
+        assert {r["ingest"] for r in cells.select("ingest").distinct().collect()} == {0}
