@@ -236,6 +236,13 @@ def build_parser() -> argparse.ArgumentParser:
         "Incompatible with --compare-to/--columns",
     )
     pr.add_argument(
+        "--row-groups",
+        action="store_true",
+        help="profile parquet ROW-GROUP metadata of --input (a path/glob): "
+        "per-file row groups, rows, and byte sizes — footers only, "
+        "distributed. Incompatible with --compare-to/--columns",
+    )
+    pr.add_argument(
         "--small-file-mb",
         type=int,
         default=128,
@@ -751,20 +758,29 @@ def run_profile(args) -> int:
     created = SparkSession.getActiveSession() is None
     spark = SparkSession.builder.appName(args.spark_app_name).getOrCreate()
     try:
-        if args.files:
+        if args.files or args.row_groups:
             if args.compare_to or args.columns:
                 raise CLIError(
-                    "--files profiles the physical layout only; it cannot "
-                    "combine with --compare-to or --columns"
+                    "--files/--row-groups profile the physical layout only; "
+                    "they cannot combine with --compare-to or --columns"
                 )
-            from datacompy_spark.operators.profile import file_layout_profile
-
             try:
-                out = file_layout_profile(
-                    spark,
-                    {"input": args.input},
-                    small_file_bytes=args.small_file_mb * 1024 * 1024,
-                )
+                if args.row_groups:
+                    from datacompy_spark.operators.profile import (
+                        parquet_rowgroup_profile,
+                    )
+
+                    out = parquet_rowgroup_profile(spark, args.input)
+                else:
+                    from datacompy_spark.operators.profile import (
+                        file_layout_profile,
+                    )
+
+                    out = file_layout_profile(
+                        spark,
+                        {"input": args.input},
+                        small_file_bytes=args.small_file_mb * 1024 * 1024,
+                    )
                 rows = out.toPandas()
             except Exception as ex:
                 raise CLIError(str(ex)) from ex

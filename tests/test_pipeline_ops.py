@@ -2043,3 +2043,54 @@ class TestEmbeddingHealth:
         assert r["verdict"] == "has_nan"
         assert r["n_nan"] == 1
         assert r["norm_sq_q"] == 10_000 ** 2  # finite part only
+
+
+class TestParquetRowgroupProfile:
+    def test_matches_duckdb_parquet_metadata(self, spark, sf_dir, tmp_path):
+        """Footer numbers must agree byte-for-byte with DuckDB's
+        parquet_metadata() over the same files."""
+        import duckdb
+
+        from datacompy_spark.operators.profile import parquet_rowgroup_profile
+
+        # multi-file, multi-row-group input
+        src = str(tmp_path / "li")
+        (
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            .repartition(3)
+            .write.option("parquet.block.size", 64 * 1024)
+            .parquet(src)
+        )
+        got = parquet_rowgroup_profile(spark, src).toPandas()
+        con = duckdb.connect()
+        want = con.execute(
+            "SELECT file_name, row_group_id, row_group_num_rows, "
+            "row_group_bytes, sum(total_compressed_size)::BIGINT AS comp "
+            f"FROM parquet_metadata('{src}/*.parquet') "
+            "GROUP BY ALL"
+        ).df()
+        assert len(got) == len(want) >= 3  # real row-group granularity
+        g = {
+            (r.file_path.rsplit("/", 1)[-1], r.row_group): (
+                r.num_rows, r.total_byte_size, r.compressed_bytes
+            )
+            for r in got.itertuples()
+        }
+        w = {
+            (r.file_name.rsplit("/", 1)[-1], r.row_group_id): (
+                r.row_group_num_rows, r.row_group_bytes, r.comp
+            )
+            for r in want.itertuples()
+        }
+        assert g == w
+        assert sum(v[0] for v in g.values()) == spark.read.parquet(src).count()
+
+    def test_listing_is_content_pruned(self, spark, sf_dir):
+        """The path fan-out must not read file contents: the binaryFile
+        scan's ReadSchema carries only path metadata, no content column."""
+        from datacompy_spark.operators.profile import parquet_rowgroup_profile
+
+        out = parquet_rowgroup_profile(spark, f"{sf_dir}/lineitem.parquet")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "content" not in plan
+        assert out.count() >= 1
