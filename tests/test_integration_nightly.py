@@ -134,3 +134,99 @@ class TestNightlyIngestPipeline:
                 assert sorted(ps) == list(range(1, len(ps) + 1))
         finally:
             spark.sql("DROP TABLE IF EXISTS nightly_ledger")
+
+
+class TestNightlyEmbeddingPipeline:
+    """The r8 embedding lane end to end:
+
+        health gate → kmeans fit → persisted IVF index → streaming ingest
+        → cluster-balanced sample → leakage-safe split
+
+    Each step is unit-tested elsewhere; this asserts they compose on the
+    real test embeddings with no glue beyond user code."""
+
+    def test_health_cluster_index_sample_split(self, spark, tmp_path):
+        from datacompy_spark.operators.profile import embedding_health
+        from datacompy_spark.operators.similarity import (
+            build_ivf_index,
+            kmeans_fit,
+            query_ivf_index,
+        )
+        from datacompy_spark.operators.textops import (
+            cap_per_group,
+            split_by_group,
+        )
+        from datacompy_spark.sources.loaders import load_table
+        from datacompy_spark.streaming.drift import (
+            streaming_cluster_assign,
+            streaming_ivf_ingest,
+        )
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+
+        # 1. QA gate: only rows the health check passes move on
+        ok = (
+            embedding_health(emb, "vec_id", "embedding", dim=64)
+            .filter(F.col("verdict") == "ok")
+            .select("vec_id")
+        )
+        clean = emb.join(ok, "vec_id")
+        assert clean.count() == emb.count()  # testdata is clean
+
+        # 2. train the quantizer once; centroids drive BOTH the index and
+        # the cluster assignments
+        cents = kmeans_fit(clean, "vec_id", "embedding", k=6, iters=2)
+
+        # 3. persisted index built from half the corpus, other half arrives
+        # via the stream
+        idx = str(tmp_path / "idx")
+        half_a = clean.filter(F.col("vec_id") % 2 == 0)
+        half_b = clean.filter(F.col("vec_id") % 2 == 1).select(
+            "vec_id", "embedding"
+        )
+        pivots = clean.filter(F.col("vec_id") % 101 == 0).select(
+            "vec_id", "embedding"
+        )
+        build_ivf_index(half_a, "vec_id", "embedding", idx, pivots=pivots)
+        sdir = str(tmp_path / "stream")
+        half_b.repartition(2).write.parquet(sdir)
+        q = streaming_ivf_ingest(
+            spark.readStream.schema(half_b.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(sdir),
+            idx, "vec_id", "embedding",
+            checkpoint_path=str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(120)
+        assert spark.read.parquet(f"{idx}/cells").count() == clean.count()
+        nn = query_ivf_index(
+            spark, idx, clean.filter(F.col("vec_id") % 97 == 0),
+            "vec_id", "embedding", k=3, nprobe=2,
+        )
+        assert nn.count() > 0
+
+        # 4. cluster-balanced sample from the SAME centroids
+        assigned = streaming_cluster_assign(
+            clean, cents, "vec_id", "embedding"
+        )
+        sample = cap_per_group(
+            assigned.select("vec_id", "cluster_id"),
+            "vec_id", "cluster_id", cap=20,
+        )
+        sizes = {
+            r["cluster_id"]: r["n"]
+            for r in sample.groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert sizes and all(n <= 20 for n in sizes.values())
+
+        # 5. leakage-safe split over the sampled ids, grouped by cluster:
+        # every cluster lands wholly in one split
+        out = split_by_group(
+            sample.select("vec_id", "cluster_id"), "vec_id", "cluster_id"
+        ).collect()
+        by_cluster = {}
+        for r in out:
+            by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+        assert all(len(v) == 1 for v in by_cluster.values())
