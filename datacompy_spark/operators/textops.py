@@ -1409,3 +1409,51 @@ SELECT doc_id, chunk_id::INT AS chunk_id,
   len(toks[chunk_id*{stride}+1 : chunk_id*{stride}+{window}])::INT AS n_tokens,
   array_to_string(toks[chunk_id*{stride}+1 : chunk_id*{stride}+{window}], ' ') AS chunk_text
 FROM e"""
+
+
+_ZRATIO_ARROW = None
+
+
+def _zratio_batch(s):
+    """pandas Series[str] -> Series[float64]: zlib-compressed bytes over
+    raw utf-8 bytes (level 6). NULL-safe; empty string scores 1.0 by
+    convention (nothing to compress)."""
+    import zlib
+
+    def one(t):
+        if t is None:
+            return None
+        raw = t.encode("utf-8")
+        if not raw:
+            return 1.0
+        return len(zlib.compress(raw, 6)) / len(raw)
+
+    return s.map(one)
+
+
+def compression_quality(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    out_col: str = "zratio",
+) -> DataFrame:
+    """Compression-ratio quality signal: zlib(level 6) compressed size over
+    raw utf-8 size, per document — the CCNet/RefinedWeb-style repetition
+    detector. Boilerplate, keyword stuffing, and template spam compress
+    far below natural prose, so a low ratio flags machine-generated or
+    repetitive text that n-gram heuristics miss; an abnormally HIGH ratio
+    (≈1) flags binary junk that leaked into a text column.
+
+    One narrow Arrow-batched projection, no shuffle (same execution shape
+    as the NFC stage — zlib is not expressible in either SQL engine, so
+    this operator is pytest-gated rather than oracle-checked: the suite
+    pins outputs against a local zlib computation and the
+    repetitive-vs-prose ordering property)."""
+    global _ZRATIO_ARROW
+    if _ZRATIO_ARROW is None:
+        from pyspark.sql.functions import pandas_udf
+
+        _ZRATIO_ARROW = pandas_udf(_zratio_batch, "double")
+    return df.select(
+        F.col(id_col), F.col(text_col), _ZRATIO_ARROW(F.col(text_col)).alias(out_col)
+    )

@@ -2094,3 +2094,30 @@ class TestParquetRowgroupProfile:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "content" not in plan
         assert out.count() >= 1
+
+
+class TestCompressionQuality:
+    def test_ordering_and_exact_values(self, spark):
+        import zlib
+
+        from datacompy_spark.operators.textops import compression_quality
+
+        prose = (
+            "the committee reviewed seventeen distinct proposals before "
+            "narrowing the field to a shortlist of four finalists whose "
+            "budgets varied widely across regions and quarters"
+        )
+        spam = "buy now " * 40
+        rows = [(0, prose), (1, spam), (2, None), (3, "")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: r["zratio"]
+            for r in compression_quality(df, "doc_id", "text").collect()
+        }
+        # repetitive text compresses far harder than prose
+        assert got[1] < got[0] * 0.5
+        assert got[2] is None and got[3] == 1.0
+        # bit-exact against a local zlib run (same interpreter, same lib)
+        for i, t in ((0, prose), (1, spam)):
+            raw = t.encode()
+            assert got[i] == len(zlib.compress(raw, 6)) / len(raw)
