@@ -1457,3 +1457,238 @@ def compression_quality(
     return df.select(
         F.col(id_col), F.col(text_col), _ZRATIO_ARROW(F.col(text_col)).alias(out_col)
     )
+
+
+def _query_terms(query: str) -> list:
+    """Normalize a free-text query exactly like :func:`tokens` normalizes
+    documents (lower, strip non-alnum, collapse whitespace), returning the
+    sorted distinct terms. Python-side because the query is a literal — it
+    never touches the cluster."""
+    import re
+
+    q = re.sub(" +", " ", re.sub("[^a-z0-9 ]", " ", query.lower())).strip()
+    return sorted({t for t in q.split(" ") if t})
+
+
+def bm25_search(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """BM25 full-text ranking of a document corpus against a literal query
+    string: returns the top-``k`` documents as ``(doc_id, n_terms,
+    score_q, rank)`` where ``score_q`` is the BM25 score on a fixed-point
+    ``1/scale`` grid and ``n_terms`` counts distinct query terms matched.
+
+    Scoring uses the *linear* IDF ``N / df`` (same rationale as
+    :func:`tfidf_top_terms`: int64 operands and one documented double
+    expression keep ranking bit-identical across engines; log-IDF reorders
+    only for terms differing ~e-fold in rarity) with the standard BM25
+    saturation/length-normalization core::
+
+        term_score = (N/df) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    Each per-term score is quantized to an int64 ``floor(x*scale + .5)``
+    BEFORE the per-document sum, so the sum is order-independent exact
+    integer arithmetic — float summation order (partition-dependent in any
+    distributed engine) never touches the result.
+
+    Scale shape — the query-term filter is pushed BELOW the (doc, term)
+    aggregation, so the only corpus-wide shuffle carries just the rows
+    whose term is in the (tiny, literal) query set; document length and
+    corpus stats come from a second projection-only scan folded to one
+    row + a broadcast. The final top-k is ``orderBy(...).limit(k)`` —
+    Spark's distributed TakeOrdered, no single-partition window funnel —
+    with rank attached afterwards on ≤ k rows.
+    """
+    from datacompy_spark.plans.partitioning import fan_out
+    from pyspark.sql import Window
+
+    terms = _query_terms(query)
+    if not terms:
+        raise ValueError("bm25_search: query has no indexable terms")
+    k1p1 = k1 + 1.0
+    one_minus_b = 1.0 - b
+
+    toks = df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__toks"))
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("__toks").cast("long")).alias("sum_dl"),
+    )
+    pairs = (
+        fan_out(toks)
+        .select("doc_id", F.size("__toks").cast("long").alias("dl"), F.explode("__toks").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl"))
+    )
+    df_t = pairs.groupBy("term").agg(F.count(F.lit(1)).alias("dft"))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    idf = F.col("n_docs").cast("double") / F.col("dft").cast("double")
+    sat = F.col("tf").cast("double") * F.lit(k1p1)
+    norm = F.lit(one_minus_b) + F.lit(b) * (F.col("dl").cast("double") / avgdl)
+    denom = F.col("tf").cast("double") + F.lit(k1) * norm
+    tscore_q = F.floor(((idf * sat) / denom) * F.lit(float(scale)) + F.lit(0.5)).cast("long")
+    scored = (
+        pairs.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum(tscore_q).alias("score_q"),
+        )
+    )
+    top = scored.orderBy(F.col("score_q").desc(), F.col("doc_id").asc()).limit(k)
+    w = Window.orderBy(F.col("score_q").desc(), F.col("doc_id").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def bm25_search_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    scale: int = 1_000_000,
+) -> str:
+    """DuckDB twin of :func:`bm25_search` — identical operand types and
+    float expression association (ints everywhere except the one documented
+    double chain, quantized per-term before the integer sum)."""
+    from datacompy_spark.functions.text import tokens_sql
+
+    terms = _query_terms(query)
+    if not terms:
+        raise ValueError("bm25_search_sql: query has no indexable terms")
+    in_list = ", ".join("'" + t + "'" for t in terms)
+    k1p1 = repr(k1 + 1.0)
+    one_minus_b = repr(1.0 - b)
+    toks = tokens_sql(text_col)
+    return f"""
+WITH toks AS (SELECT {id_col} AS doc_id, {toks} AS tk FROM {table}),
+stats AS (SELECT count(*) AS n_docs, sum(len(tk)::BIGINT) AS sum_dl FROM toks),
+pairs AS (
+  SELECT doc_id, t.term AS term, count(*) AS tf, min(len(tk)::BIGINT) AS dl
+  FROM toks, unnest(tk) AS t(term)
+  WHERE t.term IN ({in_list})
+  GROUP BY 1, 2),
+df_t AS (SELECT term, count(*) AS dft FROM pairs GROUP BY 1),
+scored AS (
+  SELECT p.doc_id,
+         count(*)::BIGINT AS n_terms,
+         sum(floor(((s.n_docs::DOUBLE / d.dft::DOUBLE)
+                     * (p.tf::DOUBLE * {k1p1})
+                     / (p.tf::DOUBLE + {k1!r} * ({one_minus_b} + {b!r}
+                        * (p.dl::DOUBLE / (s.sum_dl::DOUBLE / s.n_docs::DOUBLE)))))
+                   * {float(scale)!r} + 0.5)::BIGINT)::BIGINT AS score_q
+  FROM pairs p JOIN df_t d USING (term) CROSS JOIN stats s
+  GROUP BY 1)
+SELECT doc_id, n_terms, score_q,
+       row_number() OVER (ORDER BY score_q DESC, doc_id ASC)::INT AS rank
+FROM scored
+ORDER BY score_q DESC, doc_id ASC
+LIMIT {k}"""
+
+
+def lm_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits_scale: int = 10_000,
+    out_scale: int = 1000,
+) -> DataFrame:
+    """Unigram language-model quality score (the CCNet-style LM filter,
+    self-trained): fit a unigram LM on the corpus itself — ``P(t) =
+    count(t) / total_tokens`` — then score every document by its mean
+    per-token cost in bits, ``avg_t -log2 P(t)``. Natural prose lands in a
+    mid band; keyword-stuffed / templated text scores low (common tokens),
+    lorem-garbage and OCR noise score high (rare tokens). Returns
+    ``(doc_id, n_tokens, bits_per_token_milli)`` with the score on a
+    ``1/out_scale`` bits grid.
+
+    Cross-engine determinism: ``log2`` is the one transcendental — its
+    result is quantized per DISTINCT TERM to an int64 ``1/bits_scale``
+    grid, so the per-document reduction is an exact integer weighted sum
+    (``sum(tf * bits_q)``) followed by ONE double division; a ≤1-ulp
+    ``log2`` divergence between engines only matters if a term's cost sits
+    within ~2^-40 of a grid boundary.
+
+    Scale shape: one exploded shuffle to (doc, term) counts, a term-keyed
+    shuffle join against the vocabulary (itself an aggregate of the same
+    pairs — no second corpus scan), a single-row total broadcast into the
+    per-term cost, and a final doc-keyed partial-agg sum. No windows, no
+    driver collect.
+    """
+    from datacompy_spark.plans.partitioning import fan_out
+
+    pairs = (
+        fan_out(df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__toks")))
+        .select("doc_id", F.explode("__toks").alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    vocab = pairs.groupBy("term").agg(F.sum("tf").alias("ct"))
+    total = vocab.agg(F.sum("ct").alias("total"))
+    bits_q = F.floor(
+        F.log2(F.col("total").cast("double") / F.col("ct").cast("double"))
+        * F.lit(float(bits_scale))
+        + F.lit(0.5)
+    ).cast("long")
+    costed = vocab.crossJoin(F.broadcast(total)).select("term", bits_q.alias("bits_q"))
+    per_doc = (
+        pairs.join(costed, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("bits_q")).alias("doc_bits_q"),
+        )
+    )
+    milli = F.floor(
+        (F.col("doc_bits_q").cast("double") / (F.col("n_tokens") * F.lit(bits_scale)).cast("double"))
+        * F.lit(float(out_scale))
+        + F.lit(0.5)
+    ).cast("long")
+    return per_doc.select("doc_id", "n_tokens", milli.alias("bits_per_token_milli"))
+
+
+def lm_score_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    bits_scale: int = 10_000,
+    out_scale: int = 1000,
+) -> str:
+    """DuckDB twin of :func:`lm_score` (same grid quantization points and
+    double-expression association)."""
+    from datacompy_spark.functions.text import tokens_sql
+
+    toks = tokens_sql(text_col)
+    return f"""
+WITH pairs AS (
+  SELECT {id_col} AS doc_id, t.term AS term, count(*) AS tf
+  FROM {table}, unnest({toks}) AS t(term)
+  WHERE t.term <> ''
+  GROUP BY 1, 2),
+vocab AS (SELECT term, sum(tf)::BIGINT AS ct FROM pairs GROUP BY 1),
+tot AS (SELECT sum(ct)::BIGINT AS total FROM vocab),
+costed AS (
+  SELECT term,
+         floor(log2(t.total::DOUBLE / ct::DOUBLE) * {float(bits_scale)!r} + 0.5)::BIGINT AS bits_q
+  FROM vocab CROSS JOIN tot t),
+per_doc AS (
+  SELECT p.doc_id,
+         sum(p.tf)::BIGINT AS n_tokens,
+         sum(p.tf * c.bits_q)::BIGINT AS doc_bits_q
+  FROM pairs p JOIN costed c USING (term)
+  GROUP BY 1)
+SELECT doc_id, n_tokens,
+       floor((doc_bits_q::DOUBLE / (n_tokens * {bits_scale})::DOUBLE)
+             * {float(out_scale)!r} + 0.5)::BIGINT AS bits_per_token_milli
+FROM per_doc"""

@@ -2417,6 +2417,69 @@ def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_LEAKAGE_SPLIT = TO.leakage_safe_split_sql("documents", "doc_id", "text")
 
 
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 full-text search over the documents corpus
+    (operators/textops.py::bm25_search): top-20 documents for a
+    multi-term query drawn from the testdata vocabulary. Exercises the
+    saturation/length-normalization core, the fixed-point per-term
+    quantization, and the distributed TakeOrdered top-k."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TO.bm25_search(docs, "doc_id", "text", "spark window merge vector stream", k=20)
+
+
+SQL_BM25_SEARCH = TO.bm25_search_sql(
+    "documents", "doc_id", "text", "spark window merge vector stream", k=20
+)
+
+
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained unigram-LM quality score per document
+    (operators/textops.py::lm_score) — the CCNet-style perplexity filter,
+    emitted as integer milli-bits-per-token."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TO.lm_score(docs, "doc_id", "text")
+
+
+SQL_LM_SCORE = TO.lm_score_sql("documents", "doc_id", "text")
+
+
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over orders
+    (operators/layout.py::zorder_key): customer key x order day
+    interleaved at 8 bits each — the multi-dimensional lake-layout key
+    behind ``zorder_write``. Pure int64 bit arithmetic plus one
+    mirrored floor-double quantizing division."""
+    from datacompy_spark.operators.layout import zorder_key
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("o_day"),
+    )
+    return zorder_key(orders, ["o_custkey", "o_day"], bits=8)
+
+
+def _sql_zorder_key() -> str:
+    from datacompy_spark.operators.layout import zorder_key_sql
+
+    sub = (
+        "(SELECT o_orderkey, o_custkey, "
+        "date_diff('day', DATE '1970-01-01', o_orderdate::DATE)::BIGINT AS o_day "
+        "FROM orders)"
+    )
+    return zorder_key_sql(
+        sub,
+        ["o_custkey", "o_day"],
+        bits=8,
+        select_cols=["o_orderkey", "o_custkey", "o_day"],
+    )
+
+
+SQL_ZORDER_KEY = _sql_zorder_key()
+
+
 PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -2496,6 +2559,9 @@ PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cluster_sample": q_cluster_sample,
     "leakage_split_fuzzy": q_leakage_split_fuzzy,
     "embedding_health": q_embedding_health,
+    "bm25_search": q_bm25_search,
+    "lm_score": q_lm_score,
+    "zorder_key": q_zorder_key,
 }
 
 PIPELINE_ORACLES: Dict[str, str] = {
@@ -2574,4 +2640,7 @@ PIPELINE_ORACLES: Dict[str, str] = {
     "cluster_sample": SQL_CLUSTER_SAMPLE,
     "leakage_split_fuzzy": SQL_LEAKAGE_SPLIT_FUZZY,
     "embedding_health": SQL_EMBEDDING_HEALTH,
+    "bm25_search": SQL_BM25_SEARCH,
+    "lm_score": SQL_LM_SCORE,
+    "zorder_key": SQL_ZORDER_KEY,
 }

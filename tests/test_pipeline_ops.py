@@ -2121,3 +2121,60 @@ class TestCompressionQuality:
         for i, t in ((0, prose), (1, spam)):
             raw = t.encode()
             assert got[i] == len(zlib.compress(raw, 6)) / len(raw)
+
+
+class TestBM25Search:
+    def test_ranking_and_saturation(self, spark):
+        rows = [
+            (1, "spark window merge spark window merge extra pad pad pad pad pad"),
+            (2, "spark window merge"),            # all 3 terms, short doc
+            (3, "spark spark spark spark spark"),  # one term, saturated
+            (4, "nothing relevant here at all"),
+            (5, "window merge"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        out = TO.bm25_search(df, "doc_id", "text", "spark window merge", k=10)
+        got = {r["doc_id"]: r for r in out.collect()}
+        # doc 4 matches no query term -> absent
+        assert 4 not in got
+        assert got[2]["n_terms"] == 3 and got[5]["n_terms"] == 2
+        # short full-coverage doc beats the padded one (length normalization)
+        assert got[2]["score_q"] > got[1]["score_q"]
+        # tf saturation: 5x one term cannot beat full 3-term coverage
+        assert got[3]["score_q"] < got[2]["score_q"]
+        # ranks are dense from 1 and ordered by score
+        ranks = sorted((r["rank"], r["score_q"]) for r in got.values())
+        assert [r for r, _ in ranks] == list(range(1, len(got) + 1))
+        assert all(ranks[i][1] >= ranks[i + 1][1] for i in range(len(ranks) - 1))
+
+    def test_empty_query_rejected(self, spark):
+        df = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+        with pytest.raises(ValueError):
+            TO.bm25_search(df, "doc_id", "text", "!!! ???")
+
+
+class TestLMScore:
+    def test_common_vs_rare_tokens(self, spark):
+        common = "the the the the the the the the"
+        mixed = "the quick brown fox jumps over lazy dogs"
+        rows = [(i, common) for i in range(8)] + [(100, mixed)]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        out = {r["doc_id"]: r for r in TO.lm_score(df, "doc_id", "text").collect()}
+        # docs made of the corpus-dominant token cost few bits; the doc
+        # carrying the rare tokens costs many
+        assert out[0]["bits_per_token_milli"] < out[100]["bits_per_token_milli"]
+        assert out[0]["n_tokens"] == 8 and out[100]["n_tokens"] == 8
+        # identical docs score identically
+        assert out[0]["bits_per_token_milli"] == out[7]["bits_per_token_milli"]
+
+    def test_bits_value_pins_to_local_lm(self, spark):
+        import math
+
+        rows = [(1, "a a b")]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        r = TO.lm_score(df, "doc_id", "text").first()
+        # corpus: a:2 b:1 total 3. bits(a)=log2(3/2), bits(b)=log2(3)
+        qa = math.floor(math.log2(3 / 2) * 10_000 + 0.5)
+        qb = math.floor(math.log2(3.0) * 10_000 + 0.5)
+        expect = math.floor((2 * qa + qb) / (3 * 10_000) * 1000 + 0.5)
+        assert r["bits_per_token_milli"] == expect

@@ -15,6 +15,7 @@ import inspect
 
 TWIN_MODULES = [
     "datacompy_spark.operators.textops",
+    "datacompy_spark.operators.layout",
     "datacompy_spark.operators.similarity",
     "datacompy_spark.functions.hashing",
     "datacompy_spark.functions.text",
