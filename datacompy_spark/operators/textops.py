@@ -1526,6 +1526,12 @@ def bm25_search(
         .filter(F.col("term").isin(terms))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl"))
+        # persisted because BOTH the df_t aggregate and the scoring join
+        # consume it; column pruning makes the two subtrees canonically
+        # different, so Spark will NOT reuse the exchange and would
+        # otherwise tokenize the whole corpus twice. Post-filter the frame
+        # is tiny: one row per (document, matched query term).
+        .persist()
     )
     df_t = pairs.groupBy("term").agg(F.count(F.lit(1)).alias("dft"))
     avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
@@ -1621,9 +1627,13 @@ def lm_score(
 
     Scale shape: one exploded shuffle to (doc, term) counts, a term-keyed
     shuffle join against the vocabulary (itself an aggregate of the same
-    pairs — no second corpus scan), a single-row total broadcast into the
-    per-term cost, and a final doc-keyed partial-agg sum. No windows, no
-    driver collect.
+    pairs), a single-row total broadcast into the per-term cost, and a
+    final doc-keyed partial-agg sum. No windows, no driver collect. The
+    pairs frame is persisted because both the vocabulary aggregate and the
+    scoring join consume it and column pruning defeats exchange reuse —
+    one corpus tokenize instead of two, at the cost of caching one compact
+    (doc, term, tf) row per distinct term occurrence (spills to disk when
+    it outgrows executor memory).
     """
     from datacompy_spark.plans.partitioning import fan_out
 
@@ -1633,6 +1643,7 @@ def lm_score(
         .filter(F.col("term") != "")
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
     )
     vocab = pairs.groupBy("term").agg(F.sum("tf").alias("ct"))
     total = vocab.agg(F.sum("ct").alias("total"))
