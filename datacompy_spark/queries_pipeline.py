@@ -2480,6 +2480,80 @@ def _sql_zorder_key() -> str:
 SQL_ZORDER_KEY = _sql_zorder_key()
 
 
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the customer↔supplier transaction network
+    (operators/graph.py::pagerank): edges are (customer, supplier) pairs
+    weighted by line-item count from the orders⋈lineitem join,
+    symmetrized so the walk bounces across the bipartite graph. Fixed
+    3-iteration unroll on the int64 1e-9 rank grid."""
+    from datacompy_spark.operators.graph import pagerank
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    g = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+        # both union branches read this aggregate; persist so the big
+        # orders⋈lineitem join runs once, not twice
+        .persist()
+    )
+    cust = F.concat(F.lit("c:"), F.col("o_custkey").cast("string"))
+    supp = F.concat(F.lit("s:"), F.col("l_suppkey").cast("string"))
+    edges = g.select(cust.alias("src"), supp.alias("dst"), "w").unionByName(
+        g.select(supp.alias("src"), cust.alias("dst"), "w")
+    )
+    return pagerank(edges, weight_col="w", iterations=3)
+
+
+def _sql_graph_pagerank() -> str:
+    from datacompy_spark.operators.graph import pagerank_sql
+
+    edges = (
+        "(WITH g AS (SELECT o_custkey, l_suppkey, count(*)::BIGINT AS w"
+        " FROM orders JOIN lineitem ON l_orderkey = o_orderkey GROUP BY 1, 2)"
+        " SELECT 'c:' || o_custkey::VARCHAR AS src, 's:' || l_suppkey::VARCHAR AS dst, w FROM g"
+        " UNION ALL"
+        " SELECT 's:' || l_suppkey::VARCHAR, 'c:' || o_custkey::VARCHAR, w FROM g)"
+    )
+    return pagerank_sql(edges, weight_col="w", iterations=3)
+
+
+SQL_GRAPH_PAGERANK = _sql_graph_pagerank()
+
+#: the data-contract rule set the expectations query checks over orders —
+#: a passing core plus two deliberately tight rules so the violations>0
+#: path is oracle-exercised
+_EXPECT_RULES = [
+    {"rule": "not_null", "col": "o_custkey"},
+    {"rule": "unique", "cols": ["o_orderkey"]},
+    {"rule": "unique", "cols": ["o_custkey", "o_orderdate"]},
+    {"rule": "accepted_values", "col": "o_orderstatus", "values": ["O", "F", "P"]},
+    {"rule": "accepted_values", "col": "o_orderpriority", "values": ["1-URGENT", "2-HIGH", "3-MEDIUM"]},
+    {"rule": "in_range", "col": "o_totalprice", "lo": 0.0, "hi": 400000.0},
+    {"rule": "matches_regex", "col": "o_orderpriority", "pattern": "^[1-5]-[A-Z ]+$"},
+]
+
+
+def q_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-contract check over orders
+    (operators/expectations.py::expect): seven dbt-style rules — null,
+    uniqueness (single and composite key), accepted values, range, regex —
+    evaluated in ONE aggregation pass, two of them deliberately failing."""
+    from datacompy_spark.operators.expectations import expect
+
+    return expect(load_table(spark, sf_dir, "orders"), _EXPECT_RULES)
+
+
+def _sql_data_expectations() -> str:
+    from datacompy_spark.operators.expectations import expect_sql
+
+    return expect_sql("orders", _EXPECT_RULES)
+
+
+SQL_DATA_EXPECTATIONS = _sql_data_expectations()
+
+
 PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -2562,6 +2636,8 @@ PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_search": q_bm25_search,
     "lm_score": q_lm_score,
     "zorder_key": q_zorder_key,
+    "graph_pagerank": q_graph_pagerank,
+    "data_expectations": q_data_expectations,
 }
 
 PIPELINE_ORACLES: Dict[str, str] = {
@@ -2643,4 +2719,6 @@ PIPELINE_ORACLES: Dict[str, str] = {
     "bm25_search": SQL_BM25_SEARCH,
     "lm_score": SQL_LM_SCORE,
     "zorder_key": SQL_ZORDER_KEY,
+    "graph_pagerank": SQL_GRAPH_PAGERANK,
+    "data_expectations": SQL_DATA_EXPECTATIONS,
 }

@@ -16,6 +16,8 @@ import inspect
 TWIN_MODULES = [
     "datacompy_spark.operators.textops",
     "datacompy_spark.operators.layout",
+    "datacompy_spark.operators.graph",
+    "datacompy_spark.operators.expectations",
     "datacompy_spark.operators.similarity",
     "datacompy_spark.functions.hashing",
     "datacompy_spark.functions.text",
@@ -25,6 +27,11 @@ TWIN_MODULES = [
 #: Spark-only defaulted params that are INTERFACE shape, not result-shaping
 #: knobs. Every entry needs a reason; anything not listed fails the test.
 ALLOWED_SPARK_ONLY = {
+    "pagerank": {
+        # execution-plan knob (fault-tolerant lineage barriers), not a
+        # result-shaping parameter — the oracle has no notion of it
+        "checkpoint_dir",
+    },
     "decontaminate": {
         # the SQL twin expresses the eval set as a predicate over ONE
         # table, so a separate eval-side column name cannot exist there;
