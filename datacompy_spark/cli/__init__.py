@@ -603,6 +603,39 @@ def build_parser() -> argparse.ArgumentParser:
         "--spark-app-name", default="datacompy-spark-cli", metavar="NAME",
         help="Spark application name",
     )
+
+    # check: declarative data-contract rules over one dataset — the
+    # dbt-test-style complement of `compare`'s two-sided gate. Extension
+    # beyond the reference CLI.
+    ck = sub.add_parser(
+        "check",
+        help="evaluate declarative data-quality rules (not_null / unique / "
+        "accepted_values / in_range / matches_regex) in one pass; "
+        "exit 1 on violations (CI gate)",
+        parents=[debug_parent],
+    )
+    ck.add_argument("--input", required=True, help="input: file path or table name")
+    ck.add_argument(
+        "--rules", required=True, metavar="PATH",
+        help="JSON file: a list of rule objects, e.g. "
+        '[{"rule": "not_null", "col": "id"}, '
+        '{"rule": "unique", "cols": ["id"]}]',
+    )
+    ck.add_argument(
+        "--fail-on-violation", action="store_true",
+        help="exit 1 when any rule has violations (CI gate)",
+    )
+    ck.add_argument(
+        "--export", metavar="PATH",
+        help="also write the per-rule verdict table to PATH as parquet",
+    )
+    ck.add_argument("--quiet", action="store_true", help="suppress the summary line")
+    ck.add_argument("--input-format", choices=["csv", "parquet", "json", "jsonl", "orc"])
+    ck.add_argument("--delimiter", default=",", help="CSV delimiter")
+    ck.add_argument(
+        "--spark-app-name", default="datacompy-spark-cli", metavar="NAME",
+        help="Spark application name",
+    )
     return p
 
 
@@ -1232,6 +1265,60 @@ def run_anomaly(args) -> int:
             spark.stop()
 
 
+def run_check(args) -> int:
+    import json
+
+    from pyspark.sql import SparkSession
+
+    from datacompy_spark.operators.expectations import expect
+    from datacompy_spark.sources.loaders import load
+
+    try:
+        with open(args.rules, "r", encoding="utf-8") as fh:
+            rules = json.load(fh)
+    except (OSError, ValueError) as ex:
+        raise CLIError(f"failed to read rules file: {ex}") from ex
+    if not isinstance(rules, list) or not all(isinstance(r, dict) for r in rules):
+        raise CLIError("--rules must contain a JSON list of rule objects")
+    created = SparkSession.getActiveSession() is None
+    spark = SparkSession.builder.appName(args.spark_app_name).getOrCreate()
+    try:
+        kwargs = {"delimiter": args.delimiter} if args.input_format == "csv" else {}
+        try:
+            df = load(spark, args.input, fmt=args.input_format, **kwargs)
+        except Exception as ex:
+            raise CLIError(f"failed to load input: {ex}") from ex
+        try:
+            verdicts = expect(df, rules)
+            if args.export:
+                verdicts.write.mode("overwrite").parquet(args.export)
+                verdicts = spark.read.parquet(args.export)
+            rows = verdicts.collect()  # one row per rule — bounded
+        except CLIError:
+            raise
+        except Exception as ex:
+            raise CLIError(str(ex)) from ex
+        failed = [r for r in rows if not r["passed"]]
+        if not args.quiet:
+            print(
+                json.dumps(
+                    {
+                        "n_rules": len(rows),
+                        "n_failed": len(failed),
+                        "total_rows": rows[0]["total"] if rows else 0,
+                        "failures": {
+                            r["rule"]: r["violations"] for r in failed
+                        },
+                        "export": args.export,
+                    }
+                )
+            )
+        return 1 if (args.fail_on_violation and failed) else 0
+    finally:
+        if created:
+            spark.stop()
+
+
 def run_ann(args) -> int:
     import json
 
@@ -1562,6 +1649,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             return run_ann(args)
         if args.command == "curate":
             return run_curate(args)
+        if args.command == "check":
+            return run_check(args)
         raise CLIError(f"unknown command {args.command!r}")
     except CLIError as ex:
         print(f"error: {ex}", file=sys.stderr)

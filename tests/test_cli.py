@@ -682,3 +682,62 @@ class TestProfileVecHealth:
         rc = main(["profile", "--input", "x.parquet", "--vec-col", "embedding"])
         assert rc == 2
         assert "--dim" in capsys.readouterr().err
+
+
+class TestCheckCommand:
+    @pytest.fixture()
+    def dataset(self, tmp_path, spark):
+        path = str(tmp_path / "check_in")
+        spark.createDataFrame(
+            [(1, "x", 10.0), (2, "y", 20.0), (2, None, 999.0)],
+            "id long, s string, v double",
+        ).write.parquet(path)
+        return path
+
+    def _rules_file(self, tmp_path, rules):
+        p = tmp_path / "rules.json"
+        p.write_text(json.dumps(rules))
+        return str(p)
+
+    def test_passing_rules_exit_zero(self, tmp_path, capsys, dataset):
+        rules = self._rules_file(
+            tmp_path, [{"rule": "not_null", "col": "id"}]
+        )
+        rc = main(["check", "--input", dataset, "--input-format", "parquet",
+                   "--rules", rules, "--fail-on-violation"])
+        s = json.loads(capsys.readouterr().out)
+        assert rc == 0
+        assert s["n_rules"] == 1 and s["n_failed"] == 0 and s["total_rows"] == 3
+
+    def test_violations_gate_and_export(self, tmp_path, capsys, dataset, spark):
+        rules = self._rules_file(tmp_path, [
+            {"rule": "not_null", "col": "s"},
+            {"rule": "unique", "cols": ["id"]},
+            {"rule": "in_range", "col": "v", "lo": 0.0, "hi": 100.0},
+        ])
+        out = str(tmp_path / "verdicts")
+        rc = main(["check", "--input", dataset, "--input-format", "parquet",
+                   "--rules", rules, "--fail-on-violation", "--export", out])
+        s = json.loads(capsys.readouterr().out)
+        assert rc == 1
+        assert s["n_failed"] == 3
+        assert s["failures"]["unique(id)"] == 1
+        back = {r["rule"]: r for r in spark.read.parquet(out).collect()}
+        assert len(back) == 3 and not back["not_null(s)"]["passed"]
+
+    def test_no_gate_flag_exits_zero_on_violations(self, tmp_path, capsys, dataset):
+        rules = self._rules_file(tmp_path, [{"rule": "not_null", "col": "s"}])
+        rc = main(["check", "--input", dataset, "--input-format", "parquet", "--rules", rules])
+        assert rc == 0
+        assert json.loads(capsys.readouterr().out)["n_failed"] == 1
+
+    def test_bad_rules_file(self, tmp_path, capsys, dataset):
+        bad = tmp_path / "bad.json"
+        bad.write_text("{not json")
+        rc = main(["check", "--input", dataset, "--input-format", "parquet", "--rules", str(bad)])
+        assert rc == 2 and "rules" in capsys.readouterr().err
+
+    def test_unknown_rule_kind(self, tmp_path, capsys, dataset):
+        rules = self._rules_file(tmp_path, [{"rule": "frobnicate", "col": "id"}])
+        rc = main(["check", "--input", dataset, "--input-format", "parquet", "--rules", rules])
+        assert rc == 2 and "unknown rule" in capsys.readouterr().err
