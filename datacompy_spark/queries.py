@@ -592,6 +592,11 @@ _SWEEP_FIRST = [
     "cluster_sample",
     "leakage_split_fuzzy",
     "embedding_health",
+    "bm25_search",
+    "lm_score",
+    "zorder_key",
+    "graph_pagerank",
+    "data_expectations",
     # output changed in r8 session 5 (now grades 4 ANN paths incl. PQ) —
     # re-earn its driver-green row
     "knn_recall",
