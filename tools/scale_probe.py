@@ -33,7 +33,7 @@ def main() -> int:
     muls = [int(m) for m in (sys.argv[1:] or ["1", "4", "16"])]
     all_sections = (
         "compare", "minhash", "incr", "cdc", "bucketed", "cc", "kmeans",
-        "ivfindex", "hotkey"
+        "ivfindex", "pagerank", "hotkey"
     )
     sections = set(
         s.strip() for s in os.environ.get(
@@ -423,6 +423,51 @@ def main() -> int:
             f"  cells={summary['n_cells']:>5,d}  build={build_s:7.2f}s"
             f"  probe={probe_s:6.2f}s ({n_out} rows)"
             f"  probe_vs_x1={probe_s/t1:5.2f} (flat => ~1)",
+            flush=True,
+        )
+
+    # ---- PageRank: the transaction graph replicated with node offsets —
+    # nodes AND edges grow ×mult, iterations fixed at 3. Each iteration is
+    # an edges⋈ranks shuffle join + a dst-keyed integer sum, so wall time
+    # should grow ~linearly with the edge count; the lineage barriers keep
+    # the unrolled plan from re-deriving earlier iterations (without them
+    # the x16 plan would replay the x16 join 3x per reference).
+    t1 = None
+    for mult in muls if "pagerank" in sections else []:
+        from datacompy_spark.operators.graph import pagerank
+
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        g0 = (
+            o.join(li, o.o_orderkey == li.l_orderkey)
+            .groupBy("o_custkey", "l_suppkey")
+            .agg(F.count(F.lit(1)).cast("long").alias("w"))
+        )
+        parts = [
+            g0.select(
+                (F.col("o_custkey") + F.lit(10_000_000 * i)).alias("c"),
+                (F.col("l_suppkey") + F.lit(10_000_000 * i)).alias("s"),
+                "w",
+            )
+            for i in range(mult)
+        ]
+        g = parts[0]
+        for p in parts[1:]:
+            g = g.unionAll(p)
+        cust = F.concat(F.lit("c:"), F.col("c").cast("string"))
+        supp = F.concat(F.lit("s:"), F.col("s").cast("string"))
+        edges = g.select(cust.alias("src"), supp.alias("dst"), "w").unionAll(
+            g.select(supp.alias("src"), cust.alias("dst"), "w")
+        )
+        n_edges = edges.count()
+        t0 = time.perf_counter()
+        n_nodes = pagerank(edges, weight_col="w", iterations=3).count()
+        el = time.perf_counter() - t0
+        if t1 is None:
+            t1 = el
+        print(
+            f"pagerank x{mult:<3d} edges={n_edges:>10,d}  nodes={n_nodes:>9,d}"
+            f"  sec={el:7.2f}  vs_x1={el/t1:5.2f} (linear => ~{mult})",
             flush=True,
         )
 
