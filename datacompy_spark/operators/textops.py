@@ -728,6 +728,172 @@ FROM (SELECT DISTINCT {id_col} AS doc_id FROM {table}) i
 LEFT JOIN per USING (doc_id)"""
 
 
+def remove_dup_spans(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5, min_docs: int = 2
+) -> DataFrame:
+    """Exact duplicated-SPAN removal (the "Deduplicating Training Data
+    Makes Language Models Better" / ExactSubstr rewrite, word-token
+    granularity): an ``n``-token window occurring verbatim in at least
+    ``min_docs`` distinct documents is boilerplate; every occurrence
+    EXCEPT the globally first (smallest ``(doc_id, pos)`` — the
+    keep-one-copy discipline, same as :func:`line_dedup`) marks its
+    ``n`` covered tokens for removal, and each document is reassembled
+    from its surviving tokens. Where :func:`ngram_duplication_profile`
+    only SCORES boilerplate share, this operator produces the cleaned
+    corpus with each duplicated span preserved exactly once.
+
+    Returns ``(doc_id, n_tokens, n_removed, text)`` — ``text`` is the
+    whitespace-normalized surviving token stream ('' when everything was
+    boilerplate), NULL for NULL-text documents; ``n_tokens`` counts the
+    normalized tokens before removal.
+
+    Scale shape (mirrors :func:`line_dedup`'s hot-key discipline): the
+    per-gram fold is a two-level aggregate — ``groupBy(gram, doc_id)``
+    with ``min(pos)`` then ``groupBy(gram)`` — so a boilerplate phrase
+    appearing 10⁸ times collapses map-side instead of sorting into one
+    task, and its second level yields BOTH the distinct-doc count and the
+    global first occurrence (``min`` over ``(doc_id, min_pos)`` structs)
+    in one pass. The duplicated-gram set (one row per DISTINCT dup gram)
+    joins back to the start positions — AQE broadcasts it while small,
+    skew-splits the probe side otherwise. Coverage expansion (a start
+    covers positions ``s..s+n-1``) is a bounded running-max window over
+    token position (ROWS frame of ``n-1``), and reassembly one groupBy
+    over ``doc_id`` — both partitioned by document, so task size is
+    bounded by the longest document, never by gram popularity. Grams
+    travel as 60-bit md5 folds, not strings: the wide shuffles carry
+    8-byte keys."""
+    from datacompy_spark.functions.hashing import md5_long
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__toks")
+    )
+    # one gram per start position; documents shorter than n tokens yield
+    # no grams (nothing a cross-doc n-token span could cover)
+    # guard: sequence(0, x) DESCENDS when x < 0, so short documents must
+    # short-circuit to an empty gram array, not a phantom negative range
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.when(
+                F.size("__toks") >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("__toks") - n),
+                    lambda i: md5_long(
+                        F.array_join(F.slice("__toks", i + 1, n), " ")
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<long>"))
+        ).alias("pos", "gram"),
+    )
+    dup = (
+        grams.groupBy("gram", "doc_id")
+        .agg(F.min("pos").alias("__mp"))
+        .groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("__nd"),
+            F.min(F.struct(F.col("doc_id"), F.col("__mp"))).alias("__fo"),
+        )
+        .filter(F.col("__nd") >= min_docs)
+        .select("gram", "__fo")
+    )
+    starts = (
+        grams.join(dup, "gram")
+        .filter(
+            ~(
+                (F.col("doc_id") == F.col("__fo.doc_id"))
+                & (F.col("pos") == F.col("__fo.__mp"))
+            )
+        )
+        .select("doc_id", "pos", F.lit(1).alias("__start"))
+    )
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(n - 1), Window.currentRow)
+    )
+    flagged = tok.join(starts, ["doc_id", "pos"], "left").select(
+        "doc_id",
+        "pos",
+        "tok",
+        (F.coalesce(F.max("__start").over(w), F.lit(0)) == 1).alias("__covered"),
+    )
+    per = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.col("__covered").cast("long")).alias("n_removed"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(~F.col("__covered"), F.struct("pos", "tok"))
+                    )
+                ),
+                lambda s: s["tok"],
+            ),
+        ).alias("text"),
+    )
+    ids = df.select(F.col(id_col).alias("doc_id")).distinct()
+    return ids.join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce(F.col("n_removed"), F.lit(0)).cast("long").alias("n_removed"),
+        F.col("text"),
+    )
+
+
+def remove_dup_spans_sql(
+    table_expr: str, id_col: str, text_col: str, n: int = 5, min_docs: int = 2
+) -> str:
+    """DuckDB twin of :func:`remove_dup_spans` (same tokenizer, same md5
+    gram fold, same ROWS-frame coverage window; positions are 1-based
+    here and 0-based in Spark — only ordering matters, so the outputs
+    align)."""
+    from datacompy_spark.functions.hashing import md5_long_sql
+    from datacompy_spark.functions.text import tokens_sql
+
+    gram_hash = md5_long_sql(f"array_to_string(toks[g.i:g.i+{n - 1}], ' ')")
+    return f"""
+WITH t AS (SELECT {id_col} AS doc_id, {tokens_sql(text_col)} AS toks
+           FROM {table_expr}),
+grams AS (
+  SELECT doc_id, g.i AS pos, {gram_hash} AS gram
+  FROM t, unnest(generate_series(1, len(toks) - {n - 1})) AS g(i)),
+dup AS (
+  SELECT gram, min(struct_pack(doc_id := doc_id, mp := mp)) AS fo
+  FROM (SELECT gram, doc_id, min(pos) AS mp FROM grams GROUP BY 1, 2)
+  GROUP BY gram HAVING count(*) >= {min_docs}),
+starts AS (
+  SELECT g.doc_id, g.pos, 1 AS st
+  FROM grams g JOIN dup d USING (gram)
+  WHERE NOT (g.doc_id = d.fo.doc_id AND g.pos = d.fo.mp)),
+tok AS (
+  SELECT doc_id, g.i AS pos, toks[g.i] AS tok
+  FROM t, unnest(generate_series(1, len(toks))) AS g(i)),
+flagged AS (
+  SELECT tok.doc_id, tok.pos, tok.tok,
+    coalesce(max(s.st) OVER (
+      PARTITION BY tok.doc_id ORDER BY tok.pos
+      ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW), 0) = 1 AS covered
+  FROM tok LEFT JOIN starts s USING (doc_id, pos)),
+per AS (
+  SELECT doc_id, count(*) AS n_tokens,
+    sum(covered::BIGINT) AS n_removed,
+    coalesce(string_agg(CASE WHEN NOT covered THEN tok END, ' ' ORDER BY pos),
+             '') AS text
+  FROM flagged GROUP BY doc_id)
+SELECT i.doc_id,
+  coalesce(n_tokens, 0)::BIGINT AS n_tokens,
+  coalesce(n_removed, 0)::BIGINT AS n_removed,
+  text
+FROM (SELECT DISTINCT {id_col} AS doc_id FROM {table_expr}) i
+LEFT JOIN per USING (doc_id)"""
+
+
 def decontaminate(
     df: DataFrame,
     id_col: str,

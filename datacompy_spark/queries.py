@@ -597,6 +597,7 @@ _SWEEP_FIRST = [
     "zorder_key",
     "graph_pagerank",
     "data_expectations",
+    "dup_span_removal",
     # output changed in r8 session 5 (now grades 4 ANN paths incl. PQ) —
     # re-earn its driver-green row
     "knn_recall",

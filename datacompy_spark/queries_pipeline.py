@@ -1211,6 +1211,30 @@ def q_ngram_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TO.ngram_duplication_profile(docs, "doc_id", "text", n=5)
 
 
+def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span REMOVAL (Lee et al. "Deduplicating Training
+    Data" rewrite): a 5-token window shared verbatim across documents
+    survives only at its globally first occurrence; every later copy's
+    tokens are cut and documents reassembled. NULLs PLANTED (every 53rd
+    doc) so the NULL-text spine path is oracle-exercised."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 53 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return TO.remove_dup_spans(docs, "doc_id", "text", n=5)
+
+
+SQL_DUP_SPAN_REMOVAL = TO.remove_dup_spans_sql(
+    "(SELECT doc_id, CASE WHEN doc_id % 53 = 0 THEN NULL ELSE text END AS text"
+    " FROM documents)",
+    "doc_id",
+    "text",
+    n=5,
+)
+
+
 def q_fuzzy_key_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-table fuzzy key matching on part names: the right catalog
     drops the first word of every (3rd AND 13th)-key name — a realistic
@@ -2638,6 +2662,7 @@ PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zorder_key": q_zorder_key,
     "graph_pagerank": q_graph_pagerank,
     "data_expectations": q_data_expectations,
+    "dup_span_removal": q_dup_span_removal,
 }
 
 PIPELINE_ORACLES: Dict[str, str] = {
@@ -2721,4 +2746,5 @@ PIPELINE_ORACLES: Dict[str, str] = {
     "zorder_key": SQL_ZORDER_KEY,
     "graph_pagerank": SQL_GRAPH_PAGERANK,
     "data_expectations": SQL_DATA_EXPECTATIONS,
+    "dup_span_removal": SQL_DUP_SPAN_REMOVAL,
 }

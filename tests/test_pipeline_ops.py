@@ -1444,6 +1444,87 @@ class TestIncrementalMinhashLedger:
             spark.sql("DROP TABLE IF EXISTS dedup_ledger_t2")
 
 
+class TestRemoveDupSpans:
+    def test_later_copy_cut_first_kept(self, spark):
+        # docs 1 and 2 share the 5-token run "the quick brown fox jumps";
+        # doc 1 holds the globally first occurrence and keeps it, doc 2
+        # loses exactly those 5 tokens
+        df = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over a lazy dog"),
+                (2, "intro words the quick brown fox jumps tail"),
+                (3, "completely different words with no overlap anywhere"),
+            ],
+            "doc_id bigint, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in TO.remove_dup_spans(df, "doc_id", "text", n=5).collect()
+        }
+        assert out[1]["text"] == "the quick brown fox jumps over a lazy dog"
+        assert out[1]["n_removed"] == 0
+        assert out[2]["text"] == "intro words tail"
+        assert out[2]["n_tokens"] == 8 and out[2]["n_removed"] == 5
+        assert out[3]["n_removed"] == 0
+
+    def test_overlapping_run_fully_covered(self, spark):
+        # a shared 6-token run produces two overlapping dup 5-grams in the
+        # later doc; the coverage window must cut all 6 tokens, not 5+5=10
+        # or a double-counted middle
+        df = spark.createDataFrame(
+            [
+                (1, "one two three four five six"),
+                (2, "x one two three four five six y"),
+            ],
+            "doc_id bigint, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in TO.remove_dup_spans(df, "doc_id", "text", n=5).collect()
+        }
+        assert out[1]["n_removed"] == 0
+        assert out[2]["text"] == "x y"
+        assert out[2]["n_removed"] == 6
+
+    def test_null_short_and_fully_dup_docs(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta epsilon"),
+                (2, "alpha beta gamma delta epsilon"),  # later copy -> ''
+                (3, None),  # NULL text: retained, NULL out
+                (4, "too short"),  # < n tokens: no grams, untouched
+            ],
+            "doc_id bigint, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in TO.remove_dup_spans(df, "doc_id", "text", n=5).collect()
+        }
+        assert len(out) == 4
+        assert out[1]["text"] == "alpha beta gamma delta epsilon"
+        assert out[2]["text"] == "" and out[2]["n_removed"] == 5
+        assert out[3]["text"] is None and out[3]["n_tokens"] == 0
+        assert out[4]["text"] == "too short" and out[4]["n_removed"] == 0
+
+    def test_within_doc_second_copy_of_dup_gram_cut(self, spark):
+        # the shared gram also repeats WITHIN doc 1: only its globally
+        # first occurrence survives anywhere
+        df = spark.createDataFrame(
+            [
+                (1, "a b c d e pad a b c d e"),
+                (2, "z a b c d e z"),
+            ],
+            "doc_id bigint, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in TO.remove_dup_spans(df, "doc_id", "text", n=5).collect()
+        }
+        assert out[1]["text"] == "a b c d e pad"
+        assert out[1]["n_removed"] == 5
+        assert out[2]["text"] == "z z"
+
+
 class TestLineDedup:
     def test_boilerplate_dropped_first_kept(self, spark):
         df = spark.createDataFrame(
