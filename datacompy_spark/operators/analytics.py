@@ -576,3 +576,120 @@ def transition_matrix(
             / F.sum("n_steps").over(wf).cast("double")
         ).alias("p_transition"),
     )
+
+
+def key_containment(
+    child: DataFrame,
+    child_col: str,
+    parent: DataFrame,
+    parent_col: str,
+) -> DataFrame:
+    """Value containment between two key columns — the foreign-key
+    discovery primitive: of the child column's distinct non-NULL values,
+    what fraction exists in the parent column? ``containment`` ≈ 1.0 means
+    "child references parent" (an FK candidate); ``coverage`` is the
+    reverse ratio (how much of the parent's key space the child actually
+    uses). The reference's compare surface answers "do these two tables
+    match"; this answers the upstream question "which columns JOIN these
+    two tables at all" — the first thing a data-contract audit of an
+    unfamiliar 100 TB lake runs.
+
+    Returns ONE row:
+    ``(child_distinct, parent_distinct, contained, containment, coverage)``.
+    NULL keys are excluded on both sides (SQL FK semantics: NULL
+    references nothing).
+
+    Shape: each side collapses to its distinct key set first (partial-agg
+    groupBy — a fact-table FK column with 10¹¹ rows but 10⁸ distinct keys
+    shuffles only post-combine key counts), then one full outer join of
+    the two DISTINCT sets (AQE broadcasts a small dimension side), then a
+    single global count aggregate. No row data ever moves — only keys.
+    """
+    c = (
+        child.select(F.col(child_col).alias("__k"))
+        .filter(F.col("__k").isNotNull())
+        .distinct()
+        .select("__k", F.lit(1).alias("__c"))
+    )
+    p = (
+        parent.select(F.col(parent_col).alias("__k"))
+        .filter(F.col("__k").isNotNull())
+        .distinct()
+        .select("__k", F.lit(1).alias("__p"))
+    )
+    joined = c.join(p, "__k", "full_outer")
+    return joined.agg(
+        F.count("__c").alias("child_distinct"),
+        F.count("__p").alias("parent_distinct"),
+        F.count(F.when(F.col("__c").isNotNull() & F.col("__p").isNotNull(), 1)).alias(
+            "contained"
+        ),
+    ).select(
+        "child_distinct",
+        "parent_distinct",
+        "contained",
+        F.when(
+            F.col("child_distinct") > 0,
+            F.col("contained").cast("double") / F.col("child_distinct").cast("double"),
+        ).alias("containment"),
+        F.when(
+            F.col("parent_distinct") > 0,
+            F.col("contained").cast("double") / F.col("parent_distinct").cast("double"),
+        ).alias("coverage"),
+    )
+
+
+def fk_discovery(
+    pairs: Sequence[tuple],
+) -> DataFrame:
+    """Referential-integrity profile over a candidate list: one labeled
+    :func:`key_containment` row per
+    ``(child_name, child_df, child_col, parent_name, parent_df, parent_col)``
+    candidate, unioned. Candidates are independent subtrees, so Spark
+    schedules their distinct-aggregates concurrently; a 10-pair audit of a
+    lake costs 10 key-only aggregates, not 10 table scans of row data
+    (column pruning reaches each parquet scan).
+
+    Sort order is NOT imposed here — callers (and the oracle twin) order
+    by the label columns."""
+    out = None
+    for child_name, child, child_col, parent_name, parent, parent_col in pairs:
+        row = key_containment(child, child_col, parent, parent_col).select(
+            F.lit(child_name).alias("child_table"),
+            F.lit(child_col).alias("child_col"),
+            F.lit(parent_name).alias("parent_table"),
+            F.lit(parent_col).alias("parent_col"),
+            "child_distinct",
+            "parent_distinct",
+            "contained",
+            "containment",
+            "coverage",
+        )
+        out = row if out is None else out.unionByName(row)
+    if out is None:
+        raise ValueError("fk_discovery: empty candidate list")
+    return out
+
+
+def key_containment_sql(
+    child_table: str, child_col: str, parent_table: str, parent_col: str
+) -> str:
+    """DuckDB twin of one labeled :func:`key_containment` row (same
+    NULL-excluding distinct sets, same full-outer count fold)."""
+    return f"""
+SELECT '{child_table}' AS child_table, '{child_col}' AS child_col,
+  '{parent_table}' AS parent_table, '{parent_col}' AS parent_col,
+  count(c.k)::BIGINT AS child_distinct,
+  count(p.k)::BIGINT AS parent_distinct,
+  count(CASE WHEN c.k IS NOT NULL AND p.k IS NOT NULL THEN 1 END)::BIGINT
+    AS contained,
+  CASE WHEN count(c.k) > 0
+       THEN count(CASE WHEN c.k IS NOT NULL AND p.k IS NOT NULL THEN 1 END)::DOUBLE
+            / count(c.k)::DOUBLE END AS containment,
+  CASE WHEN count(p.k) > 0
+       THEN count(CASE WHEN c.k IS NOT NULL AND p.k IS NOT NULL THEN 1 END)::DOUBLE
+            / count(p.k)::DOUBLE END AS coverage
+FROM (SELECT DISTINCT {child_col} AS k FROM {child_table}
+      WHERE {child_col} IS NOT NULL) c
+FULL JOIN (SELECT DISTINCT {parent_col} AS k FROM {parent_table}
+           WHERE {parent_col} IS NOT NULL) p ON c.k = p.k"""

@@ -598,6 +598,7 @@ _SWEEP_FIRST = [
     "graph_pagerank",
     "data_expectations",
     "dup_span_removal",
+    "fk_discovery",
     # output changed in r8 session 5 (now grades 4 ANN paths incl. PQ) —
     # re-earn its driver-green row
     "knn_recall",

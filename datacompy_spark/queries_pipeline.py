@@ -1235,6 +1235,49 @@ SQL_DUP_SPAN_REMOVAL = TO.remove_dup_spans_sql(
 )
 
 
+_FK_CANDIDATES = [
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    # negative control: overlapping integer ranges but NOT a foreign key —
+    # the profile must report partial containment, not crash or claim 1.0
+    ("orders", "o_custkey", "supplier", "s_suppkey"),
+]
+
+
+def q_fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit of the whole TPC-H-ish schema: one
+    containment/coverage row per FK candidate (six real FKs plus a
+    deliberately-wrong pair as a negative control). The first query a
+    data-contract review runs against an unfamiliar lake."""
+    from datacompy_spark.operators.analytics import fk_discovery
+
+    tables = {
+        name: load_table(spark, sf_dir, name)
+        for name in {t for c in _FK_CANDIDATES for t in (c[0], c[2])}
+    }
+    return fk_discovery(
+        [
+            (ct, tables[ct], cc, pt, tables[pt], pc)
+            for ct, cc, pt, pc in _FK_CANDIDATES
+        ]
+    )
+
+
+def _sql_fk_discovery() -> str:
+    from datacompy_spark.operators.analytics import key_containment_sql
+
+    return "\nUNION ALL\n".join(
+        key_containment_sql(ct, cc, pt, pc) for ct, cc, pt, pc in _FK_CANDIDATES
+    )
+
+
+SQL_FK_DISCOVERY = _sql_fk_discovery()
+
+
 def q_fuzzy_key_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-table fuzzy key matching on part names: the right catalog
     drops the first word of every (3rd AND 13th)-key name — a realistic
@@ -2663,6 +2706,7 @@ PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_pagerank": q_graph_pagerank,
     "data_expectations": q_data_expectations,
     "dup_span_removal": q_dup_span_removal,
+    "fk_discovery": q_fk_discovery,
 }
 
 PIPELINE_ORACLES: Dict[str, str] = {
@@ -2747,4 +2791,5 @@ PIPELINE_ORACLES: Dict[str, str] = {
     "graph_pagerank": SQL_GRAPH_PAGERANK,
     "data_expectations": SQL_DATA_EXPECTATIONS,
     "dup_span_removal": SQL_DUP_SPAN_REMOVAL,
+    "fk_discovery": SQL_FK_DISCOVERY,
 }

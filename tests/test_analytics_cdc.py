@@ -775,6 +775,56 @@ class TestJoinCardinality:
         assert plan.count("HashAggregate") >= 4  # partial+final per side
 
 
+class TestKeyContainment:
+    def test_partial_containment_and_null_exclusion(self, spark):
+        from datacompy_spark.operators.analytics import key_containment
+
+        child = spark.createDataFrame(
+            [Row(fk=1), Row(fk=2), Row(fk=2), Row(fk=9), Row(fk=None)]
+        )
+        parent = spark.createDataFrame(
+            [Row(pk=1), Row(pk=2), Row(pk=3), Row(pk=None)]
+        )
+        r = key_containment(child, "fk", parent, "pk").collect()[0]
+        # child distinct non-NULL = {1,2,9}; parent = {1,2,3}; shared = {1,2}
+        assert r["child_distinct"] == 3 and r["parent_distinct"] == 3
+        assert r["contained"] == 2
+        assert r["containment"] == pytest.approx(2 / 3)
+        assert r["coverage"] == pytest.approx(2 / 3)
+
+    def test_true_fk_reads_one(self, spark):
+        from datacompy_spark.operators.analytics import key_containment
+
+        child = spark.createDataFrame([Row(fk=i % 3) for i in range(30)])
+        parent = spark.createDataFrame([Row(pk=i) for i in range(5)])
+        r = key_containment(child, "fk", parent, "pk").collect()[0]
+        assert r["containment"] == 1.0
+        assert r["coverage"] == pytest.approx(3 / 5)
+
+    def test_empty_child_gives_null_ratio(self, spark):
+        from datacompy_spark.operators.analytics import key_containment
+
+        child = spark.createDataFrame([Row(fk=None)], "fk int")
+        parent = spark.createDataFrame([Row(pk=1)])
+        r = key_containment(child, "fk", parent, "pk").collect()[0]
+        assert r["child_distinct"] == 0 and r["contained"] == 0
+        assert r["containment"] is None and r["coverage"] == 0.0
+
+    def test_fk_discovery_labels_and_empty_guard(self, spark):
+        from datacompy_spark.operators.analytics import fk_discovery
+
+        a = spark.createDataFrame([Row(x=1), Row(x=2)])
+        b = spark.createDataFrame([Row(y=1)])
+        out = fk_discovery(
+            [("a", a, "x", "b", b, "y"), ("b", b, "y", "a", a, "x")]
+        ).collect()
+        got = {(r["child_table"], r["parent_table"]): r for r in out}
+        assert got[("a", "b")]["containment"] == 0.5
+        assert got[("b", "a")]["containment"] == 1.0
+        with pytest.raises(ValueError):
+            fk_discovery([])
+
+
 class TestPersistedIvfIndex:
     def test_equivalent_to_in_memory_ivf(self, spark, tmp_path):
         from datacompy_spark.operators.similarity import (
