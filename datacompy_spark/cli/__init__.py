@@ -294,10 +294,17 @@ def build_parser() -> argparse.ArgumentParser:
     dd.add_argument("--text-col", default="text", help="text column")
     dd.add_argument(
         "--method",
-        choices=["exact", "minhash", "simhash", "embedding"],
+        choices=["exact", "minhash", "simhash", "embedding", "lines", "spans"],
         default="minhash",
         help="exact content hash, MinHash+LSH Jaccard, SimHash Hamming, or "
-        "embedding cosine (blocked + projection-bucketed)",
+        "embedding cosine (blocked + projection-bucketed). REWRITE modes: "
+        "'lines' (corpus-level exact line dedup, C4 boilerplate rule) and "
+        "'spans' (duplicated n-token span removal, keep-first) write the "
+        "CLEANED corpus to --verdict instead of a survivor verdict",
+    )
+    dd.add_argument(
+        "--span-n", type=int, default=5,
+        help="spans: window length in tokens (default 5)",
     )
     dd.add_argument(
         "--threshold", type=float, default=0.5,
@@ -616,10 +623,22 @@ def build_parser() -> argparse.ArgumentParser:
     )
     ck.add_argument("--input", required=True, help="input: file path or table name")
     ck.add_argument(
-        "--rules", required=True, metavar="PATH",
+        "--rules", metavar="PATH",
         help="JSON file: a list of rule objects, e.g. "
         '[{"rule": "not_null", "col": "id"}, '
         '{"rule": "unique", "cols": ["id"]}]',
+    )
+    ck.add_argument(
+        "--fk", action="append", default=[], metavar="COL=PARENT:PARENT_COL",
+        help="referential-integrity rule (repeatable): the input's COL must "
+        "be contained in PARENT's PARENT_COL (PARENT is a file path or "
+        "table name). Verdict rows join the --rules output; violations = "
+        "distinct child keys missing from the parent",
+    )
+    ck.add_argument(
+        "--fk-min-containment", type=float, default=1.0,
+        help="pass threshold for --fk rules (default 1.0: every child key "
+        "must resolve)",
     )
     ck.add_argument(
         "--fail-on-violation", action="store_true",
@@ -923,6 +942,58 @@ def run_profile(args) -> int:
             spark.stop()
 
 
+def _run_dedup_rewrite(spark, df, args) -> int:
+    """dedup --method lines|spans: write the CLEANED corpus (not a survivor
+    verdict) to --verdict and print a removal-rate summary."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from datacompy_spark.operators import textops as TO
+
+    if args.export_pairs:
+        raise CLIError(
+            "--export-pairs does not apply to the rewrite methods "
+            "(lines, spans): they emit no pair list"
+        )
+    try:
+        if args.method == "lines":
+            out = TO.line_dedup(df, args.id_col, args.text_col)
+            unit, total_col, removed = "lines", "n_lines", F.col("n_lines") - F.col("n_kept")
+        else:
+            if args.span_n < 2:
+                raise CLIError("--span-n must be at least 2")
+            out = TO.remove_dup_spans(df, args.id_col, args.text_col, n=args.span_n)
+            unit, total_col, removed = "tokens", "n_tokens", F.col("n_removed")
+        out.write.mode("overwrite").parquet(args.verdict)
+        written = spark.read.parquet(args.verdict)
+        stats = written.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum(total_col), F.lit(0)).alias("n_total"),
+            F.coalesce(F.sum(removed), F.lit(0)).alias("n_removed"),
+        ).collect()[0]
+    except CLIError:
+        raise
+    except Exception as ex:
+        raise CLIError(str(ex)) from ex
+    if not args.quiet:
+        print(
+            json.dumps(
+                {
+                    "method": args.method,
+                    "n_docs": stats["n_docs"],
+                    f"n_{unit}": int(stats["n_total"]),
+                    f"n_{unit}_removed": int(stats["n_removed"]),
+                    "removal_rate": round(
+                        int(stats["n_removed"]) / max(int(stats["n_total"]), 1), 6
+                    ),
+                    "output": args.verdict,
+                }
+            )
+        )
+    return 0
+
+
 def _run_dedup_incremental(spark, batch, args) -> int:
     """`dedup --against CORPUS` / `dedup --ledger TABLE`: incremental
     batch-vs-corpus dedup (stateless corpus scan, or persistent hash
@@ -1052,8 +1123,15 @@ def run_dedup(args) -> int:
                 raise CLIError(f"column {c!r} not found in input")
         if args.against and args.ledger:
             raise CLIError("--against and --ledger are mutually exclusive")
+        if args.method in ("lines", "spans") and (args.against or args.ledger):
+            raise CLIError(
+                "--against/--ledger do not apply to the rewrite methods "
+                "(lines, spans)"
+            )
         if args.against or args.ledger:
             return _run_dedup_incremental(spark, df, args)
+        if args.method in ("lines", "spans"):
+            return _run_dedup_rewrite(spark, df, args)
         try:
             if args.method == "exact":
                 members, _ = D.collapse_exact_content(df, args.id_col, args.text_col)
@@ -1273,13 +1351,26 @@ def run_check(args) -> int:
     from datacompy_spark.operators.expectations import expect
     from datacompy_spark.sources.loaders import load
 
-    try:
-        with open(args.rules, "r", encoding="utf-8") as fh:
-            rules = json.load(fh)
-    except (OSError, ValueError) as ex:
-        raise CLIError(f"failed to read rules file: {ex}") from ex
-    if not isinstance(rules, list) or not all(isinstance(r, dict) for r in rules):
-        raise CLIError("--rules must contain a JSON list of rule objects")
+    rules = []
+    if args.rules:
+        try:
+            with open(args.rules, "r", encoding="utf-8") as fh:
+                rules = json.load(fh)
+        except (OSError, ValueError) as ex:
+            raise CLIError(f"failed to read rules file: {ex}") from ex
+        if not isinstance(rules, list) or not all(isinstance(r, dict) for r in rules):
+            raise CLIError("--rules must contain a JSON list of rule objects")
+    fk_specs = []
+    for spec in args.fk:
+        head, sep, parent_col = spec.rpartition(":")
+        child_col, sep2, parent_ref = head.partition("=")
+        if not sep or not sep2 or not child_col or not parent_ref or not parent_col:
+            raise CLIError(
+                f"malformed --fk spec {spec!r}: expected COL=PARENT:PARENT_COL"
+            )
+        fk_specs.append((child_col, parent_ref, parent_col))
+    if not rules and not fk_specs:
+        raise CLIError("nothing to check: pass --rules and/or --fk")
     created = SparkSession.getActiveSession() is None
     spark = SparkSession.builder.appName(args.spark_app_name).getOrCreate()
     try:
@@ -1289,7 +1380,42 @@ def run_check(args) -> int:
         except Exception as ex:
             raise CLIError(f"failed to load input: {ex}") from ex
         try:
-            verdicts = expect(df, rules)
+            verdicts = expect(df, rules) if rules else None
+            for child_col, parent_ref, parent_col in fk_specs:
+                if child_col not in df.columns:
+                    raise CLIError(f"--fk column {child_col!r} not found in input")
+                try:
+                    parent = load(spark, parent_ref, fmt=args.input_format)
+                except Exception as ex:
+                    raise CLIError(
+                        f"failed to load --fk parent {parent_ref!r}: {ex}"
+                    ) from ex
+                if parent_col not in parent.columns:
+                    raise CLIError(
+                        f"--fk column {parent_col!r} not found in {parent_ref!r}"
+                    )
+                from datacompy_spark.operators.analytics import key_containment
+
+                r = key_containment(df, child_col, parent, parent_col).collect()[0]
+                contain = r["containment"]
+                fk_row = spark.createDataFrame(
+                    [
+                        (
+                            f"fk({child_col}->{parent_ref}:{parent_col})",
+                            int(r["child_distinct"] - r["contained"]),
+                            int(r["child_distinct"]),
+                            # an empty child column references nothing: passes
+                            bool(
+                                contain is None
+                                or contain >= args.fk_min_containment
+                            ),
+                        )
+                    ],
+                    "rule string, violations long, total long, passed boolean",
+                )
+                verdicts = (
+                    fk_row if verdicts is None else verdicts.unionByName(fk_row)
+                )
             if args.export:
                 verdicts.write.mode("overwrite").parquet(args.export)
                 verdicts = spark.read.parquet(args.export)

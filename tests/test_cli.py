@@ -365,6 +365,59 @@ class TestDedupCommand:
         assert v[1]["component"] == v[2]["component"] == 1
         assert v[3]["is_survivor"] and v[3]["n_docs"] == 1
 
+    def test_spans_rewrite_mode(self, tmp_path, capsys, spark):
+        p = str(tmp_path / "docs.parquet")
+        rows = [
+            (1, "the quick brown fox jumps over a lazy dog"),
+            (2, "intro words the quick brown fox jumps tail"),
+        ]
+        spark.createDataFrame(rows, "doc_id bigint, text string").write.parquet(p)
+        out = str(tmp_path / "clean.parquet")
+        rc = main(["dedup", "--input", p, "--method", "spans", "--verdict", out])
+        import json as _json
+
+        summary = _json.loads(capsys.readouterr().out)
+        assert rc == 0
+        assert summary["method"] == "spans"
+        assert summary["n_tokens"] == 17 and summary["n_tokens_removed"] == 5
+        got = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
+        assert got[2] == "intro words tail"
+
+    def test_lines_rewrite_mode(self, tmp_path, capsys, spark):
+        p = str(tmp_path / "docs.parquet")
+        rows = [
+            (1, "COOKIE BANNER\nunique one"),
+            (2, "COOKIE BANNER\nunique two"),
+        ]
+        spark.createDataFrame(rows, "doc_id bigint, text string").write.parquet(p)
+        out = str(tmp_path / "clean.parquet")
+        rc = main(["dedup", "--input", p, "--method", "lines", "--verdict", out])
+        import json as _json
+
+        summary = _json.loads(capsys.readouterr().out)
+        assert rc == 0
+        assert summary["n_lines"] == 4 and summary["n_lines_removed"] == 1
+        got = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
+        assert got[2] == "unique two"
+
+    def test_rewrite_mode_rejects_pairs_and_ledger(self, tmp_path, capsys, spark):
+        p = str(tmp_path / "docs.parquet")
+        spark.createDataFrame(
+            [(1, "x")], "doc_id bigint, text string"
+        ).write.parquet(p)
+        rc = main([
+            "dedup", "--input", p, "--method", "spans",
+            "--verdict", str(tmp_path / "o.parquet"),
+            "--export-pairs", str(tmp_path / "p.parquet"),
+        ])
+        assert rc == 2 and "export-pairs" in capsys.readouterr().err
+        rc = main([
+            "dedup", "--input", p, "--method", "lines",
+            "--verdict", str(tmp_path / "o.parquet"),
+            "--against", p,
+        ])
+        assert rc == 2 and "rewrite" in capsys.readouterr().err
+
     def test_minhash_dedup_with_pairs_export(self, tmp_path, capsys, spark):
         p = str(tmp_path / "docs.parquet")
         rows = [
@@ -730,6 +783,45 @@ class TestCheckCommand:
         rc = main(["check", "--input", dataset, "--input-format", "parquet", "--rules", rules])
         assert rc == 0
         assert json.loads(capsys.readouterr().out)["n_failed"] == 1
+
+    def test_fk_rule_pass_and_fail(self, tmp_path, capsys, dataset, spark):
+        parent_ok = str(tmp_path / "parent_ok")
+        spark.createDataFrame(
+            [(1,), (2,), (3,)], "pk long"
+        ).write.parquet(parent_ok)
+        parent_bad = str(tmp_path / "parent_bad")
+        spark.createDataFrame([(1,)], "pk long").write.parquet(parent_bad)
+        # contained: child ids {1,2} ⊆ {1,2,3} → pass
+        rc = main(["check", "--input", dataset, "--input-format", "parquet",
+                   "--fk", f"id={parent_ok}:pk", "--fail-on-violation"])
+        s = json.loads(capsys.readouterr().out)
+        assert rc == 0 and s["n_rules"] == 1 and s["n_failed"] == 0
+        # id=2 missing from parent_bad → violation, gate fires
+        rc = main(["check", "--input", dataset, "--input-format", "parquet",
+                   "--fk", f"id={parent_bad}:pk", "--fail-on-violation"])
+        s = json.loads(capsys.readouterr().out)
+        assert rc == 1 and s["n_failed"] == 1
+        assert list(s["failures"].values()) == [1]
+
+    def test_fk_combines_with_rules_and_threshold(
+        self, tmp_path, capsys, dataset, spark
+    ):
+        parent_bad = str(tmp_path / "parent_half")
+        spark.createDataFrame([(1,)], "pk long").write.parquet(parent_bad)
+        rules = self._rules_file(tmp_path, [{"rule": "not_null", "col": "id"}])
+        rc = main(["check", "--input", dataset, "--input-format", "parquet",
+                   "--rules", rules, "--fk", f"id={parent_bad}:pk",
+                   "--fk-min-containment", "0.5", "--fail-on-violation"])
+        s = json.loads(capsys.readouterr().out)
+        # containment 1/2 = 0.5 >= 0.5: passes even with 1 unresolved key
+        assert rc == 0 and s["n_rules"] == 2 and s["n_failed"] == 0
+
+    def test_fk_malformed_spec_and_empty_invocation(self, tmp_path, capsys, dataset):
+        rc = main(["check", "--input", dataset, "--input-format", "parquet",
+                   "--fk", "idnoparent"])
+        assert rc == 2 and "malformed" in capsys.readouterr().err
+        rc = main(["check", "--input", dataset, "--input-format", "parquet"])
+        assert rc == 2 and "nothing to check" in capsys.readouterr().err
 
     def test_bad_rules_file(self, tmp_path, capsys, dataset):
         bad = tmp_path / "bad.json"
