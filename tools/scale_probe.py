@@ -11,7 +11,8 @@ Prints one line per scale: rows, seconds, rows/sec, and the ratio of
 seconds to the 1x run (linear scaling => ratio ~= multiplier).
 
 Env knobs: SPARK_GRAFT_SECTIONS selects sections as a comma list out of
-{compare,minhash,incr,cdc,bucketed,cc,kmeans,ivfindex,hotkey} (default: all) — a x64 compare
+{compare,minhash,spans,incr,cdc,bucketed,cc,kmeans,ivfindex,pagerank,hotkey}
+(default: all) — a x64 compare
 datapoint or a memory-constrained minhash rerun shouldn't pay for every
 other section; SPARK_GRAFT_DRIVER_MEM bounds the single-JVM heap (the
 local-mode stand-in for executor memory) for constrained-memory probes.
@@ -32,8 +33,8 @@ def main() -> int:
 
     muls = [int(m) for m in (sys.argv[1:] or ["1", "4", "16"])]
     all_sections = (
-        "compare", "minhash", "incr", "cdc", "bucketed", "cc", "kmeans",
-        "ivfindex", "pagerank", "hotkey"
+        "compare", "minhash", "spans", "incr", "cdc", "bucketed", "cc",
+        "kmeans", "ivfindex", "pagerank", "hotkey"
     )
     sections = set(
         s.strip() for s in os.environ.get(
@@ -156,6 +157,48 @@ def main() -> int:
             t1 = el
         print(
             f"minhash x{mult:<3d} docs={n:>9,d}  pairs={n_pairs:>8,d}"
+            f"  sec={el:7.2f}  vs_x1={el/t1:5.2f} (linear => ~{mult})",
+            flush=True,
+        )
+    # ---- duplicated-span removal: corpus scaled with per-copy suffixed
+    # vocabulary (same discipline as the minhash probe: copies never
+    # cross-match, so the duplicated-gram RATE stays constant while volume
+    # grows — the growth curve isolates the machinery, not the data). The
+    # expensive stages are the gram aggregate and two doc-partitioned
+    # stages (coverage window + reassembly), all linear; ratio should
+    # track the multiplier.
+    from datacompy_spark.operators.textops import remove_dup_spans
+
+    t1 = None
+    for mult in muls if "spans" in sections else []:
+        parts = []
+        for i in range(mult):
+            parts.append(
+                docs.select(
+                    (F.col("doc_id") + F.lit(10_000_000 * i)).alias("doc_id"),
+                    F.regexp_replace(
+                        F.col("text"), r"(\S+)", r"$1" + f"_c{i}"
+                    ).alias("text"),
+                )
+            )
+        corpus = parts[0]
+        for p in parts[1:]:
+            corpus = corpus.unionAll(p)
+        n = corpus.count()
+        t0 = time.perf_counter()
+        agg = (
+            remove_dup_spans(corpus, "doc_id", "text", n=5)
+            .agg(
+                F.count(F.lit(1)).alias("docs"),
+                F.sum("n_removed").alias("removed"),
+            )
+            .collect()[0]
+        )
+        el = time.perf_counter() - t0
+        if t1 is None:
+            t1 = el
+        print(
+            f"spans   x{mult:<3d} docs={n:>9,d}  cut={int(agg['removed']):>9,d}"
             f"  sec={el:7.2f}  vs_x1={el/t1:5.2f} (linear => ~{mult})",
             flush=True,
         )
