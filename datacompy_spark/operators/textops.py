@@ -805,32 +805,50 @@ def remove_dup_spans(
                 & (F.col("pos") == F.col("__fo.__mp"))
             )
         )
-        .select("doc_id", "pos", F.lit(1).alias("__start"))
+        .select(
+            "doc_id",
+            "pos",
+            F.lit(None).cast("string").alias("tok"),
+            F.lit(1).alias("__start"),
+        )
     )
     tok = df.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+        F.lit(0).alias("__start"),
     )
+    # starts ride as synthetic flag rows UNIONED into the token stream, not
+    # equi-joined on (doc_id, pos): a join would hash-shuffle the full
+    # token stream on (doc_id, pos) and the window would then re-shuffle
+    # it on doc_id alone — the union needs only the ONE doc_id exchange,
+    # which the window sort and the reassembly groupBy both reuse. The
+    # coverage frame must be RANGE (positions), not ROWS: a start row and
+    # its token row share a pos, so row counting would mis-span.
     w = (
         Window.partitionBy("doc_id")
         .orderBy("pos")
-        .rowsBetween(-(n - 1), Window.currentRow)
+        .rangeBetween(-(n - 1), Window.currentRow)
     )
-    flagged = tok.join(starts, ["doc_id", "pos"], "left").select(
+    flagged = tok.unionByName(starts).select(
         "doc_id",
         "pos",
         "tok",
-        (F.coalesce(F.max("__start").over(w), F.lit(0)) == 1).alias("__covered"),
+        (F.max("__start").over(w) == 1).alias("__covered"),
     )
     per = flagged.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.sum(F.col("__covered").cast("long")).alias("n_removed"),
+        F.count("tok").alias("n_tokens"),
+        F.sum(
+            (F.col("__covered") & F.col("tok").isNotNull()).cast("long")
+        ).alias("n_removed"),
         F.concat_ws(
             " ",
             F.transform(
                 F.array_sort(
                     F.collect_list(
-                        F.when(~F.col("__covered"), F.struct("pos", "tok"))
+                        F.when(
+                            ~F.col("__covered") & F.col("tok").isNotNull(),
+                            F.struct("pos", "tok"),
+                        )
                     )
                 ),
                 lambda s: s["tok"],
@@ -868,22 +886,23 @@ dup AS (
   FROM (SELECT gram, doc_id, min(pos) AS mp FROM grams GROUP BY 1, 2)
   GROUP BY gram HAVING count(*) >= {min_docs}),
 starts AS (
-  SELECT g.doc_id, g.pos, 1 AS st
+  SELECT g.doc_id, g.pos, NULL::VARCHAR AS tok, 1 AS st
   FROM grams g JOIN dup d USING (gram)
   WHERE NOT (g.doc_id = d.fo.doc_id AND g.pos = d.fo.mp)),
 tok AS (
-  SELECT doc_id, g.i AS pos, toks[g.i] AS tok
+  SELECT doc_id, g.i AS pos, toks[g.i] AS tok, 0 AS st
   FROM t, unnest(generate_series(1, len(toks))) AS g(i)),
 flagged AS (
-  SELECT tok.doc_id, tok.pos, tok.tok,
-    coalesce(max(s.st) OVER (
-      PARTITION BY tok.doc_id ORDER BY tok.pos
-      ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW), 0) = 1 AS covered
-  FROM tok LEFT JOIN starts s USING (doc_id, pos)),
+  SELECT doc_id, pos, tok,
+    max(st) OVER (
+      PARTITION BY doc_id ORDER BY pos
+      RANGE BETWEEN {n - 1} PRECEDING AND CURRENT ROW) = 1 AS covered
+  FROM (SELECT * FROM tok UNION ALL SELECT * FROM starts)),
 per AS (
-  SELECT doc_id, count(*) AS n_tokens,
-    sum(covered::BIGINT) AS n_removed,
-    coalesce(string_agg(CASE WHEN NOT covered THEN tok END, ' ' ORDER BY pos),
+  SELECT doc_id, count(tok) AS n_tokens,
+    sum((covered AND tok IS NOT NULL)::BIGINT) AS n_removed,
+    coalesce(string_agg(CASE WHEN NOT covered AND tok IS NOT NULL
+                             THEN tok END, ' ' ORDER BY pos),
              '') AS text
   FROM flagged GROUP BY doc_id)
 SELECT i.doc_id,
