@@ -1338,3 +1338,84 @@ af AS (
   FROM df GROUP BY vid)
 SELECT vid AS {id_col}, cid AS cluster_id, d AS dist_q FROM af"""
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    eval_df: DataFrame,
+    eval_vec_col: str | None = None,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """EMBEDDING-space benchmark decontamination: per corpus document, the
+    maximum cosine similarity to ANY held-out evaluation vector, plus a
+    ``contaminated`` verdict at ``threshold``. The semantic complement of
+    the n-gram overlap check (``textops.decontaminate``): paraphrased or
+    lightly-edited benchmark leaks share no k-gram but sit at high cosine.
+
+    Returns ``(id_col, max_eval_cosine, contaminated)`` — one row per
+    corpus row; ``max_eval_cosine`` is NULL (and ``contaminated`` false)
+    when the corpus vector is NULL/zero-norm or the eval set is empty.
+
+    Scale shape (same discipline as the k-means assigner): the eval side
+    is SMALL by construction (benchmark suites are thousands of vectors,
+    the corpus is billions), so eval vectors fold into ONE broadcast row
+    of array<struct(vector, norm)> with norms PRE-STAGED (Spark does not
+    eliminate subexpressions inside lambdas — staging saves |eval| norm
+    recomputations per corpus row). Each corpus row then reduces the
+    array in a narrow projection: ZERO shuffles, no groupBy state, so the
+    same operator is legal on an unbounded stream in append mode. Per-row
+    cost is |eval| sequential double folds — the exact-scan baseline; for
+    very large eval sets, prefilter candidates with the int8 route
+    (:func:`knn_int8_rerank`) before the exact pass."""
+    evc = eval_vec_col or vec_col
+    evals = F.broadcast(
+        eval_df.filter(F.col(evc).isNotNull()).agg(
+            F.collect_list(
+                F.struct(F.col(evc).alias("ev"), norm(F.col(evc)).alias("en"))
+            ).alias("__evals")
+        )
+    )
+    vnorm = norm(F.col(vec_col))
+    staged = corpus.crossJoin(evals).select(
+        "*", vnorm.alias("__vn")
+    )
+    mx = F.array_max(
+        F.transform(
+            F.col("__evals"),
+            lambda e: F.try_divide(
+                dot(F.col(vec_col), e["ev"]), F.col("__vn") * e["en"]
+            ),
+        )
+    )
+    return staged.select(
+        F.col(id_col),
+        mx.alias("max_eval_cosine"),
+        F.coalesce(mx >= F.lit(threshold), F.lit(False)).alias("contaminated"),
+    )
+
+
+def semantic_decontaminate_sql(
+    corpus_table: str,
+    id_col: str,
+    vec_col: str,
+    eval_table: str,
+    dim: int,
+    eval_vec_col: str | None = None,
+    threshold: float = 0.9,
+) -> str:
+    """DuckDB twin of :func:`semantic_decontaminate` (all-pairs max of the
+    same sequential-fold cosine; LEFT JOIN ON TRUE keeps every corpus row
+    when the eval set is empty, matching the broadcast-row shape)."""
+    from datacompy_spark.functions.vector import cosine_sql
+
+    evc = eval_vec_col or vec_col
+    cos = cosine_sql(f"c.{vec_col}", f"e.{evc}", dim)
+    return f"""
+SELECT c.{id_col},
+  max({cos}) AS max_eval_cosine,
+  coalesce(max({cos}) >= {threshold}::DOUBLE, false) AS contaminated
+FROM {corpus_table} c
+LEFT JOIN (SELECT * FROM {eval_table} WHERE {evc} IS NOT NULL) e ON TRUE
+GROUP BY c.{id_col}"""

@@ -599,6 +599,7 @@ _SWEEP_FIRST = [
     "data_expectations",
     "dup_span_removal",
     "fk_discovery",
+    "semantic_decontaminate",
     # output changed in r8 session 5 (now grades 4 ANN paths incl. PQ) —
     # re-earn its driver-green row
     "knn_recall",

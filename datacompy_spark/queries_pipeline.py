@@ -151,6 +151,28 @@ WITH pairs AS (
 SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.3::DOUBLE"""
 
 
+def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination: every 41st vector plays the
+    held-out eval set; those vectors also live IN the corpus (realistic
+    leakage), so they must surface at max_eval_cosine = 1.0 while the
+    isotropic background stays well under the 0.45 verdict line."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    eval_df = emb.filter(F.col("vec_id") % 41 == 0).select("embedding")
+    return S.semantic_decontaminate(
+        emb, "vec_id", "embedding", eval_df, threshold=0.45
+    )
+
+
+SQL_SEMANTIC_DECONTAMINATE = S.semantic_decontaminate_sql(
+    "embeddings",
+    "vec_id",
+    "embedding",
+    "(SELECT embedding FROM embeddings WHERE vec_id % 41 = 0)",
+    dim=64,
+    threshold=0.45,
+)
+
+
 # ------------------------------------------------------------- similarity
 
 def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2707,6 +2729,7 @@ PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "data_expectations": q_data_expectations,
     "dup_span_removal": q_dup_span_removal,
     "fk_discovery": q_fk_discovery,
+    "semantic_decontaminate": q_semantic_decontaminate,
 }
 
 PIPELINE_ORACLES: Dict[str, str] = {
@@ -2792,4 +2815,5 @@ PIPELINE_ORACLES: Dict[str, str] = {
     "data_expectations": SQL_DATA_EXPECTATIONS,
     "dup_span_removal": SQL_DUP_SPAN_REMOVAL,
     "fk_discovery": SQL_FK_DISCOVERY,
+    "semantic_decontaminate": SQL_SEMANTIC_DECONTAMINATE,
 }

@@ -1444,6 +1444,72 @@ class TestIncrementalMinhashLedger:
             spark.sql("DROP TABLE IF EXISTS dedup_ledger_t2")
 
 
+class TestSemanticDecontaminate:
+    def test_exact_leak_flagged_background_not(self, spark):
+        from datacompy_spark.operators.similarity import semantic_decontaminate
+
+        corpus = spark.createDataFrame(
+            [
+                (1, [1.0, 0.0, 0.0]),   # exact copy of eval vec -> cos 1.0
+                (2, [0.0, 1.0, 0.0]),   # orthogonal -> cos 0.0
+                (3, [1.0, 1.0, 0.0]),   # 45 deg -> cos ~0.707
+                (4, None),              # NULL vector: NULL score, not flagged
+            ],
+            "vec_id bigint, embedding array<double>",
+        )
+        eval_df = spark.createDataFrame(
+            [(100, [1.0, 0.0, 0.0])], "eid bigint, embedding array<double>"
+        )
+        out = {
+            r["vec_id"]: r
+            for r in semantic_decontaminate(
+                corpus, "vec_id", "embedding", eval_df, threshold=0.9
+            ).collect()
+        }
+        assert len(out) == 4
+        assert out[1]["max_eval_cosine"] == pytest.approx(1.0)
+        assert out[1]["contaminated"]
+        assert out[2]["max_eval_cosine"] == pytest.approx(0.0)
+        assert not out[2]["contaminated"]
+        assert out[3]["max_eval_cosine"] == pytest.approx(0.7071, abs=1e-3)
+        assert not out[3]["contaminated"]
+        assert out[4]["max_eval_cosine"] is None
+        assert out[4]["contaminated"] is False
+
+    def test_empty_eval_set_keeps_corpus(self, spark):
+        from datacompy_spark.operators.similarity import semantic_decontaminate
+
+        corpus = spark.createDataFrame(
+            [(1, [1.0, 0.0])], "vec_id bigint, embedding array<double>"
+        )
+        eval_df = spark.createDataFrame(
+            [], "eid bigint, embedding array<double>"
+        )
+        out = semantic_decontaminate(
+            corpus, "vec_id", "embedding", eval_df
+        ).collect()
+        assert len(out) == 1
+        assert out[0]["max_eval_cosine"] is None
+        assert out[0]["contaminated"] is False
+
+    def test_max_over_multiple_eval_vectors(self, spark):
+        from datacompy_spark.operators.similarity import semantic_decontaminate
+
+        corpus = spark.createDataFrame(
+            [(1, [3.0, 4.0])], "vec_id bigint, embedding array<double>"
+        )
+        eval_df = spark.createDataFrame(
+            [(1, [0.0, 1.0]), (2, [1.0, 0.0]), (3, None)],
+            "eid bigint, embedding array<double>",
+        )
+        r = semantic_decontaminate(
+            corpus, "vec_id", "embedding", eval_df, threshold=0.75
+        ).collect()[0]
+        # cos to (0,1) = 0.8, to (1,0) = 0.6; NULL eval vec is skipped
+        assert r["max_eval_cosine"] == pytest.approx(0.8)
+        assert r["contaminated"]
+
+
 class TestRemoveDupSpans:
     def test_later_copy_cut_first_kept(self, spark):
         # docs 1 and 2 share the 5-token run "the quick brown fox jumps";
