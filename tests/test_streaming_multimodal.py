@@ -412,6 +412,53 @@ class TestCdcToSink:
         assert second == first
 
 
+class TestStreamingSemanticDecontaminate:
+    def test_stream_matches_batch_scores(self, spark, sf_dir, tmp_path):
+        """semantic_decontaminate is stateless (one broadcast row of eval
+        vectors + a narrow projection), so the SAME operator must run
+        unchanged on an unbounded stream in append mode and reproduce the
+        batch scores exactly across micro-batch boundaries."""
+        from datacompy_spark.operators.similarity import semantic_decontaminate
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        eval_df = emb.filter(F.col("vec_id") % 41 == 0).select("embedding")
+        d = str(tmp_path / "decon_stream")
+        emb.repartition(3).write.parquet(d)
+
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        out = semantic_decontaminate(
+            stream, "vec_id", "embedding", eval_df, threshold=0.45
+        )
+        assert out.isStreaming
+        q = (
+            out.writeStream.format("memory")
+            .queryName("decon_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert q.lastProgress["batchId"] >= 2
+
+        got = sorted(map(tuple, spark.table("decon_stream").collect()))
+        want = sorted(
+            map(
+                tuple,
+                semantic_decontaminate(
+                    emb, "vec_id", "embedding", eval_df, threshold=0.45
+                ).collect(),
+            )
+        )
+        assert got == want and len(got) == emb.count()
+        # the planted leaks (eval ⊂ corpus) must be flagged on the stream
+        flagged = {r[0] for r in got if r[2]}
+        assert {v for v in flagged if v % 41 == 0}
+
+
 class TestStreamingClusterAssign:
     def test_stream_matches_batch_assignment(self, spark, sf_dir, tmp_path):
         """Serve a batch-trained kmeans model over a file stream in
