@@ -913,6 +913,99 @@ FROM (SELECT DISTINCT {id_col} AS doc_id FROM {table_expr}) i
 LEFT JOIN per USING (doc_id)"""
 
 
+def vocab_coverage(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab_df: DataFrame,
+    vocab_col: str = "token",
+) -> DataFrame:
+    """Tokenizer-coverage / OOV-rate quality signal: per document, how many
+    of its word tokens are OUTSIDE a reference vocabulary. High OOV share
+    flags the documents a fixed tokenizer will shred into bytes — gibberish,
+    wrong-language text, OCR noise — the complement of the frequency-based
+    quality heuristics in :func:`quality_metrics`.
+
+    Returns ``(doc_id, n_tokens, n_oov, n_distinct_oov, oov_rate)`` —
+    NULL-text documents are retained with 0 tokens and NULL rate.
+
+    Scale shape: vocabularies are small by construction (10⁴–10⁵ entries
+    for word-level, fewer for BPE merges), so the vocab side is broadcast
+    into a map-side hash join against the exploded token stream — the
+    corpus never shuffles for the lookup; the only wide exchange is the
+    doc-keyed aggregation (partial agg). Tokens match on the same
+    normalized form :func:`tokens` emits."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    vocab = F.broadcast(
+        vocab_df.select(F.col(vocab_col).alias("tok"))
+        .filter(F.col("tok").isNotNull())
+        .distinct()
+        .select("tok", F.lit(1).alias("__known"))
+    )
+    per = (
+        toks.join(vocab, "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("__known").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+            F.countDistinct(
+                F.when(F.col("__known").isNull(), F.col("tok"))
+            ).alias("n_distinct_oov"),
+        )
+    )
+    ids = df.select(F.col(id_col).alias("doc_id")).distinct()
+    return ids.join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce(F.col("n_oov"), F.lit(0)).cast("long").alias("n_oov"),
+        F.coalesce(F.col("n_distinct_oov"), F.lit(0))
+        .cast("long")
+        .alias("n_distinct_oov"),
+        F.when(
+            F.coalesce(F.col("n_tokens"), F.lit(0)) > 0,
+            F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"),
+        ).alias("oov_rate"),
+    )
+
+
+def vocab_coverage_sql(
+    table_expr: str,
+    id_col: str,
+    text_col: str,
+    vocab_expr: str,
+    vocab_col: str = "token",
+) -> str:
+    """DuckDB twin of :func:`vocab_coverage`. ``vocab_expr`` may be a table
+    name or a parenthesized subquery producing ``vocab_col``."""
+    from datacompy_spark.functions.text import tokens_sql
+
+    return f"""
+WITH t AS (SELECT {id_col} AS doc_id, {tokens_sql(text_col)} AS toks
+           FROM {table_expr}),
+tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+vocab AS (SELECT DISTINCT {vocab_col} AS tok, 1 AS known
+          FROM {vocab_expr} WHERE {vocab_col} IS NOT NULL),
+per AS (
+  SELECT doc_id, count(*) AS n_tokens,
+    sum(CASE WHEN known IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+    count(DISTINCT CASE WHEN known IS NULL THEN tok END)::BIGINT
+      AS n_distinct_oov
+  FROM tok LEFT JOIN vocab USING (tok) GROUP BY doc_id)
+SELECT i.doc_id,
+  coalesce(n_tokens, 0)::BIGINT AS n_tokens,
+  coalesce(n_oov, 0)::BIGINT AS n_oov,
+  coalesce(n_distinct_oov, 0)::BIGINT AS n_distinct_oov,
+  CASE WHEN coalesce(n_tokens, 0) > 0
+       THEN n_oov::DOUBLE / n_tokens::DOUBLE END AS oov_rate
+FROM (SELECT DISTINCT {id_col} AS doc_id FROM {table_expr}) i
+LEFT JOIN per USING (doc_id)"""
+
+
 def decontaminate(
     df: DataFrame,
     id_col: str,

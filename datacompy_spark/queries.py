@@ -600,6 +600,7 @@ _SWEEP_FIRST = [
     "dup_span_removal",
     "fk_discovery",
     "semantic_decontaminate",
+    "vocab_coverage",
     # output changed in r8 session 5 (now grades 4 ANN paths incl. PQ) —
     # re-earn its driver-green row
     "knn_recall",

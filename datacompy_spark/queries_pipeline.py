@@ -151,6 +151,35 @@ WITH pairs AS (
 SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.3::DOUBLE"""
 
 
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OOV-rate scoring against a self-derived vocabulary (word tokens
+    appearing ≥ 50 times corpus-wide): the tokenizer-coverage quality
+    signal. NULLs PLANTED (every 53rd doc) for the spine path; the vocab
+    is built BEFORE the nulling so its content is layout-stable."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = TO.word_frequencies(docs, "text").filter(F.col("n") >= 50)
+    docs_n = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 53 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return TO.vocab_coverage(docs_n, "doc_id", "text", vocab, vocab_col="word")
+
+
+SQL_VOCAB_COVERAGE = TO.vocab_coverage_sql(
+    "(SELECT doc_id, CASE WHEN doc_id % 53 = 0 THEN NULL ELSE text END AS text"
+    " FROM documents)",
+    "doc_id",
+    "text",
+    "(SELECT tok AS word FROM ("
+    "SELECT unnest(string_split(trim(regexp_replace(regexp_replace(lower(text),"
+    " '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS tok FROM documents)"
+    " WHERE tok <> '' GROUP BY tok HAVING count(*) >= 50)",
+    vocab_col="word",
+)
+
+
 def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space decontamination: every 41st vector plays the
     held-out eval set; those vectors also live IN the corpus (realistic
@@ -2730,6 +2759,7 @@ PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_span_removal": q_dup_span_removal,
     "fk_discovery": q_fk_discovery,
     "semantic_decontaminate": q_semantic_decontaminate,
+    "vocab_coverage": q_vocab_coverage,
 }
 
 PIPELINE_ORACLES: Dict[str, str] = {
@@ -2816,4 +2846,5 @@ PIPELINE_ORACLES: Dict[str, str] = {
     "dup_span_removal": SQL_DUP_SPAN_REMOVAL,
     "fk_discovery": SQL_FK_DISCOVERY,
     "semantic_decontaminate": SQL_SEMANTIC_DECONTAMINATE,
+    "vocab_coverage": SQL_VOCAB_COVERAGE,
 }

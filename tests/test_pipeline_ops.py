@@ -1444,6 +1444,40 @@ class TestIncrementalMinhashLedger:
             spark.sql("DROP TABLE IF EXISTS dedup_ledger_t2")
 
 
+class TestVocabCoverage:
+    def test_oov_counts_and_null_doc(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma"),        # all known
+                (2, "alpha qwerty zxcvb zxcvb"),  # 3 oov tokens, 2 distinct
+                (3, None),                       # NULL text retained
+            ],
+            "doc_id bigint, text string",
+        )
+        vocab = spark.createDataFrame(
+            [("alpha",), ("beta",), ("gamma",), (None,)], "token string"
+        )
+        out = {
+            r["doc_id"]: r
+            for r in TO.vocab_coverage(docs, "doc_id", "text", vocab).collect()
+        }
+        assert out[1]["n_oov"] == 0 and out[1]["oov_rate"] == 0.0
+        assert out[2]["n_tokens"] == 4 and out[2]["n_oov"] == 3
+        assert out[2]["n_distinct_oov"] == 2
+        assert out[2]["oov_rate"] == pytest.approx(3 / 4)
+        assert out[3]["n_tokens"] == 0 and out[3]["oov_rate"] is None
+
+    def test_normalization_matches_tokenizer(self, spark):
+        # vocab lookup happens on the NORMALIZED token form: "Alpha!" in a
+        # doc matches vocab entry "alpha"
+        docs = spark.createDataFrame(
+            [(1, "Alpha, BETA?")], "doc_id bigint, text string"
+        )
+        vocab = spark.createDataFrame([("alpha",), ("beta",)], "token string")
+        r = TO.vocab_coverage(docs, "doc_id", "text", vocab).collect()[0]
+        assert r["n_oov"] == 0
+
+
 class TestSemanticDecontaminate:
     def test_exact_leak_flagged_background_not(self, spark):
         from datacompy_spark.operators.similarity import semantic_decontaminate
