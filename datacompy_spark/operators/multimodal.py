@@ -152,6 +152,75 @@ def image_features(
     return df.select(id_col, binary_col, *carry_cols).mapInPandas(run, out_schema)
 
 
+def resize_images(
+    df: DataFrame,
+    id_col: str,
+    binary_col: str,
+    width: int = 224,
+    height: int = 224,
+    carry_cols: tuple = (),
+) -> DataFrame:
+    """Batch image resize via Arrow-batched ``mapInPandas`` — the
+    preprocessing step vision-training pipelines run before feature
+    extraction. Output: (id, blob binary, width, height, resized boolean,
+    *carry_cols).
+
+    With pillow installed the blob is re-encoded at (width, height);
+    without it (this container) the DETERMINISTIC fallback passes the
+    original bytes through with resized=false, keeping schema, batch
+    shape, and partitioning behavior identical so the Spark-side plumbing
+    stays fully testable. Same scale discipline as :func:`image_features`:
+    blobs stream through Arrow batches (no per-row Python rows
+    materialize), carry columns ride inside the stage instead of a 1:1
+    shuffle join afterwards, and the stage is a narrow map — partition
+    sizing is governed upstream by ``bucket_by_content`` /
+    ``spark.sql.files.maxPartitionBytes``."""
+    if width <= 0 or height <= 0:
+        raise ValueError("resize_images: width and height must be positive")
+    carried = [df.schema[c] for c in carry_cols]
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("blob", T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("resized", T.BooleanType()),
+        ]
+        + [T.StructField(f.name, f.dataType) for f in carried]
+    )
+
+    def one(data) -> tuple:
+        data = bytes(data) if data is not None else b""
+        img = _try_decode_image(data)
+        if img is None:
+            # no codec stack: byte-identical passthrough, flagged
+            return data, width, height, False
+        import io
+
+        resized = img.resize((width, height))
+        buf = io.BytesIO()
+        resized.save(buf, format=img.format or "PNG")
+        return buf.getvalue(), width, height, True
+
+    def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            quads = pdf[binary_col].map(one)
+            out = {
+                "id": pdf[id_col],
+                "blob": quads.map(lambda q: q[0]),
+                "width": quads.map(lambda q: q[1]),
+                "height": quads.map(lambda q: q[2]),
+                "resized": quads.map(lambda q: q[3]),
+            }
+            for c in carry_cols:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, binary_col, *carry_cols).mapInPandas(run, out_schema)
+
+
 def _try_sample_video(data: bytes, every_ms: int):
     """Real frame sampling via the ``av`` codec stack when available; None
     when it is absent (this container)."""

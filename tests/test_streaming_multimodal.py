@@ -187,6 +187,25 @@ class TestMultimodal:
         assert row["size_bytes"] == len(b"fake-image-bytes-3")
         assert row["width"] is None
 
+    def test_resize_images_passthrough_and_carry(self, spark, blobs):
+        # no codec stack in this container: byte-identical passthrough,
+        # resized=false, target dims recorded — plumbing (schema, Arrow
+        # batching, carry columns) is what's under test
+        src = blobs.withColumn("src_tag", F.col("id") % 3)
+        out = {
+            r["id"]: r
+            for r in MM.resize_images(
+                src, "id", "data", width=64, height=32, carry_cols=("src_tag",)
+            ).collect()
+        }
+        assert len(out) == 20
+        assert bytes(out[3]["blob"]) == b"fake-image-bytes-3"
+        assert out[3]["width"] == 64 and out[3]["height"] == 32
+        assert out[3]["resized"] is False
+        assert out[4]["src_tag"] == 1
+        with pytest.raises(ValueError):
+            MM.resize_images(src, "id", "data", width=0)
+
     def test_image_features_deterministic(self, spark, blobs):
         f1 = {r["id"]: r["features"] for r in MM.image_features(blobs, "id", "data").collect()}
         f2 = {r["id"]: r["features"] for r in MM.image_features(blobs, "id", "data").collect()}
