@@ -519,3 +519,116 @@ class TestIncrementalDedupProperties:
             ).collect()
         }
         assert got == expect
+
+
+class TestRemoveDupSpansProperties:
+    """remove_dup_spans vs an independent pure-Python model of the
+    keep-first contract — the third implementation alongside the Spark
+    operator and its DuckDB twin, over generated corpora with a shared
+    tiny vocabulary (forcing cross-doc collisions), NULLs, empties and
+    sub-n-token documents."""
+
+    @staticmethod
+    def _model(texts, n):
+        import re
+
+        def norm_toks(t):
+            t = re.sub(r"[^a-z0-9 ]", " ", t.lower())
+            return re.sub(r" +", " ", t).strip().split(" ")
+
+        toks = {i: norm_toks(t) for i, t in enumerate(texts) if t is not None}
+        occs = {}
+        for i, tk in sorted(toks.items()):
+            for s in range(len(tk) - n + 1):
+                occs.setdefault(" ".join(tk[s : s + n]), []).append((i, s))
+        covered = {i: set() for i in toks}
+        for occ in occs.values():
+            if len({d for d, _ in occ}) >= 2:
+                first = min(occ)
+                for d, s in occ:
+                    if (d, s) != first:
+                        covered[d].update(range(s, s + n))
+        out = {}
+        for i, t in enumerate(texts):
+            if t is None:
+                out[i] = (0, 0, None)
+            else:
+                tk, cov = toks[i], covered[i]
+                kept = [w for p, w in enumerate(tk) if p not in cov]
+                out[i] = (len(tk), len(cov), " ".join(kept))
+        return out
+
+    @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        texts=st.lists(
+            st.one_of(
+                st.none(),
+                st.lists(
+                    st.sampled_from(["a", "b", "c", "d"]),
+                    min_size=0,
+                    max_size=10,
+                ).map(" ".join),
+            ),
+            min_size=1,
+            max_size=10,
+        ),
+        n=st.integers(min_value=2, max_value=3),
+    )
+    def test_matches_pure_python_model(self, spark, texts, n):
+        from pyspark.sql.types import (
+            LongType, StringType, StructField, StructType,
+        )
+
+        from datacompy_spark.operators.textops import remove_dup_spans
+
+        schema = StructType(
+            [StructField("doc_id", LongType()), StructField("text", StringType())]
+        )
+        df = spark.createDataFrame(list(enumerate(texts)), schema)
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["n_removed"], r["text"])
+            for r in remove_dup_spans(df, "doc_id", "text", n=n).collect()
+        }
+        assert got == self._model(texts, n)
+
+
+class TestKeyContainmentProperties:
+    @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        child=st.lists(
+            st.one_of(st.none(), st.integers(min_value=0, max_value=9)),
+            min_size=1,
+            max_size=20,
+        ),
+        parent=st.lists(
+            st.one_of(st.none(), st.integers(min_value=0, max_value=9)),
+            min_size=1,
+            max_size=20,
+        ),
+    )
+    def test_matches_set_model(self, spark, child, parent):
+        from datacompy_spark.operators.analytics import key_containment
+
+        cdf = spark.createDataFrame([(v,) for v in child], "fk int")
+        pdf = spark.createDataFrame([(v,) for v in parent], "pk int")
+        r = key_containment(cdf, "fk", pdf, "pk").collect()[0]
+        cs = {v for v in child if v is not None}
+        ps = {v for v in parent if v is not None}
+        assert r["child_distinct"] == len(cs)
+        assert r["parent_distinct"] == len(ps)
+        assert r["contained"] == len(cs & ps)
+        if cs:
+            assert r["containment"] == pytest.approx(len(cs & ps) / len(cs))
+        else:
+            assert r["containment"] is None
+
+    @settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        vals=st.lists(st.integers(min_value=0, max_value=99), min_size=1, max_size=30)
+    )
+    def test_self_containment_is_total(self, spark, vals):
+        from datacompy_spark.operators.analytics import key_containment
+
+        df = spark.createDataFrame([(v,) for v in vals], "k int")
+        r = key_containment(df, "k", df, "k").collect()[0]
+        assert r["containment"] == 1.0 and r["coverage"] == 1.0
