@@ -913,6 +913,63 @@ FROM (SELECT DISTINCT {id_col} AS doc_id FROM {table_expr}) i
 LEFT JOIN per USING (doc_id)"""
 
 
+#: (pattern, replacement) pairs applied IN ORDER; all patterns live in the
+#: Java∩RE2 common subset (non-greedy + (?s) yes, backreferences NO — script
+#: and style need separate patterns because RE2 lacks \1)
+_HTML_STRIP_RULES = [
+    (r"(?s)<script[^>]*>.*?</script>", " "),
+    (r"(?s)<style[^>]*>.*?</style>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    (r"<[^>]*>", " "),
+]
+#: entity decodes; &amp; LAST so double-encoded entities decode one level
+#: only (the standard single-pass rule)
+_HTML_ENTITIES = [
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+]
+
+
+def strip_html(df: DataFrame, id_col: str, html_col: str) -> DataFrame:
+    """Web-corpus text extraction: drop script/style/comment blocks, strip
+    tags, decode the common entities, collapse whitespace — the regex core
+    of the trafilatura/jusText ingest stage, kept engine-portable (every
+    pattern runs identically under Java regex and RE2, so the DuckDB twin
+    reproduces it byte-for-byte). A narrow projection: no shuffle, no
+    Python; at 100 TB this is scan-bound and pipelines into whatever
+    filter follows. NULL html stays NULL. For layout-aware extraction
+    (main-content detection, boilerplate DOM pruning) plug a real parser
+    in as an Arrow ``mapInPandas`` stage — this operator is the cheap
+    first pass and the deterministic fallback."""
+    s = F.col(html_col)
+    for pat, rep in _HTML_STRIP_RULES:
+        s = F.regexp_replace(s, pat, rep)
+    for ent, rep in _HTML_ENTITIES:
+        # literal replace: entities are fixed strings, not patterns
+        s = F.replace(s, F.lit(ent), F.lit(rep))
+    s = F.trim(F.regexp_replace(s, r"\s+", " "))
+    return df.select(F.col(id_col).alias("doc_id"), s.alias("text"))
+
+
+def strip_html_sql(table_expr: str, id_col: str, html_col: str) -> str:
+    """DuckDB twin of :func:`strip_html` (same rule order; RE2 evaluates
+    the identical patterns)."""
+    s = html_col
+    for pat, rep in _HTML_STRIP_RULES:
+        p = pat.replace("'", "''")
+        s = f"regexp_replace({s}, '{p}', '{rep}', 'g')"
+    for ent, rep in _HTML_ENTITIES:
+        e = ent.replace("'", "''")
+        r = rep.replace("'", "''")
+        s = f"replace({s}, '{e}', '{r}')"
+    s = f"trim(regexp_replace({s}, '\\s+', ' ', 'g'))"
+    return f"SELECT {id_col} AS doc_id, {s} AS text FROM {table_expr}"
+
+
 def vocab_coverage(
     df: DataFrame,
     id_col: str,

@@ -601,6 +601,7 @@ _SWEEP_FIRST = [
     "fk_discovery",
     "semantic_decontaminate",
     "vocab_coverage",
+    "html_extract",
     # output changed in r8 session 5 (now grades 4 ANN paths incl. PQ) —
     # re-earn its driver-green row
     "knn_recall",

@@ -151,6 +151,41 @@ WITH pairs AS (
 SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.3::DOUBLE"""
 
 
+_HTML_WRAP = (
+    "<html><head><script>var x = 1 &amp;&amp; 2;</script>"
+    "<style>p {color: red}</style></head>"
+    "<!-- boilerplate comment --><body><h1>Title &amp; more</h1><p>"
+)
+
+
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-ingest extraction: documents wrapped in synthetic HTML (script +
+    style + comment blocks, entities, tags) must come back out as clean
+    text. Every 7th doc gets its spaces entity-encoded (&nbsp;) and every
+    53rd is NULL, so decode and NULL paths are oracle-exercised."""
+    docs = load_table(spark, sf_dir, "documents")
+    body = F.when(
+        F.col("doc_id") % 7 == 0, F.replace(F.col("text"), F.lit(" "), F.lit("&nbsp;"))
+    ).otherwise(F.col("text"))
+    html = F.when(
+        F.col("doc_id") % 53 != 0,
+        F.concat(F.lit(_HTML_WRAP), body, F.lit("</p></body></html>")),
+    )
+    return TO.strip_html(
+        docs.select("doc_id", html.alias("html")), "doc_id", "html"
+    )
+
+
+SQL_HTML_EXTRACT = TO.strip_html_sql(
+    "(SELECT doc_id, CASE WHEN doc_id % 53 <> 0 THEN "
+    f"'{_HTML_WRAP}' || "
+    "CASE WHEN doc_id % 7 = 0 THEN replace(text, ' ', '&nbsp;') ELSE text END"
+    " || '</p></body></html>' END AS html FROM documents)",
+    "doc_id",
+    "html",
+)
+
+
 def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OOV-rate scoring against a self-derived vocabulary (word tokens
     appearing ≥ 50 times corpus-wide): the tokenizer-coverage quality
@@ -2760,6 +2795,7 @@ PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fk_discovery": q_fk_discovery,
     "semantic_decontaminate": q_semantic_decontaminate,
     "vocab_coverage": q_vocab_coverage,
+    "html_extract": q_html_extract,
 }
 
 PIPELINE_ORACLES: Dict[str, str] = {
@@ -2847,4 +2883,5 @@ PIPELINE_ORACLES: Dict[str, str] = {
     "fk_discovery": SQL_FK_DISCOVERY,
     "semantic_decontaminate": SQL_SEMANTIC_DECONTAMINATE,
     "vocab_coverage": SQL_VOCAB_COVERAGE,
+    "html_extract": SQL_HTML_EXTRACT,
 }

@@ -1444,6 +1444,38 @@ class TestIncrementalMinhashLedger:
             spark.sql("DROP TABLE IF EXISTS dedup_ledger_t2")
 
 
+class TestStripHtml:
+    def test_tags_scripts_entities(self, spark):
+        html = (
+            "<html><head><script>if (a < b) { alert('x'); }</script>"
+            "<style>body { margin: 0 }</style></head>"
+            "<!-- comment\nspanning lines --><body>"
+            "<h1 class=\"t\">Hello &amp; welcome</h1>"
+            "<p>1 &lt; 2 &gt; 0,&nbsp;&quot;quoted&quot; &#39;q&#39;</p>"
+            "</body></html>"
+        )
+        df = spark.createDataFrame([(1, html)], "doc_id bigint, html string")
+        r = TO.strip_html(df, "doc_id", "html").collect()[0]
+        assert r["text"] == "Hello & welcome 1 < 2 > 0, \"quoted\" 'q'"
+
+    def test_null_and_plain_text(self, spark):
+        df = spark.createDataFrame(
+            [(1, None), (2, "no   markup\n\nat all")],
+            "doc_id bigint, html string",
+        )
+        out = {r["doc_id"]: r["text"] for r in TO.strip_html(df, "doc_id", "html").collect()}
+        assert out[1] is None
+        assert out[2] == "no markup at all"
+
+    def test_double_encoded_amp_decodes_one_level(self, spark):
+        df = spark.createDataFrame(
+            [(1, "<p>&amp;lt;tag&amp;gt;</p>")], "doc_id bigint, html string"
+        )
+        r = TO.strip_html(df, "doc_id", "html").collect()[0]
+        # &amp; decodes last -> one decode level, no tag resurrection
+        assert r["text"] == "&lt;tag&gt;"
+
+
 class TestVocabCoverage:
     def test_oov_counts_and_null_doc(self, spark):
         docs = spark.createDataFrame(
