@@ -671,6 +671,51 @@ def fk_discovery(
     return out
 
 
+def _key_base(col: str) -> str:
+    """Canonical key-name base: TPC-H-style single/double-letter table
+    prefixes strip (``o_custkey`` and ``c_custkey`` → ``custkey``); longer
+    prefixes are part of the name (``event_id`` stays whole — 'id' alone
+    would false-match every table)."""
+    head, sep, tail = col.partition("_")
+    if sep and len(head) <= 2:
+        return tail
+    return col
+
+
+def fk_candidates(tables) -> list:
+    """Schema-driven FK candidate enumeration over a ``{name: DataFrame}``
+    mapping — the zero-knowledge first pass of a lake audit. A column is a
+    candidate PRIMARY key when it is its table's FIRST column and its base
+    name ends in ``key``/``id``; any same-typed column in ANOTHER table
+    sharing the base name is a candidate child. Driver-side metadata only
+    (no data touched); feed the result to :func:`fk_discovery` for the
+    measured containment verdicts. Deterministically ordered."""
+    pks = {}
+    for tname in sorted(tables):
+        f = tables[tname].schema.fields[0]
+        base = _key_base(f.name)
+        if base.endswith(("key", "id")):
+            pks.setdefault(base, []).append((tname, f.name, f.dataType))
+    out = []
+    for tname in sorted(tables):
+        for f in tables[tname].schema.fields:
+            for pt, pc, ptype in pks.get(_key_base(f.name), []):
+                if pt != tname and f.dataType == ptype:
+                    out.append((tname, f.name, pt, pc))
+    return sorted(out)
+
+
+def fk_discovery_auto(tables) -> DataFrame:
+    """:func:`fk_candidates` piped into :func:`fk_discovery`: one labeled
+    containment/coverage row per schema-inferred candidate."""
+    cands = fk_candidates(tables)
+    if not cands:
+        raise ValueError("fk_discovery_auto: no schema-inferred candidates")
+    return fk_discovery(
+        [(ct, tables[ct], cc, pt, tables[pt], pc) for ct, cc, pt, pc in cands]
+    )
+
+
 def key_containment_sql(
     child_table: str, child_col: str, parent_table: str, parent_col: str
 ) -> str:

@@ -810,6 +810,48 @@ class TestKeyContainment:
         assert r["child_distinct"] == 0 and r["contained"] == 0
         assert r["containment"] is None and r["coverage"] == 0.0
 
+    def test_auto_candidates_find_real_tpch_fks(self, spark):
+        from datacompy_spark.operators.analytics import (
+            fk_candidates,
+            fk_discovery_auto,
+        )
+        from datacompy_spark.sources.loaders import load_table
+
+        names = ["region", "nation", "customer", "supplier", "part",
+                 "orders", "lineitem"]
+        tables = {
+            n: load_table(spark, "/root/testdata/sf0.001", n) for n in names
+        }
+        cands = set(fk_candidates(tables))
+        real = {
+            ("nation", "n_regionkey", "region", "r_regionkey"),
+            ("customer", "c_nationkey", "nation", "n_nationkey"),
+            ("supplier", "s_nationkey", "nation", "n_nationkey"),
+            ("orders", "o_custkey", "customer", "c_custkey"),
+            ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+            ("lineitem", "l_partkey", "part", "p_partkey"),
+            ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        }
+        assert real <= cands
+        rows = {
+            (r["child_table"], r["child_col"]): r
+            for r in fk_discovery_auto(tables).collect()
+        }
+        for ct, cc, _, _ in real:
+            assert rows[(ct, cc)]["containment"] == 1.0
+
+    def test_auto_candidates_prefix_discipline(self, spark):
+        from datacompy_spark.operators.analytics import fk_candidates
+
+        # long prefixes stay whole: event_id must NOT match doc_id/vec_id
+        a = spark.createDataFrame([(1,)], "event_id bigint")
+        b = spark.createDataFrame([(1,)], "doc_id bigint")
+        assert fk_candidates({"events": a, "documents": b}) == []
+        # type mismatch blocks a name match
+        c = spark.createDataFrame([(1,)], "c_custkey bigint")
+        d = spark.createDataFrame([("1",)], "o_custkey string")
+        assert fk_candidates({"customer": c, "orders": d}) == []
+
     def test_fk_discovery_labels_and_empty_guard(self, spark):
         from datacompy_spark.operators.analytics import fk_discovery
 
