@@ -74,7 +74,12 @@ def pagerank(
         .distinct()
         .persist()
     )
-    out_w = e.groupBy("src").agg(F.sum("w").alias("out_w")).persist()
+    out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    # loop-INVARIANT: the per-edge (w, out_w) pairing never changes across
+    # iterations — join it once and persist, so each iteration pays ONE
+    # rank-frontier join instead of re-pairing every edge with its source's
+    # out-weight every round
+    e_out = e.join(out_w, "src").persist()
     n_nodes = nodes.agg(F.count(F.lit(1)).alias("n"))
     # r0 = floor(SCALE / n) per node; teleport term floor(SCALE*(100-d)/(100*n))
     ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
@@ -89,8 +94,7 @@ def pagerank(
     ).cast("long")
     for _ in range(iterations):
         contrib = (
-            e.join(out_w, "src")
-            .join(ranks.withColumnRenamed("node", "src"), "src")
+            e_out.join(ranks.withColumnRenamed("node", "src"), "src")
             .select(
                 F.col("dst").alias("node"),
                 F.floor(
