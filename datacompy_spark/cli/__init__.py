@@ -642,7 +642,9 @@ def build_parser() -> argparse.ArgumentParser:
     )
     ck.add_argument(
         "--fail-on-violation", action="store_true",
-        help="exit 1 when any rule has violations (CI gate)",
+        help="exit 1 when any rule FAILS (CI gate). A --fk rule fails when "
+        "containment drops below --fk-min-containment — with a lowered "
+        "threshold it can carry unresolved keys yet still pass",
     )
     ck.add_argument(
         "--export", metavar="PATH",
@@ -1381,40 +1383,64 @@ def run_check(args) -> int:
             raise CLIError(f"failed to load input: {ex}") from ex
         try:
             verdicts = expect(df, rules) if rules else None
-            for child_col, parent_ref, parent_col in fk_specs:
-                if child_col not in df.columns:
-                    raise CLIError(f"--fk column {child_col!r} not found in input")
-                try:
-                    parent = load(spark, parent_ref, fmt=args.input_format)
-                except Exception as ex:
-                    raise CLIError(
-                        f"failed to load --fk parent {parent_ref!r}: {ex}"
-                    ) from ex
-                if parent_col not in parent.columns:
-                    raise CLIError(
-                        f"--fk column {parent_col!r} not found in {parent_ref!r}"
-                    )
-                from datacompy_spark.operators.analytics import key_containment
+            if fk_specs:
+                from datacompy_spark.operators.analytics import fk_discovery
 
-                r = key_containment(df, child_col, parent, parent_col).collect()[0]
-                contain = r["containment"]
-                fk_row = spark.createDataFrame(
+                parents = {}
+                for child_col, parent_ref, parent_col in fk_specs:
+                    if child_col not in df.columns:
+                        raise CLIError(
+                            f"--fk column {child_col!r} not found in input"
+                        )
+                    if parent_ref not in parents:
+                        from datacompy_spark.sources.loaders import infer_format
+
+                        try:
+                            # the parent's format is its OWN (inferred from
+                            # its extension) — --input-format describes the
+                            # CHILD input and is only a fallback for
+                            # extension-less parent paths
+                            parents[parent_ref] = load(
+                                spark,
+                                parent_ref,
+                                fmt=infer_format(parent_ref) or args.input_format,
+                            )
+                        except Exception as ex:
+                            raise CLIError(
+                                f"failed to load --fk parent {parent_ref!r}: {ex}"
+                            ) from ex
+                    if parent_col not in parents[parent_ref].columns:
+                        raise CLIError(
+                            f"--fk column {parent_col!r} not found in {parent_ref!r}"
+                        )
+                # ONE unioned frame (independent key-only aggregates Spark
+                # schedules concurrently), one job — not a collect() per spec
+                fk_rows = fk_discovery(
+                    [
+                        ("child", df, cc, ref, parents[ref], pc)
+                        for cc, ref, pc in fk_specs
+                    ]
+                ).collect()
+                fk_verdicts = spark.createDataFrame(
                     [
                         (
-                            f"fk({child_col}->{parent_ref}:{parent_col})",
+                            f"fk({r['child_col']}->{r['parent_table']}:{r['parent_col']})",
                             int(r["child_distinct"] - r["contained"]),
                             int(r["child_distinct"]),
                             # an empty child column references nothing: passes
                             bool(
-                                contain is None
-                                or contain >= args.fk_min_containment
+                                r["containment"] is None
+                                or r["containment"] >= args.fk_min_containment
                             ),
                         )
+                        for r in fk_rows
                     ],
                     "rule string, violations long, total long, passed boolean",
                 )
                 verdicts = (
-                    fk_row if verdicts is None else verdicts.unionByName(fk_row)
+                    fk_verdicts
+                    if verdicts is None
+                    else verdicts.unionByName(fk_verdicts)
                 )
             if args.export:
                 verdicts.write.mode("overwrite").parquet(args.export)
@@ -1431,7 +1457,10 @@ def run_check(args) -> int:
                     {
                         "n_rules": len(rows),
                         "n_failed": len(failed),
-                        "total_rows": rows[0]["total"] if rows else 0,
+                        # an fk row's total is the DISTINCT child-key count,
+                        # not the table size — only an expectations row may
+                        # label total_rows
+                        "total_rows": rows[0]["total"] if rules else None,
                         "failures": {
                             r["rule"]: r["violations"] for r in failed
                         },

@@ -65,9 +65,12 @@ def pagerank(
     from datacompy_spark.plans.barrier import lineage_barrier
 
     w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    # NOT persisted: e is only scanned while DERIVING the persisted working
+    # set (nodes, e_out) — pinning a second full edge copy next to e_out
+    # would double cached edge memory at crawl scale for no reuse
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), w.alias("w")
-    ).persist()
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))

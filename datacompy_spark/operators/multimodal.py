@@ -73,14 +73,15 @@ def bucket_by_content(df: DataFrame, binary_col: str, buckets: int = 256) -> Dat
 
 def _try_decode_image(data: bytes):
     """Real decode via pillow when available; None when the codec stack is
-    absent (this container)."""
+    absent (this container) OR the blob is not decodable (corrupt bytes
+    must fall back, not fail the whole Spark task after retries)."""
     try:
         import io
 
         from PIL import Image  # noqa: F401
 
         return Image.open(io.BytesIO(data))
-    except ImportError:
+    except Exception:
         return None
 
 
@@ -193,14 +194,20 @@ def resize_images(
         data = bytes(data) if data is not None else b""
         img = _try_decode_image(data)
         if img is None:
-            # no codec stack: byte-identical passthrough, flagged
+            # no codec stack OR undecodable blob: byte-identical
+            # passthrough, flagged
             return data, width, height, False
-        import io
+        try:
+            import io
 
-        resized = img.resize((width, height))
-        buf = io.BytesIO()
-        resized.save(buf, format=img.format or "PNG")
-        return buf.getvalue(), width, height, True
+            resized = img.resize((width, height))
+            buf = io.BytesIO()
+            resized.save(buf, format=img.format or "PNG")
+            return buf.getvalue(), width, height, True
+        except Exception:
+            # truncated frames / unwritable formats degrade to passthrough;
+            # one bad blob must never fail a 100 TB stage
+            return data, width, height, False
 
     def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
         import pandas as pd
@@ -223,7 +230,8 @@ def resize_images(
 
 def _try_sample_video(data: bytes, every_ms: int):
     """Real frame sampling via the ``av`` codec stack when available; None
-    when it is absent (this container)."""
+    when it is absent (this container) or the blob is undecodable (a
+    corrupt video must fall back, not fail the stage)."""
     try:  # pragma: no cover - codec stack absent in this container
         import io
 
@@ -241,7 +249,7 @@ def _try_sample_video(data: bytes, every_ms: int):
                     frames.append((ms, buf.getvalue()))
                     next_ms += every_ms
         return frames
-    except ImportError:
+    except Exception:
         return None
 
 

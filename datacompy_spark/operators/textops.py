@@ -745,7 +745,10 @@ def remove_dup_spans(
     Returns ``(doc_id, n_tokens, n_removed, text)`` — ``text`` is the
     whitespace-normalized surviving token stream ('' when everything was
     boilerplate), NULL for NULL-text documents; ``n_tokens`` counts the
-    normalized tokens before removal.
+    normalized tokens before removal. An EMPTY document deliberately
+    counts its one phantom ``''`` token (``n_tokens`` = 1, never covered
+    since no gram forms) so '' survives the round trip distinct from
+    NULL.
 
     Scale shape (mirrors :func:`line_dedup`'s hot-key discipline): the
     per-gram fold is a two-level aggregate — ``groupBy(gram, doc_id)``
@@ -984,7 +987,10 @@ def vocab_coverage(
     quality heuristics in :func:`quality_metrics`.
 
     Returns ``(doc_id, n_tokens, n_oov, n_distinct_oov, oov_rate)`` —
-    NULL-text documents are retained with 0 tokens and NULL rate.
+    NULL-text AND empty/punctuation-only documents are retained with 0
+    tokens and NULL rate (the tokenizer's phantom ``''`` token for empty
+    normalized text is excluded: an empty document has no coverage to
+    measure, and vocabularies never contain the empty string).
 
     Scale shape: vocabularies are small by construction (10⁴–10⁵ entries
     for word-level, fewer for BPE merges), so the vocab side is broadcast
@@ -995,7 +1001,7 @@ def vocab_coverage(
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
-    )
+    ).filter(F.col("tok") != "")
     vocab = F.broadcast(
         vocab_df.select(F.col(vocab_col).alias("tok"))
         .filter(F.col("tok").isNotNull())
@@ -1044,7 +1050,8 @@ def vocab_coverage_sql(
     return f"""
 WITH t AS (SELECT {id_col} AS doc_id, {tokens_sql(text_col)} AS toks
            FROM {table_expr}),
-tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+tok AS (SELECT doc_id, tok FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+        WHERE tok <> ''),
 vocab AS (SELECT DISTINCT {vocab_col} AS tok, 1 AS known
           FROM {vocab_expr} WHERE {vocab_col} IS NOT NULL),
 per AS (

@@ -1483,6 +1483,7 @@ class TestVocabCoverage:
                 (1, "alpha beta gamma"),        # all known
                 (2, "alpha qwerty zxcvb zxcvb"),  # 3 oov tokens, 2 distinct
                 (3, None),                       # NULL text retained
+                (4, "!!! ..."),                  # punctuation-only: 0 tokens
             ],
             "doc_id bigint, text string",
         )
@@ -1498,6 +1499,8 @@ class TestVocabCoverage:
         assert out[2]["n_distinct_oov"] == 2
         assert out[2]["oov_rate"] == pytest.approx(3 / 4)
         assert out[3]["n_tokens"] == 0 and out[3]["oov_rate"] is None
+        # the tokenizer's phantom '' token must NOT read as 100% OOV
+        assert out[4]["n_tokens"] == 0 and out[4]["oov_rate"] is None
 
     def test_normalization_matches_tokenizer(self, spark):
         # vocab lookup happens on the NORMALIZED token form: "Alpha!" in a
