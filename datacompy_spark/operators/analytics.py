@@ -671,6 +671,137 @@ def fk_discovery(
     return out
 
 
+def ks_drift(
+    old: DataFrame,
+    new: DataFrame,
+    value_col: str,
+    num_partitions: Optional[int] = None,
+    checkpoint_dir: Optional[str] = None,
+) -> DataFrame:
+    """EXACT two-sample Kolmogorov–Smirnov statistic between two snapshots
+    of a numeric column — the classic distribution-drift test to sit next
+    to :func:`histogram_drift`'s binned TV/PSI scores: KS needs no bin
+    choice and catches shifts PSI's fixed bins smear out.
+
+    Returns ONE row ``(n_old, n_new, ks_stat)`` — ``ks_stat`` is
+    ``max |ECDF_old(v) - ECDF_new(v)|`` over every distinct value, NULL
+    when either side is empty. NULLs are excluded (they have no position
+    on the value axis).
+
+    Scale shape: each side collapses to distinct-value counts first
+    (partial-agg groupBy — the ECDF needs one row per DISTINCT value, not
+    per row), the two count frames full-outer join on the value, and the
+    cumulative sums come from the same DISTRIBUTED two-phase prefix sum
+    as ``pack_sequences`` (range partition by value → per-partition
+    subtotals → broadcast offsets → partition-local cumsum). A naive
+    unpartitioned ``ORDER BY value`` window would sort every distinct
+    value into ONE task — a billion-distinct double column at 100 TB
+    makes that the job. The max itself is an ordinary partial-agg.
+    Division is exact-int/exact-int once per distinct value, so the
+    statistic is bit-identical under any partition layout."""
+    from datacompy_spark.operators.textops import _shuffle_partition_count
+    from datacompy_spark.plans.barrier import lineage_barrier
+
+    a = (
+        old.select(F.col(value_col).alias("v"))
+        .filter(F.col("v").isNotNull())
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("ca"))
+    )
+    b = (
+        new.select(F.col(value_col).alias("v"))
+        .filter(F.col("v").isNotNull())
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    pooled = (
+        a.join(b, "v", "full_outer")
+        .select(
+            "v",
+            F.coalesce(F.col("ca"), F.lit(0)).cast("long").alias("ca"),
+            F.coalesce(F.col("cb"), F.lit(0)).cast("long").alias("cb"),
+        )
+    )
+    n_parts = num_partitions or _shuffle_partition_count(pooled.sparkSession)
+    # barrier: the ranged frame feeds BOTH the subtotal aggregate and the
+    # final cumsum projection; range bounds are sampled and
+    # spark_partition_id is physical, so both branches must read the same
+    # materialized partitioning
+    ranged = lineage_barrier(
+        pooled.repartitionByRange(n_parts, "v").withColumn(
+            "pid", F.spark_partition_id()
+        ),
+        checkpoint_dir,
+        eager=False,
+    )
+    w_prior = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        ranged.groupBy("pid")
+        .agg(F.sum("ca").alias("__sa"), F.sum("cb").alias("__sb"))
+        .select(
+            "pid",
+            F.coalesce(F.sum("__sa").over(w_prior), F.lit(0)).alias("__offa"),
+            F.coalesce(F.sum("__sb").over(w_prior), F.lit(0)).alias("__offb"),
+        )
+    )
+    w_local = (
+        Window.partitionBy("pid")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    totals = pooled.agg(
+        F.sum("ca").alias("n_old"), F.sum("cb").alias("n_new")
+    )
+    cum = ranged.join(F.broadcast(offsets), "pid").select(
+        (F.sum("ca").over(w_local) + F.col("__offa")).alias("cum_a"),
+        (F.sum("cb").over(w_local) + F.col("__offb")).alias("cum_b"),
+    )
+    d = F.abs(
+        F.try_divide(F.col("cum_a").cast("double"), F.col("n_old").cast("double"))
+        - F.try_divide(F.col("cum_b").cast("double"), F.col("n_new").cast("double"))
+    )
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .agg(
+            F.first(F.col("n_old")).alias("n_old"),
+            F.first(F.col("n_new")).alias("n_new"),
+            F.max(d).alias("ks_stat"),
+        )
+        .select(
+            F.coalesce(F.col("n_old"), F.lit(0)).cast("long").alias("n_old"),
+            F.coalesce(F.col("n_new"), F.lit(0)).cast("long").alias("n_new"),
+            "ks_stat",
+        )
+    )
+
+
+def ks_drift_sql(
+    old_expr: str, new_expr: str, value_col: str
+) -> str:
+    """DuckDB twin of :func:`ks_drift` (single-node window cumsum over the
+    same distinct-value counts; pooled values are unique per row, so ROWS
+    vs RANGE framing cannot differ)."""
+    return f"""
+WITH a AS (SELECT {value_col} AS v, count(*) AS ca FROM {old_expr}
+           WHERE {value_col} IS NOT NULL GROUP BY 1),
+b AS (SELECT {value_col} AS v, count(*) AS cb FROM {new_expr}
+      WHERE {value_col} IS NOT NULL GROUP BY 1),
+pooled AS (
+  SELECT coalesce(a.v, b.v) AS v,
+         coalesce(ca, 0)::BIGINT AS ca, coalesce(cb, 0)::BIGINT AS cb
+  FROM a FULL JOIN b ON a.v = b.v),
+tot AS (SELECT sum(ca)::BIGINT AS n_old, sum(cb)::BIGINT AS n_new FROM pooled),
+c AS (
+  SELECT sum(ca) OVER w AS cum_a, sum(cb) OVER w AS cum_b FROM pooled
+  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT coalesce(t.n_old, 0)::BIGINT AS n_old,
+       coalesce(t.n_new, 0)::BIGINT AS n_new,
+  max(abs(c.cum_a::DOUBLE / t.n_old::DOUBLE
+          - c.cum_b::DOUBLE / t.n_new::DOUBLE)) AS ks_stat
+FROM c, tot t
+GROUP BY t.n_old, t.n_new"""
+
+
 def _key_base(col: str) -> str:
     """Canonical key-name base: TPC-H-style single/double-letter table
     prefixes strip (``o_custkey`` and ``c_custkey`` → ``custkey``); longer

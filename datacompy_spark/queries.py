@@ -602,6 +602,7 @@ _SWEEP_FIRST = [
     "semantic_decontaminate",
     "vocab_coverage",
     "html_extract",
+    "drift_ks",
     # output changed in r8 session 5 (now grades 4 ANN paths incl. PQ) —
     # re-earn its driver-green row
     "knn_recall",

@@ -1954,6 +1954,48 @@ FROM per_part
 QUALIFY rank <= 3"""
 
 
+def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS statistic between l_quantity snapshots (same
+    planted drift as drift_histogram: every 3rd part's quantity shifted
+    +5, every 5th order dropped, NULLs planted on both sides and excluded
+    by contract). Bin-free counterpart of the histogram TV/PSI scores;
+    ECDFs via the distributed two-phase prefix sum."""
+    from datacompy_spark.operators.analytics import ks_drift
+
+    li = load_table(spark, sf_dir, "lineitem")
+    v1 = li.select(
+        F.when(F.col("l_orderkey") % 13 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("l_quantity"))
+        .alias("l_quantity")
+    )
+    v2 = li.filter(F.col("l_orderkey") % 5 != 0).select(
+        F.when(F.col("l_partkey") % 11 == 1, F.lit(None).cast("double"))
+        .when(F.col("l_partkey") % 3 == 0, F.col("l_quantity") + F.lit(5.0))
+        .otherwise(F.col("l_quantity"))
+        .alias("l_quantity")
+    )
+    return ks_drift(v1, v2, "l_quantity")
+
+
+def _sql_drift_ks() -> str:
+    from datacompy_spark.operators.analytics import ks_drift_sql
+
+    v1 = (
+        "(SELECT CASE WHEN l_orderkey % 13 = 0 THEN NULL"
+        " ELSE l_quantity END AS l_quantity FROM lineitem)"
+    )
+    v2 = (
+        "(SELECT CASE WHEN l_partkey % 11 = 1 THEN NULL"
+        " WHEN l_partkey % 3 = 0 THEN l_quantity + 5.0"
+        " ELSE l_quantity END AS l_quantity"
+        " FROM lineitem WHERE l_orderkey % 5 <> 0)"
+    )
+    return ks_drift_sql(v1, v2, "l_quantity")
+
+
+SQL_DRIFT_KS = _sql_drift_ks()
+
+
 def q_drift_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-bin distribution drift of l_quantity between two lineitem
     snapshots (operators/analytics.py::histogram_drift). psi_term is
@@ -2796,6 +2838,7 @@ PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_decontaminate": q_semantic_decontaminate,
     "vocab_coverage": q_vocab_coverage,
     "html_extract": q_html_extract,
+    "drift_ks": q_drift_ks,
 }
 
 PIPELINE_ORACLES: Dict[str, str] = {
@@ -2884,4 +2927,5 @@ PIPELINE_ORACLES: Dict[str, str] = {
     "semantic_decontaminate": SQL_SEMANTIC_DECONTAMINATE,
     "vocab_coverage": SQL_VOCAB_COVERAGE,
     "html_extract": SQL_HTML_EXTRACT,
+    "drift_ks": SQL_DRIFT_KS,
 }

@@ -775,6 +775,53 @@ class TestJoinCardinality:
         assert plan.count("HashAggregate") >= 4  # partial+final per side
 
 
+class TestKsDrift:
+    def test_matches_scipy_style_hand_computation(self, spark):
+        from datacompy_spark.operators.analytics import ks_drift
+
+        # old: {1,2,3,4}; new: {3,4,5,6} — ECDF gap peaks at v=2: |0.5 - 0|
+        old = spark.createDataFrame([(float(v),) for v in [1, 2, 3, 4]], "x double")
+        new = spark.createDataFrame([(float(v),) for v in [3, 4, 5, 6]], "x double")
+        r = ks_drift(old, new, "x").collect()[0]
+        assert r["n_old"] == 4 and r["n_new"] == 4
+        assert r["ks_stat"] == pytest.approx(0.5)
+
+    def test_identical_snapshots_zero(self, spark):
+        from datacompy_spark.operators.analytics import ks_drift
+
+        df = spark.createDataFrame(
+            [(float(v % 7),) for v in range(100)], "x double"
+        )
+        r = ks_drift(df, df, "x").collect()[0]
+        assert r["ks_stat"] == 0.0
+
+    def test_nulls_excluded_and_empty_side(self, spark):
+        from datacompy_spark.operators.analytics import ks_drift
+
+        old = spark.createDataFrame([(1.0,), (None,)], "x double")
+        new = spark.createDataFrame([(None,)], "x double")
+        r = ks_drift(old, new, "x").collect()[0]
+        assert r["n_old"] == 1 and r["n_new"] == 0
+        assert r["ks_stat"] is None
+
+    def test_partition_invariance(self, spark):
+        from datacompy_spark.operators.analytics import ks_drift
+
+        import random
+
+        rng = random.Random(7)
+        old = spark.createDataFrame(
+            [(float(rng.randint(0, 40)),) for _ in range(500)], "x double"
+        )
+        new = spark.createDataFrame(
+            [(float(rng.randint(5, 45)),) for _ in range(400)], "x double"
+        )
+        r1 = ks_drift(old, new, "x", num_partitions=1).collect()[0]
+        r7 = ks_drift(old, new, "x", num_partitions=7).collect()[0]
+        r64 = ks_drift(old, new, "x", num_partitions=64).collect()[0]
+        assert r1["ks_stat"] == r7["ks_stat"] == r64["ks_stat"] > 0.0
+
+
 class TestKeyContainment:
     def test_partial_containment_and_null_exclusion(self, spark):
         from datacompy_spark.operators.analytics import key_containment
