@@ -34,7 +34,7 @@ def main() -> int:
     muls = [int(m) for m in (sys.argv[1:] or ["1", "4", "16"])]
     all_sections = (
         "compare", "minhash", "spans", "incr", "cdc", "bucketed", "cc",
-        "kmeans", "ivfindex", "pagerank", "hotkey"
+        "kmeans", "ivfindex", "pagerank", "hotkey", "ks"
     )
     sections = set(
         s.strip() for s in os.environ.get(
@@ -157,6 +157,46 @@ def main() -> int:
             t1 = el
         print(
             f"minhash x{mult:<3d} docs={n:>9,d}  pairs={n_pairs:>8,d}"
+            f"  sec={el:7.2f}  vs_x1={el/t1:5.2f} (linear => ~{mult})",
+            flush=True,
+        )
+    # ---- KS drift: BOTH snapshot size AND distinct-value cardinality
+    # scale (each copy jitters values by i*1e-7, so the pooled ECDF grows
+    # ∝ mult — the axis that would break a naive global ORDER BY window;
+    # the distributed two-phase prefix sum must stay ~linear)
+    from datacompy_spark.operators.analytics import ks_drift
+
+    li_ks = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_extendedprice"
+    )
+    t1 = None
+    for mult in muls if "ks" in sections else []:
+        parts = []
+        for i in range(mult):
+            parts.append(
+                li_ks.select(
+                    (F.col("l_extendedprice") + F.lit(i * 1e-7)).alias("v"),
+                    "l_orderkey",
+                    "l_partkey",
+                )
+            )
+        base = parts[0]
+        for p in parts[1:]:
+            base = base.unionAll(p)
+        old_s = base.select(F.col("v").alias("x"))
+        new_s = base.filter(F.col("l_orderkey") % 5 != 0).select(
+            F.when(F.col("l_partkey") % 3 == 0, F.col("v") + F.lit(100.0))
+            .otherwise(F.col("v"))
+            .alias("x")
+        )
+        n = base.count()
+        t0 = time.perf_counter()
+        r = ks_drift(old_s, new_s, "x").collect()[0]
+        el = time.perf_counter() - t0
+        if t1 is None:
+            t1 = el
+        print(
+            f"ks      x{mult:<3d} rows={n:>10,d}  ks={r['ks_stat']:.4f}"
             f"  sec={el:7.2f}  vs_x1={el/t1:5.2f} (linear => ~{mult})",
             flush=True,
         )
