@@ -632,3 +632,100 @@ class TestKeyContainmentProperties:
         df = spark.createDataFrame([(v,) for v in vals], "k int")
         r = key_containment(df, "k", df, "k").collect()[0]
         assert r["containment"] == 1.0 and r["coverage"] == 1.0
+
+
+class TestKsDriftProperties:
+    @staticmethod
+    def _model(old, new):
+        import bisect
+
+        a = sorted(v for v in old if v is not None)
+        b = sorted(v for v in new if v is not None)
+        if not a or not b:
+            return None
+        pooled = sorted(set(a) | set(b))
+        best = 0.0
+        for v in pooled:
+            fa = bisect.bisect_right(a, v) / len(a)
+            fb = bisect.bisect_right(b, v) / len(b)
+            best = max(best, abs(fa - fb))
+        return best
+
+    @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        old=st.lists(
+            st.one_of(st.none(), st.integers(min_value=0, max_value=15).map(float)),
+            min_size=1,
+            max_size=40,
+        ),
+        new=st.lists(
+            st.one_of(st.none(), st.integers(min_value=0, max_value=15).map(float)),
+            min_size=1,
+            max_size=40,
+        ),
+    )
+    def test_matches_pure_python_ecdf(self, spark, old, new):
+        from datacompy_spark.operators.analytics import ks_drift
+
+        odf = spark.createDataFrame([(v,) for v in old], "x double")
+        ndf = spark.createDataFrame([(v,) for v in new], "x double")
+        r = ks_drift(odf, ndf, "x").collect()[0]
+        want = self._model(old, new)
+        if want is None:
+            assert r["ks_stat"] is None
+        else:
+            assert r["ks_stat"] == pytest.approx(want, abs=1e-12)
+
+
+class TestStripHtmlProperties:
+    @staticmethod
+    def _model(html):
+        import re
+
+        if html is None:
+            return None
+        s = html
+        for pat, rep in [
+            (r"(?s)<script[^>]*>.*?</script>", " "),
+            (r"(?s)<style[^>]*>.*?</style>", " "),
+            (r"(?s)<!--.*?-->", " "),
+            (r"<[^>]*>", " "),
+        ]:
+            s = re.sub(pat, rep, s)
+        for ent, rep in [
+            ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+            ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&"),
+        ]:
+            s = s.replace(ent, rep)
+        return re.sub(r"\s+", " ", s).strip()
+
+    @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        docs=st.lists(
+            st.one_of(
+                st.none(),
+                st.lists(
+                    st.sampled_from([
+                        "<p>", "</p>", "<script>x<y</script>", "<style>a</style>",
+                        "<!-- c -->", "word", "&amp;", "&lt;", "&nbsp;", "a<b",
+                        "<div class='x'>", "\n", "tail",
+                    ]),
+                    min_size=0,
+                    max_size=8,
+                ).map("".join),
+            ),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    def test_matches_python_re_model(self, spark, docs):
+        from datacompy_spark.operators.textops import strip_html
+
+        df = spark.createDataFrame(
+            list(enumerate(docs)), "doc_id bigint, html string"
+        )
+        got = {
+            r["doc_id"]: r["text"]
+            for r in strip_html(df, "doc_id", "html").collect()
+        }
+        assert got == {i: self._model(d) for i, d in enumerate(docs)}
