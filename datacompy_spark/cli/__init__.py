@@ -216,6 +216,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     pr.add_argument("--columns", help="comma-separated subset of columns")
     pr.add_argument(
+        "--ks", action="store_true",
+        help="with --compare-to: also compute the exact two-sample KS "
+        "statistic per numeric column (bin-free distribution drift; one "
+        "extra distributed ECDF pass per column)",
+    )
+    pr.add_argument(
         "--rel-tol",
         type=float,
         default=0.1,
@@ -912,6 +918,8 @@ def run_profile(args) -> int:
         except Exception as ex:
             raise CLIError(f"failed to load inputs: {ex}") from ex
         try:
+            if args.ks and ref is None:
+                raise CLIError("--ks requires --compare-to")
             out = (
                 table_profile(df, cols, approx_distinct=not args.exact_distinct)
                 if ref is None
@@ -922,6 +930,24 @@ def run_profile(args) -> int:
                 )
             )
             rows = out.toPandas()
+            if args.ks and ref is not None:
+                from pyspark.sql.types import NumericType
+
+                from datacompy_spark.operators.analytics import ks_drift
+
+                shared = set(cols or df.columns) & set(ref.columns)
+                numeric = [
+                    f.name
+                    for f in df.schema.fields
+                    if f.name in shared and isinstance(f.dataType, NumericType)
+                ]
+                ks_map = {
+                    c: ks_drift(df, ref, c).collect()[0]["ks_stat"]
+                    for c in numeric
+                }
+                rows["ks_stat"] = rows["col_name"].map(ks_map)
+        except CLIError:
+            raise
         except Exception as ex:
             raise CLIError(str(ex)) from ex
         if args.format == "json":

@@ -333,6 +333,30 @@ class TestProfileCommand:
         assert main(["profile", "--input", a, "--compare-to", a, "--quiet"]) == 0
         assert main(["profile", "--input", a, "--compare-to", b, "--quiet"]) == 1
 
+    def test_profile_compare_ks_column(self, tmp_path, capsys, spark):
+        a = str(tmp_path / "ka.parquet")
+        b = str(tmp_path / "kb.parquet")
+        spark.createDataFrame(
+            [(i, float(i % 10), str(i)) for i in range(100)],
+            "id bigint, x double, s string",
+        ).write.parquet(a)
+        spark.createDataFrame(
+            [(i, float(i % 10) + 5.0, str(i)) for i in range(100)],
+            "id bigint, x double, s string",
+        ).write.parquet(b)
+        rc = main(["profile", "--input", a, "--compare-to", b, "--ks",
+                   "--format", "json"])
+        import json as _json
+
+        rows = {r["col_name"]: r for r in _json.loads(capsys.readouterr().out)}
+        assert rc in (0, 1)
+        # x shifted +5 over a 0-9 support: half the mass moves past 4.x
+        assert rows["x"]["ks_stat"] == pytest.approx(0.5)
+        # string column: no KS
+        assert rows["s"]["ks_stat"] is None
+        # --ks without --compare-to is a usage error
+        assert main(["profile", "--input", a, "--ks"]) == 2
+
     def test_profile_column_subset_and_exact(self, tmp_path, capsys, spark):
         p = str(tmp_path / "c.parquet")
         spark.createDataFrame([(i, str(i % 3)) for i in range(30)], "id bigint, v string").write.parquet(p)
