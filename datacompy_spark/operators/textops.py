@@ -1241,6 +1241,53 @@ SELECT doc_id, {strata}, rk FROM (
 WHERE rk <= {k}"""
 
 
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    n: int,
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    Spirakis A-ES): every row draws its md5-uniform ``u`` from the id (+
+    ``seed``), scores ``key = -ln(u) / w`` (an Exp(w) draw — smaller for
+    heavier weights), and the ``n`` smallest keys are the sample. The
+    quality-weighted corpus subsampling primitive: weight by an LM score
+    or quality signal and high-quality documents are proportionally more
+    likely to survive, reproducibly — same ids + same seed = same sample
+    under ANY partitioning or cluster size (no RNG state, no
+    ``sample()`` nondeterminism).
+
+    Rows with NULL or non-positive weight are excluded (zero weight = Exp
+    key +inf = never sampled; the filter makes that explicit). Ties on
+    the key break by id, so the sample is a total function of the input.
+
+    Scale shape: one narrow projection computes keys, then a distributed
+    TakeOrdered (per-partition top-n, merge on the driver — O(n) driver
+    memory, no full sort, no shuffle of the corpus). ``ln`` is used only
+    inside the ordering key, never in an output value, so float platform
+    wobble cannot change emitted DATA — only (astronomically unlikely)
+    near-tie orderings; the DuckDB cross-engine gate is deliberately not
+    claimed for this operator."""
+    from datacompy_spark.functions.hashing import md5_long
+
+    if n <= 0:
+        raise ValueError("weighted_sample: n must be positive")
+    w = F.col(weight_col).cast("double")
+    # md5_long is uniform on [0, 2^60); shift to (0, 1] so ln() is finite
+    u = (md5_long(F.col(id_col).cast("string"), seed) + F.lit(1.0)) / F.lit(
+        float(1 << 60)
+    )
+    key = -F.log(u) / w
+    return (
+        df.filter(w.isNotNull() & (w > 0))
+        .withColumn("__es_key", key)
+        .orderBy(F.col("__es_key").asc(), F.col(id_col).asc())
+        .limit(n)
+        .drop("__es_key")
+    )
+
+
 def corpus_mix_sample(
     df: DataFrame,
     id_col: str,

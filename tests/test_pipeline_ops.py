@@ -1444,6 +1444,56 @@ class TestIncrementalMinhashLedger:
             spark.sql("DROP TABLE IF EXISTS dedup_ledger_t2")
 
 
+class TestWeightedSample:
+    def test_deterministic_across_layouts(self, spark):
+        df = spark.createDataFrame(
+            [(i, float(1 + i % 5)) for i in range(200)], "doc_id bigint, w double"
+        )
+        s1 = sorted(
+            r["doc_id"]
+            for r in TO.weighted_sample(df.repartition(1), "doc_id", "w", 20).collect()
+        )
+        s7 = sorted(
+            r["doc_id"]
+            for r in TO.weighted_sample(df.repartition(7), "doc_id", "w", 20).collect()
+        )
+        assert s1 == s7 and len(s1) == 20
+
+    def test_weights_bias_inclusion(self, spark):
+        # one heavy doc (weight 10000) among 99 light (weight 1): across
+        # seeds it must appear in a 10-of-100 sample almost always
+        rows = [(0, 10000.0)] + [(i, 1.0) for i in range(1, 100)]
+        df = spark.createDataFrame(rows, "doc_id bigint, w double")
+        hits = sum(
+            any(
+                r["doc_id"] == 0
+                for r in TO.weighted_sample(df, "doc_id", "w", 10, seed=str(s)).collect()
+            )
+            for s in range(20)
+        )
+        assert hits >= 19
+
+    def test_nonpositive_weights_excluded_and_n_overflow(self, spark):
+        df = spark.createDataFrame(
+            [(1, 2.0), (2, 0.0), (3, -1.0), (4, None), (5, 1.0)],
+            "doc_id bigint, w double",
+        )
+        got = sorted(
+            r["doc_id"] for r in TO.weighted_sample(df, "doc_id", "w", 10).collect()
+        )
+        assert got == [1, 5]
+        with pytest.raises(ValueError):
+            TO.weighted_sample(df, "doc_id", "w", 0)
+
+    def test_seed_changes_sample(self, spark):
+        df = spark.createDataFrame(
+            [(i, 1.0) for i in range(300)], "doc_id bigint, w double"
+        )
+        a = {r["doc_id"] for r in TO.weighted_sample(df, "doc_id", "w", 30, seed="a").collect()}
+        b = {r["doc_id"] for r in TO.weighted_sample(df, "doc_id", "w", 30, seed="b").collect()}
+        assert a != b and len(a) == len(b) == 30
+
+
 class TestStripHtml:
     def test_tags_scripts_entities(self, spark):
         html = (
