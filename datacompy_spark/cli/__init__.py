@@ -222,6 +222,12 @@ def build_parser() -> argparse.ArgumentParser:
         "extra distributed ECDF pass per column)",
     )
     pr.add_argument(
+        "--ks-threshold", type=float,
+        help="with --ks: ALSO exit 1 when any column's ks_stat exceeds "
+        "this (report-only without it — the stats-drift flags alone "
+        "gate by default)",
+    )
+    pr.add_argument(
         "--rel-tol",
         type=float,
         default=0.1,
@@ -819,10 +825,10 @@ def run_profile(args) -> int:
     spark = SparkSession.builder.appName(args.spark_app_name).getOrCreate()
     try:
         if args.files or args.row_groups:
-            if args.compare_to or args.columns:
+            if args.compare_to or args.columns or args.ks:
                 raise CLIError(
                     "--files/--row-groups profile the physical layout only; "
-                    "they cannot combine with --compare-to or --columns"
+                    "they cannot combine with --compare-to, --columns, or --ks"
                 )
             try:
                 if args.row_groups:
@@ -862,10 +868,10 @@ def run_profile(args) -> int:
 
             from datacompy_spark.operators.profile import embedding_health
 
-            if args.compare_to or args.columns:
+            if args.compare_to or args.columns or args.ks:
                 raise CLIError(
                     "--vec-col profiles embedding health only; it cannot "
-                    "combine with --compare-to or --columns"
+                    "combine with --compare-to, --columns, or --ks"
                 )
             if not args.dim:
                 raise CLIError("--vec-col requires --dim")
@@ -964,7 +970,13 @@ def run_profile(args) -> int:
         drifted = rows[
             rows["null_rate_drifted"] | rows["distinct_drifted"] | rows["range_changed"]
         ]
-        return 1 if len(drifted) else 0
+        ks_gate = (
+            args.ks
+            and args.ks_threshold is not None
+            and "ks_stat" in rows
+            and bool((rows["ks_stat"].dropna() > args.ks_threshold).any())
+        )
+        return 1 if (len(drifted) or ks_gate) else 0
     finally:
         if created:
             spark.stop()

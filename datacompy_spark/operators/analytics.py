@@ -749,7 +749,10 @@ def ks_drift(
         .orderBy("v")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    totals = pooled.agg(
+    # totals from the CHECKPOINTED frame: aggregating `pooled` would
+    # re-execute both distinct-count groupBys and the full-outer join a
+    # second time (the barrier only covers the ranged branches)
+    totals = ranged.agg(
         F.sum("ca").alias("n_old"), F.sum("cb").alias("n_new")
     )
     cum = ranged.join(F.broadcast(offsets), "pid").select(
@@ -780,7 +783,11 @@ def ks_drift_sql(
 ) -> str:
     """DuckDB twin of :func:`ks_drift` (single-node window cumsum over the
     same distinct-value counts; pooled values are unique per row, so ROWS
-    vs RANGE framing cannot differ)."""
+    vs RANGE framing cannot differ). Degenerate contract: an empty side
+    divides by NULL (``nullif``) → NULL ks_stat like Spark's try_divide;
+    a fully empty pooled set returns ZERO rows here vs Spark's one
+    (0, 0, NULL) row — the Spark operator alone defines that edge, and
+    the registered query never produces it."""
     return f"""
 WITH a AS (SELECT {value_col} AS v, count(*) AS ca FROM {old_expr}
            WHERE {value_col} IS NOT NULL GROUP BY 1),
@@ -796,8 +803,8 @@ c AS (
   WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
 SELECT coalesce(t.n_old, 0)::BIGINT AS n_old,
        coalesce(t.n_new, 0)::BIGINT AS n_new,
-  max(abs(c.cum_a::DOUBLE / t.n_old::DOUBLE
-          - c.cum_b::DOUBLE / t.n_new::DOUBLE)) AS ks_stat
+  max(abs(c.cum_a::DOUBLE / nullif(t.n_old, 0)::DOUBLE
+          - c.cum_b::DOUBLE / nullif(t.n_new, 0)::DOUBLE)) AS ks_stat
 FROM c, tot t
 GROUP BY t.n_old, t.n_new"""
 

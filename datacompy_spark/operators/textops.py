@@ -1259,8 +1259,12 @@ def weighted_sample(
     ``sample()`` nondeterminism).
 
     Rows with NULL or non-positive weight are excluded (zero weight = Exp
-    key +inf = never sampled; the filter makes that explicit). Ties on
-    the key break by id, so the sample is a total function of the input.
+    key +inf = never sampled; the filter makes that explicit), and so are
+    NULL ids (a NULL id has no hash draw — left in, its NULL key would
+    sort NULLS-FIRST into every sample). Ties on the key break by id, so
+    with UNIQUE ids the sample is a total function of the input; rows
+    sharing an id share a key, and which physical duplicate survives a
+    cut is layout-dependent — deduplicate first if ids repeat.
 
     Scale shape: one narrow projection computes keys, then a distributed
     TakeOrdered (per-partition top-n, merge on the driver — O(n) driver
@@ -1280,7 +1284,7 @@ def weighted_sample(
     )
     key = -F.log(u) / w
     return (
-        df.filter(w.isNotNull() & (w > 0))
+        df.filter(w.isNotNull() & (w > 0) & F.col(id_col).isNotNull())
         .withColumn("__es_key", key)
         .orderBy(F.col("__es_key").asc(), F.col(id_col).asc())
         .limit(n)

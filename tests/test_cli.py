@@ -356,6 +356,27 @@ class TestProfileCommand:
         assert rows["s"]["ks_stat"] is None
         # --ks without --compare-to is a usage error
         assert main(["profile", "--input", a, "--ks"]) == 2
+        # --ks is rejected in layout/embedding modes, like its siblings
+        assert main(["profile", "--input", a, "--files", "--ks"]) == 2
+
+    def test_profile_ks_threshold_gates_shape_only_drift(
+        self, tmp_path, capsys, spark
+    ):
+        # same support (0..9), same distinct count, no nulls — the stats
+        # flags stay quiet; only the SHAPE moves (uniform vs 91% zeros)
+        a = str(tmp_path / "ga.parquet")
+        b = str(tmp_path / "gb.parquet")
+        spark.createDataFrame(
+            [(i, float(i % 10)) for i in range(100)], "id bigint, x double"
+        ).write.parquet(a)
+        spark.createDataFrame(
+            [(i, float(i - 90) if i >= 91 else 0.0) for i in range(100)],
+            "id bigint, x double",
+        ).write.parquet(b)
+        assert main(["profile", "--input", a, "--compare-to", b, "--ks",
+                     "--quiet"]) == 0
+        assert main(["profile", "--input", a, "--compare-to", b, "--ks",
+                     "--ks-threshold", "0.3", "--quiet"]) == 1
 
     def test_profile_column_subset_and_exact(self, tmp_path, capsys, spark):
         p = str(tmp_path / "c.parquet")
