@@ -699,8 +699,7 @@ def ks_drift(
     makes that the job. The max itself is an ordinary partial-agg.
     Division is exact-int/exact-int once per distinct value, so the
     statistic is bit-identical under any partition layout."""
-    from datacompy_spark.operators.textops import _shuffle_partition_count
-    from datacompy_spark.plans.barrier import lineage_barrier
+    from datacompy_spark.plans.partitioning import distributed_prefix_sum
 
     a = (
         old.select(F.col(value_col).alias("v"))
@@ -722,43 +721,23 @@ def ks_drift(
             F.coalesce(F.col("cb"), F.lit(0)).cast("long").alias("cb"),
         )
     )
-    n_parts = num_partitions or _shuffle_partition_count(pooled.sparkSession)
-    # barrier: the ranged frame feeds BOTH the subtotal aggregate and the
-    # final cumsum projection; range bounds are sampled and
-    # spark_partition_id is physical, so both branches must read the same
-    # materialized partitioning
-    ranged = lineage_barrier(
-        pooled.repartitionByRange(n_parts, "v").withColumn(
-            "pid", F.spark_partition_id()
-        ),
-        checkpoint_dir,
-        eager=False,
+    cum = distributed_prefix_sum(
+        pooled,
+        order_cols=["v"],
+        sum_cols=["ca", "cb"],
+        num_partitions=num_partitions,
+        checkpoint_dir=checkpoint_dir,
+    ).select(
+        F.col("ca_cum").alias("cum_a"),
+        F.col("cb_cum").alias("cum_b"),
+        "ca",
+        "cb",
     )
-    w_prior = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = (
-        ranged.groupBy("pid")
-        .agg(F.sum("ca").alias("__sa"), F.sum("cb").alias("__sb"))
-        .select(
-            "pid",
-            F.coalesce(F.sum("__sa").over(w_prior), F.lit(0)).alias("__offa"),
-            F.coalesce(F.sum("__sb").over(w_prior), F.lit(0)).alias("__offb"),
-        )
-    )
-    w_local = (
-        Window.partitionBy("pid")
-        .orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    # totals from the CHECKPOINTED frame: aggregating `pooled` would
-    # re-execute both distinct-count groupBys and the full-outer join a
-    # second time (the barrier only covers the ranged branches)
-    totals = ranged.agg(
-        F.sum("ca").alias("n_old"), F.sum("cb").alias("n_new")
-    )
-    cum = ranged.join(F.broadcast(offsets), "pid").select(
-        (F.sum("ca").over(w_local) + F.col("__offa")).alias("cum_a"),
-        (F.sum("cb").over(w_local) + F.col("__offb")).alias("cum_b"),
-    )
+    # totals from the cumsum output frame: aggregating `pooled` again
+    # would re-execute both distinct-count groupBys and the full-outer
+    # join (the helper's barrier only covers its own branches)
+    totals = cum.agg(F.sum("ca").alias("n_old"), F.sum("cb").alias("n_new"))
+    cum = cum.select("cum_a", "cum_b")
     d = F.abs(
         F.try_divide(F.col("cum_a").cast("double"), F.col("n_old").cast("double"))
         - F.try_divide(F.col("cum_b").cast("double"), F.col("n_new").cast("double"))

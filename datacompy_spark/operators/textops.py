@@ -468,9 +468,7 @@ def pack_sequences(
     range bounds are sampled and ``spark_partition_id`` is physical, so the
     two branches must read the SAME materialized partitioning.
     ``checkpoint_dir`` upgrades the barrier to a reliable checkpoint."""
-    from pyspark.sql import Window
-
-    from datacompy_spark.plans.barrier import lineage_barrier
+    from datacompy_spark.plans.partitioning import distributed_prefix_sum
 
     n_tok = whitespace_token_count(F.col(text_col)).cast("long")
     staged = df.select(
@@ -478,44 +476,24 @@ def pack_sequences(
         F.col(group_col).alias("grp"),
         n_tok.alias("n_tokens"),
     )
-    n_parts = num_partitions or _shuffle_partition_count(df.sparkSession)
-    ranged = lineage_barrier(
-        staged.repartitionByRange(n_parts, "grp", "doc_id").withColumn(
-            "pid", F.spark_partition_id()
-        ),
-        checkpoint_dir,
-        eager=False,
+    cum = distributed_prefix_sum(
+        staged,
+        order_cols=["doc_id"],
+        sum_cols=["n_tokens"],
+        group_cols=["grp"],
+        num_partitions=num_partitions,
+        checkpoint_dir=checkpoint_dir,
     )
-    w_prior = (
-        Window.partitionBy("grp")
-        .orderBy("pid")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = (
-        ranged.groupBy("grp", "pid")
-        .agg(F.sum("n_tokens").alias("__sub"))
-        .select(
-            "grp",
-            "pid",
-            F.coalesce(F.sum("__sub").over(w_prior), F.lit(0)).alias("__off"),
+    return cum.select(
+        "doc_id",
+        "grp",
+        "n_tokens",
+        # exclusive running total: the bin a document STARTS in
+        F.floor(
+            (F.col("n_tokens_cum") - F.col("n_tokens")) / F.lit(token_budget)
         )
-    )
-    w_local = (
-        Window.partitionBy("grp", "pid")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = F.sum("n_tokens").over(w_local) + F.col("__off")
-    return (
-        ranged.join(F.broadcast(offsets), ["grp", "pid"])
-        .select(
-            "doc_id",
-            "grp",
-            "n_tokens",
-            F.floor((cum - F.col("n_tokens")) / F.lit(token_budget))
-            .cast("long")
-            .alias("bin_id"),
-        )
+        .cast("long")
+        .alias("bin_id"),
     )
 
 

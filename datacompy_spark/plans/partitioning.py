@@ -86,3 +86,85 @@ def skew_salted_join(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)).cast("array<int>"))
     )
     return salted_l.join(salted_r, on=keys + ["__salt"], how=how).drop("__salt")
+
+
+def distributed_prefix_sum(
+    df: DataFrame,
+    order_cols,
+    sum_cols,
+    group_cols=(),
+    num_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Inclusive running sums of ``sum_cols`` ordered by ``order_cols``
+    (within ``group_cols``) as a DISTRIBUTED two-phase prefix sum — the
+    shared machinery under ``pack_sequences`` (token budgets) and
+    ``ks_drift`` (ECDFs). Appends one ``<col>_cum`` column per sum col.
+
+    Why not a plain window: ``ORDER BY`` with no partition key (or one hot
+    group) sorts EVERYTHING into one task. Here: range partition by
+    (group, order) so each task owns a contiguous slice → per-partition
+    subtotals (rows = n_partitions, trivially small) → exclusive running
+    offsets over the subtotal frame → broadcast back → partition-LOCAL
+    cumulative sums. No task ever scans more than one range slice.
+
+    Invariants callers must not break: the ranged frame passes through a
+    lineage barrier because BOTH the subtotal aggregate and the final
+    projection reference it — range bounds are sampled and
+    ``spark_partition_id`` is physical, so the two branches must read the
+    SAME materialized partitioning (``eager=False``: the one checkpointed
+    RDD is shared lazily). The offset window frame is EXCLUSIVE
+    (``rowsBetween(unbounded, -1)``): a partition's own subtotal must not
+    offset itself."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from datacompy_spark.plans.barrier import lineage_barrier
+
+    group_cols = list(group_cols)
+    order_cols = list(order_cols)
+    sum_cols = list(sum_cols)
+    n_parts = num_partitions
+    if n_parts is None:
+        from datacompy_spark.operators.textops import _shuffle_partition_count
+
+        n_parts = _shuffle_partition_count(df.sparkSession)
+    ranged = lineage_barrier(
+        df.repartitionByRange(n_parts, *group_cols, *order_cols).withColumn(
+            "__psum_pid", F.spark_partition_id()
+        ),
+        checkpoint_dir,
+        eager=False,
+    )
+    w_prior = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__psum_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        ranged.groupBy(*group_cols, "__psum_pid")
+        .agg(*[F.sum(c).alias(f"__sub_{c}") for c in sum_cols])
+        .select(
+            *group_cols,
+            "__psum_pid",
+            *[
+                F.coalesce(F.sum(f"__sub_{c}").over(w_prior), F.lit(0)).alias(
+                    f"__off_{c}"
+                )
+                for c in sum_cols
+            ],
+        )
+    )
+    w_local = (
+        Window.partitionBy(*group_cols, "__psum_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = ranged.join(F.broadcast(offsets), [*group_cols, "__psum_pid"])
+    return out.select(
+        *df.columns,
+        *[
+            (F.sum(c).over(w_local) + F.col(f"__off_{c}")).alias(f"{c}_cum")
+            for c in sum_cols
+        ],
+    )
