@@ -23,6 +23,7 @@ from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from datacompy_spark.functions.hashing import (
     hamming_distance,
@@ -1505,8 +1506,17 @@ def incremental_dedup_with_ledger(
             .agg(F.min("corpus_id").alias("corpus_match"))
         )
     else:
+        # first-ever ingest: the empty bootstrap frame must carry the SAME
+        # id type as the batch (string ids would otherwise hit a
+        # union/join type mismatch on the very first run)
         matches = spark.createDataFrame(
-            [], "chash string, corpus_match bigint"
+            [],
+            T.StructType(
+                [
+                    T.StructField("chash", T.StringType()),
+                    T.StructField("corpus_match", batch.schema[id_col].dataType),
+                ]
+            ),
         )
 
     out = (
@@ -1659,7 +1669,18 @@ def incremental_minhash_ledger(
             .select("doc_id", "corpus_match")
         )
     else:
-        member_hits = spark.createDataFrame([], "doc_id bigint, corpus_match bigint")
+        # bootstrap frame typed from the batch id column — see the exact
+        # ledger's first-ingest note
+        _id_type = batch.schema[id_col].dataType
+        member_hits = spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("doc_id", _id_type),
+                    T.StructField("corpus_match", _id_type),
+                ]
+            ),
+        )
 
     # batch-internal near-dups among corpus-clean docs (same subgraph rule
     # as incremental_dedup: a pair into a corpus-dup doc is irrelevant)

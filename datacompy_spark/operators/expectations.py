@@ -12,8 +12,10 @@ Rule dicts (``rule`` selects the kind):
 
 - ``{"rule": "not_null", "col": c}``
 - ``{"rule": "unique", "cols": [c, ...]}`` — uniqueness of the STRING
-  forms of the columns (NULL folds to a sentinel, so NULL keys are
-  compared too); supply a pre-computed key column for exotic types.
+  forms of the columns, combined through an injective per-part hash key
+  (no in-band separator a data value could collide with; NULL is its own
+  token, so NULL keys are compared too); supply a pre-computed key column
+  for exotic types.
 - ``{"rule": "accepted_values", "col": c, "values": [...]}``
 - ``{"rule": "in_range", "col": c, "lo": x, "hi": y}`` (inclusive)
 - ``{"rule": "matches_regex", "col": c, "pattern": p}`` — keep patterns in
@@ -30,8 +32,6 @@ from typing import Dict, List, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_NULL_SENTINEL = "\x1fNULL\x1f"
-_SEP = "\x1f"
 
 
 def _rule_name(rule: Dict) -> str:
@@ -67,11 +67,15 @@ def _violation_expr(rule: Dict) -> Column:
 
 
 def _string_key(cols: Sequence[Column]) -> Column:
-    parts = []
-    for i, c in enumerate(cols):
-        if i:
-            parts.append(F.lit(_SEP))
-        parts.append(F.coalesce(c.cast("string"), F.lit(_NULL_SENTINEL)))
+    """INJECTIVE composite key: each part is ``'V' + md5(string form)``
+    (33 chars, hex never collides with the prefix letters) or ``'N'`` for
+    NULL, so no separator character in the data can merge two distinct
+    tuples into one key — a plain ``concat_ws``-style key would undercount
+    distinct tuples whenever a value contains the separator."""
+    parts = [
+        F.coalesce(F.concat(F.lit("V"), F.md5(c.cast("string"))), F.lit("N"))
+        for c in cols
+    ]
     return F.concat(*parts)
 
 
@@ -111,11 +115,10 @@ def _violation_sql(rule: Dict) -> str:
     if kind == "not_null":
         return f"sum(CASE WHEN {rule['col']} IS NULL THEN 1 ELSE 0 END)::BIGINT"
     if kind == "unique":
-        parts = []
-        for i, c in enumerate(rule["cols"]):
-            if i:
-                parts.append(f"chr(31)")
-            parts.append(f"coalesce({c}::VARCHAR, chr(31) || 'NULL' || chr(31))")
+        # injective per-part hash key — see _string_key
+        parts = [
+            f"coalesce('V' || md5({c}::VARCHAR), 'N')" for c in rule["cols"]
+        ]
         key = " || ".join(parts)
         return f"(count(*) - count(DISTINCT {key}))::BIGINT"
     c = rule["col"]

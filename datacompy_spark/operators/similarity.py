@@ -221,6 +221,16 @@ def build_ivf_index(
     }
 
 
+# Streaming ingests write at this base offset (streaming/drift.py::
+# streaming_ivf_ingest uses STREAM_INGEST_BASE + batch_id) so they can
+# never collide with manual ``ann --append`` ingest ids, which
+# auto-increment from max(ingest)+1 BELOW the base.  Without the split
+# namespace, a manual append (ingest 1, 2, …) followed by a stream
+# (batch 0 → ingest 1) would dynamic-partition-OVERWRITE the earlier
+# append's (cell, ingest) leaves — silent data loss.
+STREAM_INGEST_BASE = 1 << 40
+
+
 def append_to_ivf_index(
     spark,
     path: str,
@@ -243,13 +253,17 @@ def append_to_ivf_index(
     leaves instead of double-appending. When ``ingest_id`` is None the
     next id is read from the partition values (metadata-sized scan) —
     callers with a natural id (stream batch id, pipeline run id) should
-    pass it for replay safety."""
+    pass it for replay safety. The auto-increment only considers ingests
+    below ``STREAM_INGEST_BASE``: streaming ingests live in their own id
+    namespace above it, so manual appends and a stream can share an index
+    without overwriting each other's leaves."""
     from datacompy_spark.sources.loaders import write_partitioned
 
     pivots = spark.read.parquet(f"{path}/pivots")
     if ingest_id is None:
         prev = (
             spark.read.parquet(f"{path}/cells")
+            .filter(F.col("ingest") < F.lit(STREAM_INGEST_BASE))
             .agg(F.max("ingest"))
             .collect()[0][0]
         )

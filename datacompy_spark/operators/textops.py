@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from datacompy_spark.functions.hashing import char_ngrams
 from datacompy_spark.functions.text import (
+    _WS_CLASS,
     language_id,
     normalize,
     quality_metrics,
@@ -932,7 +933,9 @@ def strip_html(df: DataFrame, id_col: str, html_col: str) -> DataFrame:
     for ent, rep in _HTML_ENTITIES:
         # literal replace: entities are fixed strings, not patterns
         s = F.replace(s, F.lit(ent), F.lit(rep))
-    s = F.trim(F.regexp_replace(s, r"\s+", " "))
+    # explicit class, not \s+: Java \s includes \x0B, RE2's does not —
+    # _WS_CLASS is the engine-portable whitespace set (functions/text.py)
+    s = F.trim(F.regexp_replace(s, _WS_CLASS, " "))
     return df.select(F.col(id_col).alias("doc_id"), s.alias("text"))
 
 
@@ -947,7 +950,7 @@ def strip_html_sql(table_expr: str, id_col: str, html_col: str) -> str:
         e = ent.replace("'", "''")
         r = rep.replace("'", "''")
         s = f"replace({s}, '{e}', '{r}')"
-    s = f"trim(regexp_replace({s}, '\\s+', ' ', 'g'))"
+    s = f"trim(regexp_replace({s}, '{_WS_CLASS}', ' ', 'g'))"
     return f"SELECT {id_col} AS doc_id, {s} AS text FROM {table_expr}"
 
 

@@ -556,74 +556,64 @@ FROM j"""
 
 from datacompy_spark.queries_pipeline import PIPELINE_ORACLES, PIPELINE_QUERIES  # noqa: E402
 
-# Names that had not yet received a driver-verified CORRECTNESS row as of
-# round 6 (the driver's sweep returned the same 50 queries two rounds in a
-# row, suggesting it truncates or pins its list).  They are hoisted to the
-# FRONT of the registry so any prefix-truncating sweep verifies them first;
-# the long-verified cmp_* entries follow.  Relative order within each group
-# is otherwise preserved.
-# Rebuilt each round (VERDICT r7 rule): every name that has NEVER earned a
-# driver-green CORRECTNESS row leads, followed by the names whose last green
-# row is oldest (r6), so the driver's 50-name sweep alternates regression
-# coverage across rounds instead of re-proving the same fresh half.
+# Rebuilt each round (VERDICT r7/r8 rule): the driver's CORRECTNESS sweep
+# samples exactly the FIRST 50 registry names once per round, so the prefix
+# rotates: names whose most-recent driver-green row is OLDEST lead.  For
+# round 9 that is the 46 names the r8 sweep did not reach (every one of
+# them was driver-green in r7 and locally --unswept-verified in r8); the
+# remaining window slots go to queries newly registered this round, so the
+# never-driver-verified set stays empty.  The 50 names the r8 sweep just
+# re-proved fall to the tail.
 _SWEEP_FIRST = [
-    # never driver-green before r8: the two r7 ERRs (array-column
-    # canonicalizer crash, fixed in their wrappers) + the two r7
-    # registry-tail additions the sweep truncated away
-    "cdc_delta",
-    "embedding_quantize",
-    "ngram_dup_profile",
-    "fuzzy_key_match",
-    # registered new in r8 — hoisted so their first driver sweep is this
-    # round, keeping the never-driver-verified set empty
-    "dedup_incremental",
-    "shard_corpus",
-    "line_dedup",
-    "events_json_props",
-    "json_key_profile",
-    "events_anomaly",
-    "events_transitions",
-    "dedup_semantic",
-    "knn_pq",
-    "scd2_history",
-    "corpus_normalize",
-    "leakage_split",
-    "kmeans_assign",
-    "cluster_sample",
-    "leakage_split_fuzzy",
-    "embedding_health",
-    "bm25_search",
-    "lm_score",
-    "zorder_key",
-    "graph_pagerank",
-    "data_expectations",
-    "dup_span_removal",
-    "fk_discovery",
-    "semantic_decontaminate",
-    "vocab_coverage",
-    "html_extract",
-    "drift_ks",
-    # output changed in r8 session 5 (now grades 4 ANN paths incl. PQ) —
-    # re-earn its driver-green row
-    "knn_recall",
-    # last green in r6 — due for re-verification
-    "corpus_mix",
-    "curate_corpus",
-    "decontaminate",
-    "dedup_collapse",
-    "embedding_centroids",
-    "events_funnel",
-    "hash_split",
-    "media_features",
-    "pack_sequences",
-    "profile_compare",
-    "profile_quantiles",
-    "quality_filter",
-    "repetition_metrics",
-    "schema_compare",
-    "stratified_sample",
-    "stream_compare",
-    "table_profile",
+    # last driver-green in r7 — oldest evidence, re-earn it this round
+    "cmp_column_stats",
+    "cmp_unique_rows",
+    "cmp_all_mismatch",
+    "cmp_matches_summary",
+    "cmp_dupes_by_ordinal",
+    "cmp_string_timestamp_cast",
+    "cmp_bool_numeric",
+    "cmp_array_equal",
+    "cmp_null_keys",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "knn_cosine_bruteforce",
+    "knn_lsh",
+    "text_stats",
+    "lang_id",
+    "token_count",
+    "doc_fingerprint",
+    "events_hourly_rollup",
+    "events_sessionize",
+    "cmp_ignore_flags",
+    "stream_hourly_profile",
+    "knn_ivf",
+    "cmp_rel_tol",
+    "cmp_decimal",
+    "word_frequencies",
+    "events_asof_join",
+    "events_range_join",
+    "dedup_components",
+    "pii_scrub",
+    "cdc_apply",
+    "events_latest_per_user",
+    "key_skew_profile",
+    "sales_by_nation",
+    "events_retention",
+    "top_parts_per_supplier",
+    "drift_histogram",
+    "tfidf_top_terms",
+    "chunk_documents",
+    "events_multi_rollup",
+    "events_missing_periods",
+    "knn_int8",
+    "source_cap",
+    "join_cardinality",
+    # registered new in round 9 — first driver sweep is this round
+    "ledger_replay",
 ]
 
 

@@ -271,11 +271,18 @@ def streaming_ivf_ingest(
     append_to_ivf_index) — the streaming counterpart of ``ann --append``.
 
     Idempotence: foreachBatch is at-least-once, so the ingest id is
-    ``1 + batch_id`` and the write is a dynamic partition overwrite — a
-    replayed batch rewrites its own (cell, ingest) leaves instead of
-    double-appending (build occupies ingest=0). The standing index is
-    never rewritten; probes see new vectors as soon as the batch commits."""
-    from datacompy_spark.operators.similarity import append_to_ivf_index
+    ``STREAM_INGEST_BASE + batch_id`` (a deterministic function of the
+    checkpointed batch id) and the write is a dynamic partition
+    overwrite — a replayed batch rewrites its own (cell, ingest) leaves
+    instead of double-appending (build occupies ingest=0). Stream ingests
+    live ABOVE the base offset and manual ``ann --append`` ingests
+    auto-increment below it, so mixing the two paths on one index never
+    overwrites the other path's leaves. The standing index is never
+    rewritten; probes see new vectors as soon as the batch commits."""
+    from datacompy_spark.operators.similarity import (
+        STREAM_INGEST_BASE,
+        append_to_ivf_index,
+    )
 
     spark = stream.sparkSession
 
@@ -284,7 +291,7 @@ def streaming_ivf_ingest(
             return
         append_to_ivf_index(
             spark, index_path, batch_df, id_col, vec_col,
-            ingest_id=1 + batch_id,
+            ingest_id=STREAM_INGEST_BASE + batch_id,
         )
 
     writer = (

@@ -87,9 +87,33 @@ class TestExpectations:
             [(None, 1), (None, 1), (1, 2)], "a int, b int"
         )
         out = {r["rule"]: r for r in expect(df, [{"rule": "unique", "cols": ["a", "b"]}]).collect()}
-        # the two (NULL, 1) rows collide — NULL folds to a sentinel, it
+        # the two (NULL, 1) rows collide — NULL is its own key token, it
         # does not make rows vacuously distinct
         assert out["unique(a,b)"]["violations"] == 1
+
+    def test_unique_key_is_injective(self, spark):
+        # adversarial values: in-band \x1f separators and a literal
+        # NULL-sentinel string must NOT merge distinct tuples into one
+        # composite key (per-part hash keys are injective)
+        rows = [
+            ("a\x1f", "b"),      # ('a\x1f','b') vs ('a','\x1fb') would
+            ("a", "\x1fb"),      # collide under naive \x1f-joined concat
+            ("\x1fNULL\x1f", "x"),
+            (None, "x"),         # literal sentinel string vs real NULL
+        ]
+        df = spark.createDataFrame(rows, ["a", "b"])
+        out = {r["rule"]: r for r in expect(df, [{"rule": "unique", "cols": ["a", "b"]}]).collect()}
+        assert out["unique(a,b)"]["violations"] == 0
+
+        import duckdb
+        from datacompy_spark.operators.expectations import expect_sql
+
+        con = duckdb.connect()
+        con.register("t", df.toPandas())
+        oracle = con.execute(
+            expect_sql("t", [{"rule": "unique", "cols": ["a", "b"]}])
+        ).df()
+        assert int(oracle["violations"][0]) == 0
 
     def test_single_pass_plan(self, spark, frame):
         rules = [

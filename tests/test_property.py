@@ -697,7 +697,9 @@ class TestStripHtmlProperties:
             ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&"),
         ]:
             s = s.replace(ent, rep)
-        return re.sub(r"\s+", " ", s).strip()
+        # explicit portable whitespace class (NOT \s): Java \s includes
+        # \x0B, RE2's and this model's must not — mirrors _WS_CLASS
+        return re.sub(r"[ \t\n\r\f]+", " ", s).strip(" ")
 
     @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
     @given(
@@ -708,7 +710,7 @@ class TestStripHtmlProperties:
                     st.sampled_from([
                         "<p>", "</p>", "<script>x<y</script>", "<style>a</style>",
                         "<!-- c -->", "word", "&amp;", "&lt;", "&nbsp;", "a<b",
-                        "<div class='x'>", "\n", "tail",
+                        "<div class='x'>", "\n", "tail", "\t", "\x0b",
                     ]),
                     min_size=0,
                     max_size=8,

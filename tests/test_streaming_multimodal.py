@@ -564,7 +564,8 @@ class TestStreamingIvfIngest:
 
         cells = spark.read.parquet(f"{idx}/cells")
         assert cells.count() == emb.count()
-        # multiple ingest generations present (0 = build, 1.. = stream)
+        # multiple ingest generations present (0 = build; stream batches
+        # land at STREAM_INGEST_BASE + batch_id, their own namespace)
         gens = {r["ingest"] for r in cells.select("ingest").distinct().collect()}
         assert 0 in gens and len(gens) >= 3
 
@@ -604,3 +605,56 @@ class TestStreamingIvfIngest:
         append_to_ivf_index(spark, idx, batch, "vec_id", "embedding", ingest_id=7)
         n2 = spark.read.parquet(f"{idx}/cells").count()
         assert n1 == n2 == emb.count()
+
+    def test_manual_and_stream_ingests_share_one_index(
+        self, spark, sf_dir, tmp_path
+    ):
+        """Mixing ``ann --append`` (auto-increment below the base) with a
+        stream (batch 0 → STREAM_INGEST_BASE) must never overwrite the
+        other path's leaves, and the next manual auto-increment must not
+        jump into stream id space."""
+        from datacompy_spark.operators.similarity import (
+            STREAM_INGEST_BASE,
+            append_to_ivf_index,
+            build_ivf_index,
+        )
+        from datacompy_spark.streaming.drift import streaming_ivf_ingest
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        idx = str(tmp_path / "idx")
+        build_ivf_index(
+            emb.filter(F.col("vec_id") % 3 == 0), "vec_id", "embedding", idx,
+            pivots=emb.filter(F.col("vec_id") % 101 == 0).select(
+                "vec_id", "embedding"
+            ),
+        )
+        # manual append: auto-increment → ingest=1
+        manual = emb.filter(F.col("vec_id") % 3 == 1)
+        res = append_to_ivf_index(spark, idx, manual, "vec_id", "embedding")
+        assert res["ingest"] == 1
+        n_after_manual = spark.read.parquet(f"{idx}/cells").count()
+
+        # stream the last third: batch 0 must land ABOVE the base, not at
+        # ingest=1 where it would dynamic-overwrite the manual append
+        rest = emb.filter(F.col("vec_id") % 3 == 2).select("vec_id", "embedding")
+        sdir = str(tmp_path / "stream")
+        rest.coalesce(1).write.parquet(sdir)
+        q = streaming_ivf_ingest(
+            spark.readStream.schema(rest.schema).parquet(sdir),
+            idx, "vec_id", "embedding",
+            checkpoint_path=str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(120)
+        cells = spark.read.parquet(f"{idx}/cells")
+        assert cells.count() == emb.count()  # nothing lost
+        gens = {r["ingest"] for r in cells.select("ingest").distinct().collect()}
+        assert 1 in gens and STREAM_INGEST_BASE in gens
+
+        # a later manual auto-increment stays in manual space (2, not
+        # STREAM_INGEST_BASE + 1)
+        res2 = append_to_ivf_index(
+            spark, idx,
+            manual.limit(0), "vec_id", "embedding",
+        )
+        assert res2["ingest"] == 2
+        assert n_after_manual == emb.filter(F.col("vec_id") % 3 != 2).count()
