@@ -1453,6 +1453,56 @@ def incremental_dedup(
     return hits.unionByName(clean)
 
 
+def ledger_probe(
+    batch: DataFrame,
+    ledger: DataFrame,
+    id_col: str,
+    text_col: str,
+    broadcast_batch: bool = True,
+) -> DataFrame:
+    """PURE verdict core of the exact-hash ledger: probe a ``(chash,
+    corpus_id)`` ledger frame with a batch and return one row per batch
+    document — ``(doc_id, chash, verdict ∈ {new, dup_corpus, dup_batch},
+    match_id)``. The ledger additions an ingest owes back to the state
+    table are exactly the ``verdict = 'new'`` rows' ``(chash, doc_id)``.
+
+    :func:`incremental_dedup_with_ledger` wraps this with the catalog
+    table read/append lifecycle; the ``ledger_replay`` driver query calls
+    it directly with staged frames so the verdict/replay contract earns a
+    DuckDB-oracle row without needing catalog state.
+
+    Plan shape: the batch collapses to its distinct hashes first, and
+    with ``broadcast_batch`` (default) the ledger scan streams past a
+    broadcast of that hash set — the standing state is never shuffled.
+    """
+    maybe_bcast = F.broadcast if broadcast_batch else (lambda df: df)
+    bh = batch.select(
+        F.col(id_col).alias("doc_id"),
+        _content_hash(F.col(text_col)).alias("chash"),
+    )
+    bk = bh.groupBy("chash").agg(F.min("doc_id").alias("batch_keep"))
+    matches = (
+        ledger.join(maybe_bcast(bk.select("chash")), "chash")
+        .groupBy("chash")
+        .agg(F.min("corpus_id").alias("corpus_match"))
+    )
+    return (
+        bh.join(maybe_bcast(matches), "chash", "left")
+        .join(maybe_bcast(bk), "chash")
+        .select(
+            "doc_id",
+            "chash",
+            F.when(F.col("corpus_match").isNotNull(), F.lit("dup_corpus"))
+            .when(F.col("doc_id") != F.col("batch_keep"), F.lit("dup_batch"))
+            .otherwise(F.lit("new"))
+            .alias("verdict"),
+            F.when(F.col("corpus_match").isNotNull(), F.col("corpus_match"))
+            .when(F.col("doc_id") != F.col("batch_keep"), F.col("batch_keep"))
+            .alias("match_id"),
+        )
+    )
+
+
 def incremental_dedup_with_ledger(
     spark,
     batch: DataFrame,
@@ -1491,48 +1541,24 @@ def incremental_dedup_with_ledger(
     instead — same pattern, kept out of scope here because near-dup state
     additionally needs the shingle table for verification.
     """
-    maybe_bcast = F.broadcast if broadcast_batch else (lambda df: df)
-    bh = batch.select(
-        F.col(id_col).alias("doc_id"),
-        _content_hash(F.col(text_col)).alias("chash"),
-    )
-    bk = bh.groupBy("chash").agg(F.min("doc_id").alias("batch_keep"))
-
     if spark.catalog.tableExists(ledger_table):
         ledger = spark.table(ledger_table)
-        matches = (
-            ledger.join(maybe_bcast(bk.select("chash")), "chash")
-            .groupBy("chash")
-            .agg(F.min("corpus_id").alias("corpus_match"))
-        )
     else:
         # first-ever ingest: the empty bootstrap frame must carry the SAME
         # id type as the batch (string ids would otherwise hit a
         # union/join type mismatch on the very first run)
-        matches = spark.createDataFrame(
+        ledger = spark.createDataFrame(
             [],
             T.StructType(
                 [
                     T.StructField("chash", T.StringType()),
-                    T.StructField("corpus_match", batch.schema[id_col].dataType),
+                    T.StructField("corpus_id", batch.schema[id_col].dataType),
                 ]
             ),
         )
 
-    out = (
-        bh.join(maybe_bcast(matches), "chash", "left")
-        .join(maybe_bcast(bk), "chash")
-        .select(
-            "doc_id",
-            "chash",
-            F.when(F.col("corpus_match").isNotNull(), F.lit("dup_corpus"))
-            .when(F.col("doc_id") != F.col("batch_keep"), F.lit("dup_batch"))
-            .otherwise(F.lit("new"))
-            .alias("verdict"),
-            F.when(F.col("corpus_match").isNotNull(), F.col("corpus_match"))
-            .when(F.col("doc_id") != F.col("batch_keep"), F.col("batch_keep"))
-            .alias("match_id"),
-        )
+    out = ledger_probe(
+        batch, ledger, id_col, text_col, broadcast_batch=broadcast_batch
     )
     if not update_ledger:
         return out.drop("chash")

@@ -13,6 +13,7 @@ from typing import Callable, Dict
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from datacompy_spark.functions import text as TX
 from datacompy_spark.functions import hashing as H
@@ -2210,6 +2211,102 @@ FROM batch b JOIN bk k USING (chash) LEFT JOIN cm c USING (chash)"""
 SQL_DEDUP_INCREMENTAL = _sql_dedup_incremental()
 
 
+def q_ledger_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-ingest + replay lifecycle of the exact-hash dedup ledger
+    (operators/dedup.py::ledger_probe — the pure verdict core that
+    incremental_dedup_with_ledger wraps with catalog state). Phase
+    ``ingest_a`` probes an EMPTY ledger with the ``doc_id % 3 = 0`` third
+    of documents; its ``new`` survivors become ledger state L1. Phase
+    ``ingest_b`` probes L1 with the ``% 3 = 1`` third; survivors extend
+    the state to L2. Phase ``replay_a`` re-ingests batch A against L2 —
+    the at-least-once replay after later ingests have landed — and the
+    idempotence contract requires EVERY replayed document to report
+    ``dup_corpus`` (its hash is in the ledger, registered either by
+    itself or by its batch keeper). The driver's hash compare pins all
+    three phases' verdicts and match ids against the DuckDB replay of the
+    same lifecycle."""
+    docs = load_table(spark, sf_dir, "documents")
+    batch_a = docs.filter(F.col("doc_id") % 3 == 0)
+    batch_b = docs.filter(F.col("doc_id") % 3 == 1)
+    empty = spark.createDataFrame(
+        [],
+        T.StructType(
+            [
+                T.StructField("chash", T.StringType()),
+                T.StructField("corpus_id", T.LongType()),
+            ]
+        ),
+    )
+    va = D.ledger_probe(batch_a, empty, "doc_id", "text")
+    l1 = va.filter(F.col("verdict") == "new").select(
+        "chash", F.col("doc_id").alias("corpus_id")
+    )
+    vb = D.ledger_probe(batch_b, l1, "doc_id", "text")
+    l2 = l1.unionByName(
+        vb.filter(F.col("verdict") == "new").select(
+            "chash", F.col("doc_id").alias("corpus_id")
+        )
+    )
+    vr = D.ledger_probe(batch_a, l2, "doc_id", "text")
+
+    def _phase(df: DataFrame, name: str) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("phase"), "doc_id", "verdict", "match_id"
+        )
+
+    return (
+        _phase(va, "ingest_a")
+        .unionByName(_phase(vb, "ingest_b"))
+        .unionByName(_phase(vr, "replay_a"))
+    )
+
+
+def _sql_ledger_replay() -> str:
+    norm = TX.normalize_sql("text")
+    return f"""
+WITH batch_a AS (
+  SELECT doc_id, md5({norm}) AS chash FROM documents WHERE doc_id % 3 = 0),
+batch_b AS (
+  SELECT doc_id, md5({norm}) AS chash FROM documents WHERE doc_id % 3 = 1),
+bka AS (SELECT chash, min(doc_id) AS batch_keep FROM batch_a GROUP BY 1),
+va AS (
+  SELECT b.doc_id, b.chash,
+    CASE WHEN b.doc_id <> k.batch_keep THEN 'dup_batch' ELSE 'new' END AS verdict,
+    CASE WHEN b.doc_id <> k.batch_keep THEN k.batch_keep END AS match_id
+  FROM batch_a b JOIN bka k USING (chash)),
+l1 AS (SELECT chash, doc_id AS corpus_id FROM va WHERE verdict = 'new'),
+bkb AS (SELECT chash, min(doc_id) AS batch_keep FROM batch_b GROUP BY 1),
+cmb AS (SELECT chash, min(corpus_id) AS corpus_match FROM l1 GROUP BY 1),
+vb AS (
+  SELECT b.doc_id, b.chash,
+    CASE WHEN c.corpus_match IS NOT NULL THEN 'dup_corpus'
+         WHEN b.doc_id <> k.batch_keep THEN 'dup_batch'
+         ELSE 'new' END AS verdict,
+    CASE WHEN c.corpus_match IS NOT NULL THEN c.corpus_match
+         WHEN b.doc_id <> k.batch_keep THEN k.batch_keep END AS match_id
+  FROM batch_b b JOIN bkb k USING (chash) LEFT JOIN cmb c USING (chash)),
+l2 AS (
+  SELECT * FROM l1
+  UNION ALL SELECT chash, doc_id AS corpus_id FROM vb WHERE verdict = 'new'),
+cmr AS (SELECT chash, min(corpus_id) AS corpus_match FROM l2 GROUP BY 1),
+vr AS (
+  SELECT b.doc_id, b.chash,
+    CASE WHEN c.corpus_match IS NOT NULL THEN 'dup_corpus'
+         WHEN b.doc_id <> k.batch_keep THEN 'dup_batch'
+         ELSE 'new' END AS verdict,
+    CASE WHEN c.corpus_match IS NOT NULL THEN c.corpus_match
+         WHEN b.doc_id <> k.batch_keep THEN k.batch_keep END AS match_id
+  FROM batch_a b JOIN bka k USING (chash) LEFT JOIN cmr c USING (chash))
+SELECT 'ingest_a' AS phase, doc_id, verdict, match_id FROM va
+UNION ALL
+SELECT 'ingest_b' AS phase, doc_id, verdict, match_id FROM vb
+UNION ALL
+SELECT 'replay_a' AS phase, doc_id, verdict, match_id FROM vr"""
+
+
+SQL_LEDGER_REPLAY = _sql_ledger_replay()
+
+
 def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction + rollup: parse the events table's JSON
     ``props`` column once per row (operators/analytics.py::
@@ -2815,6 +2912,7 @@ PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_dup_profile": q_ngram_dup_profile,
     "fuzzy_key_match": q_fuzzy_key_match,
     "dedup_incremental": q_dedup_incremental,
+    "ledger_replay": q_ledger_replay,
     "shard_corpus": q_shard_corpus,
     "dedup_semantic": q_dedup_semantic,
     "line_dedup": q_line_dedup,
@@ -2904,6 +3002,7 @@ PIPELINE_ORACLES: Dict[str, str] = {
     "ngram_dup_profile": SQL_NGRAM_DUP_PROFILE,
     "fuzzy_key_match": SQL_FUZZY_KEY_MATCH,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
+    "ledger_replay": SQL_LEDGER_REPLAY,
     "shard_corpus": SQL_SHARD_CORPUS,
     "dedup_semantic": SQL_DEDUP_SEMANTIC,
     "line_dedup": SQL_LINE_DEDUP,

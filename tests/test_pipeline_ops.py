@@ -1334,6 +1334,53 @@ class TestIncrementalDedupLedger:
         finally:
             spark.sql("DROP TABLE IF EXISTS dedup_ledger_t1")
 
+    def test_string_id_first_ingest(self, spark):
+        """First-ever ingest with STRING doc ids: the empty bootstrap
+        ledger frame must adopt the batch id type, not hardcode bigint."""
+        spark.sql("DROP TABLE IF EXISTS dedup_ledger_sid")
+        try:
+            b = spark.createDataFrame(
+                [("a", "doc one"), ("b", "doc one"), ("c", "doc two")],
+                "doc_id string, text string",
+            )
+            v = {
+                r["doc_id"]: r["verdict"]
+                for r in D.incremental_dedup_with_ledger(
+                    spark, b, "dedup_ledger_sid", "doc_id", "text", num_buckets=4
+                ).collect()
+            }
+            assert v == {"a": "new", "b": "dup_batch", "c": "new"}
+        finally:
+            spark.sql("DROP TABLE IF EXISTS dedup_ledger_sid")
+
+    def test_ledger_replay_query_contract(self, spark):
+        """The driver's ledger_replay query: phase replay_a must be ALL
+        dup_corpus (idempotent re-ingest), and each phase's row count
+        equals its batch size."""
+        from datacompy_spark.queries_pipeline import q_ledger_replay
+
+        out = q_ledger_replay(spark, "/root/testdata/sf0.001").persist()
+        try:
+            phases = {
+                r["phase"]: (r["n"], r["n_dup_corpus"])
+                for r in out.groupBy("phase")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(
+                        F.when(F.col("verdict") == "dup_corpus", 1).otherwise(0)
+                    ).alias("n_dup_corpus"),
+                )
+                .collect()
+            }
+            assert set(phases) == {"ingest_a", "ingest_b", "replay_a"}
+            assert phases["ingest_a"][0] == phases["replay_a"][0]
+            # idempotence: every replayed doc hits the ledger
+            assert phases["replay_a"][1] == phases["replay_a"][0]
+            # ingest_a probed an EMPTY ledger: dup_corpus impossible
+            assert phases["ingest_a"][1] == 0
+        finally:
+            out.unpersist()
+
 
 class TestIncrementalMinhashLedger:
     """Near-dup state tables: consecutive ingests, idempotent replay."""
