@@ -20,9 +20,18 @@ The reference library never needs this (single-shot batch comparisons,
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import List, Optional
 
 from pyspark.sql import DataFrame
+
+#: When the plan audit (tools/plan_audit.py) is running it sets this to a
+#: list; every lineage_barrier call then records the QueryExecution it is
+#: about to truncate. Without this hook a shuffle regression UPSTREAM of a
+#: barrier would be invisible to the audit — localCheckpoint cuts the
+#: visible plan, so barrier-using queries (pagerank, fuzzy_key_match, the
+#: incremental dedups) would report near-empty plans. None outside audits:
+#: the hook costs nothing in production.
+PLAN_AUDIT_SINK: Optional[List[object]] = None
 
 
 def lineage_barrier(
@@ -38,6 +47,11 @@ def lineage_barrier(
     RDD, so nondeterministic upstreams (sampled range bounds,
     ``spark_partition_id``) stay consistent across branches.
     """
+    if PLAN_AUDIT_SINK is not None:
+        try:
+            PLAN_AUDIT_SINK.append(df._jdf.queryExecution())
+        except Exception:  # noqa: BLE001 — the audit must never break the op
+            pass
     if checkpoint_dir is None:
         return df.localCheckpoint(eager=eager)
     sc = df.sparkSession.sparkContext

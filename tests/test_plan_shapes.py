@@ -493,3 +493,83 @@ class TestLedgerTopology:
             assert "BroadcastHashJoin" in p, p
         finally:
             spark.sql("DROP TABLE IF EXISTS plan_ledger_t")
+
+
+class TestPlanAuditBarrierVisibility:
+    """tools/plan_audit.py must see work UPSTREAM of lineage barriers:
+    localCheckpoint truncates the visible plan, so without the
+    PLAN_AUDIT_SINK hook a shuffle regression before a barrier would be
+    invisible to the audit (VERDICT r8 finding)."""
+
+    @staticmethod
+    def _load_audit_module():
+        import importlib.util
+        from pathlib import Path
+
+        path = Path(__file__).resolve().parent.parent / "tools" / "plan_audit.py"
+        spec = importlib.util.spec_from_file_location("plan_audit", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    def test_pre_barrier_shuffle_is_counted(self, spark):
+        from datacompy_spark.plans import barrier as B
+
+        audit = self._load_audit_module()
+        B.PLAN_AUDIT_SINK = sink = []
+        try:
+            pre = spark.range(1000).groupBy((F.col("id") % 7).alias("k")).count()
+            barred = B.lineage_barrier(pre, None, eager=True)
+            out = barred.agg(F.sum("count").alias("s"))
+        finally:
+            B.PLAN_AUDIT_SINK = None
+        assert len(sink) == 1  # the barrier recorded its pre-truncation plan
+
+        seen = set()
+        post = audit._counts(out._jdf.queryExecution(), seen)
+        frag = audit._counts(sink[0], seen)
+        # the groupBy shuffle lives ONLY in the fragment: the post-barrier
+        # plan reads the checkpointed RDD and cannot show it
+        assert frag["exchanges"] >= 1, frag
+        total = {k: post[k] + frag[k] for k in post}
+        assert total["exchanges"] > post["exchanges"]
+
+    def test_sink_is_off_outside_audits(self, spark):
+        from datacompy_spark.plans import barrier as B
+
+        assert B.PLAN_AUDIT_SINK is None
+        df = B.lineage_barrier(spark.range(10), None, eager=True)
+        assert df.count() == 10
+
+    def test_cached_build_counted_once_across_fragments(self, spark):
+        """A persisted frame shared by several barrier fragments contributes
+        its build plan ONCE to the query total, not once per reader."""
+        from datacompy_spark.plans import barrier as B
+
+        audit = self._load_audit_module()
+        shared = (
+            spark.range(500)
+            .groupBy((F.col("id") % 5).alias("k"))
+            .count()
+            .persist()
+        )
+        shared.count()
+        B.PLAN_AUDIT_SINK = sink = []
+        try:
+            a = B.lineage_barrier(
+                shared.filter(F.col("k") < 3), None, eager=True
+            )
+            b = B.lineage_barrier(
+                shared.filter(F.col("k") >= 3), None, eager=True
+            )
+            a.count(), b.count()
+        finally:
+            B.PLAN_AUDIT_SINK = None
+            shared.unpersist()
+        assert len(sink) == 2
+        seen = set()
+        totals = [audit._counts(qe, seen) for qe in sink]
+        # first fragment pays the cached groupBy build (1 exchange), the
+        # second sees the cache boundary and adds nothing for it
+        assert totals[0]["exchanges"] >= 1
+        assert totals[1]["exchanges"] == 0

@@ -19,7 +19,6 @@ built — the audit therefore runs at the smallest scale by default.
 from __future__ import annotations
 
 import os
-import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -55,33 +54,97 @@ EXPECTED_NLJ = {
 }
 
 
+_NODE_BUCKET = {
+    "ShuffleExchangeExec": "exchanges",
+    "BroadcastExchangeExec": "broadcasts",
+    "SortMergeJoinExec": "smj",
+    "BroadcastHashJoinExec": "bhj",
+    "ShuffledHashJoinExec": "smj",  # shuffle join family
+    "BroadcastNestedLoopJoinExec": "nlj",
+    "CartesianProductExec": "nlj",
+    "FileSourceScanExec": "scans",
+    "RDDScanExec": "scans",
+    "BatchScanExec": "scans",
+    "MapInPandasExec": "python",
+    "ArrowEvalPythonExec": "python",
+    "FlatMapGroupsInPandasExec": "python",
+    "FlatMapGroupsInPandasWithStateExec": "python",
+}
+_KEYS = ["exchanges", "broadcasts", "smj", "bhj", "nlj", "scans", "python"]
+
+
+def _walk(node, counts, seen_caches) -> None:
+    """Count each EXECUTING node exactly once by walking the JVM plan tree.
+    The old string-regex count double-counted AQE sections (a finalized
+    subplan prints both `== Final Plan ==` and `== Initial Plan ==`) and
+    every persisted subtree shared across barrier fragments (the
+    InMemoryRelation child plan prints inline at each reader). The walk
+    descends AdaptiveSparkPlan into its CURRENT plan only, descends query
+    stages into their real plan, and counts each distinct cached-relation
+    BUILD plan once per query (it executes at most once, no matter how
+    many readers or barrier fragments share it)."""
+    cls = node.getClass().getSimpleName()
+    if cls == "AdaptiveSparkPlanExec":
+        _walk(node.executedPlan(), counts, seen_caches)
+        return
+    if cls.endswith("QueryStageExec"):
+        _walk(node.plan(), counts, seen_caches)
+        return
+    if cls == "InMemoryTableScanExec":
+        try:
+            cached = node.relation().cachedPlan()
+            key = cached.id()
+        except Exception:  # noqa: BLE001 — API drift: skip the build plan
+            return
+        if key not in seen_caches:
+            seen_caches.add(key)
+            _walk(cached, counts, seen_caches)
+        return
+    if cls in ("ReusedExchangeExec", "ReusedSubqueryExec"):
+        return
+    bucket = _NODE_BUCKET.get(cls)
+    if bucket:
+        counts[bucket] += 1
+    kids = node.children()
+    for i in range(kids.length()):
+        _walk(kids.apply(i), counts, seen_caches)
+
+
+def _counts(qe, seen_caches) -> dict:
+    counts = dict.fromkeys(_KEYS, 0)
+    _walk(qe.executedPlan(), counts, seen_caches)
+    return counts
+
+
 def audit(spark, sf_dir: str):
+    """One row per query. Counts are the SUM of the final plan plus every
+    pre-barrier fragment captured via plans.barrier.PLAN_AUDIT_SINK —
+    lineage barriers (localCheckpoint) truncate the visible plan, so
+    without the fragments a shuffle regression upstream of a barrier in
+    pagerank / fuzzy_key_match / the incremental dedups would be invisible
+    here. ``barriers`` reports how many fragments were truncated."""
+    from datacompy_spark.plans import barrier as _barrier
     from datacompy_spark.queries import QUERIES
 
     rows = []
     for name, fn in sorted(QUERIES.items()):
+        _barrier.PLAN_AUDIT_SINK = sink = []
         try:
             df = fn(spark, sf_dir)
-            plan = df._jdf.queryExecution().executedPlan().toString()
+            qe = df._jdf.queryExecution()
         except Exception as exc:  # noqa: BLE001
             rows.append({"query": name, "error": f"{type(exc).__name__}: {exc}"[:120]})
             continue
-        rows.append(
-            {
-                "query": name,
-                "exchanges": len(re.findall(r"Exchange (?:hash|range|Single)", plan)),
-                "broadcasts": plan.count("BroadcastExchange"),
-                "smj": plan.count("SortMergeJoin"),
-                "bhj": plan.count("BroadcastHashJoin"),
-                "nlj": plan.count("BroadcastNestedLoopJoin")
-                + plan.count("CartesianProduct"),
-                "scans": plan.count("Scan parquet") + plan.count("Scan ExistingRDD"),
-                "python": plan.count("MapInPandas")
-                + plan.count("ArrowEvalPython")
-                + plan.count("FlatMapGroupsInPandas"),
-                "error": None,
-            }
-        )
+        finally:
+            _barrier.PLAN_AUDIT_SINK = None
+        row = {"query": name, "barriers": len(sink), "error": None}
+        total = dict.fromkeys(_KEYS, 0)
+        seen_caches = set()  # shared across fragments: one build per cache
+        for fragment_qe in [qe, *sink]:
+            for k, v in _counts(fragment_qe, seen_caches).items():
+                total[k] += v
+        row.update(total)
+        rows.append(row)
         spark.catalog.clearCache()
     return rows
 
@@ -99,16 +162,25 @@ def render(rows, sf_dir: str) -> str:
         "Nested-loop joins are audited: every non-zero `nlj` must appear in",
         "`EXPECTED_NLJ` with its tiny-side justification, or the audit fails.",
         "",
-        "| query | exchanges | broadcasts | smj | bhj | nlj | scans | python |",
-        "|---|---|---|---|---|---|---|---|",
+        "Counts come from a JVM plan-TREE walk (each executing node counted",
+        "exactly once — AQE final/initial print sections and shared persisted",
+        "subtrees are not double-counted; each distinct cached build plan is",
+        "counted once per query) and SUM the final plan with every pre-barrier",
+        "fragment (see `plans/barrier.py::PLAN_AUDIT_SINK`): lineage barriers",
+        "truncate the visible plan, so barrier-using queries (pagerank,",
+        "fuzzy_key_match, incremental dedups) would otherwise under-report.",
+        "`barriers` is the number of truncated fragments folded in.",
+        "",
+        "| query | exchanges | broadcasts | smj | bhj | nlj | scans | python | barriers |",
+        "|---|---|---|---|---|---|---|---|---|",
     ]
     for r in rows:
         if r.get("error"):
-            out.append(f"| {r['query']} | ERROR: {r['error']} | | | | | | |")
+            out.append(f"| {r['query']} | ERROR: {r['error']} | | | | | | | |")
         else:
             out.append(
                 "| {query} | {exchanges} | {broadcasts} | {smj} | {bhj} | {nlj} "
-                "| {scans} | {python} |".format(**r)
+                "| {scans} | {python} | {barriers} |".format(**r)
             )
     out.append("")
     out.append(
