@@ -1453,6 +1453,62 @@ def incremental_dedup(
     return hits.unionByName(clean)
 
 
+def minhash_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """The precomputed LSH candidate index as a first-class output:
+    ``(doc_id, band, bkey)`` — one row per document per band. This is
+    exactly the state table :func:`incremental_dedup`'s docstring says a
+    real deployment precomputes and stores (and the shape
+    :func:`incremental_minhash_ledger` appends to): band keys are a pure
+    function of the text, so the 100 TB corpus pays its sketch pass ONCE,
+    writes this table bucketed by ``bkey``, and every later ingest probes
+    it without re-shingling anything.
+
+    A zero-join narrow pass: shingle → minhash → band keys → explode, no
+    shuffle at all (writing it bucketed is the one shuffle, paid at write
+    time)."""
+    base = _shingle_base(df, id_col, text_col, shingle_k)
+    return _band_key_rows(base, num_hashes, bands)
+
+
+def dup_rate_by_group(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Corpus-health dashboard row per group (source/shard/crawl):
+    document count, distinct exact-content count, and the duplication
+    rate — the first number a dedup pass is judged by, per provenance.
+    One partial-agg groupBy: the distinct-count's map-side combine does
+    the per-group hash dedup, so row data never moves — only
+    (group, hash) pairs. NULL text folds into the sentinel hash group
+    (one content class, same as :func:`exact_dedup`)."""
+    return (
+        df.groupBy(F.col(group_col).alias("grp"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct(_content_hash(F.col(text_col)))
+            .cast("long")
+            .alias("n_distinct"),
+        )
+        .select(
+            "grp",
+            "n_docs",
+            "n_distinct",
+            (
+                (F.col("n_docs") - F.col("n_distinct")).cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("dup_rate"),
+        )
+    )
+
+
 def ledger_probe(
     batch: DataFrame,
     ledger: DataFrame,

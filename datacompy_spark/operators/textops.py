@@ -195,6 +195,147 @@ def quality_filter_sql(
     return {"reasons": reasons, "keep": f"({reasons} = '')"}
 
 
+#: Gopher's repetition/quality stopword list (Rae et al. 2021, §A1.1.2):
+#: a document must contain at least 2 of these to pass the stopword rule.
+_GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100000,
+    word_len_range: tuple = (3.0, 10.0),
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """The Gopher rule bundle (Rae et al. 2021 §A1.1.2 — the heuristic
+    filter set Dolma/FineWeb descend from), distinct from
+    :func:`quality_filter`'s generic length/diversity rules: word-count
+    window, mean-word-length window, symbol-to-word ratio (``#`` and
+    ``...``), fraction of words containing an alphabetic character,
+    bullet-started and ellipsis-ended line fractions, and the 8-word
+    stopword floor.
+
+    Returns one row per document with every metric, a ``keep`` verdict,
+    and the deterministic comma-joined ``reasons`` string naming each
+    failed rule. Every ratio is ONE double division of exact integer
+    counts (bit-identical cross-engine); a zero-exchange narrow
+    projection — at 100 TB this is scan-bound and pipelines into the
+    filter that follows."""
+    toks = tokens(F.col(text_col))
+    n_words = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    n_space = F.length(F.regexp_replace(F.col(text_col), "[^ ]", ""))
+    mean_wl = (n_chars - n_space).cast("double") / n_words.cast("double")
+    n_hash = n_chars - F.length(F.replace(F.col(text_col), F.lit("#"), F.lit("")))
+    n_ell = (
+        n_chars - F.length(F.replace(F.col(text_col), F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    symbol_ratio = (n_hash + n_ell).cast("double") / n_words.cast("double")
+    n_alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    alpha_frac = n_alpha_words.cast("double") / n_words.cast("double")
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.size(lines)
+    n_bullet = F.size(
+        F.filter(lines, lambda ln: ln.startswith("- ") | ln.startswith("* "))
+    )
+    n_ell_end = F.size(F.filter(lines, lambda ln: ln.endswith("...")))
+    bullet_frac = n_bullet.cast("double") / n_lines.cast("double")
+    ell_frac = n_ell_end.cast("double") / n_lines.cast("double")
+    stops = F.array(*[F.lit(w) for w in _GOPHER_STOPS])
+    stop_hits = F.size(F.array_intersect(F.array_distinct(toks), stops))
+    lo, hi = word_len_range
+    reasons = F.concat_ws(
+        ",",
+        F.when((n_words < min_words) | (n_words > max_words), F.lit("word_count")),
+        F.when(
+            (mean_wl < F.lit(float(lo))) | (mean_wl > F.lit(float(hi))),
+            F.lit("mean_word_len"),
+        ),
+        F.when(symbol_ratio > F.lit(float(max_symbol_ratio)), F.lit("symbol_ratio")),
+        F.when(alpha_frac < F.lit(float(min_alpha_word_frac)), F.lit("alpha_words")),
+        F.when(bullet_frac > F.lit(float(max_bullet_line_frac)), F.lit("bullet_lines")),
+        F.when(ell_frac > F.lit(float(max_ellipsis_line_frac)), F.lit("ellipsis_lines")),
+        F.when(stop_hits < min_stop_hits, F.lit("stopwords")),
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.cast("long").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_frac.alias("alpha_word_frac"),
+        bullet_frac.alias("bullet_line_frac"),
+        ell_frac.alias("ellipsis_line_frac"),
+        stop_hits.cast("long").alias("stop_hits"),
+        reasons.alias("reasons"),
+    ).select("*", (F.col("reasons") == "").alias("keep"))
+
+
+def gopher_quality_sql(
+    text: str,
+    min_words: int = 50,
+    max_words: int = 100000,
+    word_len_range: tuple = (3.0, 10.0),
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_stop_hits: int = 2,
+) -> Dict[str, str]:
+    """DuckDB twin of :func:`gopher_quality` (same counts, same single
+    double division per ratio, same rule order in ``reasons``)."""
+    from datacompy_spark.functions.text import tokens_sql
+
+    toks = tokens_sql(text)
+    n_words = f"len({toks})"
+    n_chars = f"len({text})"
+    n_space = f"len(regexp_replace({text}, '[^ ]', '', 'g'))"
+    mean_wl = f"(({n_chars} - {n_space})::DOUBLE / {n_words}::DOUBLE)"
+    n_hash = f"({n_chars} - len(replace({text}, '#', '')))"
+    n_ell = f"(({n_chars} - len(replace({text}, '...', ''))) // 3)"
+    symbol_ratio = f"(({n_hash} + {n_ell})::DOUBLE / {n_words}::DOUBLE)"
+    alpha_words = f"len(list_filter({toks}, t -> regexp_matches(t, '[a-z]')))"
+    alpha_frac = f"({alpha_words}::DOUBLE / {n_words}::DOUBLE)"
+    lines = f"string_split({text}, chr(10))"
+    n_lines = f"len({lines})"
+    n_bullet = (
+        f"len(list_filter({lines}, l -> starts_with(l, '- ')"
+        f" OR starts_with(l, '* ')))"
+    )
+    n_ell_end = f"len(list_filter({lines}, l -> ends_with(l, '...')))"
+    bullet_frac = f"({n_bullet}::DOUBLE / {n_lines}::DOUBLE)"
+    ell_frac = f"({n_ell_end}::DOUBLE / {n_lines}::DOUBLE)"
+    stops = "[" + ", ".join(f"'{w}'" for w in _GOPHER_STOPS) + "]"
+    stop_hits = f"len(list_intersect(list_distinct({toks}), {stops}))"
+    lo, hi = word_len_range
+    reasons = (
+        "concat_ws(',', "
+        f"CASE WHEN {n_words} < {min_words} OR {n_words} > {max_words} THEN 'word_count' END, "
+        f"CASE WHEN {mean_wl} < {float(lo)}::DOUBLE OR {mean_wl} > {float(hi)}::DOUBLE THEN 'mean_word_len' END, "
+        f"CASE WHEN {symbol_ratio} > {float(max_symbol_ratio)}::DOUBLE THEN 'symbol_ratio' END, "
+        f"CASE WHEN {alpha_frac} < {float(min_alpha_word_frac)}::DOUBLE THEN 'alpha_words' END, "
+        f"CASE WHEN {bullet_frac} > {float(max_bullet_line_frac)}::DOUBLE THEN 'bullet_lines' END, "
+        f"CASE WHEN {ell_frac} > {float(max_ellipsis_line_frac)}::DOUBLE THEN 'ellipsis_lines' END, "
+        f"CASE WHEN {stop_hits} < {min_stop_hits} THEN 'stopwords' END)"
+    )
+    return {
+        "n_words": f"{n_words}::BIGINT",
+        "mean_word_len": mean_wl,
+        "symbol_ratio": symbol_ratio,
+        "alpha_word_frac": alpha_frac,
+        "bullet_line_frac": bullet_frac,
+        "ellipsis_line_frac": ell_frac,
+        "stop_hits": f"{stop_hits}::BIGINT",
+        "reasons": reasons,
+        "keep": f"({reasons} = '')",
+    }
+
+
 def hash_split(
     df: DataFrame,
     id_col: str,

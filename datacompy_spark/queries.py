@@ -614,6 +614,9 @@ _SWEEP_FIRST = [
     "join_cardinality",
     # registered new in round 9 — first driver sweep is this round
     "ledger_replay",
+    "minhash_index",
+    "gopher_quality",
+    "dup_rate_by_source",
 ]
 
 

@@ -2307,6 +2307,69 @@ SELECT 'replay_a' AS phase, doc_id, verdict, match_id FROM vr"""
 SQL_LEDGER_REPLAY = _sql_ledger_replay()
 
 
+def q_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stored LSH candidate index (doc_id, band, bkey) — the
+    precompute-once state table the incremental minhash paths probe
+    (operators/dedup.py::minhash_index)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_index(docs, "doc_id", "text", num_hashes=16, bands=4, shingle_k=3)
+
+
+def _sql_minhash_index() -> str:
+    toks = TX.tokens_sql("text")
+    sh = f"list_distinct({H.word_shingles_sql(toks, 3)})"
+    sig = H.minhash_signature_sql("shingles", 16)
+    band_keys = H.lsh_band_keys_sql("signature", 4, 4)
+    band_structs = ", ".join(
+        f"{{'band': {b}, 'bkey': {k}}}" for b, k in enumerate(band_keys)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, {sh} AS shingles FROM documents),
+sigs AS (
+  SELECT doc_id, {sig} AS signature FROM base)
+SELECT doc_id, u.band AS band, u.bkey AS bkey
+FROM sigs, unnest([{band_structs}]) AS t(u)"""
+
+
+SQL_MINHASH_INDEX = _sql_minhash_index()
+
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher heuristic-rule bundle per document (word-count window,
+    mean-word-length window, symbol ratio, alpha-word fraction, bullet /
+    ellipsis line fractions, stopword floor) with verdict + reasons
+    (operators/textops.py::gopher_quality). min_words lowered to 10: the
+    synthetic docs are short and the default 50 would fail everything."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TO.gopher_quality(docs, "doc_id", "text", min_words=10)
+
+
+def _sql_gopher_quality() -> str:
+    m = TO.gopher_quality_sql("text", min_words=10)
+    cols = ", ".join(f"{expr} AS {name}" for name, expr in m.items())
+    return f"SELECT doc_id, {cols} FROM documents"
+
+
+SQL_GOPHER_QUALITY = _sql_gopher_quality()
+
+
+def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication dashboard: docs, distinct exact contents,
+    dup rate (operators/dedup.py::dup_rate_by_group)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.dup_rate_by_group(docs, "text", "source")
+
+
+SQL_DUP_RATE_BY_SOURCE = f"""
+SELECT source AS grp, count(*)::BIGINT AS n_docs,
+  count(DISTINCT coalesce(md5({TX.normalize_sql('text')}), '__null_text__'))::BIGINT
+    AS n_distinct,
+  (count(*) - count(DISTINCT coalesce(md5({TX.normalize_sql('text')}), '__null_text__')))::DOUBLE
+    / count(*)::DOUBLE AS dup_rate
+FROM documents GROUP BY source"""
+
+
 def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction + rollup: parse the events table's JSON
     ``props`` column once per row (operators/analytics.py::
@@ -2913,6 +2976,9 @@ PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_key_match": q_fuzzy_key_match,
     "dedup_incremental": q_dedup_incremental,
     "ledger_replay": q_ledger_replay,
+    "minhash_index": q_minhash_index,
+    "gopher_quality": q_gopher_quality,
+    "dup_rate_by_source": q_dup_rate_by_source,
     "shard_corpus": q_shard_corpus,
     "dedup_semantic": q_dedup_semantic,
     "line_dedup": q_line_dedup,
@@ -3003,6 +3069,9 @@ PIPELINE_ORACLES: Dict[str, str] = {
     "fuzzy_key_match": SQL_FUZZY_KEY_MATCH,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "ledger_replay": SQL_LEDGER_REPLAY,
+    "minhash_index": SQL_MINHASH_INDEX,
+    "gopher_quality": SQL_GOPHER_QUALITY,
+    "dup_rate_by_source": SQL_DUP_RATE_BY_SOURCE,
     "shard_corpus": SQL_SHARD_CORPUS,
     "dedup_semantic": SQL_DEDUP_SEMANTIC,
     "line_dedup": SQL_LINE_DEDUP,

@@ -2491,3 +2491,120 @@ class TestLMScore:
         qb = math.floor(math.log2(3.0) * 10_000 + 0.5)
         expect = math.floor((2 * qa + qb) / (3 * 10_000) * 1000 + 0.5)
         assert r["bits_per_token_milli"] == expect
+
+
+class TestGopherQuality:
+    """Planted documents failing exactly one Gopher rule each."""
+
+    def _run(self, spark, rows, **kw):
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        return {
+            r["doc_id"]: r
+            for r in TO.gopher_quality(df, "doc_id", "text", **kw).collect()
+        }
+
+    def test_each_rule_fires_alone(self, spark):
+        good = (
+            "the cat and the dog have gone to be with all of that good group "
+            "they like every fine day here and more words fill this out now"
+        )
+        rows = [
+            (1, good),
+            (2, "the of and to be that have with"),  # 8 words < min 10
+            (3, good + " ##########################"),  # symbol ratio
+            (4, "the be to of and that have with " + "11 22 33 44 55 66 77 88 99 00 " * 3),  # alpha frac
+            (5, "the be to of and that have with word\n" + "- a\n" * 20),  # bullets
+            (6, "the be to of and that have with word\n" + "tail...\n" * 20),  # ellipsis
+            (7, "cat dog bird fish goat lion tiger bear wolf deer seal hawk"),  # stopwords
+        ]
+        out = self._run(spark, rows, min_words=10)
+        assert out[1]["keep"] is True and out[1]["reasons"] == ""
+        assert out[2]["reasons"] == "word_count"
+        assert "symbol_ratio" in out[3]["reasons"]
+        assert "alpha_words" in out[4]["reasons"]
+        assert "bullet_lines" in out[5]["reasons"]
+        assert "ellipsis_lines" in out[6]["reasons"]
+        assert out[7]["reasons"] == "stopwords"
+
+    def test_mean_word_len_window(self, spark):
+        rows = [
+            (1, " ".join(["a"] * 12) + " the of and that be to have with"),  # short words
+            (2, " ".join(["supercalifragilistic"] * 12) + " the of and to be that have with"),
+        ]
+        out = self._run(spark, rows, min_words=5)
+        assert "mean_word_len" in out[1]["reasons"]
+        assert "mean_word_len" in out[2]["reasons"]
+
+    def test_sql_twin_agrees(self, spark):
+        import duckdb
+
+        rows = [
+            (1, "the cat and the dog have gone to be with all of that group"),
+            (2, "- bullet\n- bullet\nthe end..."),
+            (3, "#### symbols #### the of and"),
+            (4, ""),
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        got = (
+            TO.gopher_quality(df, "doc_id", "text", min_words=10)
+            .toPandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        m = TO.gopher_quality_sql("text", min_words=10)
+        cols = ", ".join(f"{e} AS {n}" for n, e in m.items())
+        con = duckdb.connect()
+        con.register("t", df.toPandas())
+        want = (
+            con.execute(f"SELECT doc_id, {cols} FROM t")
+            .df()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        for c in ["n_words", "stop_hits", "reasons"]:
+            assert list(got[c]) == list(want[c]), c
+        for c in ["mean_word_len", "symbol_ratio", "alpha_word_frac",
+                  "bullet_line_frac", "ellipsis_line_frac"]:
+            assert list(got[c]) == list(want[c]), c
+
+
+class TestMinhashIndexAndDupRate:
+    def test_index_shape_and_probe_consistency(self, spark, docs):
+        """One row per (doc, band); joining the index to itself on
+        (band, bkey) must produce EXACTLY the candidate set the pairwise
+        operator sees (same banding function)."""
+        idx = D.minhash_index(docs, "doc_id", "text", num_hashes=16, bands=4)
+        rows = idx.collect()
+        assert len(rows) == 5 * 4
+        cand = {
+            (min(a, b), max(a, b))
+            for (a, band_a, k_a) in [(r["doc_id"], r["band"], r["bkey"]) for r in rows]
+            for (b, band_b, k_b) in [(r["doc_id"], r["band"], r["bkey"]) for r in rows]
+            if a < b and band_a == band_b and k_a == k_b
+        }
+        pairs = D.minhash_lsh_pairs(
+            docs, "doc_id", "text", num_hashes=16, bands=4, threshold=0.0
+        )
+        got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        # every verified pair came through a shared bucket in the index
+        assert got <= cand
+
+    def test_index_is_zero_shuffle(self, spark, docs):
+        p = D.minhash_index(docs, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in p, p[:600]
+
+    def test_dup_rate_by_group(self, spark):
+        rows = [
+            (1, "same text", "a"),
+            (2, "Same   TEXT!", "a"),   # exact dup after normalize
+            (3, "other text", "a"),
+            (4, "unique here", "b"),
+            (5, None, "b"),             # NULL text = its own content class
+            (6, None, "b"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+        out = {r["grp"]: r for r in D.dup_rate_by_group(df, "text", "source").collect()}
+        assert out["a"]["n_docs"] == 3 and out["a"]["n_distinct"] == 2
+        assert abs(out["a"]["dup_rate"] - 1 / 3) < 1e-12
+        # the two NULL texts collapse into ONE sentinel group
+        assert out["b"]["n_docs"] == 3 and out["b"]["n_distinct"] == 2
