@@ -612,6 +612,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--val-pct", type=int, default=10, help="val split percent (default 10)"
     )
     cu.add_argument(
+        "--quality", choices=["heuristic", "gopher"], default="heuristic",
+        help="stage-1 quality rule set: generic heuristics (default) or the "
+        "published Gopher rule bundle",
+    )
+    cu.add_argument(
         "--verdict", metavar="PATH", required=True,
         help="write (doc_id, verdict, keep, split) to PATH as parquet",
     )
@@ -1784,6 +1789,7 @@ def run_curate(args) -> int:
                 contam_threshold=args.contam_threshold,
                 train_pct=args.train_pct,
                 val_pct=args.val_pct,
+                quality=args.quality,
             )
             verdict.write.mode("overwrite").parquet(args.verdict)
             written = spark.read.parquet(args.verdict)

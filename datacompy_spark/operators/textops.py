@@ -1600,6 +1600,7 @@ def curate_corpus(
     shingle_k: int = 5,
     train_pct: int = 80,
     val_pct: int = 10,
+    quality: str = "heuristic",
 ) -> DataFrame:
     """End-to-end corpus curation verdict — the composition the individual
     operators exist for. Stages, applied in the standard order (cheapest
@@ -1617,14 +1618,23 @@ def curate_corpus(
     verdict ∈ {quality, duplicate, contaminated, kept} and split is NULL
     unless kept. Shuffle budget: one content-hash window, one shingle
     aggregation, plus doc_id-keyed joins of per-stage verdicts — every
-    stage is the same partial-agg/broadcast shape it has standalone."""
+    stage is the same partial-agg/broadcast shape it has standalone.
+
+    ``quality`` selects the stage-1 rule set: ``'heuristic'`` (default,
+    :func:`quality_filter`) or ``'gopher'`` (:func:`gopher_quality` with
+    its published thresholds)."""
     from pyspark.sql import Window
 
     from datacompy_spark.functions.hashing import md5_long, word_shingles
 
-    q = quality_filter(df, id_col, text_col).select(
-        "doc_id", F.col("keep").alias("q_keep")
+    if quality not in ("heuristic", "gopher"):
+        raise ValueError(f"unknown quality rule set: {quality!r}")
+    q_frame = (
+        quality_filter(df, id_col, text_col)
+        if quality == "heuristic"
+        else gopher_quality(df, id_col, text_col)
     )
+    q = q_frame.select("doc_id", F.col("keep").alias("q_keep"))
     base = df.select(
         F.col(id_col).alias("doc_id"),
         F.col(text_col).alias("__text"),

@@ -978,6 +978,29 @@ class TestCorpusCuration:
         assert out[5]["verdict"] == "kept"
         assert all(out[i]["split"] is None for i in (2, 3, 4))
 
+    def test_curate_gopher_rule_set(self, spark):
+        """quality='gopher' swaps stage 1 for the Gopher bundle: these
+        short synthetic docs all fail the 50-word floor, so every verdict
+        is 'quality' — and an unknown rule set is rejected."""
+        import pytest as _pytest
+
+        train = spark.createDataFrame(
+            [(1, "short doc one"), (2, "short doc two")],
+            "doc_id bigint, text string",
+        )
+        eval_df = spark.createDataFrame(
+            [(100, "unrelated eval text")], "doc_id bigint, text string"
+        )
+        out = {
+            r["doc_id"]: r["verdict"]
+            for r in TO.curate_corpus(
+                train, "doc_id", "text", eval_df, quality="gopher"
+            ).collect()
+        }
+        assert out == {1: "quality", 2: "quality"}
+        with _pytest.raises(ValueError):
+            TO.curate_corpus(train, "doc_id", "text", eval_df, quality="bogus")
+
 
 class TestDegenerateDocuments:
     def test_empty_and_whitespace_docs_survive_ansi(self, spark):

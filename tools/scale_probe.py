@@ -34,7 +34,7 @@ def main() -> int:
     muls = [int(m) for m in (sys.argv[1:] or ["1", "4", "16"])]
     all_sections = (
         "compare", "minhash", "spans", "incr", "cdc", "bucketed", "cc",
-        "kmeans", "ivfindex", "pagerank", "hotkey", "ks"
+        "kmeans", "ivfindex", "pagerank", "hotkey", "ks", "fk"
     )
     sections = set(
         s.strip() for s in os.environ.get(
@@ -287,6 +287,45 @@ def main() -> int:
             f"  vs_x1={el/t1:5.2f} (corpus-scan-bound => << {mult})",
             flush=True,
         )
+    # ---- FK audit: CANDIDATE COUNT scaled (tables fixed) — the single-
+    # pass melt's claim is that a lake audit pays TWO shuffles total no
+    # matter how many candidate pairs it checks (the old per-pair
+    # formulation paid 3 per pair), so wall time should grow well below
+    # the pair count (scan volume grows linearly, stages do not).
+    from datacompy_spark.operators.analytics import fk_discovery
+
+    if "fk" in sections:
+        tabs = {
+            t: spark.read.parquet(f"{sf_dir}/{t}.parquet")
+            for t in ("lineitem", "orders", "part", "supplier", "customer", "nation")
+        }
+        base_pairs = [
+            ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+            ("lineitem", "l_partkey", "part", "p_partkey"),
+            ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+            ("orders", "o_custkey", "customer", "c_custkey"),
+            ("customer", "c_nationkey", "nation", "n_nationkey"),
+            ("supplier", "s_nationkey", "nation", "n_nationkey"),
+        ]
+        t1 = None
+        for mult in muls:
+            pairs = [
+                (f"{cn}#{i}", tabs[cn], cc, pn, tabs[pn], pc)
+                for i in range(mult)
+                for cn, cc, pn, pc in base_pairs
+            ]
+            t0 = time.perf_counter()
+            n = fk_discovery(pairs).count()
+            el = time.perf_counter() - t0
+            if t1 is None:
+                t1 = el
+            print(
+                f"fk      x{mult:<3d} pairs={len(pairs):>4d}  rows={n:>4d}"
+                f"  sec={el:7.2f}  vs_x1={el/t1:5.2f}"
+                f" (2 shuffles total, scan-volume-bound => << {mult})",
+                flush=True,
+            )
+
     # ---- CDC scaling: snapshot diff of orders scaled by key-offset copies,
     # each copy perturbed identically (same delete/update/insert rates), so
     # the change-feed size grows linearly with the snapshot — the recurring
