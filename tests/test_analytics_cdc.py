@@ -887,6 +887,52 @@ class TestKeyContainment:
         for ct, cc, _, _ in real:
             assert rows[(ct, cc)]["containment"] == 1.0
 
+    def test_melted_fk_discovery_equals_per_pair_containment(self, spark):
+        """The single-pass melt must be value-identical to running
+        key_containment per pair — including a binary-key pair (hex melt),
+        a string-key pair, and a candidate whose sides are entirely NULL
+        (still emits its zero row)."""
+        from datacompy_spark.operators.analytics import (
+            fk_discovery,
+            key_containment,
+        )
+
+        c1 = spark.createDataFrame(
+            [Row(fk=1), Row(fk=2), Row(fk=2), Row(fk=9), Row(fk=None)]
+        )
+        p1 = spark.createDataFrame([Row(pk=1), Row(pk=2), Row(pk=3)])
+        c2 = spark.createDataFrame(
+            [("a",), ("b",), ("b",), (None,)], "sk string"
+        )
+        p2 = spark.createDataFrame([("b",), ("c",)], "pk string")
+        c3 = spark.createDataFrame(
+            [(bytearray(b"\x01\x02"),), (bytearray(b"\xff"),)], "bk binary"
+        )
+        p3 = spark.createDataFrame(
+            [(bytearray(b"\x01\x02"),), (bytearray(b"\x00"),)], "pb binary"
+        )
+        c4 = spark.createDataFrame([Row(fk=None)], "fk int")
+        p4 = spark.createDataFrame([Row(pk=None)], "pk int")
+        pairs = [
+            ("t1", c1, "fk", "q1", p1, "pk"),
+            ("t2", c2, "sk", "q2", p2, "pk"),
+            ("t3", c3, "bk", "q3", p3, "pb"),
+            ("t4", c4, "fk", "q4", p4, "pk"),
+        ]
+        got = {
+            (r["child_table"], r["child_col"]): r
+            for r in fk_discovery(pairs).collect()
+        }
+        assert len(got) == 4  # the all-NULL candidate still has a row
+        for cn, child, cc, pn, parent, pc in pairs:
+            want = key_containment(child, cc, parent, pc).collect()[0]
+            g = got[(cn, cc)]
+            for col in (
+                "child_distinct", "parent_distinct", "contained",
+                "containment", "coverage",
+            ):
+                assert g[col] == want[col], (cn, col, g[col], want[col])
+
     def test_auto_candidates_prefix_discipline(self, spark):
         from datacompy_spark.operators.analytics import fk_candidates
 

@@ -731,3 +731,78 @@ class TestStripHtmlProperties:
             for r in strip_html(df, "doc_id", "html").collect()
         }
         assert got == {i: self._model(d) for i, d in enumerate(docs)}
+
+
+class TestGopherQualityProperties:
+    """gopher_quality vs a pure-Python model over generated documents."""
+
+    @staticmethod
+    def _model(text, min_words=10):
+        import re
+
+        if text is None:
+            return None
+        # tokens(): lower, non-alnum -> space, collapse, trim, split(' ')
+        norm = re.sub(" +", " ", re.sub("[^a-z0-9 ]", " ", text.lower())).strip()
+        toks = norm.split(" ")
+        n_words = len(toks)
+        n_chars = len(text)
+        n_space = text.count(" ")
+        mean_wl = (n_chars - n_space) / n_words
+        n_hash = text.count("#")
+        n_ell = text.count("...")  # str.count is non-overlapping, like replace-len
+        symbol_ratio = (n_hash + n_ell) / n_words
+        alpha = sum(1 for t in toks if re.search("[a-z]", t))
+        alpha_frac = alpha / n_words
+        lines = text.split("\n")
+        bullet = sum(1 for ln in lines if ln.startswith("- ") or ln.startswith("* "))
+        ell_end = sum(1 for ln in lines if ln.endswith("..."))
+        bullet_frac = bullet / len(lines)
+        ell_frac = ell_end / len(lines)
+        stops = {"the", "be", "to", "of", "and", "that", "have", "with"}
+        stop_hits = len(set(toks) & stops)
+        reasons = []
+        if n_words < min_words or n_words > 100000:
+            reasons.append("word_count")
+        if mean_wl < 3.0 or mean_wl > 10.0:
+            reasons.append("mean_word_len")
+        if symbol_ratio > 0.1:
+            reasons.append("symbol_ratio")
+        if alpha_frac < 0.8:
+            reasons.append("alpha_words")
+        if bullet_frac > 0.9:
+            reasons.append("bullet_lines")
+        if ell_frac > 0.3:
+            reasons.append("ellipsis_lines")
+        if stop_hits < 2:
+            reasons.append("stopwords")
+        return (n_words, stop_hits, ",".join(reasons), not reasons)
+
+    @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        docs=st.lists(
+            st.lists(
+                st.sampled_from([
+                    "the", "of", "and", "to", "be", "that", "have", "with",
+                    "cat", "supercalifragilistic", "a1", "##", "...", "42",
+                    "- item", "* item", "tail...", "\n", "word word word",
+                ]),
+                min_size=0,
+                max_size=25,
+            ).map(" ".join),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    def test_matches_python_model(self, spark, docs):
+        from datacompy_spark.operators.textops import gopher_quality
+
+        df = spark.createDataFrame(
+            list(enumerate(docs)), "doc_id bigint, text string"
+        )
+        got = {
+            r["doc_id"]: (r["n_words"], r["stop_hits"], r["reasons"], r["keep"])
+            for r in gopher_quality(df, "doc_id", "text", min_words=10).collect()
+        }
+        want = {i: self._model(d) for i, d in enumerate(docs)}
+        assert got == want
