@@ -674,6 +674,37 @@ def build_parser() -> argparse.ArgumentParser:
         "--spark-app-name", default="datacompy-spark-cli", metavar="NAME",
         help="Spark application name",
     )
+
+    # snapshot: whole-directory content diff via order-independent
+    # checksums — the cheap first gate before a row-level `compare`.
+    sn = sub.add_parser(
+        "snapshot",
+        help="diff two snapshot directories table-by-table via "
+        "order-independent content checksums (one narrow scan per table "
+        "per side, no joins); exit 1 on any mismatch (CI gate)",
+        parents=[debug_parent],
+    )
+    sn.add_argument("--left", required=True, help="left snapshot directory")
+    sn.add_argument("--right", required=True, help="right snapshot directory")
+    sn.add_argument(
+        "--tables", required=True,
+        help="comma-separated table names (each resolves to "
+        "DIR/<name>.parquet via the standard loader)",
+    )
+    sn.add_argument(
+        "--ignore-cols", action="append", default=[], metavar="TABLE=COL[,COL...]",
+        help="exclude columns from a table's digest (repeatable) — e.g. a "
+        "volatile ingestion-timestamp column",
+    )
+    sn.add_argument(
+        "--fail-on-mismatch", action="store_true",
+        help="exit 1 when any table's rows or content differ (CI gate)",
+    )
+    sn.add_argument("--quiet", action="store_true", help="suppress the summary line")
+    sn.add_argument(
+        "--spark-app-name", default="datacompy-spark-cli", metavar="NAME",
+        help="Spark application name",
+    )
     return p
 
 
@@ -1824,6 +1855,70 @@ def run_curate(args) -> int:
             spark.stop()
 
 
+def run_snapshot(args) -> int:
+    import json
+
+    from pyspark.sql import SparkSession
+
+    from datacompy_spark.operators.profile import dataset_diff
+
+    tables = [t.strip() for t in args.tables.split(",") if t.strip()]
+    if not tables:
+        raise CLIError("--tables must name at least one table")
+    ignore: dict = {}
+    for spec in args.ignore_cols:
+        name, sep, cols = spec.partition("=")
+        if not sep or not cols:
+            raise CLIError(f"--ignore-cols expects TABLE=COL[,COL...], got {spec!r}")
+        ignore[name] = [c.strip() for c in cols.split(",") if c.strip()]
+    created = SparkSession.getActiveSession() is None
+    spark = SparkSession.builder.appName(args.spark_app_name).getOrCreate()
+    try:
+        columns = None
+        if ignore:
+            from datacompy_spark.sources.loaders import load_table
+
+            columns = {}
+            for t in tables:
+                if t in ignore:
+                    try:
+                        all_cols = load_table(spark, args.left, t).columns
+                    except Exception as ex:
+                        raise CLIError(f"failed to load {t!r} from --left: {ex}") from ex
+                    missing = [c for c in ignore[t] if c not in all_cols]
+                    if missing:
+                        raise CLIError(
+                            f"--ignore-cols: {missing} not in table {t!r}"
+                        )
+                    columns[t] = [c for c in all_cols if c not in ignore[t]]
+        try:
+            rows = dataset_diff(
+                spark, args.left, args.right, tables, columns=columns
+            ).collect()
+        except CLIError:
+            raise
+        except Exception as ex:
+            raise CLIError(str(ex)) from ex
+        verdicts = {
+            r["table"]: {
+                "n_rows_left": r["n_rows_left"],
+                "n_rows_right": r["n_rows_right"],
+                "rows_match": bool(r["rows_match"]),
+                "content_match": bool(r["content_match"]),
+            }
+            for r in rows
+        }
+        n_bad = sum(1 for v in verdicts.values() if not v["content_match"])
+        if not args.quiet:
+            print(json.dumps({"tables": verdicts, "mismatched": n_bad}))
+        if args.fail_on_mismatch and n_bad:
+            return 1
+        return 0
+    finally:
+        if created:
+            spark.stop()
+
+
 def main(argv: Optional[Sequence[str]] = None) -> int:
     parser = build_parser()
     args = parser.parse_args(argv)
@@ -1850,6 +1945,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             return run_curate(args)
         if args.command == "check":
             return run_check(args)
+        if args.command == "snapshot":
+            return run_snapshot(args)
         raise CLIError(f"unknown command {args.command!r}")
     except CLIError as ex:
         print(f"error: {ex}", file=sys.stderr)

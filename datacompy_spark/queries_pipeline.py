@@ -2370,6 +2370,69 @@ SELECT source AS grp, count(*)::BIGINT AS n_docs,
 FROM documents GROUP BY source"""
 
 
+#: tables digested by the dataset_checksum query (embeddings excluded:
+#: array columns have no portable string form)
+_CHECKSUM_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents",
+]
+
+
+def q_dataset_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent content digest of every scalar testdata table
+    (operators/profile.py::table_checksum): one (table, n_rows, checksum)
+    row each — the replication/migration smoke gate, here hash-pinned
+    against DuckDB computing the same digest over the same parquet, which
+    doubles as proof that BOTH engines render every atomic type's string
+    form identically (doubles, dates, timestamps included)."""
+    from datacompy_spark.operators.profile import table_checksum
+
+    out = None
+    for t in _CHECKSUM_TABLES:
+        row = table_checksum(load_table(spark, sf_dir, t)).select(
+            F.lit(t).alias("table"), "n_rows", "checksum"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _sql_dataset_checksum() -> str:
+    from datacompy_spark.operators.profile import table_checksum_sql
+
+    # column lists must match the Spark side's load_table ordering — the
+    # parquet schema order, which is what DuckDB's view exposes too; the
+    # oracle checker registers views named after the tables
+    # column lists in parquet schema order (TESTDATA.md); a drift here is
+    # caught immediately by the hash gate because the Spark side digests
+    # df.columns
+    cols = {
+        "region": ["r_regionkey", "r_name"],
+        "nation": ["n_nationkey", "n_name", "n_regionkey"],
+        "customer": ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+        "supplier": ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+        "part": ["p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"],
+        "orders": [
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority",
+        ],
+        "lineitem": [
+            "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+            "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+            "l_returnflag", "l_linestatus", "l_shipdate",
+        ],
+        "events": ["event_id", "ts", "user_id", "event_type", "value", "props"],
+        "documents": ["doc_id", "text", "lang", "source", "n_chars"],
+    }
+    selects = [
+        f"SELECT '{t}' AS \"table\", n_rows, checksum FROM ({table_checksum_sql(t, cols[t])})"
+        for t in _CHECKSUM_TABLES
+    ]
+    return "\nUNION ALL\n".join(selects)
+
+
+SQL_DATASET_CHECKSUM = _sql_dataset_checksum()
+
+
 def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction + rollup: parse the events table's JSON
     ``props`` column once per row (operators/analytics.py::
@@ -2979,6 +3042,7 @@ PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_index": q_minhash_index,
     "gopher_quality": q_gopher_quality,
     "dup_rate_by_source": q_dup_rate_by_source,
+    "dataset_checksum": q_dataset_checksum,
     "shard_corpus": q_shard_corpus,
     "dedup_semantic": q_dedup_semantic,
     "line_dedup": q_line_dedup,
@@ -3072,6 +3136,7 @@ PIPELINE_ORACLES: Dict[str, str] = {
     "minhash_index": SQL_MINHASH_INDEX,
     "gopher_quality": SQL_GOPHER_QUALITY,
     "dup_rate_by_source": SQL_DUP_RATE_BY_SOURCE,
+    "dataset_checksum": SQL_DATASET_CHECKSUM,
     "shard_corpus": SQL_SHARD_CORPUS,
     "dedup_semantic": SQL_DEDUP_SEMANTIC,
     "line_dedup": SQL_LINE_DEDUP,

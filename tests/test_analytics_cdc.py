@@ -1149,3 +1149,102 @@ class TestPersistedIvfIndex:
         assert gens == {0}
         assert cells.count() == emb.count()
         assert run() == before
+
+
+class TestTableChecksum:
+    """Order-independent content digests and the dataset_diff gate."""
+
+    def test_layout_and_order_invariant(self, spark):
+        from datacompy_spark.operators.profile import table_checksum
+
+        df = spark.createDataFrame(
+            [(i, f"v{i % 7}", float(i) / 3) for i in range(200)],
+            "k bigint, s string, x double",
+        )
+        a = table_checksum(df).collect()[0]
+        b = table_checksum(df.repartition(13).sortWithinPartitions("s")).collect()[0]
+        assert (a["n_rows"], a["checksum"]) == (b["n_rows"], b["checksum"])
+        assert a["n_rows"] == 200
+
+    def test_detects_single_cell_change_and_multiplicity(self, spark):
+        from datacompy_spark.operators.profile import table_checksum
+
+        base = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k bigint, s string"
+        )
+        mutated = spark.createDataFrame(
+            [(1, "a"), (2, "B"), (3, "c")], "k bigint, s string"
+        )
+        doubled = base.unionAll(spark.createDataFrame([(1, "a")], "k bigint, s string"))
+        ck = lambda d: table_checksum(d).collect()[0]["checksum"]
+        assert ck(base) != ck(mutated)
+        # duplicate multiplicity changes the SUM (a distinct-set digest
+        # would miss a doubled row)
+        assert ck(base) != ck(doubled)
+
+    def test_null_vs_literal_N_distinct(self, spark):
+        from datacompy_spark.operators.profile import table_checksum
+
+        a = spark.createDataFrame([(1, None)], "k bigint, s string")
+        b = spark.createDataFrame([(1, "N")], "k bigint, s string")
+        ck = lambda d: table_checksum(d).collect()[0]["checksum"]
+        assert ck(a) != ck(b)
+
+    def test_empty_table_checksums_zero(self, spark):
+        from datacompy_spark.operators.profile import table_checksum
+
+        e = spark.createDataFrame([], "k bigint, s string")
+        r = table_checksum(e).collect()[0]
+        assert r["n_rows"] == 0 and int(r["checksum"]) == 0
+
+    def test_single_pass_plan(self, spark):
+        from datacompy_spark.operators.profile import table_checksum
+
+        df = spark.range(100).select(F.col("id").alias("k"))
+        p = table_checksum(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in p
+        assert p.count("Exchange hashpartitioning") == 0  # single-row fold only
+
+    def test_dataset_diff_verdicts(self, spark, tmp_path):
+        from datacompy_spark.operators.profile import dataset_diff
+
+        left = tmp_path / "left"
+        right = tmp_path / "right"
+        t = spark.createDataFrame(
+            [(i, f"r{i}") for i in range(50)], "k bigint, s string"
+        )
+        t.write.parquet(str(left / "t1.parquet"))
+        # identical content, different layout
+        t.repartition(7).write.parquet(str(right / "t1.parquet"))
+        # t2 differs by one row
+        t.write.parquet(str(left / "t2.parquet"))
+        t.filter(F.col("k") != 25).unionAll(
+            spark.createDataFrame([(25, "CHANGED")], "k bigint, s string")
+        ).write.parquet(str(right / "t2.parquet"))
+        out = {
+            r["table"]: r
+            for r in dataset_diff(
+                spark, str(left), str(right), ["t1", "t2"]
+            ).collect()
+        }
+        assert out["t1"]["rows_match"] and out["t1"]["content_match"]
+        assert out["t2"]["rows_match"] and not out["t2"]["content_match"]
+
+    def test_sql_twin_agrees(self, spark):
+        import duckdb
+
+        from datacompy_spark.operators.profile import (
+            table_checksum,
+            table_checksum_sql,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a", 0.5), (2, None, 1.0), (3, "c", None)],
+            "k bigint, s string, x double",
+        )
+        got = table_checksum(df).collect()[0]
+        con = duckdb.connect()
+        con.register("t", df.toPandas())
+        want = con.execute(table_checksum_sql("t", ["k", "s", "x"])).fetchone()
+        assert got["n_rows"] == want[0]
+        assert int(got["checksum"]) == int(want[1])

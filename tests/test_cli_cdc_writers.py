@@ -287,3 +287,61 @@ class TestCliAnn:
         assert summary["n_rows"] == emb.count()
         cells = spark.read.parquet(f"{idx}/cells")
         assert {r["ingest"] for r in cells.select("ingest").distinct().collect()} == {0}
+
+
+class TestCliSnapshot:
+    def _dirs(self, spark, tmp_path):
+        left = tmp_path / "L"
+        right = tmp_path / "R"
+        t = spark.createDataFrame(
+            [(i, f"r{i}", float(i)) for i in range(30)],
+            "k bigint, s string, x double",
+        )
+        t.write.parquet(str(left / "t1.parquet"))
+        t.coalesce(1).write.parquet(str(right / "t1.parquet"))  # same content
+        t.write.parquet(str(left / "t2.parquet"))
+        t.withColumn("x", F.col("x") + F.when(F.col("k") == 7, 1.0).otherwise(0.0)) \
+            .write.parquet(str(right / "t2.parquet"))
+        return str(left), str(right)
+
+    def test_verdicts_and_gate(self, spark, tmp_path, capsys):
+        left, right = self._dirs(spark, tmp_path)
+        rc = main([
+            "snapshot", "--left", left, "--right", right,
+            "--tables", "t1,t2",
+        ])
+        assert rc == 0  # no gate flag: report only
+        out = json.loads(capsys.readouterr().out.strip())
+        assert out["tables"]["t1"]["content_match"] is True
+        assert out["tables"]["t2"]["content_match"] is False
+        assert out["tables"]["t2"]["rows_match"] is True
+        assert out["mismatched"] == 1
+        rc = main([
+            "snapshot", "--left", left, "--right", right,
+            "--tables", "t1,t2", "--fail-on-mismatch",
+        ])
+        assert rc == 1  # CI gate trips
+
+    def test_ignore_cols_excuses_volatile_column(self, spark, tmp_path, capsys):
+        left, right = self._dirs(spark, tmp_path)
+        rc = main([
+            "snapshot", "--left", left, "--right", right,
+            "--tables", "t2", "--ignore-cols", "t2=x", "--fail-on-mismatch",
+        ])
+        assert rc == 0  # only x differed
+        out = json.loads(capsys.readouterr().out.strip())
+        assert out["tables"]["t2"]["content_match"] is True
+
+    def test_bad_specs_rejected(self, spark, tmp_path, capsys):
+        left, right = self._dirs(spark, tmp_path)
+        assert main([
+            "snapshot", "--left", left, "--right", right,
+            "--tables", "t1", "--ignore-cols", "bogus",
+        ]) == 2
+        assert main([
+            "snapshot", "--left", left, "--right", right,
+            "--tables", "t1", "--ignore-cols", "t1=nope",
+        ]) == 2
+        assert main([
+            "snapshot", "--left", left, "--right", right, "--tables", " ",
+        ]) == 2
