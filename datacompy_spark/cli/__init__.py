@@ -1870,6 +1870,12 @@ def run_snapshot(args) -> int:
         name, sep, cols = spec.partition("=")
         if not sep or not cols:
             raise CLIError(f"--ignore-cols expects TABLE=COL[,COL...], got {spec!r}")
+        if name not in tables:
+            raise CLIError(
+                f"--ignore-cols names table {name!r} which is not in --tables "
+                f"{tables} — a typo here would silently leave the column in "
+                "the digest"
+            )
         ignore[name] = [c.strip() for c in cols.split(",") if c.strip()]
     created = SparkSession.getActiveSession() is None
     spark = SparkSession.builder.appName(args.spark_app_name).getOrCreate()

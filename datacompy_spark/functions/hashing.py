@@ -37,6 +37,28 @@ def md5_long_sql(expr: str, seed: str = "") -> str:
     return f"('0x' || substr(md5({inner}), 1, {_HEX_DIGITS}))::BIGINT"
 
 
+def injective_key(cols: List[Column]) -> Column:
+    """INJECTIVE composite string key over heterogeneous columns: each
+    part is ``'V' + md5(string form)`` (33 chars; md5's hex alphabet never
+    collides with the prefix letters) or ``'N'`` for NULL, concatenated.
+    No in-band separator a data value could contain can merge two distinct
+    tuples into one key — the shared primitive behind the expectations
+    unique rule and the table-content checksum. DuckDB twin:
+    :func:`injective_key_sql`."""
+    parts = [
+        F.coalesce(F.concat(F.lit("V"), F.md5(c.cast("string"))), F.lit("N"))
+        for c in cols
+    ]
+    return F.concat(*parts)
+
+
+def injective_key_sql(exprs: List[str]) -> str:
+    """DuckDB twin of :func:`injective_key` (same tokens, same order)."""
+    return " || ".join(
+        f"coalesce('V' || md5({e}::VARCHAR), 'N')" for e in exprs
+    )
+
+
 def word_shingles(tokens: Column, k: int = 3) -> Column:
     """k-word shingles of a token array; documents shorter than k collapse to
     one whole-document shingle. DuckDB twin in ``word_shingles_sql``."""

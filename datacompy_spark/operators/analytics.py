@@ -639,15 +639,62 @@ def key_containment(
     )
 
 
-def _melt_key(col: F.Column, dtype) -> F.Column:
-    """Injective string form for the melted key union: heterogeneous
-    candidate key types must share one column, and every atomic type's
-    string cast preserves distinctness EXCEPT binary (UTF-8 decode can
-    collapse byte strings) — binary melts through hex instead."""
+def _resolve_col(df: DataFrame, name: str) -> str:
+    """Spark-style case-insensitive column resolution (the melt reads the
+    schema directly, which is case-SENSITIVE — ``select`` would have
+    resolved 'L_ORDERKEY' against 'l_orderkey' fine, so the melt must
+    too)."""
+    if name in df.columns:
+        return name
+    lowered = {c.lower(): c for c in df.columns}
+    if name.lower() in lowered:
+        return lowered[name.lower()]
+    raise ValueError(f"column {name!r} not found in {df.columns}")
+
+
+def _pair_key(col: F.Column, dtype, other_dtype) -> F.Column:
+    """Injective string form for ONE candidate pair's melted keys. The
+    string only needs to be consistent WITHIN the pair (the pair id is
+    part of the group key), but both sides must land on the same form
+    under the join-equality semantics the per-pair native join had:
+
+    * same type → plain string cast (injective for every atomic type),
+      binary through hex (UTF-8 decode can collapse byte strings);
+    * numeric vs numeric of different types → both sides cast to the
+      coerced common type FIRST (double if either side is fractional,
+      else bigint), so a double child key 1.0 still matches a bigint
+      parent key 1 exactly as the native join coerced it;
+    * fractional zero normalizes -0.0 → 0.0 (the native join merges
+      them; their strings differ);
+    * binary vs non-binary → rejected: there is no sane key equality.
+    """
     from pyspark.sql import types as _T
 
+    fractional = (_T.FloatType, _T.DoubleType, _T.DecimalType)
+    integral = (_T.ByteType, _T.ShortType, _T.IntegerType, _T.LongType)
+    numeric = fractional + integral
+    if isinstance(dtype, _T.BinaryType) != isinstance(other_dtype, _T.BinaryType):
+        raise ValueError(
+            f"fk_discovery: binary key vs {other_dtype.simpleString()} key "
+            "has no defined equality — cast one side explicitly"
+        )
     if isinstance(dtype, _T.BinaryType):
         return F.hex(col)
+    if dtype != other_dtype and isinstance(dtype, numeric) and isinstance(
+        other_dtype, numeric
+    ):
+        common = (
+            "double"
+            if isinstance(dtype, fractional) or isinstance(other_dtype, fractional)
+            else "bigint"
+        )
+        col = col.cast(common)
+        dtype = _T.DoubleType() if common == "double" else _T.LongType()
+    if isinstance(dtype, fractional):
+        # -0.0 and 0.0 are join-equal but render differently; NaN needs no
+        # care (both engines group NaN with NaN and render one 'NaN')
+        zero = F.lit(0).cast(dtype.simpleString())
+        col = F.when(col == 0, zero).otherwise(col)
     return col.cast("string")
 
 
@@ -678,10 +725,12 @@ def fk_discovery(
     spark = pairs[0][1].sparkSession
     melted = None
     for i, (_, child, child_col, _, parent, parent_col) in enumerate(pairs):
+        cc = _resolve_col(child, child_col)
+        pc = _resolve_col(parent, parent_col)
+        ct = child.schema[cc].dataType
+        pt = parent.schema[pc].dataType
         c = (
-            child.select(
-                _melt_key(F.col(child_col), child.schema[child_col].dataType).alias("__k")
-            )
+            child.select(_pair_key(F.col(cc), ct, pt).alias("__k"))
             .filter(F.col("__k").isNotNull())
             .select(
                 F.lit(i).alias("__pair"),
@@ -691,9 +740,7 @@ def fk_discovery(
             )
         )
         p = (
-            parent.select(
-                _melt_key(F.col(parent_col), parent.schema[parent_col].dataType).alias("__k")
-            )
+            parent.select(_pair_key(F.col(pc), pt, ct).alias("__k"))
             .filter(F.col("__k").isNotNull())
             .select(
                 F.lit(i).alias("__pair"),

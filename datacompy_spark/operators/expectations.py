@@ -67,16 +67,12 @@ def _violation_expr(rule: Dict) -> Column:
 
 
 def _string_key(cols: Sequence[Column]) -> Column:
-    """INJECTIVE composite key: each part is ``'V' + md5(string form)``
-    (33 chars, hex never collides with the prefix letters) or ``'N'`` for
-    NULL, so no separator character in the data can merge two distinct
-    tuples into one key — a plain ``concat_ws``-style key would undercount
-    distinct tuples whenever a value contains the separator."""
-    parts = [
-        F.coalesce(F.concat(F.lit("V"), F.md5(c.cast("string"))), F.lit("N"))
-        for c in cols
-    ]
-    return F.concat(*parts)
+    """INJECTIVE composite key (functions/hashing.py::injective_key): a
+    plain ``concat_ws``-style key would undercount distinct tuples
+    whenever a value contains the separator."""
+    from datacompy_spark.functions.hashing import injective_key
+
+    return injective_key(list(cols))
 
 
 def expect(df: DataFrame, rules: List[Dict]) -> DataFrame:
@@ -115,11 +111,9 @@ def _violation_sql(rule: Dict) -> str:
     if kind == "not_null":
         return f"sum(CASE WHEN {rule['col']} IS NULL THEN 1 ELSE 0 END)::BIGINT"
     if kind == "unique":
-        # injective per-part hash key — see _string_key
-        parts = [
-            f"coalesce('V' || md5({c}::VARCHAR), 'N')" for c in rule["cols"]
-        ]
-        key = " || ".join(parts)
+        from datacompy_spark.functions.hashing import injective_key_sql
+
+        key = injective_key_sql(rule["cols"])
         return f"(count(*) - count(DISTINCT {key}))::BIGINT"
     c = rule["col"]
     if kind == "accepted_values":

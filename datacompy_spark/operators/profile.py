@@ -58,22 +58,14 @@ def table_profile(
 
 
 def _row_digest(columns: Sequence[str]) -> F.Column:
-    """Injective per-row digest over ``columns``: each cell contributes
-    ``'V' + md5(string form)`` (33 chars, hex never collides with the
-    prefix letters) or ``'N'`` for NULL, the tokens concatenate, and the
-    row folds to a 60-bit integer. Same injectivity argument as the
-    expectations unique key; both engines render every atomic type's
-    string form identically under a UTC session (verified per-column over
-    the whole testdata corpus — doubles/dates/timestamps included)."""
-    from datacompy_spark.functions.hashing import md5_long
+    """Injective per-row digest over ``columns``
+    (functions/hashing.py::injective_key folded to a 60-bit integer).
+    Both engines render every atomic type's string form identically under
+    a UTC session (verified per-column over the whole testdata corpus —
+    doubles/dates/timestamps included)."""
+    from datacompy_spark.functions.hashing import injective_key, md5_long
 
-    parts = [
-        F.coalesce(
-            F.concat(F.lit("V"), F.md5(F.col(c).cast("string"))), F.lit("N")
-        )
-        for c in columns
-    ]
-    return md5_long(F.concat(*parts))
+    return md5_long(injective_key([F.col(c) for c in columns]))
 
 
 def table_checksum(
@@ -107,12 +99,9 @@ def table_checksum(
 def table_checksum_sql(table_expr: str, columns: Sequence[str]) -> str:
     """DuckDB twin of :func:`table_checksum` (same tokens, same 60-bit
     fold, same exact integer sum)."""
-    from datacompy_spark.functions.hashing import md5_long_sql
+    from datacompy_spark.functions.hashing import injective_key_sql, md5_long_sql
 
-    parts = " || ".join(
-        f"coalesce('V' || md5({c}::VARCHAR), 'N')" for c in columns
-    )
-    digest = md5_long_sql(f"({parts})")
+    digest = md5_long_sql(f"({injective_key_sql(list(columns))})")
     return (
         f"SELECT count(*)::BIGINT AS n_rows, "
         f"coalesce(sum({digest}), 0)::DECIMAL(38,0) AS checksum "
@@ -134,18 +123,30 @@ def dataset_diff(
     CI gate: cost is one narrow scan per table per side, so diffing a
     100 TB snapshot pair is scan-bound with zero joins or shuffles of row
     data. ``columns`` optionally restricts the digest per table (e.g. to
-    skip a known-volatile ingestion-timestamp column)."""
+    skip a known-volatile ingestion-timestamp column).
+
+    Both sides digest in the LEFT side's column order (a rewrite that
+    reordered columns without touching values must not trip the gate);
+    a right side missing one of those columns fails loudly at plan time
+    rather than producing a meaningless checksum."""
     from datacompy_spark.sources.loaders import load_table
 
     out = None
     for t in tables:
-        cols = (columns or {}).get(t)
-        lc = table_checksum(load_table(spark, left_dir, t), cols).select(
+        left_df = load_table(spark, left_dir, t)
+        cols = (columns or {}).get(t) or left_df.columns
+        right_df = load_table(spark, right_dir, t)
+        missing = [c for c in cols if c not in right_df.columns]
+        if missing:
+            raise ValueError(
+                f"dataset_diff: table {t!r} is missing {missing} on the right side"
+            )
+        lc = table_checksum(left_df, cols).select(
             F.lit(t).alias("table"),
             F.col("n_rows").alias("n_rows_left"),
             F.col("checksum").alias("__ck_l"),
         )
-        rc = table_checksum(load_table(spark, right_dir, t), cols).select(
+        rc = table_checksum(right_df.select(*cols), cols).select(
             F.lit(t).alias("table"),
             F.col("n_rows").alias("n_rows_right"),
             F.col("checksum").alias("__ck_r"),

@@ -230,8 +230,14 @@ def gopher_quality(
     toks = tokens(F.col(text_col))
     n_words = F.size(toks)
     n_chars = F.length(F.col(text_col))
-    n_space = F.length(F.regexp_replace(F.col(text_col), "[^ ]", ""))
-    mean_wl = (n_chars - n_space).cast("double") / n_words.cast("double")
+    # mean word length over the TOKENS (the Gopher rule is about words):
+    # normalized text is tokens joined by single spaces, so the token-char
+    # total is its length minus the n_words-1 separators. A raw-character
+    # numerator would count newlines/punctuation as word mass and push
+    # line-broken docs over the ceiling.
+    mean_wl = (
+        F.length(normalize(F.col(text_col))) - n_words + 1
+    ).cast("double") / n_words.cast("double")
     n_hash = n_chars - F.length(F.replace(F.col(text_col), F.lit("#"), F.lit("")))
     n_ell = (
         n_chars - F.length(F.replace(F.col(text_col), F.lit("..."), F.lit("")))
@@ -289,13 +295,15 @@ def gopher_quality_sql(
 ) -> Dict[str, str]:
     """DuckDB twin of :func:`gopher_quality` (same counts, same single
     double division per ratio, same rule order in ``reasons``)."""
-    from datacompy_spark.functions.text import tokens_sql
+    from datacompy_spark.functions.text import normalize_sql, tokens_sql
 
     toks = tokens_sql(text)
     n_words = f"len({toks})"
     n_chars = f"len({text})"
-    n_space = f"len(regexp_replace({text}, '[^ ]', '', 'g'))"
-    mean_wl = f"(({n_chars} - {n_space})::DOUBLE / {n_words}::DOUBLE)"
+    mean_wl = (
+        f"((len({normalize_sql(text)}) - {n_words} + 1)::DOUBLE"
+        f" / {n_words}::DOUBLE)"
+    )
     n_hash = f"({n_chars} - len(replace({text}, '#', '')))"
     n_ell = f"(({n_chars} - len(replace({text}, '...', ''))) // 3)"
     symbol_ratio = f"(({n_hash} + {n_ell})::DOUBLE / {n_words}::DOUBLE)"

@@ -565,7 +565,16 @@ from datacompy_spark.queries_pipeline import PIPELINE_ORACLES, PIPELINE_QUERIES 
 # never-driver-verified set stays empty.  The 50 names the r8 sweep just
 # re-proved fall to the tail.
 _SWEEP_FIRST = [
+    # registered new in round 9 — never driver-verified, so they lead
+    # (the standing never-green-first rule outranks oldest-green)
+    "ledger_replay",
+    "minhash_index",
+    "gopher_quality",
+    "dup_rate_by_source",
+    "dataset_checksum",
     # last driver-green in r7 — oldest evidence, re-earn it this round
+    # (join_cardinality, the 46th, falls to the tail to keep the window
+    # at 50; it is r7-green and --unswept-verified locally this round)
     "cmp_column_stats",
     "cmp_unique_rows",
     "cmp_all_mismatch",
@@ -611,12 +620,6 @@ _SWEEP_FIRST = [
     "events_missing_periods",
     "knn_int8",
     "source_cap",
-    "join_cardinality",
-    # registered new in round 9 — first driver sweep is this round
-    "ledger_replay",
-    "minhash_index",
-    "gopher_quality",
-    "dup_rate_by_source",
 ]
 
 

@@ -2191,12 +2191,13 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_dedup_incremental() -> str:
-    norm = TX.normalize_sql("text")
+    # NULL text → sentinel hash group, matching Spark's _content_hash
+    norm = f"coalesce(md5({TX.normalize_sql('text')}), '__null_text__')"
     return f"""
 WITH corpus AS (
-  SELECT doc_id, md5({norm}) AS chash FROM documents WHERE doc_id % 2 = 0),
+  SELECT doc_id, {norm} AS chash FROM documents WHERE doc_id % 2 = 0),
 batch AS (
-  SELECT doc_id, md5({norm}) AS chash FROM documents WHERE doc_id % 2 = 1),
+  SELECT doc_id, {norm} AS chash FROM documents WHERE doc_id % 2 = 1),
 bk AS (SELECT chash, min(doc_id) AS batch_keep FROM batch GROUP BY 1),
 cm AS (SELECT chash, min(doc_id) AS corpus_match FROM corpus GROUP BY 1)
 SELECT b.doc_id,
@@ -2262,12 +2263,15 @@ def q_ledger_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_ledger_replay() -> str:
-    norm = TX.normalize_sql("text")
+    # NULL text folds to the sentinel hash group exactly like Spark's
+    # _content_hash — a bare md5 would go NULL and the inner JOIN on
+    # chash would silently drop the row from every phase
+    norm = f"coalesce(md5({TX.normalize_sql('text')}), '__null_text__')"
     return f"""
 WITH batch_a AS (
-  SELECT doc_id, md5({norm}) AS chash FROM documents WHERE doc_id % 3 = 0),
+  SELECT doc_id, {norm} AS chash FROM documents WHERE doc_id % 3 = 0),
 batch_b AS (
-  SELECT doc_id, md5({norm}) AS chash FROM documents WHERE doc_id % 3 = 1),
+  SELECT doc_id, {norm} AS chash FROM documents WHERE doc_id % 3 = 1),
 bka AS (SELECT chash, min(doc_id) AS batch_keep FROM batch_a GROUP BY 1),
 va AS (
   SELECT b.doc_id, b.chash,

@@ -933,6 +933,39 @@ class TestKeyContainment:
             ):
                 assert g[col] == want[col], (cn, col, g[col], want[col])
 
+    def test_melt_matches_native_join_coercion(self, spark):
+        """Cross-type pairs must behave like the native join the per-pair
+        formulation had: double child vs int parent still matches, -0.0
+        merges with 0.0, column resolution is case-insensitive, and
+        binary-vs-string is rejected outright."""
+        from datacompy_spark.operators.analytics import (
+            fk_discovery,
+            key_containment,
+        )
+
+        dc = spark.createDataFrame([(1.0,), (2.0,), (3.0,)], "fk double")
+        ip = spark.createDataFrame([(1,), (2,), (5,)], "pk int")
+        got = fk_discovery([("c", dc, "fk", "p", ip, "pk")]).collect()[0]
+        want = key_containment(dc, "fk", ip, "pk").collect()[0]
+        assert got["contained"] == want["contained"] == 2
+        assert got["containment"] == want["containment"]
+
+        nz = spark.createDataFrame([(-0.0,), (1.5,)], "fk double")
+        pz = spark.createDataFrame([(0.0,), (1.5,)], "pk double")
+        got = fk_discovery([("c", nz, "fk", "p", pz, "pk")]).collect()[0]
+        assert got["contained"] == 2  # -0.0 joins 0.0 natively
+
+        up = spark.createDataFrame([(1,)], "l_orderkey bigint")
+        got = fk_discovery(
+            [("c", up, "L_ORDERKEY", "p", up, "l_orderkey")]
+        ).collect()[0]
+        assert got["containment"] == 1.0
+
+        bb = spark.createDataFrame([(bytearray(b"AB"),)], "bk binary")
+        ss = spark.createDataFrame([("AB",)], "sk string")
+        with pytest.raises(ValueError, match="binary key"):
+            fk_discovery([("c", bb, "bk", "p", ss, "sk")])
+
     def test_auto_candidates_prefix_discipline(self, spark):
         from datacompy_spark.operators.analytics import fk_candidates
 
@@ -1229,6 +1262,24 @@ class TestTableChecksum:
         }
         assert out["t1"]["rows_match"] and out["t1"]["content_match"]
         assert out["t2"]["rows_match"] and not out["t2"]["content_match"]
+
+    def test_dataset_diff_column_reorder_is_not_a_mismatch(self, spark, tmp_path):
+        """An engine migration that reorders columns without touching
+        values must NOT trip the gate (both sides digest in the left
+        side's order); a right side missing a column fails loudly."""
+        from datacompy_spark.operators.profile import dataset_diff
+
+        left = tmp_path / "left"
+        right = tmp_path / "right"
+        t = spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, s string")
+        t.write.parquet(str(left / "t.parquet"))
+        t.select("s", "k").write.parquet(str(right / "t.parquet"))
+        r = dataset_diff(spark, str(left), str(right), ["t"]).collect()[0]
+        assert r["content_match"] is True
+        t.select("k").write.parquet(str(right / "t2.parquet"))
+        t.write.parquet(str(left / "t2.parquet"))
+        with pytest.raises(ValueError, match="missing"):
+            dataset_diff(spark, str(left), str(right), ["t2"])
 
     def test_sql_twin_agrees(self, spark):
         import duckdb

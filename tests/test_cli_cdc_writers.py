@@ -342,6 +342,11 @@ class TestCliSnapshot:
             "snapshot", "--left", left, "--right", right,
             "--tables", "t1", "--ignore-cols", "t1=nope",
         ]) == 2
+        # a typo'd TABLE name must error, not silently not apply
+        assert main([
+            "snapshot", "--left", left, "--right", right,
+            "--tables", "t1", "--ignore-cols", "t9=s",
+        ]) == 2
         assert main([
             "snapshot", "--left", left, "--right", right, "--tables", " ",
         ]) == 2

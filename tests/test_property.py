@@ -746,9 +746,9 @@ class TestGopherQualityProperties:
         norm = re.sub(" +", " ", re.sub("[^a-z0-9 ]", " ", text.lower())).strip()
         toks = norm.split(" ")
         n_words = len(toks)
-        n_chars = len(text)
-        n_space = text.count(" ")
-        mean_wl = (n_chars - n_space) / n_words
+        # mean word length over the tokens: norm is tokens joined by
+        # single spaces
+        mean_wl = (len(norm) - n_words + 1) / n_words
         n_hash = text.count("#")
         n_ell = text.count("...")  # str.count is non-overlapping, like replace-len
         symbol_ratio = (n_hash + n_ell) / n_words

@@ -105,6 +105,15 @@ def _walk(node, counts, seen_caches) -> None:
     bucket = _NODE_BUCKET.get(cls)
     if bucket:
         counts[bucket] += 1
+    # expression subqueries (scalar/IN subquery plans) are NOT children —
+    # toString() printed them, so the old regex counted them; the walk
+    # must visit them too or a shuffle inside a subquery goes unaudited
+    try:
+        subs = node.subqueries()
+        for i in range(subs.length()):
+            _walk(subs.apply(i), counts, seen_caches)
+    except Exception:  # noqa: BLE001 — API drift tolerated
+        pass
     kids = node.children()
     for i in range(kids.length()):
         _walk(kids.apply(i), counts, seen_caches)
