@@ -987,3 +987,158 @@ FROM (SELECT DISTINCT {child_col} AS k FROM {child_table}
       WHERE {child_col} IS NOT NULL) c
 FULL JOIN (SELECT DISTINCT {parent_col} AS k FROM {parent_table}
            WHERE {parent_col} IS NOT NULL) p ON c.k = p.k"""
+
+
+def rolling_drift(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 10,
+    bucket: str = "day",
+) -> DataFrame:
+    """Period-over-period distribution drift of a numeric column: PSI and
+    total-variation between each time bucket and the IMMEDIATELY PRECEDING
+    calendar bucket — the batch twin of a streaming drift monitor, and the
+    time-series view :func:`histogram_drift` gives for exactly two
+    snapshots.
+
+    Returns one row per period that has data AND whose previous calendar
+    period also has data: ``(period, n_prev, n_cur, tv_distance, psi)``.
+    A calendar gap breaks the chain (the period after a silent day is not
+    compared against the stale last-seen day — silence is
+    :func:`missing_periods`'s job); an empty side inside a compared pair
+    cannot occur by construction.
+
+    Binning is identical to :func:`histogram_drift`: caller-fixed edges
+    (stable across runs, no preliminary quantile pass), underflow/overflow
+    bins -1/``bins``, NULLs in their own bin merged null-safely.
+
+    Scale shape: ONE narrow scan → partial-agg count shuffle keyed by
+    (period, bin) — cardinality ``periods × (bins+3)``, tiny forever —
+    then every join/window below runs on that pre-aggregated frame. The
+    period-adjacency self-join and the per-period total windows never
+    touch row data.
+    """
+    if bins <= 0 or not hi > lo:
+        raise ValueError("rolling_drift needs bins > 0 and hi > lo")
+    if bucket not in ("hour", "day"):
+        raise ValueError("rolling_drift bucket must be 'hour' or 'day'")
+    width = (hi - lo) / bins
+
+    b = (
+        F.when(F.col(value_col).isNull(), F.lit(None).cast("int"))
+        .when(F.col(value_col) < lo, F.lit(-1))
+        .when(F.col(value_col) >= hi, F.lit(bins))
+        .otherwise(
+            F.least(
+                F.lit(bins - 1),
+                F.floor((F.col(value_col) - lo) / width).cast("int"),
+            )
+        )
+    )
+    pb = (
+        df.select(F.date_trunc(bucket, F.col(ts_col)).alias("period"), b.alias("bin"))
+        .filter(F.col("period").isNotNull())
+        .groupBy("period", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        # persisted: pb feeds the cur side, the shifted prev side, AND the
+        # adjacency probe — unpersisted, Spark re-executes the full scan +
+        # partial agg per reuse (plan audit showed 4 scans of the raw
+        # table); cached, the 100 TB scan happens once and every reuse
+        # reads the periods×(bins+3)-row aggregate
+        .persist()
+    )
+    step = F.expr(f"INTERVAL 1 {bucket.upper()}")
+    cur = pb.alias("c")
+    prv = pb.select(
+        (F.col("period") + step).alias("period"), "bin", F.col("n").alias("n_prev")
+    ).alias("p")
+    # full outer on the bin axis so mass in a bin only one side populated
+    # still contributes |p|/2 and a PSI term; the trailing semi-join then
+    # keeps only periods where BOTH calendar sides actually had data
+    # (cur-only rows at a gap boundary and the phantom last-period+1 row
+    # from the shifted side drop out)
+    m = cur.join(
+        prv,
+        (F.col("c.period") == F.col("p.period"))
+        & F.col("c.bin").eqNullSafe(F.col("p.bin")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("c.period"), F.col("p.period")).alias("period"),
+        F.coalesce(F.col("c.bin"), F.col("p.bin")).alias("bin"),
+        F.coalesce(F.col("c.n"), F.lit(0)).alias("n_cur"),
+        F.coalesce(F.col("p.n_prev"), F.lit(0)).alias("n_prev"),
+    )
+    present = pb.select("period").distinct()
+    adjacent = present.join(
+        present.select((F.col("period") + step).alias("period")), "period", "semi"
+    )
+    m = m.join(F.broadcast(adjacent), "period", "semi")
+    w = Window.partitionBy("period")
+    m = m.select(
+        "*",
+        F.sum("n_cur").over(w).alias("t_cur"),
+        F.sum("n_prev").over(w).alias("t_prev"),
+    )
+    # both totals are > 0 on every surviving row (a period only survives
+    # the semi-joins with data on both sides), so plain division is safe
+    p_cur = F.col("n_cur").cast("double") / F.col("t_cur").cast("double")
+    p_prev = F.col("n_prev").cast("double") / F.col("t_prev").cast("double")
+    eps = 1e-12
+    p_cur_s = F.greatest(p_cur, F.lit(eps))
+    p_prev_s = F.greatest(p_prev, F.lit(eps))
+    return (
+        m.groupBy("period")
+        .agg(
+            F.max("t_prev").cast("long").alias("n_prev"),
+            F.max("t_cur").cast("long").alias("n_cur"),
+            F.sum(F.abs(p_cur - p_prev) / 2).alias("tv_distance"),
+            F.sum((p_cur_s - p_prev_s) * F.log(p_cur_s / p_prev_s)).alias("psi"),
+        )
+    )
+
+
+def rolling_drift_sql(
+    table: str, ts_col: str, value_col: str, lo: float, hi: float,
+    bins: int = 10, bucket: str = "day",
+) -> str:
+    """DuckDB twin of :func:`rolling_drift` — same fixed-edge binning,
+    same bin-axis full outer join, same both-sides-present period filter,
+    same smoothed-log PSI arithmetic on doubles."""
+    width = (hi - lo) / bins
+    return f"""
+WITH pb AS (
+  SELECT date_trunc('{bucket}', {ts_col})::TIMESTAMP AS period,
+    CASE WHEN {value_col} IS NULL THEN NULL
+         WHEN {value_col} < {lo}::DOUBLE THEN -1
+         WHEN {value_col} >= {hi}::DOUBLE THEN {bins}
+         ELSE least({bins} - 1,
+                    floor(({value_col} - {lo}::DOUBLE) / {width}::DOUBLE)::INT)
+    END AS bin,
+    count(*) AS n
+  FROM {table} WHERE {ts_col} IS NOT NULL GROUP BY 1, 2),
+m AS (
+  SELECT coalesce(c.period, p.period) AS period,
+    coalesce(c.n, 0) AS n_cur, coalesce(p.n, 0) AS n_prev
+  FROM pb c FULL JOIN
+    (SELECT period + INTERVAL 1 {bucket} AS period, bin, n FROM pb) p
+    ON c.period = p.period AND c.bin IS NOT DISTINCT FROM p.bin),
+adjacent AS (
+  SELECT DISTINCT a.period FROM pb a
+  JOIN pb b ON a.period = b.period + INTERVAL 1 {bucket}),
+t AS (
+  SELECT m.period, n_cur, n_prev,
+    sum(n_cur) OVER (PARTITION BY m.period) AS t_cur,
+    sum(n_prev) OVER (PARTITION BY m.period) AS t_prev
+  FROM m JOIN adjacent USING (period))
+SELECT period,
+  max(t_prev)::BIGINT AS n_prev, max(t_cur)::BIGINT AS n_cur,
+  sum(abs(n_cur::DOUBLE / t_cur::DOUBLE - n_prev::DOUBLE / t_prev::DOUBLE) / 2)
+    AS tv_distance,
+  sum((greatest(n_cur::DOUBLE / t_cur::DOUBLE, 1e-12)
+       - greatest(n_prev::DOUBLE / t_prev::DOUBLE, 1e-12))
+      * ln(greatest(n_cur::DOUBLE / t_cur::DOUBLE, 1e-12)
+           / greatest(n_prev::DOUBLE / t_prev::DOUBLE, 1e-12))) AS psi
+FROM t GROUP BY period"""

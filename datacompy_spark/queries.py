@@ -572,9 +572,12 @@ _SWEEP_FIRST = [
     "gopher_quality",
     "dup_rate_by_source",
     "dataset_checksum",
+    "dedup_editdist",
+    "rolling_drift",
     # last driver-green in r7 — oldest evidence, re-earn it this round
-    # (join_cardinality, the 46th, falls to the tail to keep the window
-    # at 50; it is r7-green and --unswept-verified locally this round)
+    # (join_cardinality/knn_int8/source_cap, the oldest three, fall past
+    # position 50 to make room for the 7 never-verified round-9 names;
+    # all three are r7-green and --unswept-verified locally this round)
     "cmp_column_stats",
     "cmp_unique_rows",
     "cmp_all_mismatch",

@@ -2976,6 +2976,78 @@ def _sql_data_expectations() -> str:
 SQL_DATA_EXPECTATIONS = _sql_data_expectations()
 
 
+# deterministic typo'd twin of documents.text — the record-linkage scenario
+# for the edit-distance join: ids offset by 1_000_000, one raw character
+# substituted (doc_id%3==1) or deleted (doc_id%3==2) at position 30, a third
+# left verbatim. `||` / F.concat are BOTH null-propagating (DuckDB's
+# variadic concat() ignores NULLs and would diverge on a NULL text).
+def _corrupted_docs(docs: DataFrame) -> DataFrame:
+    head = F.expr("substring(text, 1, 29)")
+    tail = F.expr("substring(text, 31)")
+    return docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.when(F.col("doc_id") % 3 == 1, F.concat(head, F.lit("q"), tail))
+        .when(F.col("doc_id") % 3 == 2, F.concat(head, tail))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def q_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity self-join (PassJoin pigeonhole blocking +
+    exact levenshtein verify, operators/dedup.py::edit_distance_pairs):
+    originals pooled with a deterministically typo'd copy, every pair of
+    normalized 64-char key prefixes within distance 2. The oracle is the
+    naive all-pairs scan — the blocking must be lossless to hash-match."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pooled = docs.unionAll(_corrupted_docs(docs))
+    return D.edit_distance_pairs(pooled, "doc_id", "text", max_dist=2, prefix_len=64)
+
+
+def _sql_dedup_editdist() -> str:
+    key = f"coalesce(substring({TX.normalize_sql('text')}, 1, 64), '')"
+    return f"""
+WITH src AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+    CASE WHEN doc_id % 3 = 1
+           THEN substring(text, 1, 29) || 'q' || substring(text, 31)
+         WHEN doc_id % 3 = 2
+           THEN substring(text, 1, 29) || substring(text, 31)
+         ELSE text END AS text
+  FROM documents),
+k AS (SELECT doc_id, {key} AS s FROM src)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  levenshtein(a.s, b.s)::BIGINT AS dist
+FROM k a JOIN k b
+  ON a.doc_id < b.doc_id AND abs(length(a.s) - length(b.s)) <= 2
+WHERE levenshtein(a.s, b.s) <= 2"""
+
+
+SQL_DEDUP_EDITDIST = _sql_dedup_editdist()
+
+
+def q_rolling_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day PSI / total-variation drift of events.value
+    (operators/analytics.py::rolling_drift): fixed 10-bin [0,500)
+    histogram per day, each day scored against the previous calendar day."""
+    from datacompy_spark.operators.analytics import rolling_drift
+
+    return rolling_drift(
+        load_table(spark, sf_dir, "events"), "ts", "value", lo=0.0, hi=500.0, bins=10
+    )
+
+
+def _sql_rolling_drift() -> str:
+    from datacompy_spark.operators.analytics import rolling_drift_sql
+
+    return rolling_drift_sql("events", "ts", "value", lo=0.0, hi=500.0, bins=10)
+
+
+SQL_ROLLING_DRIFT = _sql_rolling_drift()
+
+
 PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -3047,6 +3119,8 @@ PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gopher_quality": q_gopher_quality,
     "dup_rate_by_source": q_dup_rate_by_source,
     "dataset_checksum": q_dataset_checksum,
+    "dedup_editdist": q_dedup_editdist,
+    "rolling_drift": q_rolling_drift,
     "shard_corpus": q_shard_corpus,
     "dedup_semantic": q_dedup_semantic,
     "line_dedup": q_line_dedup,
@@ -3141,6 +3215,8 @@ PIPELINE_ORACLES: Dict[str, str] = {
     "gopher_quality": SQL_GOPHER_QUALITY,
     "dup_rate_by_source": SQL_DUP_RATE_BY_SOURCE,
     "dataset_checksum": SQL_DATASET_CHECKSUM,
+    "dedup_editdist": SQL_DEDUP_EDITDIST,
+    "rolling_drift": SQL_ROLLING_DRIFT,
     "shard_corpus": SQL_SHARD_CORPUS,
     "dedup_semantic": SQL_DEDUP_SEMANTIC,
     "line_dedup": SQL_LINE_DEDUP,

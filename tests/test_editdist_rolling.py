@@ -1,0 +1,149 @@
+"""Round-9 operators: PassJoin edit-distance similarity join and
+day-over-day rolling drift."""
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from datacompy_spark.functions.text import normalize
+from datacompy_spark.operators.analytics import rolling_drift
+from datacompy_spark.operators.dedup import edit_distance_pairs
+
+
+def _naive(spark, df, tau, prefix_len=64):
+    keys = df.select(
+        F.col("doc_id").alias("id"),
+        F.coalesce(
+            F.substring(normalize(F.col("text")), 1, prefix_len), F.lit("")
+        ).alias("s"),
+    )
+    a, b = keys.alias("a"), keys.alias("b")
+    return {
+        tuple(r)
+        for r in a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.levenshtein("a.s", "b.s").cast("long").alias("dist"),
+        )
+        .filter(F.col("dist") <= tau)
+        .collect()
+    }
+
+
+class TestEditDistancePairs:
+    @pytest.mark.parametrize("tau", [1, 2, 3])
+    def test_lossless_vs_naive_dense_random(self, spark, tau):
+        # tiny alphabet + short lengths = maximal collision density: every
+        # pigeonhole window off-by-one would surface as a missing pair
+        rng = random.Random(7 * tau)
+        rows = [
+            (i, "".join(rng.choice("ab1 ") for _ in range(rng.randint(0, 11))))
+            for i in range(200)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {tuple(r) for r in edit_distance_pairs(df, "doc_id", "text", tau).collect()}
+        assert got == _naive(spark, df, tau)
+
+    def test_empty_and_null_text(self, spark):
+        df = spark.createDataFrame(
+            [(1, None), (2, ""), (3, "a"), (4, "ab"), (5, "xyz long enough")],
+            "doc_id long, text string",
+        )
+        got = {tuple(r) for r in edit_distance_pairs(df, "doc_id", "text", 2).collect()}
+        # NULL and '' both normalize to the empty key: dist 0 to each other,
+        # 1 to 'a', 2 to 'ab'; the long key matches nothing
+        assert got == {(1, 2, 0), (1, 3, 1), (2, 3, 1), (1, 4, 2), (2, 4, 2), (3, 4, 1)}
+
+    def test_prefix_cap_applies(self, spark):
+        base = "z" * 80
+        df = spark.createDataFrame(
+            [(1, base), (2, base + "completely different tail")],
+            "doc_id long, text string",
+        )
+        # identical inside the 64-char cap even though full texts diverge
+        got = edit_distance_pairs(df, "doc_id", "text", 1).collect()
+        assert [(r.id_a, r.id_b, r.dist) for r in got] == [(1, 2, 0)]
+
+    def test_max_dist_validation(self, spark):
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            edit_distance_pairs(df, "doc_id", "text", 0)
+
+
+class TestRollingDrift:
+    def _events(self, spark, rows):
+        return spark.createDataFrame(rows, "ts timestamp, value double")
+
+    def test_identical_days_zero_drift(self, spark):
+        import datetime as dt
+
+        rows = []
+        for day in (1, 2, 3):
+            for v in (5.0, 15.0, 25.0, 25.0):
+                rows.append((dt.datetime(2024, 1, day, 12, 0), v))
+        out = rolling_drift(
+            self._events(spark, rows), "ts", "value", 0.0, 30.0, bins=3
+        ).collect()
+        assert len(out) == 2
+        for r in out:
+            assert r.n_prev == 4 and r.n_cur == 4
+            assert abs(r.tv_distance) < 1e-12 and abs(r.psi) < 1e-12
+
+    def test_calendar_gap_breaks_chain(self, spark):
+        import datetime as dt
+
+        rows = [
+            (dt.datetime(2024, 1, 1, 1), 1.0),
+            (dt.datetime(2024, 1, 2, 1), 1.0),
+            # Jan 3 silent
+            (dt.datetime(2024, 1, 4, 1), 1.0),
+        ]
+        out = rolling_drift(self._events(spark, rows), "ts", "value", 0.0, 10.0).collect()
+        # only Jan 2 has an adjacent predecessor with data
+        assert [r.period.day for r in out] == [2]
+
+    def test_total_shift_known_value(self, spark):
+        import datetime as dt
+
+        # day1: 4 rows in bin0; day2: 2 in bin0 + 2 in bin1
+        rows = [(dt.datetime(2024, 1, 1, 1), 1.0)] * 4 + [
+            (dt.datetime(2024, 1, 2, 1), 1.0),
+            (dt.datetime(2024, 1, 2, 2), 1.0),
+            (dt.datetime(2024, 1, 2, 3), 6.0),
+            (dt.datetime(2024, 1, 2, 4), 6.0),
+        ]
+        out = rolling_drift(
+            self._events(spark, rows), "ts", "value", 0.0, 10.0, bins=2
+        ).collect()
+        assert len(out) == 1
+        r = out[0]
+        # tv = (|1-0.5| + |0-0.5|)/2 = 0.5
+        assert abs(r.tv_distance - 0.5) < 1e-12
+        # psi = (0.5-1)ln(0.5/1) + (0.5-eps)ln(0.5/eps)
+        eps = 1e-12
+        expect = (0.5 - 1.0) * math.log(0.5) + (0.5 - eps) * math.log(0.5 / eps)
+        assert abs(r.psi - expect) < 1e-9
+
+    def test_null_values_get_their_own_bin(self, spark):
+        import datetime as dt
+
+        rows = [
+            (dt.datetime(2024, 1, 1, 1), 1.0),
+            (dt.datetime(2024, 1, 1, 2), 1.0),
+            (dt.datetime(2024, 1, 2, 1), 1.0),
+            (dt.datetime(2024, 1, 2, 2), None),
+        ]
+        out = rolling_drift(self._events(spark, rows), "ts", "value", 0.0, 10.0).collect()
+        assert len(out) == 1
+        # day2 moved half its mass to the NULL bin: tv = (0.5 + 0.5)/2
+        assert abs(out[0].tv_distance - 0.5) < 1e-12
+
+    def test_validation(self, spark):
+        df = self._events(spark, [])
+        with pytest.raises(ValueError):
+            rolling_drift(df, "ts", "value", 1.0, 1.0)
+        with pytest.raises(ValueError):
+            rolling_drift(df, "ts", "value", 0.0, 1.0, bucket="month")
