@@ -34,7 +34,7 @@ def main() -> int:
     muls = [int(m) for m in (sys.argv[1:] or ["1", "4", "16"])]
     all_sections = (
         "compare", "minhash", "spans", "incr", "cdc", "bucketed", "cc",
-        "kmeans", "ivfindex", "pagerank", "hotkey", "ks", "fk"
+        "kmeans", "ivfindex", "pagerank", "hotkey", "ks", "fk", "editdist"
     )
     sections = set(
         s.strip() for s in os.environ.get(
@@ -157,6 +157,43 @@ def main() -> int:
             t1 = el
         print(
             f"minhash x{mult:<3d} docs={n:>9,d}  pairs={n_pairs:>8,d}"
+            f"  sec={el:7.2f}  vs_x1={el/t1:5.2f} (linear => ~{mult})",
+            flush=True,
+        )
+    # ---- edit-distance join scaling: the typo'd-twin scenario scaled by
+    # copies with per-copy DISTINCT key prefixes (copy marker prepended, so
+    # the normalized 64-char keys never collide across copies) — matched
+    # pairs and candidate volume must both scale linearly; superlinear time
+    # here would mean the pigeonhole inverted index degenerated to all-pairs.
+    from datacompy_spark.operators.dedup import edit_distance_pairs
+    from datacompy_spark.queries_pipeline import _corrupted_docs
+
+    t1 = None
+    for mult in muls if "editdist" in sections else []:
+        pooled0 = docs.unionAll(_corrupted_docs(docs))
+        parts = [
+            pooled0.select(
+                (F.col("doc_id") + F.lit(100_000_000 * i)).alias("doc_id"),
+                # marker = digit repeated 4×: any two distinct copies are
+                # ≥ 4 edits apart ("copy0 "/"copy1 " would be distance 1
+                # and every same-doc cross-copy pair would qualify)
+                F.concat(F.lit(str(i) * 4 + " "), F.col("text")).alias("text"),
+            )
+            for i in range(mult)
+        ]
+        corpus = parts[0]
+        for p in parts[1:]:
+            corpus = corpus.unionAll(p)
+        n = corpus.count()
+        t0 = time.perf_counter()
+        n_pairs = edit_distance_pairs(
+            corpus, "doc_id", "text", max_dist=2, prefix_len=64
+        ).count()
+        el = time.perf_counter() - t0
+        if t1 is None:
+            t1 = el
+        print(
+            f"editdist x{mult:<3d} keys={n:>9,d}  pairs={n_pairs:>8,d}"
             f"  sec={el:7.2f}  vs_x1={el/t1:5.2f} (linear => ~{mult})",
             flush=True,
         )
