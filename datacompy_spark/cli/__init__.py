@@ -306,13 +306,25 @@ def build_parser() -> argparse.ArgumentParser:
     dd.add_argument("--text-col", default="text", help="text column")
     dd.add_argument(
         "--method",
-        choices=["exact", "minhash", "simhash", "embedding", "lines", "spans"],
+        choices=["exact", "minhash", "simhash", "embedding", "editdist",
+                 "lines", "spans"],
         default="minhash",
-        help="exact content hash, MinHash+LSH Jaccard, SimHash Hamming, or "
-        "embedding cosine (blocked + projection-bucketed). REWRITE modes: "
+        help="exact content hash, MinHash+LSH Jaccard, SimHash Hamming, "
+        "embedding cosine (blocked + projection-bucketed), or editdist "
+        "(Levenshtein <= --max-dist on the normalized --prefix-len key "
+        "prefix; lossless pigeonhole blocking). REWRITE modes: "
         "'lines' (corpus-level exact line dedup, C4 boilerplate rule) and "
         "'spans' (duplicated n-token span removal, keep-first) write the "
         "CLEANED corpus to --verdict instead of a survivor verdict",
+    )
+    dd.add_argument(
+        "--max-dist", type=int, default=2,
+        help="editdist: maximum Levenshtein distance for a pair (default 2)",
+    )
+    dd.add_argument(
+        "--prefix-len", type=int, default=64,
+        help="editdist: compare the first N chars of the normalized text "
+        "(default 64)",
     )
     dd.add_argument(
         "--span-n", type=int, default=5,
@@ -371,7 +383,7 @@ def build_parser() -> argparse.ArgumentParser:
     dd.add_argument(
         "--export-pairs", metavar="PATH",
         help="also write the qualifying near-dup pairs to PATH as parquet "
-        "(minhash/simhash only)",
+        "(near-dup methods: minhash/simhash/embedding/editdist)",
     )
     dd.add_argument("--quiet", action="store_true", help="suppress the summary line")
     dd.add_argument("--input-format", choices=["csv", "parquet", "json", "jsonl", "orc"])
@@ -1226,6 +1238,14 @@ def run_dedup(args) -> int:
                 elif args.method == "simhash":
                     pairs = D.simhash_near_dups(
                         df, args.id_col, args.text_col, max_hamming=args.max_hamming
+                    )
+                elif args.method == "editdist":
+                    # pairs keep the dist column for --export-pairs, like
+                    # minhash keeps jaccard (connected_components only
+                    # reads id_a/id_b)
+                    pairs = D.edit_distance_pairs(
+                        df, args.id_col, args.text_col,
+                        max_dist=args.max_dist, prefix_len=args.prefix_len,
                     )
                 else:  # embedding
                     src, block = df, args.block_col

@@ -483,6 +483,36 @@ class TestDedupCommand:
         v = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
         assert v[2]["component"] == 1 and v[3]["is_survivor"]
 
+    def test_editdist_dedup_with_pairs_export(self, tmp_path, capsys, spark):
+        p = str(tmp_path / "docs.parquet")
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fax jumps over the lazy dog"),  # 1 sub
+            (3, "a completely different document body here"),
+        ]
+        spark.createDataFrame(rows, "doc_id bigint, text string").write.parquet(p)
+        out = str(tmp_path / "v.parquet")
+        pairs = str(tmp_path / "p.parquet")
+        rc = main([
+            "dedup", "--input", p, "--method", "editdist", "--max-dist", "2",
+            "--verdict", out, "--export-pairs", pairs, "--quiet",
+        ])
+        assert rc == 0
+        got = {(r["id_a"], r["id_b"]): r["dist"]
+               for r in spark.read.parquet(pairs).collect()}
+        assert got == {(1, 2): 1}
+        v = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+        assert v[2]["component"] == 1 and v[3]["is_survivor"]
+
+    def test_editdist_rejects_against(self, tmp_path, capsys, spark):
+        p = str(tmp_path / "docs.parquet")
+        spark.createDataFrame([(1, "x")], "doc_id bigint, text string").write.parquet(p)
+        rc = main([
+            "dedup", "--input", p, "--against", p, "--method", "editdist",
+            "--verdict", str(tmp_path / "v.parquet"), "--quiet",
+        ])
+        assert rc == 2
+
     def test_embedding_dedup_verdict(self, tmp_path, capsys, spark):
         p = str(tmp_path / "emb.parquet")
         base = [round(0.1 * (i % 7) + 0.05, 3) for i in range(16)]
