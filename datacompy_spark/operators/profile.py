@@ -581,3 +581,139 @@ def parquet_rowgroup_profile(spark, path: str) -> DataFrame:
     from datacompy_spark.plans.partitioning import fan_out
 
     return fan_out(files).mapInPandas(read_footers, schema)
+
+
+def exact_quantiles_distributed(
+    df: DataFrame,
+    value_col: str,
+    probs: Sequence[float],
+    num_partitions: Optional[int] = None,
+    checkpoint_dir: Optional[str] = None,
+) -> DataFrame:
+    """EXACT linear-interpolated quantiles of a numeric column with NO
+    per-partition value buffering — the 100 TB-safe exact path that
+    :func:`column_quantiles` ``approx=False`` (Spark's ``percentile``
+    aggregate, which holds every distinct value of a partition in its
+    aggregation buffer) cannot offer. Same distributed-ECDF machinery as
+    ``ks_drift``: distinct-value counts → range-partitioned two-phase
+    prefix sum → per-probability rank probes.
+
+    Returns ``(prob, quantile)`` rows, both double; bit-identical to
+    DuckDB's ``quantile_cont`` and Spark's exact ``percentile``: the
+    straddling ranks are ``floor/ceil(p·(n−1))`` and the interpolation is
+    the symmetric weighted form ``(hi−pos)·v_lo + (pos−lo)·v_hi`` — NOT
+    ``v_lo + (v_hi−v_lo)·frac``, which differs in the last ulp on ~30% of
+    adversarial doubles (measured against DuckDB). NULLs are excluded; an
+    empty / all-NULL column yields ZERO rows (no rank exists).
+
+    Scale shape: one scan → distinct-value partial-agg shuffle → the
+    prefix sum's range exchange → ONE more pass of the cumulative frame
+    against a broadcast ≤ ``2·len(probs)``-row rank-probe table (range
+    condition ⇒ broadcast nested loop — the whitelisted tiny-side case).
+    No task ever materializes the value set.
+    """
+    plist = [float(p) for p in probs]
+    if not plist or any(p < 0.0 or p > 1.0 for p in plist):
+        raise ValueError("probs must be non-empty, each within [0, 1]")
+    from datacompy_spark.plans.partitioning import distributed_prefix_sum
+
+    spark = df.sparkSession
+    counts = (
+        df.select(F.col(value_col).cast("double").alias("v"))
+        .filter(F.col("v").isNotNull())
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cum = distributed_prefix_sum(
+        counts,
+        order_cols=["v"],
+        sum_cols=["c"],
+        num_partitions=num_partitions,
+        checkpoint_dir=checkpoint_dir,
+    )
+    # total from the cumsum output (the helper's barrier covers it; a
+    # second agg over `counts` would re-run the distinct-count shuffle)
+    totals = cum.agg(F.sum("c").cast("long").alias("n"))
+    pf = spark.createDataFrame([(p,) for p in plist], "prob double")
+    pos = F.col("prob") * (F.col("n") - 1).cast("double")
+    probes = (
+        pf.crossJoin(F.broadcast(totals))
+        .filter(F.col("n") > 0)
+        .select(
+            "prob",
+            pos.alias("pos"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("lo").alias("which"),
+                        (F.floor(pos) + 1).alias("rank"),
+                    ),
+                    F.struct(
+                        F.lit("hi").alias("which"),
+                        (F.ceil(pos) + 1).alias("rank"),
+                    ),
+                )
+            ).alias("b"),
+        )
+        .select("prob", "pos", F.col("b.which").alias("which"), F.col("b.rank").alias("rank"))
+    )
+    # rank r lives on the unique cumulative row with c_cum-c < r <= c_cum
+    hits = cum.join(
+        F.broadcast(probes),
+        (F.col("rank") <= F.col("c_cum")) & (F.col("rank") > F.col("c_cum") - F.col("c")),
+    )
+    v_lo = F.max(F.when(F.col("which") == "lo", F.col("v")))
+    v_hi = F.max(F.when(F.col("which") == "hi", F.col("v")))
+    return (
+        hits.groupBy("prob", "pos")
+        .agg(v_lo.alias("v_lo"), v_hi.alias("v_hi"))
+        .select(
+            "prob",
+            F.when(F.ceil("pos") == F.floor("pos"), F.col("v_lo"))
+            .otherwise(
+                (F.ceil("pos") - F.col("pos")) * F.col("v_lo")
+                + (F.col("pos") - F.floor("pos")) * F.col("v_hi")
+            )
+            .alias("quantile"),
+        )
+    )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    p_lo: float = 0.01,
+    p_hi: float = 0.99,
+    out_col: Optional[str] = None,
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Clamp a numeric column to its exact ``[p_lo, p_hi]`` quantiles —
+    the outlier-capping cleanup step before scaling/featurizing — using
+    :func:`exact_quantiles_distributed` (no value buffering at any scale).
+    Appends ``out_col`` (default ``{value_col}_w``); NULLs stay NULL (a
+    plain least/greatest chain would silently clamp NULL to the lower
+    bound in BOTH engines, since each skips NULL args).
+    """
+    if not 0.0 <= p_lo < p_hi <= 1.0:
+        raise ValueError("winsorize needs 0 <= p_lo < p_hi <= 1")
+    out_col = out_col or f"{value_col}_w"
+    q = exact_quantiles_distributed(
+        df, value_col, [p_lo, p_hi], num_partitions=num_partitions
+    )
+    bounds = q.agg(
+        F.max(F.when(F.col("prob") == p_lo, F.col("quantile"))).alias("__q_lo"),
+        F.max(F.when(F.col("prob") == p_hi, F.col("quantile"))).alias("__q_hi"),
+    )
+    clamped = F.when(
+        F.col(value_col).isNull(), F.lit(None).cast("double")
+    ).otherwise(
+        F.least(
+            F.greatest(F.col(value_col).cast("double"), F.col("__q_lo")),
+            F.col("__q_hi"),
+        )
+    )
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(out_col, clamped)
+        .drop("__q_lo", "__q_hi")
+    )

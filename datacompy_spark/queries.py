@@ -574,10 +574,13 @@ _SWEEP_FIRST = [
     "dataset_checksum",
     "dedup_editdist",
     "rolling_drift",
+    "quantiles_distributed",
+    "winsorize",
     # last driver-green in r7 — oldest evidence, re-earn it this round
-    # (join_cardinality/knn_int8/source_cap, the oldest three, fall past
-    # position 50 to make room for the 7 never-verified round-9 names;
-    # all three are r7-green and --unswept-verified locally this round)
+    # (join_cardinality/knn_int8/source_cap/events_missing_periods/
+    # events_multi_rollup, the oldest five, fall past position 50 to make
+    # room for the 9 never-verified round-9 names; all five are r7-green
+    # and --unswept-verified locally this round)
     "cmp_column_stats",
     "cmp_unique_rows",
     "cmp_all_mismatch",

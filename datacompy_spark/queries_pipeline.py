@@ -3048,6 +3048,48 @@ def _sql_rolling_drift() -> str:
 SQL_ROLLING_DRIFT = _sql_rolling_drift()
 
 
+_QDIST_PROBS = [0.01, 0.25, 0.5, 0.75, 0.99]
+
+
+def q_quantiles_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantiles of events.value via the distributed ECDF
+    (operators/profile.py::exact_quantiles_distributed) — NO per-partition
+    value buffering, unlike Spark's exact ``percentile`` aggregate. The
+    oracle is DuckDB's ``quantile_cont``; the interpolation must be
+    bit-identical (symmetric weighted form) for the hash to match."""
+    from datacompy_spark.operators.profile import exact_quantiles_distributed
+
+    return exact_quantiles_distributed(
+        load_table(spark, sf_dir, "events"), "value", _QDIST_PROBS
+    )
+
+
+SQL_QUANTILES_DISTRIBUTED = "\nUNION ALL\n".join(
+    f"SELECT {p}::DOUBLE AS prob, quantile_cont(value, {p}) AS quantile FROM events"
+    for p in _QDIST_PROBS
+)
+
+
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier capping: events.value clamped to its exact [p1, p99]
+    quantiles (operators/profile.py::winsorize — distributed-ECDF bounds
+    broadcast back over one clamp pass)."""
+    from datacompy_spark.operators.profile import winsorize
+
+    return winsorize(
+        load_table(spark, sf_dir, "events"), "value", 0.01, 0.99
+    ).select("event_id", "value", "value_w")
+
+
+SQL_WINSORIZE = """
+WITH b AS (SELECT quantile_cont(value, 0.01) AS q_lo,
+                  quantile_cont(value, 0.99) AS q_hi FROM events)
+SELECT event_id, value,
+  CASE WHEN value IS NULL THEN NULL
+       ELSE least(greatest(value, q_lo), q_hi) END AS value_w
+FROM events, b"""
+
+
 PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -3121,6 +3163,8 @@ PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dataset_checksum": q_dataset_checksum,
     "dedup_editdist": q_dedup_editdist,
     "rolling_drift": q_rolling_drift,
+    "quantiles_distributed": q_quantiles_distributed,
+    "winsorize": q_winsorize,
     "shard_corpus": q_shard_corpus,
     "dedup_semantic": q_dedup_semantic,
     "line_dedup": q_line_dedup,
@@ -3217,6 +3261,8 @@ PIPELINE_ORACLES: Dict[str, str] = {
     "dataset_checksum": SQL_DATASET_CHECKSUM,
     "dedup_editdist": SQL_DEDUP_EDITDIST,
     "rolling_drift": SQL_ROLLING_DRIFT,
+    "quantiles_distributed": SQL_QUANTILES_DISTRIBUTED,
+    "winsorize": SQL_WINSORIZE,
     "shard_corpus": SQL_SHARD_CORPUS,
     "dedup_semantic": SQL_DEDUP_SEMANTIC,
     "line_dedup": SQL_LINE_DEDUP,

@@ -147,3 +147,63 @@ class TestRollingDrift:
             rolling_drift(df, "ts", "value", 1.0, 1.0)
         with pytest.raises(ValueError):
             rolling_drift(df, "ts", "value", 0.0, 1.0, bucket="month")
+
+
+class TestDistributedQuantiles:
+    def test_bitwise_vs_builtin_percentile(self, spark):
+        import random
+
+        from datacompy_spark.operators.profile import exact_quantiles_distributed
+
+        rng = random.Random(11)
+        vals = [rng.uniform(-1e15, 1e15) for _ in range(2000)] + [None] * 5
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        probs = [0.0, 0.01, 0.137, 0.5, 0.863, 0.99, 1.0]
+        got = {
+            r["prob"]: r["quantile"]
+            for r in exact_quantiles_distributed(df, "x", probs).collect()
+        }
+        want = df.agg(F.percentile("x", F.lit(probs)).alias("q")).collect()[0]["q"]
+        # bit-identical, not approx: the symmetric weighted interpolation
+        # is the one Spark's exact percentile (and DuckDB) computes
+        assert [got[p] for p in probs] == list(want)
+
+    def test_partition_invariance(self, spark):
+        import random
+
+        from datacompy_spark.operators.profile import exact_quantiles_distributed
+
+        rng = random.Random(13)
+        df = spark.createDataFrame(
+            [(rng.gauss(0, 1),) for _ in range(1500)], "x double"
+        )
+        a = {r["prob"]: r["quantile"]
+             for r in exact_quantiles_distributed(df, "x", [0.25, 0.5]).collect()}
+        b = {r["prob"]: r["quantile"]
+             for r in exact_quantiles_distributed(df, "x", [0.25, 0.5],
+                                                  num_partitions=3).collect()}
+        assert a == b
+
+    def test_empty_and_validation(self, spark):
+        from datacompy_spark.operators.profile import exact_quantiles_distributed
+
+        df = spark.createDataFrame([(None,)], "x double")
+        assert exact_quantiles_distributed(df, "x", [0.5]).count() == 0
+        with pytest.raises(ValueError):
+            exact_quantiles_distributed(df, "x", [])
+        with pytest.raises(ValueError):
+            exact_quantiles_distributed(df, "x", [1.5])
+
+    def test_winsorize_clamps_and_keeps_nulls(self, spark):
+        from datacompy_spark.operators.profile import winsorize
+
+        vals = [float(i) for i in range(1, 101)] + [None]
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        out = {r["x"]: r["x_w"] for r in winsorize(df, "x", 0.10, 0.90).collect()}
+        # quantile_cont(0.10) over 1..100 = 10.9; (0.90) = 90.1
+        assert out[1.0] == pytest.approx(10.9)
+        assert out[100.0] == pytest.approx(90.1)
+        assert out[50.0] == 50.0
+        assert out[None] is None
+        with pytest.raises(ValueError):
+            winsorize(df, "x", 0.9, 0.1)

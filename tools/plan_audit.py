@@ -34,6 +34,10 @@ EXPECTED_NLJ = {
     "knn_pq": "broadcast pivot codebooks vs corpus/queries (PQ encode + ADC tables)",
     "knn_recall": "composes bruteforce/lsh/ivf/int8 broadcast probe joins",
     "dedup_embedding_cosine": "broadcast 1-row quantile bounds",
+    "quantiles_distributed": "broadcast <=2k-row rank-probe table, range "
+    "condition vs the cumulative ECDF (one pass, k = len(probs))",
+    "winsorize": "composes quantiles_distributed's broadcast rank probes + "
+    "a broadcast 1-row bounds crossJoin for the clamp",
     "dedup_semantic": "broadcast pivot set vs corpus (IVF coarse quantizer)",
     "kmeans_assign": "broadcast k-row centroid table vs corpus (Lloyd assignment)",
     "cluster_sample": "composes kmeans_assign's broadcast centroid join",
