@@ -471,6 +471,34 @@ def build_parser() -> argparse.ArgumentParser:
         "--export", metavar="PATH",
         help="also write the full score table to PATH as parquet",
     )
+    an.add_argument(
+        "--drift-col", metavar="COL",
+        help="ALSO score period-over-period VALUE-DISTRIBUTION drift (PSI + "
+        "total variation, fixed bin edges) of this numeric column across "
+        "the whole feed (grouping does not apply); requires --drift-lo/"
+        "--drift-hi and a --bucket-seconds of 3600 (hour) or 86400 (day)",
+    )
+    an.add_argument(
+        "--drift-lo", type=float,
+        help="with --drift-col: lower histogram edge (fixed, not data-derived)",
+    )
+    an.add_argument(
+        "--drift-hi", type=float,
+        help="with --drift-col: upper histogram edge",
+    )
+    an.add_argument(
+        "--drift-bins", type=int, default=10,
+        help="with --drift-col: histogram bins (default 10)",
+    )
+    an.add_argument(
+        "--max-psi", type=float, default=0.2,
+        help="with --drift-col: a period whose PSI vs its predecessor is "
+        ">= this counts as drift (default 0.2, the classic alert level)",
+    )
+    an.add_argument(
+        "--drift-export", metavar="PATH",
+        help="with --drift-col: write the per-period drift table to PATH",
+    )
     an.add_argument("--quiet", action="store_true", help="suppress the summary line")
     an.add_argument("--input-format", choices=["csv", "parquet", "json", "jsonl", "orc"])
     an.add_argument("--delimiter", default=",", help="CSV delimiter")
@@ -1412,6 +1440,50 @@ def run_anomaly(args) -> int:
                 F.max(F.abs(F.col("zscore"))).alias("max_abs_z"),
             ).collect()[0]
             n_anomalies = flagged.count()
+            drift_summary, n_drift = None, 0
+            if args.drift_col:
+                from datacompy_spark.operators.analytics import rolling_drift
+
+                if args.drift_lo is None or args.drift_hi is None:
+                    raise CLIError("--drift-col requires --drift-lo and --drift-hi")
+                if args.drift_col not in df.columns:
+                    raise CLIError(f"column {args.drift_col!r} not found in input")
+                bucket = {3600: "hour", 86400: "day"}.get(args.bucket_seconds)
+                if bucket is None:
+                    raise CLIError(
+                        "--drift-col needs --bucket-seconds 3600 (hour) or "
+                        "86400 (day) — calendar-period drift has no other grain"
+                    )
+                drift = rolling_drift(
+                    df, args.ts_col, args.drift_col,
+                    lo=args.drift_lo, hi=args.drift_hi,
+                    bins=args.drift_bins, bucket=bucket,
+                )
+                if args.drift_export:
+                    drift.write.mode("overwrite").parquet(args.drift_export)
+                    drift = spark.read.parquet(args.drift_export)
+                dagg = drift.agg(
+                    F.count(F.lit(1)).alias("n_periods"),
+                    F.max("psi").alias("max_psi"),
+                    F.max("tv_distance").alias("max_tv"),
+                ).collect()[0]
+                n_drift = drift.filter(
+                    F.col("psi") >= F.lit(args.max_psi)
+                ).count()
+                drift_summary = {
+                    "col": args.drift_col,
+                    "n_periods": dagg["n_periods"],
+                    "max_psi": (
+                        round(dagg["max_psi"], 4)
+                        if dagg["max_psi"] is not None else None
+                    ),
+                    "max_tv": (
+                        round(dagg["max_tv"], 4)
+                        if dagg["max_tv"] is not None else None
+                    ),
+                    "psi_threshold": args.max_psi,
+                    "n_drifted": n_drift,
+                }
         except CLIError:
             raise
         except Exception as ex:
@@ -1430,10 +1502,13 @@ def run_anomaly(args) -> int:
                         "threshold": args.threshold,
                         "n_anomalies": n_anomalies,
                         "export": args.export,
+                        **({"drift": drift_summary} if drift_summary else {}),
                     }
                 )
             )
-        return 1 if (args.fail_on_anomaly and n_anomalies > 0) else 0
+        return 1 if (
+            args.fail_on_anomaly and (n_anomalies > 0 or n_drift > 0)
+        ) else 0
     finally:
         if created:
             spark.stop()

@@ -775,6 +775,57 @@ class TestAnomalyCommand:
         assert rc == 2
         assert "not found" in capsys.readouterr().err
 
+    @pytest.fixture()
+    def drifting_feed(self, tmp_path, spark):
+        import datetime as dt
+
+        base = dt.datetime(2026, 1, 1)
+        rows, eid = [], 0
+        # day 1+2: values near 10; day 3: distribution jumps to ~90
+        for d in range(3):
+            for i in range(40):
+                v = 90.0 + i % 5 if d == 2 else 10.0 + i % 5
+                rows.append((eid, "click", base + dt.timedelta(days=d, minutes=i), v))
+                eid += 1
+        p = str(tmp_path / "vfeed.parquet")
+        spark.createDataFrame(
+            rows, "event_id bigint, event_type string, ts timestamp, value double"
+        ).write.parquet(p)
+        return p
+
+    def test_drift_gate_flags_distribution_jump(self, drifting_feed, capsys):
+        import json as _json
+
+        rc = main([
+            "anomaly", "--input", drifting_feed, "--by", "event_type",
+            "--bucket-seconds", "86400", "--drift-col", "value",
+            "--drift-lo", "0", "--drift-hi", "100", "--max-psi", "0.2",
+            "--fail-on-anomaly", "--threshold", "100",
+        ])
+        out = _json.loads(capsys.readouterr().out)
+        # volume is flat (threshold 100 never fires); the DISTRIBUTION gate
+        # alone must flip the exit code on day 3
+        assert rc == 1
+        assert out["n_anomalies"] == 0
+        assert out["drift"]["n_periods"] == 2
+        assert out["drift"]["n_drifted"] == 1
+        assert out["drift"]["max_tv"] == pytest.approx(1.0)
+
+    def test_drift_requires_bounds_and_calendar_grain(self, drifting_feed, capsys):
+        rc = main([
+            "anomaly", "--input", drifting_feed, "--by", "event_type",
+            "--bucket-seconds", "86400", "--drift-col", "value",
+        ])
+        assert rc == 2
+        assert "--drift-lo" in capsys.readouterr().err
+        rc = main([
+            "anomaly", "--input", drifting_feed, "--by", "event_type",
+            "--bucket-seconds", "1800", "--drift-col", "value",
+            "--drift-lo", "0", "--drift-hi", "100",
+        ])
+        assert rc == 2
+        assert "bucket-seconds" in capsys.readouterr().err
+
 
 class TestProfileVecHealth:
     def test_summary_and_gate(self, tmp_path, capsys, spark):
