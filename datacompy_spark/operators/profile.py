@@ -211,13 +211,14 @@ def column_quantiles(
     """(col_name, prob, quantile) — one row per column x probability, from
     ONE aggregate action (same melt pattern as :func:`table_profile`).
 
-    The default is ``percentile_approx`` — a single-pass mergeable sketch,
-    the only sane choice at 100 TB (``accuracy`` trades memory for error
-    bound). ``approx=False`` switches to exact linear-interpolated
-    ``percentile``, which buffers each column's values per partition and is
-    for modest data / oracle verification only; its interpolation is
-    bit-identical to DuckDB's ``quantile_cont`` (verified empirically on
-    lineitem doubles)."""
+    The default is ``percentile_approx`` — a single-pass mergeable sketch
+    (``accuracy`` trades memory for error bound). ``approx=False`` switches
+    to exact linear-interpolated ``percentile``, which buffers each
+    column's values per partition and is for modest data / oracle
+    verification only; its interpolation is bit-identical to DuckDB's
+    ``quantile_cont`` (verified empirically on lineitem doubles). For
+    EXACT quantiles at unbounded scale use
+    :func:`exact_quantiles_distributed` — same values, no buffering."""
     plist = [float(p) for p in probs]
     cols = list(columns)
     fn = (

@@ -34,7 +34,8 @@ def main() -> int:
     muls = [int(m) for m in (sys.argv[1:] or ["1", "4", "16"])]
     all_sections = (
         "compare", "minhash", "spans", "incr", "cdc", "bucketed", "cc",
-        "kmeans", "ivfindex", "pagerank", "hotkey", "ks", "fk", "editdist"
+        "kmeans", "ivfindex", "pagerank", "hotkey", "ks", "fk", "editdist",
+        "quantiles"
     )
     sections = set(
         s.strip() for s in os.environ.get(
@@ -234,6 +235,35 @@ def main() -> int:
             t1 = el
         print(
             f"ks      x{mult:<3d} rows={n:>10,d}  ks={r['ks_stat']:.4f}"
+            f"  sec={el:7.2f}  vs_x1={el/t1:5.2f} (linear => ~{mult})",
+            flush=True,
+        )
+    # ---- exact quantiles: distinct-value cardinality scales with mult
+    # (same jitter discipline as the ks probe) — the distributed-ECDF
+    # quantile must track the ks curve, since it is the same prefix-sum
+    # machinery plus a constant-size broadcast rank probe
+    from datacompy_spark.operators.profile import exact_quantiles_distributed
+
+    t1 = None
+    for mult in muls if "quantiles" in sections else []:
+        parts = [
+            li_ks.select((F.col("l_extendedprice") + F.lit(i * 1e-7)).alias("v"))
+            for i in range(mult)
+        ]
+        base = parts[0]
+        for p in parts[1:]:
+            base = base.unionAll(p)
+        n = base.count()
+        t0 = time.perf_counter()
+        rows = exact_quantiles_distributed(
+            base, "v", [0.01, 0.25, 0.5, 0.75, 0.99]
+        ).collect()
+        el = time.perf_counter() - t0
+        med = next(r["quantile"] for r in rows if r["prob"] == 0.5)
+        if t1 is None:
+            t1 = el
+        print(
+            f"quantile x{mult:<3d} rows={n:>10,d}  p50={med:.4f}"
             f"  sec={el:7.2f}  vs_x1={el/t1:5.2f} (linear => ~{mult})",
             flush=True,
         )
