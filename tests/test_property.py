@@ -806,3 +806,84 @@ class TestGopherQualityProperties:
         }
         want = {i: self._model(d) for i, d in enumerate(docs)}
         assert got == want
+
+
+class TestPassJoinPigeonholeProperty:
+    """Pure-Python model of edit_distance_pairs' candidate generation: for
+    EVERY pair within the distance threshold, at least one (source_length,
+    segment_index, segment_text, position-window) probe must hit — the
+    losslessness the Spark operator's equi-join inherits."""
+
+    @staticmethod
+    def _segments(length, k):
+        base, rem = divmod(length, k)
+        segs, start = [], 1
+        for i in range(k):
+            w = base + (1 if i >= k - rem else 0)
+            segs.append((i, start, w))
+            start += w
+        return segs
+
+    @staticmethod
+    def _ed(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    @settings(max_examples=400, deadline=None)
+    @given(
+        s=st.text(alphabet="ab1 ", min_size=0, max_size=14),
+        t=st.text(alphabet="ab1 ", min_size=0, max_size=14),
+        tau=st.integers(min_value=1, max_value=3),
+    )
+    def test_every_close_pair_is_a_candidate(self, s, t, tau):
+        d = self._ed(s, t)
+        if d > tau:
+            return  # only closeness must be preserved; extra candidates are fine
+        k = tau + 1
+        if len(s) > len(t):
+            s, t = t, s
+        if len(s) < k:
+            # short route: both keys provably live in the <= 2*tau class
+            assert len(s) <= 2 * tau and len(t) <= 2 * tau
+            return
+        # main route: some segment of s occurs in t within +-tau of home
+        lt, ls = len(t), len(s)
+        assert lt - ls <= tau
+        hit = False
+        for i, st_pos, w in self._segments(ls, k):
+            for p in range(max(1, st_pos - tau), min(lt - w + 1, st_pos + tau) + 1):
+                if t[p - 1:p - 1 + w] == s[st_pos - 1:st_pos - 1 + w]:
+                    hit = True
+        assert hit, f"pigeonhole missed: ed({s!r},{t!r})={d} tau={tau}"
+
+
+class TestQuantileInterpolationProperty:
+    """The symmetric weighted interpolation (hi-pos)*v_lo + (pos-lo)*v_hi
+    over straddling ranks — the formula exact_quantiles_distributed
+    replicates — agrees with numpy's linear quantile to float tolerance
+    and is exact at integer positions."""
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        vals=st.lists(st.floats(min_value=-1e12, max_value=1e12,
+                                allow_nan=False), min_size=1, max_size=40),
+        p=st.floats(min_value=0.0, max_value=1.0),
+    )
+    def test_matches_numpy_linear(self, vals, p):
+        svals = sorted(vals)
+        n = len(svals)
+        pos = p * (n - 1)
+        lo, hi = math.floor(pos), math.ceil(pos)
+        got = svals[lo] if hi == lo else (
+            (hi - pos) * svals[lo] + (pos - lo) * svals[hi]
+        )
+        want = float(np.quantile(np.array(svals), p, method="linear"))
+        assert got == pytest.approx(want, rel=1e-12, abs=1e-6)
