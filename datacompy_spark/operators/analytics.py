@@ -1025,9 +1025,24 @@ def rolling_drift(
         raise ValueError("rolling_drift needs bins > 0 and hi > lo")
     if bucket not in ("hour", "day"):
         raise ValueError("rolling_drift bucket must be 'hour' or 'day'")
-    width = (hi - lo) / bins
+    pb = (
+        df.select(
+            F.date_trunc(bucket, F.col(ts_col)).alias("period"),
+            fixed_bin(value_col, lo, hi, bins).alias("bin"),
+        )
+        .filter(F.col("period").isNotNull())
+        .groupBy("period", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return rolling_drift_from_counts(pb, bucket=bucket)
 
-    b = (
+
+def fixed_bin(value_col: str, lo: float, hi: float, bins: int) -> "F.Column":
+    """The fixed-edge bin id Column shared by :func:`rolling_drift` and the
+    streaming histogram sink: underflow -1, overflow ``bins``, NULLs in a
+    NULL bin — identical binning on every surface or the drift math lies."""
+    width = (hi - lo) / bins
+    return (
         F.when(F.col(value_col).isNull(), F.lit(None).cast("int"))
         .when(F.col(value_col) < lo, F.lit(-1))
         .when(F.col(value_col) >= hi, F.lit(bins))
@@ -1038,18 +1053,21 @@ def rolling_drift(
             )
         )
     )
-    pb = (
-        df.select(F.date_trunc(bucket, F.col(ts_col)).alias("period"), b.alias("bin"))
-        .filter(F.col("period").isNotNull())
-        .groupBy("period", "bin")
-        .agg(F.count(F.lit(1)).alias("n"))
-        # persisted: pb feeds the cur side, the shifted prev side, AND the
-        # adjacency probe — unpersisted, Spark re-executes the full scan +
-        # partial agg per reuse (plan audit showed 4 scans of the raw
-        # table); cached, the 100 TB scan happens once and every reuse
-        # reads the periods×(bins+3)-row aggregate
-        .persist()
-    )
+
+
+def rolling_drift_from_counts(pb: DataFrame, bucket: str = "day") -> DataFrame:
+    """:func:`rolling_drift`'s core over a PRE-AGGREGATED ``(period, bin,
+    n)`` frame — the entry point the streaming histogram sink shares, so
+    the always-on path scores drift with literally the same plan as the
+    batch operator (see ``streaming/drift.py::rolling_drift_view``)."""
+    if bucket not in ("hour", "day"):
+        raise ValueError("rolling_drift bucket must be 'hour' or 'day'")
+    # persisted: pb feeds the cur side, the shifted prev side, AND the
+    # adjacency probe — unpersisted, Spark re-executes the full scan +
+    # partial agg per reuse (plan audit showed 4 scans of the raw
+    # table); cached, the 100 TB scan happens once and every reuse
+    # reads the periods×(bins+3)-row aggregate
+    pb = pb.persist()
     step = F.expr(f"INTERVAL 1 {bucket.upper()}")
     cur = pb.alias("c")
     prv = pb.select(

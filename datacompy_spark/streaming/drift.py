@@ -470,3 +470,72 @@ def cdc_to_sink(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def drift_histogram_to_sink(
+    stream: DataFrame,
+    ts_col: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    hist_path: str,
+    checkpoint_path: str,
+    bins: int = 10,
+    bucket: str = "day",
+    trigger_available_now: bool = True,
+):
+    """Always-on feed of :func:`rolling_drift`'s raw material: every
+    micro-batch folds to ``(period, bin, n)`` increments — the SAME
+    ``fixed_bin`` edges as the batch operator — appended idempotently
+    (``batch_id`` dynamic-overwrite partitions, at-least-once-safe) to
+    ``hist_path``. The stream never holds drift state: a period's total is
+    the SUM of its increments across batches, folded at read time by
+    :func:`rolling_drift_view`. State bound: the aggregation per batch is
+    over that batch only; the sink grows by ≤ periods×(bins+3) rows per
+    batch regardless of row volume."""
+    from datacompy_spark.operators.analytics import fixed_bin
+
+    if bucket not in ("hour", "day"):
+        raise ValueError("drift_histogram_to_sink bucket must be 'hour' or 'day'")
+    if bins <= 0 or not hi > lo:
+        raise ValueError("drift_histogram_to_sink needs bins > 0 and hi > lo")
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        pb = (
+            batch_df.select(
+                F.date_trunc(bucket, F.col(ts_col)).alias("period"),
+                fixed_bin(value_col, lo, hi, bins).alias("bin"),
+            )
+            .filter(F.col("period").isNotNull())
+            .groupBy("period", "bin")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        _write_batch_idempotent(pb, hist_path)
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def rolling_drift_view(spark, hist_path: str, bucket: str = "day") -> DataFrame:
+    """Fold the :func:`drift_histogram_to_sink` increment log to
+    ``(period, bin)`` totals and score period-over-period PSI/TV through
+    ``rolling_drift_from_counts`` — LITERALLY the batch operator's core,
+    so a single-batch replay of the whole feed reproduces the batch
+    ``rolling_drift`` bit for bit (pinned by the streaming tests). The
+    fold is one partial-agg groupBy over an already-tiny increment log."""
+    from datacompy_spark.operators.analytics import rolling_drift_from_counts
+
+    pb = (
+        spark.read.parquet(hist_path)
+        .groupBy("period", "bin")
+        .agg(F.sum("n").alias("n"))
+    )
+    return rolling_drift_from_counts(pb, bucket=bucket)

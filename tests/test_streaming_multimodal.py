@@ -658,3 +658,79 @@ class TestStreamingIvfIngest:
         )
         assert res2["ingest"] == 2
         assert n_after_manual == emb.filter(F.col("vec_id") % 3 != 2).count()
+
+
+class TestStreamingRollingDrift:
+    def test_sink_view_matches_batch_operator(self, spark, events_dir, tmp_path):
+        from datacompy_spark.operators.analytics import rolling_drift
+
+        # split the feed into 3 separate appends so maxFilesPerTrigger=1
+        # yields MULTIPLE micro-batches with every period straddling two —
+        # the increment-fold hard case
+        src = str(tmp_path / "ev_split")
+        ev = spark.read.parquet(events_dir)
+        for m in range(3):
+            ev.filter(F.col("event_id") % 3 == m).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        batch = spark.read.parquet(src)
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        hist = str(tmp_path / "hist")
+        ckpt = str(tmp_path / "ckpt")
+        q = SD.drift_histogram_to_sink(
+            stream, "ts", "value", lo=0.0, hi=500.0,
+            hist_path=hist, checkpoint_path=ckpt, bins=10, bucket="day",
+        )
+        q.awaitTermination(120)
+        # increments from >1 batch must FOLD to the batch operator's exact
+        # output — periods split across micro-batches are the hard case
+        n_batches = spark.read.parquet(hist).select("batch_id").distinct().count()
+        assert n_batches > 1
+        got = {
+            r["period"]: (r["n_prev"], r["n_cur"], r["tv_distance"], r["psi"])
+            for r in SD.rolling_drift_view(spark, hist, bucket="day").collect()
+        }
+        want = {
+            r["period"]: (r["n_prev"], r["n_cur"], r["tv_distance"], r["psi"])
+            for r in rolling_drift(batch, "ts", "value", 0.0, 500.0, bins=10).collect()
+        }
+        assert got == want and len(got) > 0
+
+    def test_replayed_batch_is_idempotent(self, spark, events_dir, tmp_path):
+        from datacompy_spark.operators.analytics import fixed_bin
+
+        batch = spark.read.parquet(events_dir)
+        hist = str(tmp_path / "hist2")
+        ckpt = str(tmp_path / "ckpt2")
+        stream = spark.readStream.schema(batch.schema).parquet(events_dir)
+        q = SD.drift_histogram_to_sink(
+            stream, "ts", "value", 0.0, 500.0, hist, ckpt, bins=10
+        )
+        q.awaitTermination(120)
+        before = SD.rolling_drift_view(spark, hist).collect()
+        # simulate an at-least-once replay of batch 0: rewrite its partition
+        pb = (
+            batch.select(
+                F.date_trunc("day", F.col("ts")).alias("period"),
+                fixed_bin("value", 0.0, 500.0, 10).alias("bin"),
+            )
+            .groupBy("period", "bin").agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("batch_id", F.lit(0))
+        )
+        SD._write_batch_idempotent(pb, hist)
+        after = SD.rolling_drift_view(spark, hist).collect()
+        key = lambda rows: {r["period"]: (r["n_cur"], r["psi"]) for r in rows}
+        assert key(before) == key(after)
+
+    def test_validation(self, spark, events_dir):
+        batch = spark.read.parquet(events_dir)
+        stream = spark.readStream.schema(batch.schema).parquet(events_dir)
+        with pytest.raises(ValueError):
+            SD.drift_histogram_to_sink(stream, "ts", "value", 0.0, 500.0,
+                                       "x", "y", bucket="month")
+        with pytest.raises(ValueError):
+            SD.drift_histogram_to_sink(stream, "ts", "value", 5.0, 5.0, "x", "y")
