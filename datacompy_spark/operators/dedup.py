@@ -647,6 +647,9 @@ def fuzzy_key_match(
     threshold: float = 0.6,
     direct_block_cap: int = 1000,
     checkpoint_dir: str | None = None,
+    method: str = "ngram",
+    max_dist: int = 2,
+    prefix_len: int = 64,
 ) -> DataFrame:
     """Cross-table fuzzy key matching: pairs of DISTINCT keys from the two
     sides whose normalized character-``n``-gram Jaccard is ≥ ``threshold``
@@ -665,7 +668,16 @@ def fuzzy_key_match(
     key in ``id_a``, and same-side pairs are filtered out. Identical keys
     on both sides match at Jaccard 1.0 (normalization differences — case,
     punctuation — also land at 1.0 by construction).
+
+    ``method="editdist"`` swaps the similarity for the lossless
+    edit-distance join (:func:`edit_distance_pairs`, ``max_dist`` /
+    ``prefix_len``): output becomes ``(key_left, key_right, dist)``.
+    Pick it when the drift is character-level (typos, OCR, digit slips) —
+    one substituted character rewrites every n-gram it touches and can
+    sink short keys below any Jaccard threshold, but is exactly dist 1.
     """
+    if method not in ("ngram", "editdist"):
+        raise ValueError("fuzzy_key_match method must be 'ngram' or 'editdist'")
     right_key = right_key or left_key
     lk = (
         left.select(F.col(left_key).cast("string").alias("__fk"))
@@ -694,18 +706,26 @@ def fuzzy_key_match(
     cross_side = lambda ia, ib: (  # noqa: E731
         (F.substring(ia, 1, 2) == "0:") & (F.substring(ib, 1, 2) == "1:")
     )
-    pairs = ngram_jaccard_pairs(
-        tagged, "__kid", "__fk", "__blk", n=n, threshold=threshold,
-        direct_block_cap=direct_block_cap, checkpoint_dir=checkpoint_dir,
-        pair_pred=cross_side,
-    )
+    if method == "editdist":
+        pairs = edit_distance_pairs(
+            tagged, "__kid", "__fk", max_dist=max_dist, prefix_len=prefix_len,
+            checkpoint_dir=checkpoint_dir, pair_pred=cross_side,
+        )
+        score = "dist"
+    else:
+        pairs = ngram_jaccard_pairs(
+            tagged, "__kid", "__fk", "__blk", n=n, threshold=threshold,
+            direct_block_cap=direct_block_cap, checkpoint_dir=checkpoint_dir,
+            pair_pred=cross_side,
+        )
+        score = "jaccard"
     return pairs.filter(
         (F.substring(F.col("id_a"), 1, 2) == "0:")
         & (F.substring(F.col("id_b"), 1, 2) == "1:")
     ).select(
         F.expr("substring(id_a, 3)").alias("key_left"),
         F.expr("substring(id_b, 3)").alias("key_right"),
-        "jaccard",
+        score,
     )
 
 
@@ -1853,6 +1873,7 @@ def edit_distance_pairs(
     max_dist: int = 2,
     prefix_len: int = 64,
     checkpoint_dir: str | None = None,
+    pair_pred=None,
 ) -> DataFrame:
     """Edit-distance similarity self-join: every id pair whose normalized
     ``prefix_len``-char key prefixes are within Levenshtein distance
@@ -1893,6 +1914,12 @@ def edit_distance_pairs(
     similarity structure, but if the corpus has such a constant field,
     strip it into the normalization before calling — the pigeonhole
     cannot prune what every row shares.
+
+    ``pair_pred`` (optional, same contract as ``ngram_jaccard_pairs``):
+    ``f(id_a, id_b) -> Column`` boolean applied to the CANONICALIZED pair
+    before the distinct and the levenshtein verify — pairs a caller will
+    discard anyway (e.g. same-side pairs in :func:`fuzzy_key_match`'s
+    pooled corpus) die on a cheap codegen compare before either is paid.
     """
     if max_dist < 1:
         raise ValueError("edit_distance_pairs needs max_dist >= 1")
@@ -1986,6 +2013,8 @@ def edit_distance_pairs(
     ).filter(F.col("id_a") < F.col("id_b"))
     if short_pairs is not None:
         cand = cand.unionAll(short_pairs)
+    if pair_pred is not None:
+        cand = cand.filter(pair_pred(F.col("id_a"), F.col("id_b")))
     cand = cand.distinct()
 
     # ---- exact verify: early-exit threshold levenshtein; the barrier

@@ -3048,6 +3048,54 @@ def _sql_rolling_drift() -> str:
 SQL_ROLLING_DRIFT = _sql_rolling_drift()
 
 
+def q_fuzzy_key_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fuzzy_key_match's edit-distance route: the right part catalog has
+    one character substituted in every (3rd AND 13th)-key name — the
+    character-level drift (typos/OCR) that rewrites every n-gram it
+    touches but is exactly Levenshtein 1. Oracle = naive all-pairs scan
+    over the two distinct key domains; the PassJoin blocking must be
+    lossless to hash-match."""
+    part = load_table(spark, sf_dir, "part")
+    left = part.filter(F.col("p_partkey") % 11 == 0).select("p_name")
+    right = part.filter(F.col("p_partkey") % 13 == 0).select(
+        F.when(
+            F.col("p_partkey") % 3 == 0,
+            F.concat(
+                F.expr("substring(p_name, 1, 5)"),
+                F.lit("q"),
+                F.expr("substring(p_name, 7)"),
+            ),
+        )
+        .otherwise(F.col("p_name"))
+        .alias("p_name2")
+    )
+    return D.fuzzy_key_match(
+        left, right, "p_name", "p_name2", method="editdist", max_dist=1
+    )
+
+
+def _sql_fuzzy_key_editdist() -> str:
+    key = f"coalesce(substring({TX.normalize_sql('k')}, 1, 64), '')"
+    return f"""
+WITH lk AS (
+  SELECT DISTINCT p_name AS k FROM part
+  WHERE p_partkey % 11 = 0 AND p_name IS NOT NULL),
+rk AS (
+  SELECT DISTINCT CASE WHEN p_partkey % 3 = 0
+      THEN substring(p_name, 1, 5) || 'q' || substring(p_name, 7)
+      ELSE p_name END AS k
+  FROM part WHERE p_partkey % 13 = 0),
+nl AS (SELECT k, {key} AS s FROM lk),
+nr AS (SELECT k, {key} AS s FROM rk WHERE k IS NOT NULL)
+SELECT a.k AS key_left, b.k AS key_right,
+  levenshtein(a.s, b.s)::BIGINT AS dist
+FROM nl a JOIN nr b ON abs(length(a.s) - length(b.s)) <= 1
+WHERE levenshtein(a.s, b.s) <= 1"""
+
+
+SQL_FUZZY_KEY_EDITDIST = _sql_fuzzy_key_editdist()
+
+
 _QDIST_PROBS = [0.01, 0.25, 0.5, 0.75, 0.99]
 
 
@@ -3165,6 +3213,7 @@ PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling_drift": q_rolling_drift,
     "quantiles_distributed": q_quantiles_distributed,
     "winsorize": q_winsorize,
+    "fuzzy_key_editdist": q_fuzzy_key_editdist,
     "shard_corpus": q_shard_corpus,
     "dedup_semantic": q_dedup_semantic,
     "line_dedup": q_line_dedup,
@@ -3263,6 +3312,7 @@ PIPELINE_ORACLES: Dict[str, str] = {
     "rolling_drift": SQL_ROLLING_DRIFT,
     "quantiles_distributed": SQL_QUANTILES_DISTRIBUTED,
     "winsorize": SQL_WINSORIZE,
+    "fuzzy_key_editdist": SQL_FUZZY_KEY_EDITDIST,
     "shard_corpus": SQL_SHARD_CORPUS,
     "dedup_semantic": SQL_DEDUP_SEMANTIC,
     "line_dedup": SQL_LINE_DEDUP,

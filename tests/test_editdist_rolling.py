@@ -207,3 +207,49 @@ class TestDistributedQuantiles:
         assert out[None] is None
         with pytest.raises(ValueError):
             winsorize(df, "x", 0.9, 0.1)
+
+
+class TestFuzzyKeyEditdist:
+    def test_typo_mapping(self, spark):
+        from datacompy_spark.operators.dedup import fuzzy_key_match
+
+        left = spark.createDataFrame(
+            [("acme corp",), ("globex inc",), ("initech llc",)], "k string"
+        )
+        right = spark.createDataFrame(
+            [("acme c0rp",), ("globex inc",), ("umbrella co",)], "k2 string"
+        )
+        got = {
+            (r["key_left"], r["key_right"]): r["dist"]
+            for r in fuzzy_key_match(
+                left, right, "k", "k2", method="editdist", max_dist=2
+            ).collect()
+        }
+        # '0' is stripped by normalization, so 'acme c0rp' -> 'acme c rp':
+        # substitution counted once against the normalized domain
+        assert got[("globex inc", "globex inc")] == 0
+        assert got[("acme corp", "acme c0rp")] <= 2
+        assert not any(kr == "umbrella co" for _, kr in got)
+
+    def test_bad_method_raises(self, spark):
+        from datacompy_spark.operators.dedup import fuzzy_key_match
+
+        df = spark.createDataFrame([("x",)], "k string")
+        with pytest.raises(ValueError):
+            fuzzy_key_match(df, df, "k", method="soundex")
+
+    def test_pair_pred_pushdown_filters_candidates(self, spark):
+        from datacompy_spark.operators.dedup import edit_distance_pairs
+
+        df = spark.createDataFrame(
+            [(1, "hello world"), (2, "hello world"), (3, "hello w0rld")],
+            "doc_id long, text string",
+        )
+        only_with_3 = lambda a, b: b == 3  # noqa: E731
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in edit_distance_pairs(
+                df, "doc_id", "text", 2, pair_pred=only_with_3
+            ).collect()
+        }
+        assert got == {(1, 3), (2, 3)}
