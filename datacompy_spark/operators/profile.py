@@ -718,3 +718,109 @@ def winsorize(
         .withColumn(out_col, clamped)
         .drop("__q_lo", "__q_hi")
     )
+
+
+def group_quantiles_distributed(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    probs: Sequence[float],
+    num_partitions: Optional[int] = None,
+    checkpoint_dir: Optional[str] = None,
+) -> DataFrame:
+    """Per-group :func:`exact_quantiles_distributed`: exact interpolated
+    quantiles of ``value_col`` within every ``group_cols`` combination —
+    the per-source length caps / per-tenant SLO percentiles case — still
+    with NO value buffering anywhere. Returns ``(*group_cols, prob,
+    quantile)``; groups whose values are all NULL yield no rows.
+
+    Scale shape: the prefix sum range-partitions by (group, value), so a
+    hot group spreads over many tasks instead of one (the exact hazard of
+    ``percentile(...) GROUP BY`` — one aggregation buffer holding a hot
+    group's whole value multiset). The rank probe is an equi-join ON THE
+    GROUP KEY (null-safe; range condition evaluated inside it), so probe
+    volume scales as groups × 2·len(probs) rows through an ordinary
+    shuffle/broadcast hash join — never a nested loop over the ECDF.
+    """
+    plist = [float(p) for p in probs]
+    if not plist or any(p < 0.0 or p > 1.0 for p in plist):
+        raise ValueError("probs must be non-empty, each within [0, 1]")
+    groups = list(group_cols)
+    if not groups:
+        raise ValueError("group_cols must name at least one column")
+    from datacompy_spark.plans.partitioning import distributed_prefix_sum
+
+    spark = df.sparkSession
+    counts = (
+        df.select(*groups, F.col(value_col).cast("double").alias("v"))
+        .filter(F.col("v").isNotNull())
+        .groupBy(*groups, "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cum = distributed_prefix_sum(
+        counts,
+        order_cols=["v"],
+        sum_cols=["c"],
+        group_cols=groups,
+        num_partitions=num_partitions,
+        checkpoint_dir=checkpoint_dir,
+    )
+    totals = cum.groupBy(*groups).agg(F.sum("c").cast("long").alias("n"))
+    pf = spark.createDataFrame([(p,) for p in plist], "prob double")
+    pos = F.col("prob") * (F.col("n") - 1).cast("double")
+    probes = (
+        totals.join(F.broadcast(pf))
+        .filter(F.col("n") > 0)
+        .select(
+            *[F.col(g).alias(f"__g_{g}") for g in groups],
+            "prob",
+            pos.alias("pos"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("lo").alias("which"),
+                        (F.floor(pos) + 1).alias("rank"),
+                    ),
+                    F.struct(
+                        F.lit("hi").alias("which"),
+                        (F.ceil(pos) + 1).alias("rank"),
+                    ),
+                )
+            ).alias("b"),
+        )
+        .select(
+            *[f"__g_{g}" for g in groups],
+            "prob", "pos",
+            F.col("b.which").alias("which"),
+            F.col("b.rank").alias("rank"),
+        )
+    )
+    # group equi-keys lead the condition (null-safe: a NULL group is a real
+    # group) so Catalyst plans a hash join on them; the rank containment
+    # rides along as a join-side filter
+    cond = None
+    for g in groups:
+        c = F.col(g).eqNullSafe(F.col(f"__g_{g}"))
+        cond = c if cond is None else (cond & c)
+    cond = (
+        cond
+        & (F.col("rank") <= F.col("c_cum"))
+        & (F.col("rank") > F.col("c_cum") - F.col("c"))
+    )
+    hits = cum.join(probes, cond)
+    v_lo = F.max(F.when(F.col("which") == "lo", F.col("v")))
+    v_hi = F.max(F.when(F.col("which") == "hi", F.col("v")))
+    return (
+        hits.groupBy(*groups, "prob", "pos")
+        .agg(v_lo.alias("v_lo"), v_hi.alias("v_hi"))
+        .select(
+            *groups,
+            "prob",
+            F.when(F.ceil("pos") == F.floor("pos"), F.col("v_lo"))
+            .otherwise(
+                (F.ceil("pos") - F.col("pos")) * F.col("v_lo")
+                + (F.col("pos") - F.floor("pos")) * F.col("v_hi")
+            )
+            .alias("quantile"),
+        )
+    )

@@ -160,7 +160,19 @@ def distributed_prefix_sum(
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    out = ranged.join(F.broadcast(offsets), [*group_cols, "__psum_pid"])
+    # the offsets join must be NULL-SAFE on the group keys: a name-list
+    # join compiles to plain equality, which silently DROPS every row of a
+    # NULL group (found via group_quantiles_distributed losing its NULL
+    # group; windows above already treat NULL as a real partition value)
+    offsets = offsets.select(
+        *[F.col(g).alias(f"__offg_{g}") for g in group_cols],
+        F.col("__psum_pid").alias("__off_pid"),
+        *[f"__off_{c}" for c in sum_cols],
+    )
+    cond = F.col("__psum_pid") == F.col("__off_pid")
+    for g in group_cols:
+        cond = cond & F.col(g).eqNullSafe(F.col(f"__offg_{g}"))
+    out = ranged.join(F.broadcast(offsets), cond)
     return out.select(
         *df.columns,
         *[

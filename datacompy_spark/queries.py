@@ -577,6 +577,7 @@ _SWEEP_FIRST = [
     "quantiles_distributed",
     "winsorize",
     "fuzzy_key_editdist",
+    "group_quantiles",
     # last driver-green in r7 — oldest evidence, re-earn it this round
     # (join_cardinality/knn_int8/source_cap/events_missing_periods/
     # events_multi_rollup, the oldest five, fall past position 50 to make

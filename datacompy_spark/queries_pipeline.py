@@ -3118,6 +3118,29 @@ SQL_QUANTILES_DISTRIBUTED = "\nUNION ALL\n".join(
 )
 
 
+_GQ_PROBS = [0.25, 0.5, 0.9]
+
+
+def q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type exact quantiles of events.value via the grouped
+    distributed ECDF (operators/profile.py::group_quantiles_distributed):
+    the prefix sum range-partitions by (group, value), so a hot group
+    spreads over many tasks — the hazard of percentile(...) GROUP BY's
+    per-group value buffer."""
+    from datacompy_spark.operators.profile import group_quantiles_distributed
+
+    return group_quantiles_distributed(
+        load_table(spark, sf_dir, "events"), ["event_type"], "value", _GQ_PROBS
+    )
+
+
+SQL_GROUP_QUANTILES = "\nUNION ALL\n".join(
+    f"SELECT event_type, {p}::DOUBLE AS prob,"
+    f" quantile_cont(value, {p}) AS quantile FROM events GROUP BY event_type"
+    for p in _GQ_PROBS
+)
+
+
 def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Outlier capping: events.value clamped to its exact [p1, p99]
     quantiles (operators/profile.py::winsorize — distributed-ECDF bounds
@@ -3214,6 +3237,7 @@ PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantiles_distributed": q_quantiles_distributed,
     "winsorize": q_winsorize,
     "fuzzy_key_editdist": q_fuzzy_key_editdist,
+    "group_quantiles": q_group_quantiles,
     "shard_corpus": q_shard_corpus,
     "dedup_semantic": q_dedup_semantic,
     "line_dedup": q_line_dedup,
@@ -3313,6 +3337,7 @@ PIPELINE_ORACLES: Dict[str, str] = {
     "quantiles_distributed": SQL_QUANTILES_DISTRIBUTED,
     "winsorize": SQL_WINSORIZE,
     "fuzzy_key_editdist": SQL_FUZZY_KEY_EDITDIST,
+    "group_quantiles": SQL_GROUP_QUANTILES,
     "shard_corpus": SQL_SHARD_CORPUS,
     "dedup_semantic": SQL_DEDUP_SEMANTIC,
     "line_dedup": SQL_LINE_DEDUP,

@@ -253,3 +253,49 @@ class TestFuzzyKeyEditdist:
             ).collect()
         }
         assert got == {(1, 3), (2, 3)}
+
+
+class TestGroupQuantiles:
+    def test_bitwise_vs_builtin_groupby_percentile(self, spark):
+        import random
+
+        from datacompy_spark.operators.profile import group_quantiles_distributed
+
+        rng = random.Random(31)
+        rows = [
+            (rng.choice(["a", "b", "c", None]),
+             rng.uniform(-1e12, 1e12) if rng.random() > 0.02 else None)
+            for _ in range(3000)
+        ]
+        df = spark.createDataFrame(rows, "g string, x double")
+        probs = [0.0, 0.25, 0.5, 0.9, 1.0]
+        got = {
+            (r["g"], r["prob"]): r["quantile"]
+            for r in group_quantiles_distributed(df, ["g"], "x", probs).collect()
+        }
+        want = {}
+        for r in df.groupBy("g").agg(F.percentile("x", F.lit(probs)).alias("q")).collect():
+            for p, v in zip(probs, r["q"]):
+                want[(r["g"], p)] = v
+        # includes the NULL group: the prefix-sum offsets join is null-safe
+        assert got == want and (None, 0.5) in got
+
+    def test_prefix_sum_keeps_null_groups(self, spark):
+        from datacompy_spark.plans.partitioning import distributed_prefix_sum
+
+        df = spark.createDataFrame(
+            [("a", 1.0, 1), ("a", 2.0, 1), (None, 3.0, 1), (None, 4.0, 1)],
+            "g string, v double, c long",
+        )
+        cum = distributed_prefix_sum(
+            df, order_cols=["v"], sum_cols=["c"], group_cols=["g"]
+        )
+        rows = {(r["g"], r["v"]): r["c_cum"] for r in cum.collect()}
+        assert rows == {("a", 1.0): 1, ("a", 2.0): 2, (None, 3.0): 1, (None, 4.0): 2}
+
+    def test_validation(self, spark):
+        from datacompy_spark.operators.profile import group_quantiles_distributed
+
+        df = spark.createDataFrame([("a", 1.0)], "g string, x double")
+        with pytest.raises(ValueError):
+            group_quantiles_distributed(df, [], "x", [0.5])

@@ -38,6 +38,9 @@ EXPECTED_NLJ = {
     "condition vs the cumulative ECDF (one pass, k = len(probs))",
     "winsorize": "composes quantiles_distributed's broadcast rank probes + "
     "a broadcast 1-row bounds crossJoin for the clamp",
+    "group_quantiles": "broadcast len(probs)-row probability table cross-"
+    "joined onto per-group totals (the rank lookup itself is a null-safe "
+    "group equi-join, hash/SMJ)",
     "dedup_semantic": "broadcast pivot set vs corpus (IVF coarse quantizer)",
     "kmeans_assign": "broadcast k-row centroid table vs corpus (Lloyd assignment)",
     "cluster_sample": "composes kmeans_assign's broadcast centroid join",
