@@ -578,11 +578,11 @@ _SWEEP_FIRST = [
     "winsorize",
     "fuzzy_key_editdist",
     "group_quantiles",
-    # last driver-green in r7 — oldest evidence, re-earn it this round
-    # (join_cardinality/knn_int8/source_cap/events_missing_periods/
-    # events_multi_rollup, the oldest five, fall past position 50 to make
-    # room for the 9 never-verified round-9 names; all five are r7-green
-    # and --unswept-verified locally this round)
+    # last driver-green in r7 — oldest evidence, re-earn it this round.
+    # The 11 never-verified round-9 names above displace the oldest tail
+    # past position 50 (tfidf_top_terms .. join_cardinality); every
+    # displaced name is r7-green AND --unswept-verified locally this
+    # round (tools/check_oracles.py --unswept covers positions 51+).
     "cmp_column_stats",
     "cmp_unique_rows",
     "cmp_all_mismatch",
