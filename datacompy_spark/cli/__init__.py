@@ -357,8 +357,8 @@ def build_parser() -> argparse.ArgumentParser:
         "--against", metavar="CORPUS",
         help="incremental mode: dedup the input (the new batch) AGAINST "
         "this standing corpus (file path or table name) instead of within "
-        "itself — corpus-vs-corpus work is never performed. Methods: exact "
-        "or minhash. The verdict parquet then carries "
+        "itself — corpus-vs-corpus work is never performed. Methods: exact, "
+        "minhash, or editdist. The verdict parquet then carries "
         "(doc_id, verdict in {new,dup_corpus,dup_batch}, match_id)",
     )
     dd.add_argument(
@@ -1126,9 +1126,9 @@ def _run_dedup_incremental(spark, batch, args) -> int:
         raise CLIError(
             f"--ledger supports --method exact or minhash (got {args.method!r})"
         )
-    if args.method not in ("exact", "minhash"):
+    if args.method not in ("exact", "minhash", "editdist"):
         raise CLIError(
-            "--against supports --method exact or minhash "
+            "--against supports --method exact, minhash, or editdist "
             f"(got {args.method!r})"
         )
     if args.export_pairs:
@@ -1171,6 +1171,8 @@ def _run_dedup_incremental(spark, batch, args) -> int:
                 args.text_col,
                 method=args.method,
                 threshold=args.threshold,
+                max_dist=args.max_dist,
+                prefix_len=args.prefix_len,
             )
         out.write.mode("overwrite").parquet(args.verdict)
         written = spark.read.parquet(args.verdict)

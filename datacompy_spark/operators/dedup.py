@@ -1278,6 +1278,8 @@ def incremental_dedup(
     threshold: float = 0.5,
     broadcast_batch: bool = True,
     checkpoint_dir: str | None = None,
+    max_dist: int = 2,
+    prefix_len: int = 64,
 ) -> DataFrame:
     """Dedup a NEW batch against an EXISTING reference corpus — the
     recurring-ingest shape of a production training-data pipeline, where
@@ -1316,8 +1318,16 @@ def incremental_dedup(
       deployment the corpus's ``(doc_id, band, bkey)`` and shingle tables
       would be precomputed once and stored (they are pure functions of the
       text); this function derives them inline for self-containment.
+
+    ``method='editdist'`` (typo-level semantics, Levenshtein ≤ ``max_dist``
+      on the normalized ``prefix_len``-char key):
+      batch↔corpus pairs via :func:`edit_distance_cross` — the corpus
+      contributes two narrow streams (segment index + probe substrings)
+      joined against the batch side (broadcast when ``broadcast_batch``)
+      and never self-pairs; batch-internal dups among corpus-clean docs
+      via the self-join + connected components, exactly the minhash tail.
     """
-    if method not in ("exact", "minhash"):
+    if method not in ("exact", "minhash", "editdist"):
         raise ValueError(f"unknown incremental-dedup method: {method!r}")
     maybe_bcast = F.broadcast if broadcast_batch else (lambda df: df)
 
@@ -1355,6 +1365,49 @@ def incremental_dedup(
             .when(F.col("doc_id") != F.col("batch_keep"), F.col("batch_keep"))
             .alias("match_id"),
         )
+
+    # ---- editdist route -------------------------------------------------
+    if method == "editdist":
+        rep_hits = (
+            edit_distance_cross(
+                batch, corpus, id_col, text_col,
+                max_dist=max_dist, prefix_len=prefix_len,
+                checkpoint_dir=checkpoint_dir,
+                broadcast_left=broadcast_batch,
+            )
+            .groupBy(F.col("id_l").alias("doc_id"))
+            .agg(F.min("id_r").alias("corpus_match"))
+        )
+        pairs = edit_distance_pairs(
+            batch, id_col, text_col, max_dist=max_dist, prefix_len=prefix_len,
+            checkpoint_dir=checkpoint_dir,
+        )
+        dup_ids = rep_hits.select(F.col("doc_id").alias("id_a"))
+        clean_pairs = pairs.join(dup_ids, "id_a", "left_anti").join(
+            dup_ids.withColumnRenamed("id_a", "id_b"), "id_b", "left_anti"
+        )
+        comp = assign_components(
+            batch.select(F.col(id_col).alias("doc_id")).join(
+                rep_hits.select("doc_id"), "doc_id", "left_anti"
+            ),
+            "doc_id",
+            clean_pairs,
+            checkpoint_dir=checkpoint_dir,
+        )
+        clean = comp.select(
+            "doc_id",
+            F.when(F.col("doc_id") != F.col("component"), F.lit("dup_batch"))
+            .otherwise(F.lit("new"))
+            .alias("verdict"),
+            F.when(F.col("doc_id") != F.col("component"), F.col("component")).alias(
+                "match_id"
+            ),
+        )
+        return rep_hits.select(
+            "doc_id",
+            F.lit("dup_corpus").alias("verdict"),
+            F.col("corpus_match").alias("match_id"),
+        ).unionByName(clean)
 
     # ---- minhash route --------------------------------------------------
     def _shingle_table(df: DataFrame) -> DataFrame:
@@ -1866,6 +1919,168 @@ def _even_segments_expr(length_col: str, k: int) -> str:
     )
 
 
+def _ed_keys(df: DataFrame, id_col: str, text_col: str, prefix_len: int) -> DataFrame:
+    """(doc_id, s, ls): the normalized ``prefix_len``-char comparison key
+    — the single definition every edit-distance route derives from."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(
+            F.substring(normalize(F.col(text_col)), 1, prefix_len), F.lit("")
+        ).alias("s"),
+    ).withColumn("ls", F.length("s").cast("int"))
+
+
+def _ed_segment_index(long_keys: DataFrame, k: int, id_alias: str) -> DataFrame:
+    """Inverted-index rows ``(src_l, i, seg, <id_alias>)``: the k even
+    segments of every key (callers pre-filter to ``ls >= k``)."""
+    return long_keys.select(
+        F.col("doc_id").alias(id_alias),
+        "ls",
+        F.explode(F.expr(_even_segments_expr("ls", k))).alias("g"),
+        "s",
+    ).select(
+        id_alias,
+        F.col("ls").alias("src_l"),
+        F.col("g.i").alias("i"),
+        F.expr("substring(s, g.st, g.w)").alias("seg"),
+    )
+
+
+def _ed_probe_substrings(
+    long_keys: DataFrame, k: int, max_dist: int, id_alias: str
+) -> DataFrame:
+    """Probe rows ``(src_l, i, seg, <id_alias>)``: for each key t, the
+    candidate source lengths ``src_l ∈ [len(t)-τ, len(t)]`` (≥ k), each
+    source length's segment boundaries, and t's substrings at starts
+    within ±τ of the segment's home position — a constant
+    ≤ (τ+1)²·(2τ+1) rows per key."""
+    return (
+        long_keys.select(
+            F.col("doc_id").alias(id_alias),
+            F.col("ls").alias("lt"),
+            "s",
+            F.explode(
+                F.expr(f"sequence(greatest({k}, ls - {max_dist}), ls)")
+            ).alias("src_l"),
+        )
+        .select(
+            id_alias,
+            "lt",
+            "s",
+            "src_l",
+            F.explode(F.expr(_even_segments_expr("src_l", k))).alias("g"),
+        )
+        .select(
+            id_alias,
+            "src_l",
+            F.col("g.i").alias("i"),
+            F.col("g.w").alias("w"),
+            "s",
+            "lt",
+            F.explode(
+                F.expr(
+                    f"sequence(greatest(1, g.st - {max_dist}),"
+                    f" least(lt - g.w + 1, g.st + {max_dist}))"
+                )
+            ).alias("p"),
+        )
+        .select(
+            id_alias, "src_l", "i", F.expr("substring(s, p, w)").alias("seg")
+        )
+    )
+
+
+def edit_distance_cross(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dist: int = 2,
+    prefix_len: int = 64,
+    checkpoint_dir: str | None = None,
+    broadcast_left: bool = False,
+) -> DataFrame:
+    """CROSS-SET edit-distance join: every (left id, right id) pair whose
+    normalized key prefixes are within ``max_dist`` — the batch-vs-corpus
+    shape (``incremental_dedup method='editdist'``, fuzzy decontamination).
+    Unlike pooling both sides through :func:`edit_distance_pairs`, neither
+    side is ever self-paired: candidates only arise where one side's
+    segment index meets the other side's probe substrings, so the 100 TB
+    corpus contributes two NARROW streams (segments + probes) and zero
+    corpus×corpus join output.
+
+    Two directions cover the length pigeonhole (segments always come from
+    the SHORTER string): left-index ⋈ right-probe finds pairs with
+    ``len(l) <= len(r)``, right-index ⋈ left-probe the converse; the
+    equal-length overlap dedups in the distinct. Keys shorter than
+    ``max_dist+1`` join directly within the fixed ≤ 2·τ length class.
+    ``broadcast_left=True`` hints the left (batch) side's index/probe
+    frames as broadcast builds — the corpus then streams past them with
+    no shuffle, the ``incremental_dedup`` exact-route discipline.
+
+    Output: ``(id_l, id_r, dist)``, exact distances, identical to the
+    naive cross scan (lossless blocking; same proof as the self-join)."""
+    if max_dist < 1:
+        raise ValueError("edit_distance_cross needs max_dist >= 1")
+    k = max_dist + 1
+    maybe_bcast = F.broadcast if broadcast_left else (lambda d: d)
+    kl = _ed_keys(left, id_col, text_col, prefix_len).persist()
+    kl.count()
+    kr = _ed_keys(right, id_col, text_col, prefix_len)
+
+    long_l, long_r = kl.filter(F.col("ls") >= k), kr.filter(F.col("ls") >= k)
+    # direction A: left is the (equal-or-)shorter side
+    cand_a = _ed_probe_substrings(long_r, k, max_dist, "id_r").join(
+        maybe_bcast(_ed_segment_index(long_l, k, "id_l")),
+        ["src_l", "i", "seg"],
+    ).select("id_l", "id_r")
+    # direction B: right is the strictly shorter side (src_l < probe length
+    # always holds going this way for non-equal lengths; equal-length pairs
+    # from both directions collapse in the distinct)
+    cand_b = maybe_bcast(_ed_probe_substrings(long_l, k, max_dist, "id_l")).join(
+        _ed_segment_index(long_r, k, "id_r"), ["src_l", "i", "seg"]
+    ).select("id_l", "id_r")
+    cand = cand_a.unionAll(cand_b)
+
+    # short route: a pair whose SHORTER key has < k chars forces BOTH keys
+    # into the <= 2·τ length class (|other| <= short+τ <= 2τ), so the left
+    # short set being empty proves no qualifying pair involves a short key
+    # on either side
+    shorts_l = kl.filter(F.col("ls") <= 2 * max_dist)
+    if shorts_l.limit(1).count() > 0:
+        short_pairs = (
+            maybe_bcast(
+                shorts_l.select(F.col("doc_id").alias("id_l"), F.col("ls").alias("__ll"))
+            )
+            .join(
+                kr.filter(F.col("ls") <= 2 * max_dist).select(
+                    F.col("doc_id").alias("id_r"), F.col("ls").alias("__lr")
+                ),
+                F.abs(F.col("__ll") - F.col("__lr")) <= F.lit(max_dist),
+            )
+            .select("id_l", "id_r")
+        )
+        cand = cand.unionAll(short_pairs)
+    cand = cand.distinct()
+
+    verified = (
+        cand.join(maybe_bcast(kl.select(F.col("doc_id").alias("id_l"),
+                                        F.col("s").alias("s_l"))), "id_l")
+        .join(kr.select(F.col("doc_id").alias("id_r"), F.col("s").alias("s_r")),
+              "id_r")
+        .select(
+            "id_l",
+            "id_r",
+            F.levenshtein("s_l", "s_r", max_dist).cast("long").alias("dist"),
+        )
+    )
+    return (
+        lineage_barrier(verified, checkpoint_dir, eager=False)
+        .filter(F.col("dist") >= 0)
+        .select("id_l", "id_r", "dist")
+    )
+
+
 def edit_distance_pairs(
     df: DataFrame,
     id_col: str,
@@ -1924,16 +2139,7 @@ def edit_distance_pairs(
     if max_dist < 1:
         raise ValueError("edit_distance_pairs needs max_dist >= 1")
     k = max_dist + 1
-    keys = (
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            F.coalesce(
-                F.substring(normalize(F.col(text_col)), 1, prefix_len), F.lit("")
-            ).alias("s"),
-        )
-        .withColumn("ls", F.length("s").cast("int"))
-        .persist()
-    )
+    keys = _ed_keys(df, id_col, text_col, prefix_len).persist()
     keys.count()  # materialize once: reused by index, probe, and verify
 
     # ---- short route: any pair whose shorter key has < k chars lives
@@ -1956,54 +2162,8 @@ def edit_distance_pairs(
 
     # ---- main route: inverted index of segments vs windowed substrings
     long_keys = keys.filter(F.col("ls") >= k)
-    index = long_keys.select(
-        F.col("doc_id").alias("idx_id"),
-        "ls",
-        F.explode(F.expr(_even_segments_expr("ls", k))).alias("g"),
-        "s",
-    ).select(
-        "idx_id",
-        F.col("ls").alias("src_l"),
-        F.col("g.i").alias("i"),
-        F.expr("substring(s, g.st, g.w)").alias("seg"),
-    )
-    # probe: source lengths ls in [lt - tau, lt] (>= k), then for each
-    # segment of THAT source length, substrings of t at starts within
-    # +-tau of the segment's home position
-    probe = (
-        long_keys.select(
-            F.col("doc_id").alias("prb_id"),
-            F.col("ls").alias("lt"),
-            "s",
-            F.explode(
-                F.expr(f"sequence(greatest({k}, ls - {max_dist}), ls)")
-            ).alias("src_l"),
-        )
-        .select(
-            "prb_id",
-            "lt",
-            "s",
-            "src_l",
-            F.explode(F.expr(_even_segments_expr("src_l", k))).alias("g"),
-        )
-        .select(
-            "prb_id",
-            "src_l",
-            F.col("g.i").alias("i"),
-            F.col("g.w").alias("w"),
-            "s",
-            "lt",
-            F.explode(
-                F.expr(
-                    f"sequence(greatest(1, g.st - {max_dist}),"
-                    f" least(lt - g.w + 1, g.st + {max_dist}))"
-                )
-            ).alias("p"),
-        )
-        .select(
-            "prb_id", "src_l", "i", F.expr("substring(s, p, w)").alias("seg")
-        )
-    )
+    index = _ed_segment_index(long_keys, k, "idx_id")
+    probe = _ed_probe_substrings(long_keys, k, max_dist, "prb_id")
     cand = probe.join(index, ["src_l", "i", "seg"]).select(
         F.col("idx_id"), F.col("prb_id")
     )

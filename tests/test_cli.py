@@ -504,14 +504,33 @@ class TestDedupCommand:
         v = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
         assert v[2]["component"] == 1 and v[3]["is_survivor"]
 
-    def test_editdist_rejects_against(self, tmp_path, capsys, spark):
-        p = str(tmp_path / "docs.parquet")
-        spark.createDataFrame([(1, "x")], "doc_id bigint, text string").write.parquet(p)
+    def test_editdist_incremental_against_corpus(self, tmp_path, capsys, spark):
+        corpus = str(tmp_path / "corpus.parquet")
+        batch = str(tmp_path / "batch.parquet")
+        spark.createDataFrame(
+            [(1, "the quick brown fox jumps high")],
+            "doc_id bigint, text string",
+        ).write.parquet(corpus)
+        spark.createDataFrame(
+            [
+                (10, "the quick brown fax jumps high"),   # 1 edit from corpus
+                (11, "some totally unrelated document"),  # new
+                (12, "some totally unrelated documents"), # dup_batch of 11
+            ],
+            "doc_id bigint, text string",
+        ).write.parquet(batch)
+        out = str(tmp_path / "v.parquet")
         rc = main([
-            "dedup", "--input", p, "--against", p, "--method", "editdist",
-            "--verdict", str(tmp_path / "v.parquet"), "--quiet",
+            "dedup", "--input", batch, "--against", corpus,
+            "--method", "editdist", "--max-dist", "2",
+            "--verdict", out, "--quiet",
         ])
-        assert rc == 2
+        assert rc == 0
+        v = {r["doc_id"]: (r["verdict"], r["match_id"])
+             for r in spark.read.parquet(out).collect()}
+        assert v[10] == ("dup_corpus", 1)
+        assert v[11] == ("new", None)
+        assert v[12] == ("dup_batch", 11)
 
     def test_embedding_dedup_verdict(self, tmp_path, capsys, spark):
         p = str(tmp_path / "emb.parquet")

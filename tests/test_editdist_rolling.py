@@ -299,3 +299,69 @@ class TestGroupQuantiles:
         df = spark.createDataFrame([("a", 1.0)], "g string, x double")
         with pytest.raises(ValueError):
             group_quantiles_distributed(df, [], "x", [0.5])
+
+
+class TestEditDistanceCross:
+    @pytest.mark.parametrize("bcast", [False, True])
+    def test_lossless_vs_naive_cross(self, spark, bcast):
+        import random
+
+        from datacompy_spark.operators.dedup import edit_distance_cross
+
+        rng = random.Random(17)
+        mk = lambda n, s: [  # noqa: E731
+            (s + i, "".join(rng.choice("ab1 ") for _ in range(rng.randint(0, 11))))
+            for i in range(n)
+        ]
+        L = spark.createDataFrame(mk(80, 0), "doc_id long, text string")
+        R = spark.createDataFrame(mk(120, 1000), "doc_id long, text string")
+        got = {
+            tuple(r)
+            for r in edit_distance_cross(
+                L, R, "doc_id", "text", 2, broadcast_left=bcast
+            ).collect()
+        }
+        key = lambda df, i, s: df.select(  # noqa: E731
+            F.col("doc_id").alias(i),
+            F.coalesce(
+                F.substring(normalize(F.col("text")), 1, 64), F.lit("")
+            ).alias(s),
+        )
+        want = {
+            tuple(r)
+            for r in key(L, "id_l", "s_l")
+            .join(key(R, "id_r", "s_r"))
+            .select(
+                "id_l", "id_r",
+                F.levenshtein("s_l", "s_r").cast("long").alias("dist"),
+            )
+            .filter(F.col("dist") <= 2)
+            .collect()
+        }
+        assert got == want
+
+    def test_incremental_editdist_verdicts(self, spark):
+        from datacompy_spark.operators.dedup import incremental_dedup
+
+        corpus = spark.createDataFrame(
+            [(1, "the quick brown fox jumps high")], "doc_id long, text string"
+        )
+        batch = spark.createDataFrame(
+            [
+                (10, "the quick brown fax jumps high"),    # 1 edit -> dup_corpus
+                (11, "some totally unrelated document"),   # new
+                (12, "some totally unrelated documents"),  # dup_batch of 11
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: (r["verdict"], r["match_id"])
+            for r in incremental_dedup(
+                batch, corpus, "doc_id", "text", method="editdist", max_dist=2
+            ).collect()
+        }
+        assert out == {
+            10: ("dup_corpus", 1),
+            11: ("new", None),
+            12: ("dup_batch", 11),
+        }
