@@ -697,7 +697,7 @@ class TestDedupCommand:
             "--verdict", str(tmp_path / "o.parquet"),
         ])
         assert rc == 2
-        assert "exact or minhash" in capsys.readouterr().err
+        assert "exact, minhash, or editdist" in capsys.readouterr().err
 
 
 class TestProfileFiles:
