@@ -35,7 +35,7 @@ def main() -> int:
     all_sections = (
         "compare", "minhash", "spans", "incr", "cdc", "bucketed", "cc",
         "kmeans", "ivfindex", "pagerank", "hotkey", "ks", "fk", "editdist",
-        "quantiles"
+        "quantiles", "increditdist"
     )
     sections = set(
         s.strip() for s in os.environ.get(
@@ -350,6 +350,47 @@ def main() -> int:
             t1 = el
         print(
             f"incr    x{mult:<3d} corpus={n_corpus:>9,d}  batch={n_batch:>7,d}"
+            f"  dup_corpus={n_dup:>7,d}  sec={el:7.2f}"
+            f"  vs_x1={el/t1:5.2f} (corpus-scan-bound => << {mult})",
+            flush=True,
+        )
+    # ---- incremental editdist: batch FIXED, corpus scaled — the cross-set
+    # join must stay corpus-scan-bound (two narrow corpus streams joined
+    # against the broadcast batch side), never corpus×corpus. Copy 0 keeps
+    # the original texts so batch↔corpus dup structure is constant; later
+    # copies prepend a ≥4-edit marker so they can never qualify.
+    from datacompy_spark.operators.dedup import incremental_dedup as _incr_ed
+
+    t1 = None
+    for mult in muls if "increditdist" in sections else []:
+        parts = []
+        for i in range(mult):
+            text = (
+                F.col("text")
+                if i == 0
+                else F.concat(F.lit(str(i % 10) * 4 + " "), F.col("text"))
+            )
+            parts.append(
+                docs.select(
+                    (F.col("doc_id") + F.lit(10_000_000 * (i + 1))).alias("doc_id"),
+                    text.alias("text"),
+                )
+            )
+        corpus = parts[0]
+        for p in parts[1:]:
+            corpus = corpus.unionAll(p)
+        n_corpus = corpus.count()
+        n_batch = docs.count()
+        t0 = time.perf_counter()
+        verdicts = _incr_ed(
+            docs, corpus, "doc_id", "text", method="editdist", max_dist=2
+        )
+        n_dup = verdicts.filter(F.col("verdict") == "dup_corpus").count()
+        el = time.perf_counter() - t0
+        if t1 is None:
+            t1 = el
+        print(
+            f"increditdist x{mult:<3d} corpus={n_corpus:>9,d}  batch={n_batch:>7,d}"
             f"  dup_corpus={n_dup:>7,d}  sec={el:7.2f}"
             f"  vs_x1={el/t1:5.2f} (corpus-scan-bound => << {mult})",
             flush=True,
