@@ -1422,6 +1422,20 @@ def run_anomaly(args) -> int:
         for c in by + [args.ts_col]:
             if c not in df.columns:
                 raise CLIError(f"column {c!r} not found in input")
+        # drift-gate argument validation runs BEFORE the anomaly scan: a
+        # usage typo must not cost two full Spark actions over the feed
+        drift_bucket = None
+        if args.drift_col:
+            if args.drift_lo is None or args.drift_hi is None:
+                raise CLIError("--drift-col requires --drift-lo and --drift-hi")
+            if args.drift_col not in df.columns:
+                raise CLIError(f"column {args.drift_col!r} not found in input")
+            drift_bucket = {3600: "hour", 86400: "day"}.get(args.bucket_seconds)
+            if drift_bucket is None:
+                raise CLIError(
+                    "--drift-col needs --bucket-seconds 3600 (hour) or "
+                    "86400 (day) — calendar-period drift has no other grain"
+                )
         try:
             scores = rolling_anomaly(
                 df, args.ts_col, by,
@@ -1446,20 +1460,10 @@ def run_anomaly(args) -> int:
             if args.drift_col:
                 from datacompy_spark.operators.analytics import rolling_drift
 
-                if args.drift_lo is None or args.drift_hi is None:
-                    raise CLIError("--drift-col requires --drift-lo and --drift-hi")
-                if args.drift_col not in df.columns:
-                    raise CLIError(f"column {args.drift_col!r} not found in input")
-                bucket = {3600: "hour", 86400: "day"}.get(args.bucket_seconds)
-                if bucket is None:
-                    raise CLIError(
-                        "--drift-col needs --bucket-seconds 3600 (hour) or "
-                        "86400 (day) — calendar-period drift has no other grain"
-                    )
                 drift = rolling_drift(
                     df, args.ts_col, args.drift_col,
                     lo=args.drift_lo, hi=args.drift_hi,
-                    bins=args.drift_bins, bucket=bucket,
+                    bins=args.drift_bins, bucket=drift_bucket,
                 )
                 if args.drift_export:
                     drift.write.mode("overwrite").parquet(args.drift_export)

@@ -124,19 +124,10 @@ def histogram_drift(
     width = (hi - lo) / bins
 
     def binned(df: DataFrame, alias: str) -> DataFrame:
-        b = (
-            F.when(F.col(column).isNull(), F.lit(None).cast("int"))
-            .when(F.col(column) < lo, F.lit(-1))
-            .when(F.col(column) >= hi, F.lit(bins))
-            .otherwise(
-                F.least(
-                    F.lit(bins - 1),
-                    F.floor((F.col(column) - lo) / width).cast("int"),
-                )
-            )
-        )
+        # the ONE binning definition every drift surface shares — a local
+        # re-implementation here once diverged-by-construction risk
         return (
-            df.select(b.alias("bin"))
+            df.select(fixed_bin(column, lo, hi, bins).alias("bin"))
             .groupBy("bin")
             .agg(F.count("*").alias(alias))
         )

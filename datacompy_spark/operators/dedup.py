@@ -1368,19 +1368,24 @@ def incremental_dedup(
 
     # ---- editdist route -------------------------------------------------
     if method == "editdist":
+        # the batch's normalized keys are shared by the cross join AND the
+        # batch-internal self-join: derive, persist, and materialize ONCE
+        bkeys = _ed_keys(batch, id_col, text_col, prefix_len).persist()
+        bkeys.count()
         rep_hits = (
             edit_distance_cross(
                 batch, corpus, id_col, text_col,
                 max_dist=max_dist, prefix_len=prefix_len,
                 checkpoint_dir=checkpoint_dir,
                 broadcast_left=broadcast_batch,
+                _left_keys=bkeys,
             )
             .groupBy(F.col("id_l").alias("doc_id"))
             .agg(F.min("id_r").alias("corpus_match"))
         )
         pairs = edit_distance_pairs(
             batch, id_col, text_col, max_dist=max_dist, prefix_len=prefix_len,
-            checkpoint_dir=checkpoint_dir,
+            checkpoint_dir=checkpoint_dir, _keys=bkeys,
         )
         dup_ids = rep_hits.select(F.col("doc_id").alias("id_a"))
         clean_pairs = pairs.join(dup_ids, "id_a", "left_anti").join(
@@ -1999,6 +2004,7 @@ def edit_distance_cross(
     prefix_len: int = 64,
     checkpoint_dir: str | None = None,
     broadcast_left: bool = False,
+    _left_keys: DataFrame | None = None,
 ) -> DataFrame:
     """CROSS-SET edit-distance join: every (left id, right id) pair whose
     normalized key prefixes are within ``max_dist`` — the batch-vs-corpus
@@ -2024,8 +2030,11 @@ def edit_distance_cross(
         raise ValueError("edit_distance_cross needs max_dist >= 1")
     k = max_dist + 1
     maybe_bcast = F.broadcast if broadcast_left else (lambda d: d)
-    kl = _ed_keys(left, id_col, text_col, prefix_len).persist()
-    kl.count()
+    if _left_keys is not None:
+        kl = _left_keys  # caller-persisted (incremental_dedup shares one frame)
+    else:
+        kl = _ed_keys(left, id_col, text_col, prefix_len).persist()
+        kl.count()
     kr = _ed_keys(right, id_col, text_col, prefix_len)
 
     long_l, long_r = kl.filter(F.col("ls") >= k), kr.filter(F.col("ls") >= k)
@@ -2045,18 +2054,29 @@ def edit_distance_cross(
     # short route: a pair whose SHORTER key has < k chars forces BOTH keys
     # into the <= 2·τ length class (|other| <= short+τ <= 2τ), so the left
     # short set being empty proves no qualifying pair involves a short key
-    # on either side
+    # on either side. Same key-domain discipline as the self-join route:
+    # the non-equi length join runs over distinct keys, never doc rows.
     shorts_l = kl.filter(F.col("ls") <= 2 * max_dist)
     if shorts_l.limit(1).count() > 0:
+        shorts_r = kr.filter(F.col("ls") <= 2 * max_dist)
+        dom_pairs = (
+            shorts_l.select("s", "ls").distinct().alias("da")
+            .join(
+                F.broadcast(shorts_r.select("s", "ls").distinct().alias("db")),
+                F.abs(F.col("da.ls") - F.col("db.ls")) <= F.lit(max_dist),
+            )
+            .select(F.col("da.s").alias("__s_l"), F.col("db.s").alias("__s_r"))
+        )
         short_pairs = (
             maybe_bcast(
-                shorts_l.select(F.col("doc_id").alias("id_l"), F.col("ls").alias("__ll"))
+                shorts_l.select(F.col("doc_id").alias("id_l"), F.col("s").alias("__s_l"))
             )
+            .join(F.broadcast(dom_pairs), "__s_l")
             .join(
-                kr.filter(F.col("ls") <= 2 * max_dist).select(
-                    F.col("doc_id").alias("id_r"), F.col("ls").alias("__lr")
+                shorts_r.select(
+                    F.col("doc_id").alias("id_r"), F.col("s").alias("__s_r")
                 ),
-                F.abs(F.col("__ll") - F.col("__lr")) <= F.lit(max_dist),
+                "__s_r",
             )
             .select("id_l", "id_r")
         )
@@ -2089,6 +2109,7 @@ def edit_distance_pairs(
     prefix_len: int = 64,
     checkpoint_dir: str | None = None,
     pair_pred=None,
+    _keys: DataFrame | None = None,
 ) -> DataFrame:
     """Edit-distance similarity self-join: every id pair whose normalized
     ``prefix_len``-char key prefixes are within Levenshtein distance
@@ -2139,25 +2160,44 @@ def edit_distance_pairs(
     if max_dist < 1:
         raise ValueError("edit_distance_pairs needs max_dist >= 1")
     k = max_dist + 1
-    keys = _ed_keys(df, id_col, text_col, prefix_len).persist()
-    keys.count()  # materialize once: reused by index, probe, and verify
+    if _keys is not None:
+        keys = _keys  # caller-persisted (incremental_dedup shares one frame)
+    else:
+        keys = _ed_keys(df, id_col, text_col, prefix_len).persist()
+        keys.count()  # materialize once: reused by index, probe, and verify
 
     # ---- short route: any pair whose shorter key has < k chars lives
-    # entirely inside the length class <= 2*max_dist (|la-lb| <= tau) —
-    # a fixed tiny domain, joined directly. Probe like ngram's any_big so
-    # the empty case (every key long) adds nothing to the plan.
+    # entirely inside the length class <= 2*max_dist (|la-lb| <= tau).
+    # The pairwise work runs over the DISTINCT KEY DOMAIN of that class
+    # (bounded by the alphabet, not the corpus — a web-scrape corpus can
+    # hold millions of docs whose text normalizes to the SAME empty/short
+    # key, and a doc-level self-join there would be doc-count² with no
+    # equi key); doc pairs are then recovered by two equi-joins on the
+    # key, whose output is the qualifying pair set itself — output-bound,
+    # like every similarity join. Probe like ngram's any_big so the empty
+    # case (every key long) adds nothing to the plan.
     shorts = keys.filter(F.col("ls") <= 2 * max_dist)
     short_pairs = None
     if shorts.limit(1).count() > 0:
-        sa, sb = shorts.alias("sa"), shorts.alias("sb")
-        short_pairs = sa.join(
-            sb,
-            (F.col("sa.doc_id") < F.col("sb.doc_id"))
-            & (
-                F.abs(F.col("sa.ls") - F.col("sb.ls")) <= F.lit(max_dist)
-            ),
-        ).select(
-            F.col("sa.doc_id").alias("id_a"), F.col("sb.doc_id").alias("id_b")
+        dom = shorts.select("s", "ls").distinct()
+        da, db = dom.alias("da"), dom.alias("db")
+        # ordered AND unordered combos (incl. s==s): the doc-level
+        # id_a < id_b filter below picks each doc pair exactly once
+        dom_pairs = da.join(
+            F.broadcast(db),
+            F.abs(F.col("da.ls") - F.col("db.ls")) <= F.lit(max_dist),
+        ).select(F.col("da.s").alias("__s_a"), F.col("db.s").alias("__s_b"))
+        short_pairs = (
+            shorts.select(F.col("doc_id").alias("id_a"), F.col("s").alias("__s_a"))
+            .join(F.broadcast(dom_pairs), "__s_a")
+            .join(
+                shorts.select(
+                    F.col("doc_id").alias("id_b"), F.col("s").alias("__s_b")
+                ),
+                "__s_b",
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
         )
 
     # ---- main route: inverted index of segments vs windowed substrings

@@ -3112,8 +3112,12 @@ def q_quantiles_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# WHERE + HAVING mirror the Spark contract exactly: NULL values never
+# enter the ECDF, and an empty/all-NULL column yields ZERO rows (a bare
+# aggregate query would emit one NULL-quantile row Spark never produces)
 SQL_QUANTILES_DISTRIBUTED = "\nUNION ALL\n".join(
-    f"SELECT {p}::DOUBLE AS prob, quantile_cont(value, {p}) AS quantile FROM events"
+    f"SELECT {p}::DOUBLE AS prob, quantile_cont(value, {p}) AS quantile"
+    f" FROM events WHERE value IS NOT NULL HAVING count(*) > 0"
     for p in _QDIST_PROBS
 )
 
@@ -3134,9 +3138,12 @@ def q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# WHERE value IS NOT NULL: an all-NULL group must vanish (the Spark side
+# filters before grouping, so such a group yields no rows, not NULL)
 SQL_GROUP_QUANTILES = "\nUNION ALL\n".join(
     f"SELECT event_type, {p}::DOUBLE AS prob,"
-    f" quantile_cont(value, {p}) AS quantile FROM events GROUP BY event_type"
+    f" quantile_cont(value, {p}) AS quantile FROM events"
+    f" WHERE value IS NOT NULL GROUP BY event_type"
     for p in _GQ_PROBS
 )
 
