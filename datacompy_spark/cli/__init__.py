@@ -283,6 +283,14 @@ def build_parser() -> argparse.ArgumentParser:
         "--fail-on-bad", action="store_true",
         help="with --vec-col: exit 1 when any row is not 'ok' (CI gate)",
     )
+    pr.add_argument(
+        "--quantiles", metavar="PROBS",
+        help="quantile mode: comma-separated probabilities (e.g. "
+        "0.25,0.5,0.99) — exact per-column quantiles of the numeric "
+        "--columns (default: every numeric column) via the distributed "
+        "ECDF (no aggregation-buffer value buffering at any scale; "
+        "bit-identical to quantile_cont)",
+    )
     pr.add_argument("--format", choices=["text", "json"], default="text")
     pr.add_argument("--output", help="also write the result to this file")
     pr.add_argument("--quiet", action="store_true", help="suppress stdout output")
@@ -989,6 +997,65 @@ def run_profile(args) -> int:
                     )
                 )
             return 1 if (args.fail_on_bad and n_bad > 0) else 0
+        if args.quantiles:
+            if args.compare_to or args.ks:
+                raise CLIError("--quantiles cannot combine with --compare-to or --ks")
+            try:
+                probs = [float(p) for p in args.quantiles.split(",") if p.strip()]
+            except ValueError as ex:
+                raise CLIError(f"bad --quantiles value: {ex}") from ex
+            if not probs or any(p < 0.0 or p > 1.0 for p in probs):
+                raise CLIError("--quantiles needs probabilities within [0, 1]")
+            from pyspark.sql import functions as F
+            from pyspark.sql.types import NumericType
+
+            from datacompy_spark.operators.profile import (
+                exact_quantiles_distributed,
+            )
+
+            kwargs = {"delimiter": args.delimiter} if args.input_format == "csv" else {}
+            try:
+                df = load(spark, args.input, fmt=args.input_format, **kwargs)
+            except Exception as ex:
+                raise CLIError(f"failed to load input: {ex}") from ex
+            numeric = {
+                f.name for f in df.schema.fields if isinstance(f.dataType, NumericType)
+            }
+            if cols:
+                bad = [c for c in cols if c not in df.columns]
+                if bad:
+                    raise CLIError(f"columns not found in input: {bad}")
+                non_num = [c for c in cols if c not in numeric]
+                if non_num:
+                    raise CLIError(f"--quantiles needs numeric columns, got {non_num}")
+                qcols = cols
+            else:
+                qcols = [f.name for f in df.schema.fields if f.name in numeric]
+                if not qcols:
+                    raise CLIError("input has no numeric columns to profile")
+            try:
+                out = None
+                for c in qcols:
+                    q = exact_quantiles_distributed(df, c, probs).select(
+                        F.lit(c).alias("col_name"), "prob", "quantile"
+                    )
+                    out = q if out is None else out.unionByName(q)
+                rows = out.toPandas().sort_values(
+                    ["col_name", "prob"], ignore_index=True
+                )
+            except Exception as ex:
+                raise CLIError(str(ex)) from ex
+            rendered = (
+                rows.to_json(orient="records", indent=2)
+                if args.format == "json"
+                else rows.to_string(index=False)
+            )
+            if args.output:
+                with open(args.output, "w") as fh:
+                    fh.write(rendered + "\n")
+            if not args.quiet:
+                print(rendered)
+            return 0
         kwargs = {"delimiter": args.delimiter} if args.input_format == "csv" else {}
         try:
             df = load(spark, args.input, fmt=args.input_format, **kwargs)

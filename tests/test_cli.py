@@ -700,6 +700,32 @@ class TestDedupCommand:
         assert "exact, minhash, or editdist" in capsys.readouterr().err
 
 
+class TestProfileQuantiles:
+    def test_quantiles_json(self, tmp_path, capsys, spark):
+        import json as _json
+
+        p = str(tmp_path / "t.parquet")
+        spark.createDataFrame(
+            [(float(i), "x") for i in range(1, 101)], "v double, s string"
+        ).write.parquet(p)
+        rc = main([
+            "profile", "--input", p, "--quantiles", "0.5", "--format", "json",
+        ])
+        assert rc == 0
+        rows = _json.loads(capsys.readouterr().out)
+        # string column skipped automatically; exact interpolated median
+        assert rows == [{"col_name": "v", "prob": 0.5, "quantile": 50.5}]
+
+    def test_quantiles_validation(self, tmp_path, capsys, spark):
+        p = str(tmp_path / "t2.parquet")
+        spark.createDataFrame([(1.0, "x")], "v double, s string").write.parquet(p)
+        assert main(["profile", "--input", p, "--quantiles", "1.5"]) == 2
+        assert main(["profile", "--input", p, "--quantiles", "0.5",
+                     "--columns", "s"]) == 2
+        assert main(["profile", "--input", p, "--quantiles", "0.5",
+                     "--compare-to", p]) == 2
+
+
 class TestProfileFiles:
     def test_files_layout_json(self, tmp_path, capsys, spark, sf_dir):
         import json as _json
