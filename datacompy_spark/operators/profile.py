@@ -824,3 +824,56 @@ def group_quantiles_distributed(
             .alias("quantile"),
         )
     )
+
+
+def winsorize_by_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    p_lo: float = 0.01,
+    p_hi: float = 0.99,
+    out_col: Optional[str] = None,
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """:func:`winsorize` with per-group bounds from
+    :func:`group_quantiles_distributed` — the per-source outlier caps a
+    heterogeneous corpus needs (one global cap either truncates the
+    long-tail source or leaves the short-tail one uncapped). Bounds join
+    back null-safely on the group key (a NULL group is a real group);
+    rows of groups with no non-NULL values keep NULL bounds and pass
+    through unclamped. NULL values stay NULL."""
+    if not 0.0 <= p_lo < p_hi <= 1.0:
+        raise ValueError("winsorize_by_group needs 0 <= p_lo < p_hi <= 1")
+    groups = list(group_cols)
+    out_col = out_col or f"{value_col}_w"
+    q = group_quantiles_distributed(
+        df, groups, value_col, [p_lo, p_hi], num_partitions=num_partitions
+    )
+    bounds = q.groupBy(*groups).agg(
+        F.max(F.when(F.col("prob") == p_lo, F.col("quantile"))).alias("__q_lo"),
+        F.max(F.when(F.col("prob") == p_hi, F.col("quantile"))).alias("__q_hi"),
+    )
+    bounds = bounds.select(
+        *[F.col(g).alias(f"__bg_{g}") for g in groups], "__q_lo", "__q_hi"
+    )
+    cond = None
+    for g in groups:
+        c = F.col(g).eqNullSafe(F.col(f"__bg_{g}"))
+        cond = c if cond is None else (cond & c)
+    clamped = (
+        F.when(F.col(value_col).isNull(), F.lit(None).cast("double"))
+        .when(F.col("__q_lo").isNull(), F.col(value_col).cast("double"))
+        .otherwise(
+            F.least(
+                F.greatest(F.col(value_col).cast("double"), F.col("__q_lo")),
+                F.col("__q_hi"),
+            )
+        )
+    )
+    # bounds has ONE row per group — broadcast hash join on the group key;
+    # left join so groups absent from bounds (all-NULL values) survive
+    return (
+        df.join(F.broadcast(bounds), cond, "left")
+        .withColumn(out_col, clamped)
+        .drop("__q_lo", "__q_hi", *[f"__bg_{g}" for g in groups])
+    )

@@ -578,6 +578,7 @@ _SWEEP_FIRST = [
     "winsorize",
     "fuzzy_key_editdist",
     "group_quantiles",
+    "winsorize_by_group",
     # last driver-green in r7 — oldest evidence, re-earn it this round.
     # The 11 never-verified round-9 names above displace the oldest tail
     # past position 50 (tfidf_top_terms .. join_cardinality); every

@@ -3168,6 +3168,30 @@ SELECT event_id, value,
 FROM events, b"""
 
 
+def q_winsorize_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type outlier capping: events.value clamped to each
+    type's own exact [p5, p95] quantiles
+    (operators/profile.py::winsorize_by_group — grouped ECDF bounds
+    broadcast back, null-safe on the group key)."""
+    from datacompy_spark.operators.profile import winsorize_by_group
+
+    return winsorize_by_group(
+        load_table(spark, sf_dir, "events"), ["event_type"], "value", 0.05, 0.95
+    ).select("event_id", "event_type", "value", "value_w")
+
+
+SQL_WINSORIZE_BY_GROUP = """
+WITH b AS (
+  SELECT event_type, quantile_cont(value, 0.05) AS q_lo,
+         quantile_cont(value, 0.95) AS q_hi
+  FROM events WHERE value IS NOT NULL GROUP BY event_type)
+SELECT e.event_id, e.event_type, e.value,
+  CASE WHEN e.value IS NULL THEN NULL
+       WHEN b.q_lo IS NULL THEN e.value
+       ELSE least(greatest(e.value, b.q_lo), b.q_hi) END AS value_w
+FROM events e LEFT JOIN b ON e.event_type IS NOT DISTINCT FROM b.event_type"""
+
+
 PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -3245,6 +3269,7 @@ PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winsorize": q_winsorize,
     "fuzzy_key_editdist": q_fuzzy_key_editdist,
     "group_quantiles": q_group_quantiles,
+    "winsorize_by_group": q_winsorize_by_group,
     "shard_corpus": q_shard_corpus,
     "dedup_semantic": q_dedup_semantic,
     "line_dedup": q_line_dedup,
@@ -3345,6 +3370,7 @@ PIPELINE_ORACLES: Dict[str, str] = {
     "winsorize": SQL_WINSORIZE,
     "fuzzy_key_editdist": SQL_FUZZY_KEY_EDITDIST,
     "group_quantiles": SQL_GROUP_QUANTILES,
+    "winsorize_by_group": SQL_WINSORIZE_BY_GROUP,
     "shard_corpus": SQL_SHARD_CORPUS,
     "dedup_semantic": SQL_DEDUP_SEMANTIC,
     "line_dedup": SQL_LINE_DEDUP,

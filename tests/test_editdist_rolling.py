@@ -365,3 +365,35 @@ class TestEditDistanceCross:
             11: ("new", None),
             12: ("dup_batch", 11),
         }
+
+
+class TestWinsorizeByGroup:
+    def test_per_group_bounds_and_null_group_passthrough(self, spark):
+        from datacompy_spark.operators.profile import winsorize_by_group
+
+        rows = (
+            [("a", float(i)) for i in range(1, 101)]
+            + [("b", float(1000 * i)) for i in range(1, 101)]
+            + [(None, 5.0), (None, 50.0)]     # NULL group is a real group
+            + [("c", None), ("c", None)]      # all-NULL group: no bounds
+        )
+        df = spark.createDataFrame(rows, "g string, x double")
+        out = winsorize_by_group(df, ["g"], "x", 0.10, 0.90)
+        got = {(r["g"], r["x"]): r["x_w"] for r in out.collect()}
+        # group 'a': quantile_cont(0.10)=10.9, (0.90)=90.1
+        assert got[("a", 1.0)] == pytest.approx(10.9)
+        assert got[("a", 100.0)] == pytest.approx(90.1)
+        # group 'b' clamps on ITS OWN scale, not a's
+        assert got[("b", 1000.0)] == pytest.approx(10900.0)
+        assert got[("b", 100000.0)] == pytest.approx(90100.0)
+        # NULL group clamps within itself (2 values -> bounds interpolated)
+        assert got[(None, 5.0)] > 5.0
+        # all-NULL group: value stays NULL, no crash
+        assert got[("c", None)] is None
+
+    def test_validation(self, spark):
+        from datacompy_spark.operators.profile import winsorize_by_group
+
+        df = spark.createDataFrame([("a", 1.0)], "g string, x double")
+        with pytest.raises(ValueError):
+            winsorize_by_group(df, ["g"], "x", 0.9, 0.1)

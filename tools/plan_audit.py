@@ -41,6 +41,9 @@ EXPECTED_NLJ = {
     "group_quantiles": "broadcast len(probs)-row probability table cross-"
     "joined onto per-group totals (the rank lookup itself is a null-safe "
     "group equi-join, hash/SMJ)",
+    "winsorize_by_group": "composes group_quantiles' broadcast probability "
+    "crossJoin; the bounds join back is a broadcast one-row-per-group "
+    "null-safe hash join",
     "dedup_semantic": "broadcast pivot set vs corpus (IVF coarse quantizer)",
     "kmeans_assign": "broadcast k-row centroid table vs corpus (Lloyd assignment)",
     "cluster_sample": "composes kmeans_assign's broadcast centroid join",
