@@ -580,10 +580,11 @@ _SWEEP_FIRST = [
     "group_quantiles",
     "winsorize_by_group",
     # last driver-green in r7 — oldest evidence, re-earn it this round.
-    # The 11 never-verified round-9 names above displace the oldest tail
-    # past position 50 (tfidf_top_terms .. join_cardinality); every
-    # displaced name is r7-green AND --unswept-verified locally this
-    # round (tools/check_oracles.py --unswept covers positions 51+).
+    # The 12 never-verified round-9 names above displace the oldest tail
+    # past position 50 (drift_histogram .. join_cardinality); every
+    # displaced name is r7-green AND locally oracle-verified this round
+    # (the full --unswept run plus per-name checks as the window shifted;
+    # in fact all 108 names carry a fresh in-round local oracle pass).
     "cmp_column_stats",
     "cmp_unique_rows",
     "cmp_all_mismatch",
