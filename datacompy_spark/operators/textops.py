@@ -2236,3 +2236,61 @@ SELECT doc_id, n_tokens,
        floor((doc_bits_q::DOUBLE / (n_tokens * {bits_scale})::DOUBLE)
              * {float(out_scale)!r} + 0.5)::BIGINT AS bits_per_token_milli
 FROM per_doc"""
+
+
+def decontaminate_editdist(
+    train: DataFrame,
+    id_col: str,
+    text_col: str,
+    eval_df: DataFrame,
+    eval_id_col: str | None = None,
+    eval_text_col: str | None = None,
+    max_dist: int = 2,
+    prefix_len: int = 64,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Typo-level benchmark decontamination: one verdict row per training
+    document — ``(doc_id, contaminated, eval_match, dist)`` — flagging
+    docs whose normalized ``prefix_len``-char key is within Levenshtein
+    ``max_dist`` of ANY eval document's. Complements :func:`decontaminate`
+    (exact k-gram overlap) and ``semantic_decontaminate`` (embedding
+    cosine): a single OCR slip or transposed character rewrites every
+    k-gram it touches and slides under the n-gram check, but is exactly
+    distance 1 here.
+
+    Scale shape: :func:`~datacompy_spark.operators.dedup.edit_distance_cross`
+    with the eval suite as the broadcast left side — the 100 TB corpus
+    contributes two narrow streams (segment index + probe substrings) and
+    never self-pairs; the verdict reduce is a partial-agg min-struct keyed
+    on the training id. ``eval_match``/``dist`` report the lexicographic
+    (dist, eval id) minimum — deterministic under any partitioning."""
+    from datacompy_spark.operators.dedup import edit_distance_cross
+
+    eval_sel = eval_df.select(
+        F.col(eval_id_col or id_col).alias(id_col),
+        F.col(eval_text_col or text_col).alias(text_col),
+    )
+    pairs = edit_distance_cross(
+        eval_sel, train, id_col, text_col,
+        max_dist=max_dist, prefix_len=prefix_len,
+        checkpoint_dir=checkpoint_dir, broadcast_left=True,
+    )
+    best = (
+        pairs.groupBy(F.col("id_r").alias("doc_id"))
+        .agg(F.min(F.struct("dist", "id_l")).alias("b"))
+        .select(
+            "doc_id",
+            F.col("b.dist").alias("dist"),
+            F.col("b.id_l").alias("eval_match"),
+        )
+    )
+    return (
+        train.select(F.col(id_col).alias("doc_id"))
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("eval_match").isNotNull().alias("contaminated"),
+            "eval_match",
+            "dist",
+        )
+    )

@@ -579,6 +579,7 @@ _SWEEP_FIRST = [
     "fuzzy_key_editdist",
     "group_quantiles",
     "winsorize_by_group",
+    "decontaminate_editdist",
     # last driver-green in r7 — oldest evidence, re-earn it this round.
     # The 12 never-verified round-9 names above displace the oldest tail
     # past position 50 (drift_histogram .. join_cardinality); every

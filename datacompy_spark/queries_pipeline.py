@@ -3099,6 +3099,42 @@ SQL_FUZZY_KEY_EDITDIST = _sql_fuzzy_key_editdist()
 _QDIST_PROBS = [0.01, 0.25, 0.5, 0.75, 0.99]
 
 
+def q_decontaminate_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-level decontamination of the training split against the
+    deterministic eval carve-out (operators/textops.py::
+    decontaminate_editdist): training docs whose normalized 64-char key
+    is within distance 1 of any eval doc's are flagged with the
+    lexicographically minimal (dist, eval id) witness."""
+    docs = load_table(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.expr(_DECON_EVAL_PRED))
+    train_df = docs.filter(~F.expr(_DECON_EVAL_PRED))
+    return TO.decontaminate_editdist(
+        train_df, "doc_id", "text", eval_df, max_dist=1
+    )
+
+
+def _sql_decontaminate_editdist() -> str:
+    key = f"coalesce(substring({TX.normalize_sql('text')}, 1, 64), '')"
+    return f"""
+WITH ev AS (SELECT doc_id, {key} AS s FROM documents WHERE {_DECON_EVAL_PRED}),
+tr AS (SELECT doc_id, {key} AS s FROM documents WHERE NOT ({_DECON_EVAL_PRED})),
+pairs AS (
+  SELECT t.doc_id AS did, e.doc_id AS eid, levenshtein(t.s, e.s) AS d
+  FROM tr t JOIN ev e ON abs(length(t.s) - length(e.s)) <= 1
+  WHERE levenshtein(t.s, e.s) <= 1),
+best AS (SELECT did, min(d) AS dist FROM pairs GROUP BY did),
+m AS (
+  SELECT p.did, b.dist, min(p.eid) AS eval_match
+  FROM pairs p JOIN best b ON p.did = b.did AND p.d = b.dist
+  GROUP BY p.did, b.dist)
+SELECT tr.doc_id, m.did IS NOT NULL AS contaminated,
+  m.eval_match, m.dist
+FROM tr LEFT JOIN m ON tr.doc_id = m.did"""
+
+
+SQL_DECONTAMINATE_EDITDIST = _sql_decontaminate_editdist()
+
+
 def q_quantiles_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact quantiles of events.value via the distributed ECDF
     (operators/profile.py::exact_quantiles_distributed) — NO per-partition
@@ -3270,6 +3306,7 @@ PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_key_editdist": q_fuzzy_key_editdist,
     "group_quantiles": q_group_quantiles,
     "winsorize_by_group": q_winsorize_by_group,
+    "decontaminate_editdist": q_decontaminate_editdist,
     "shard_corpus": q_shard_corpus,
     "dedup_semantic": q_dedup_semantic,
     "line_dedup": q_line_dedup,
@@ -3371,6 +3408,7 @@ PIPELINE_ORACLES: Dict[str, str] = {
     "fuzzy_key_editdist": SQL_FUZZY_KEY_EDITDIST,
     "group_quantiles": SQL_GROUP_QUANTILES,
     "winsorize_by_group": SQL_WINSORIZE_BY_GROUP,
+    "decontaminate_editdist": SQL_DECONTAMINATE_EDITDIST,
     "shard_corpus": SQL_SHARD_CORPUS,
     "dedup_semantic": SQL_DEDUP_SEMANTIC,
     "line_dedup": SQL_LINE_DEDUP,

@@ -397,3 +397,40 @@ class TestWinsorizeByGroup:
         df = spark.createDataFrame([("a", 1.0)], "g string, x double")
         with pytest.raises(ValueError):
             winsorize_by_group(df, ["g"], "x", 0.9, 0.1)
+
+
+class TestDecontaminateEditdist:
+    def test_typo_leak_flagged(self, spark):
+        from datacompy_spark.operators.textops import decontaminate_editdist
+
+        eval_df = spark.createDataFrame(
+            [(100, "what is the capital of france")], "doc_id long, text string"
+        )
+        train = spark.createDataFrame(
+            [
+                (1, "what is the capitol of france"),   # 1 sub: typo leak
+                (2, "a completely unrelated training document"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: (r["contaminated"], r["eval_match"], r["dist"])
+            for r in decontaminate_editdist(
+                train, "doc_id", "text", eval_df, max_dist=2
+            ).collect()
+        }
+        assert got == {1: (True, 100, 1), 2: (False, None, None)}
+
+    def test_min_struct_witness_is_deterministic(self, spark):
+        from datacompy_spark.operators.textops import decontaminate_editdist
+
+        # two eval docs at equal distance: the lexicographic (dist, id)
+        # minimum must pick the smaller eval id every time
+        eval_df = spark.createDataFrame(
+            [(200, "abcdefgh"), (100, "abcdefgx")], "doc_id long, text string"
+        )
+        train = spark.createDataFrame(
+            [(1, "abcdefgq")], "doc_id long, text string"
+        )
+        r = decontaminate_editdist(train, "doc_id", "text", eval_df, max_dist=1).collect()[0]
+        assert (r["contaminated"], r["eval_match"], r["dist"]) == (True, 100, 1)
