@@ -581,7 +581,7 @@ _SWEEP_FIRST = [
     "winsorize_by_group",
     "decontaminate_editdist",
     # last driver-green in r7 — oldest evidence, re-earn it this round.
-    # The 12 never-verified round-9 names above displace the oldest tail
+    # The 13 never-verified round-9 names above displace the oldest tail
     # past position 50 (drift_histogram .. join_cardinality); every
     # displaced name is r7-green AND locally oracle-verified this round
     # (the full --unswept run plus per-name checks as the window shifted;
