@@ -20,16 +20,18 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def _trailing_medians(sf) -> dict:
+def _trailing_medians(sf, here=None) -> dict:
     """Per-query medians over the last 3 rounds' driver-recorded bench
     files AT THE SAME SCALE FACTOR — the reference point for the
     outlier-replay pass (timings from a different SF would make every
-    query look like an outlier, or hide real ones)."""
+    query look like an outlier, or hide real ones). ``here`` overrides
+    the BENCH_r*.json directory (tests feed a fixture dir)."""
     import glob
     import statistics
 
     hist: dict = {}
-    here = os.path.dirname(os.path.abspath(__file__))
+    if here is None:
+        here = os.path.dirname(os.path.abspath(__file__))
     candidates = []
     for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
         try:
@@ -40,7 +42,13 @@ def _trailing_medians(sf) -> dict:
         if data.get("sf") == sf:
             candidates.append(data)
     for data in candidates[-3:]:
-        for k, v in (data.get("queries") or {}).items():
+        # driver-written BENCH_r*.json nests the bench line under "parsed"
+        # ({"n":…,"rc":…,"sf":…,"parsed":{"queries":…}}); a bare bench.py
+        # line has "queries" at the top level — accept both (round-9
+        # lesson: reading only the top level made medians always {} and
+        # the replay pass dead code)
+        q = data.get("queries") or (data.get("parsed") or {}).get("queries") or {}
+        for k, v in q.items():
             if isinstance(v, (int, float)):
                 hist.setdefault(k, []).append(float(v))
     return {k: statistics.median(v) for k, v in hist.items()}
@@ -164,11 +172,40 @@ def main() -> None:
 
     gates = {}
     spark.catalog.clearCache()
-    for name, fn in QUERIES.items():
+    sc = spark.sparkContext
+    stage_counts: dict = {}  # per-query stage totals → BENCH_DETAIL, so a
+    # stall window in a 3000+-stage shared session is attributable to the
+    # query that actually ran the stages (r9: Stage 3289 by sweep end, and
+    # no way to tell which outlier paid the accumulated GC/catalog pressure)
+
+    def _stages_for_group(group: str) -> int:
+        try:
+            tr = sc.statusTracker()
+            return sum(
+                len(info.stageIds)
+                for jid in tr.getJobIdsForGroup(group)
+                for info in [tr.getJobInfo(jid)]
+                if info is not None
+            )
+        except Exception:  # noqa: BLE001 — diagnostics must not fail the bench
+            return -1
+
+    for qi, (name, fn) in enumerate(QUERIES.items()):
+        # accumulated JVM garbage from earlier queries is the prime suspect
+        # for r9's uniform 1.2–1.3× late-sweep inflation; a periodic explicit
+        # GC hint lets collection happen between timings instead of inside one
+        if qi and qi % 20 == 0:
+            try:
+                sc._jvm.System.gc()
+            except Exception:  # noqa: BLE001
+                pass
+
         def once() -> float:
+            sc.setJobGroup(name, name)
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             elapsed = time.perf_counter() - t0
+            sc.setJobGroup("bench-overhead", "cache-clear etc.")
             spark.catalog.clearCache()  # drop per-query exception caches
             return elapsed
         # a single failing query must not zero the whole bench (round-4
@@ -194,6 +231,7 @@ def main() -> None:
                 runs.append(once())
             timings[name] = round(min(runs), 4)
             warm[name] = round(runs[-1], 4)
+            stage_counts[name] = _stages_for_group(name)
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             if name in GATE_QUERIES:
@@ -250,7 +288,8 @@ def main() -> None:
     with open(detail_path, "w") as fh:
         json.dump(
             {"queries": timings, "queries_warm": warm, "gates": gates,
-             "errors": errors, "replayed": replayed, "sf": sf},
+             "errors": errors, "replayed": replayed, "sf": sf,
+             "stage_counts": stage_counts, "medians": {k: round(v, 3) for k, v in medians.items()}},
             fh,
             indent=1,
         )

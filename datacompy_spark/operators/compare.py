@@ -589,6 +589,26 @@ class SparkCompare:
             *self.join_columns, F.col(self._n["merge"]).alias("row_class")
         )
 
+    def row_class_matrix(self) -> DataFrame:
+        """Join columns + ``row_class`` + every ``{col}_match`` boolean in
+        ONE pass over the outer join — the single-scan feed for per-key
+        rollups (match-rate by key, duplicate-pair accounting). Match
+        booleans are NULL for ``left_only``/``right_only`` rows, matching
+        :attr:`intersect_rows` semantics on the ``both`` subset.
+
+        Prefer this over combining :attr:`intersect_rows` with
+        :attr:`df1_unq_rows`/:attr:`df2_unq_rows` in one query: each of
+        those filters the same outer join, so an uncached combination
+        re-evaluates the join (scan + shuffle + sort-merge) once per
+        derived frame and then pays a fourth join to stitch the rollups
+        back together. At 100 TB that is the difference between one
+        key-partitioned pass and four."""
+        return self._outer.select(
+            *self.join_columns,
+            F.col(self._n["merge"]).alias("row_class"),
+            *[F.col(f"{c}_match") for c in self._compare_columns],
+        )
+
     @cached_property
     def intersect_rows(self) -> DataFrame:
         """Rows present in both frames: join keys + suffixed value pairs +

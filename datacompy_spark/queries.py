@@ -359,19 +359,19 @@ def q_cmp_dupes_by_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup_order_by=_DUP_ORDER,
         null_safe_join=False,
     )
+    # single-pass rollup over row_class_matrix(): the outer join is
+    # evaluated ONCE and aggregated ONCE. The previous shape — per-class
+    # groupBys over intersect_rows and df1_unq_rows stitched by a third
+    # full-outer join — re-evaluated the join per branch (12 exchanges /
+    # 6 SMJ / 8 scans pre-AQE → 4 / 1 / 2 with this rollup).
     all_match = reduce(lambda a, b: a & b, [F.col(f"{v}_match") for v in _DUP_VALS])
-    inter = c.intersect_rows.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_both"),
-        F.sum(F.when(all_match, 1).otherwise(0)).alias("n_row_match"),
-    )
-    left = c.df1_unq_rows.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_left_only")
-    )
-    return inter.join(left, on="l_orderkey", how="full_outer").select(
-        "l_orderkey",
-        F.coalesce(F.col("n_both"), F.lit(0)).alias("n_both"),
-        F.coalesce(F.col("n_row_match"), F.lit(0)).alias("n_row_match"),
-        F.coalesce(F.col("n_left_only"), F.lit(0)).alias("n_left_only"),
+    both = F.col("row_class") == "both"
+    return c.row_class_matrix().groupBy("l_orderkey").agg(
+        F.sum(F.when(both, 1).otherwise(0)).alias("n_both"),
+        F.sum(F.when(both & all_match, 1).otherwise(0)).alias("n_row_match"),
+        F.sum(F.when(F.col("row_class") == "left_only", 1).otherwise(0)).alias(
+            "n_left_only"
+        ),
     )
 
 
@@ -558,79 +558,87 @@ from datacompy_spark.queries_pipeline import PIPELINE_ORACLES, PIPELINE_QUERIES 
 
 # Rebuilt each round (VERDICT r7/r8 rule): the driver's CORRECTNESS sweep
 # samples exactly the FIRST 50 registry names once per round, so the prefix
-# rotates: names whose most-recent driver-green row is OLDEST lead.  For
-# round 9 that is the 46 names the r8 sweep did not reach (every one of
-# them was driver-green in r7 and locally --unswept-verified in r8); the
-# remaining window slots go to queries newly registered this round, so the
-# never-driver-verified set stays empty.  The 50 names the r8 sweep just
-# re-proved fall to the tail.
+# rotates: never-driver-green names lead, then names whose most-recent
+# driver-green row is OLDEST.  Round-10 window: `dataset_checksum` leads
+# (its r9 row was red — a DECIMAL(38,0) driver-hash artifact, now fixed by
+# rendering the checksum as a 39-digit string in both twins — so it must
+# re-earn a green row), then the 9 names whose latest green is r7 (the r9
+# window displaced them past position 50), then 40 of the 50 r8-green
+# names.  The 10 r8-green names that don't fit (positions 51-60) plus the
+# 50 r9-green names fall to the tail; all of them carry a fresh in-round
+# local oracle pass (tools/check_oracles.py --unswept), and the 10
+# deferred r8 names MUST lead the r11 window (max driver-evidence age
+# stays ≤2 rounds: 109 names / 50-slot window = 3-round full rotation).
 _SWEEP_FIRST = [
-    # registered new in round 9 — never driver-verified, so they lead
-    # (the standing never-green-first rule outranks oldest-green)
-    "ledger_replay",
-    "minhash_index",
-    "gopher_quality",
-    "dup_rate_by_source",
+    # red in r9 (driver-hash artifact, values verified identical at 3 SFs;
+    # fix landed this round) — re-earn the green row first
     "dataset_checksum",
-    "dedup_editdist",
-    "rolling_drift",
-    "quantiles_distributed",
-    "winsorize",
-    "fuzzy_key_editdist",
-    "group_quantiles",
-    "winsorize_by_group",
-    "decontaminate_editdist",
-    # last driver-green in r7 — oldest evidence, re-earn it this round.
-    # The 13 never-verified round-9 names above displace the oldest tail
-    # past position 50 (drift_histogram .. join_cardinality); every
-    # displaced name is r7-green AND locally oracle-verified this round
-    # (the full --unswept run plus per-name checks as the window shifted;
-    # in fact all 108 names carry a fresh in-round local oracle pass).
-    "cmp_column_stats",
-    "cmp_unique_rows",
-    "cmp_all_mismatch",
-    "cmp_matches_summary",
-    "cmp_dupes_by_ordinal",
-    "cmp_string_timestamp_cast",
-    "cmp_bool_numeric",
-    "cmp_array_equal",
-    "cmp_null_keys",
-    "dedup_exact",
-    "dedup_minhash_pairs",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "knn_cosine_bruteforce",
-    "knn_lsh",
-    "text_stats",
-    "lang_id",
-    "token_count",
-    "doc_fingerprint",
-    "events_hourly_rollup",
-    "events_sessionize",
-    "cmp_ignore_flags",
-    "stream_hourly_profile",
-    "knn_ivf",
-    "cmp_rel_tol",
-    "cmp_decimal",
-    "word_frequencies",
-    "events_asof_join",
-    "events_range_join",
-    "dedup_components",
-    "pii_scrub",
-    "cdc_apply",
-    "events_latest_per_user",
-    "key_skew_profile",
-    "sales_by_nation",
-    "events_retention",
-    "top_parts_per_supplier",
-    "drift_histogram",
-    "tfidf_top_terms",
-    "chunk_documents",
-    "events_multi_rollup",
-    "events_missing_periods",
+    # last driver-green in r7 — oldest evidence, re-earn it this round
+    # (all 9 were judge-replayed green in the r9 verdict session)
     "knn_int8",
+    "join_cardinality",
+    "chunk_documents",
+    "drift_histogram",
+    "events_missing_periods",
+    "events_multi_rollup",
     "source_cap",
+    "tfidf_top_terms",
+    "top_parts_per_supplier",
+    # last driver-green in r8 — registry order; the final 10 r8 names
+    # (lm_score .. drift_ks, see tail comment) defer to r11
+    "cmp_row_classes",
+    "knn_pq",
+    "quality_filter",
+    "hash_split",
+    "pack_sequences",
+    "table_profile",
+    "profile_compare",
+    "stream_compare",
+    "media_features",
+    "profile_quantiles",
+    "schema_compare",
+    "repetition_metrics",
+    "decontaminate",
+    "stratified_sample",
+    "dedup_collapse",
+    "embedding_centroids",
+    "corpus_mix",
+    "events_funnel",
+    "curate_corpus",
+    "cdc_delta",
+    "scd2_history",
+    "embedding_quantize",
+    "knn_recall",
+    "ngram_dup_profile",
+    "fuzzy_key_match",
+    "dedup_incremental",
+    "shard_corpus",
+    "dedup_semantic",
+    "line_dedup",
+    "events_json_props",
+    "json_key_profile",
+    "events_anomaly",
+    "events_transitions",
+    "corpus_normalize",
+    "leakage_split",
+    "kmeans_assign",
+    "cluster_sample",
+    "leakage_split_fuzzy",
+    "embedding_health",
+    "bm25_search",
+    # ---- position 51+: deferred to the r11 window head ----
+    # r8-green names that did not fit this round's 50 slots; every one is
+    # locally oracle-verified this round and must lead _SWEEP_FIRST in r11
+    "lm_score",
+    "zorder_key",
+    "graph_pagerank",
+    "data_expectations",
+    "dup_span_removal",
+    "fk_discovery",
+    "semantic_decontaminate",
+    "vocab_coverage",
+    "html_extract",
+    "drift_ks",
 ]
 
 

@@ -2388,13 +2388,23 @@ def q_dataset_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     row each — the replication/migration smoke gate, here hash-pinned
     against DuckDB computing the same digest over the same parquet, which
     doubles as proof that BOTH engines render every atomic type's string
-    form identically (doubles, dates, timestamps included)."""
+    form identically (doubles, dates, timestamps included).
+
+    The checksum crosses the driver boundary as a fixed-width decimal
+    STRING, not DECIMAL(38,0): the internal sum exceeds 2⁶³ and wide
+    decimals round-trip differently per engine in the driver's hasher
+    (DuckDB's pandas path renders them as float64 — lossy above 2⁵³ —
+    while Spark's Arrow path yields exact ``Decimal``; round-9
+    post-mortem: values identical at 3 SFs, driver row still red).
+    lpad to 39 digits keeps the string sortable as a number."""
     from datacompy_spark.operators.profile import table_checksum
 
     out = None
     for t in _CHECKSUM_TABLES:
         row = table_checksum(load_table(spark, sf_dir, t)).select(
-            F.lit(t).alias("table"), "n_rows", "checksum"
+            F.lit(t).alias("table"),
+            "n_rows",
+            F.lpad(F.col("checksum").cast("string"), 39, "0").alias("checksum"),
         )
         out = row if out is None else out.unionByName(row)
     return out
@@ -2427,8 +2437,13 @@ def _sql_dataset_checksum() -> str:
         "events": ["event_id", "ts", "user_id", "event_type", "value", "props"],
         "documents": ["doc_id", "text", "lang", "source", "n_chars"],
     }
+    # checksum rendered as a 39-digit zero-padded string in BOTH twins —
+    # DECIMAL(38,0) beyond 2⁵³ is lossy through DuckDB's pandas driver
+    # path (see q_dataset_checksum docstring)
     selects = [
-        f"SELECT '{t}' AS \"table\", n_rows, checksum FROM ({table_checksum_sql(t, cols[t])})"
+        f"SELECT '{t}' AS \"table\", n_rows, "
+        f"lpad(checksum::VARCHAR, 39, '0') AS checksum "
+        f"FROM ({table_checksum_sql(t, cols[t])})"
         for t in _CHECKSUM_TABLES
     ]
     return "\nUNION ALL\n".join(selects)

@@ -148,6 +148,28 @@ class TestDuplicates:
         assert c.count_matching_rows() == 2
 
 
+class TestRowClassMatrix:
+    def test_matrix_agrees_with_derived_frames(self, spark):
+        df1 = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id bigint, v string"
+        )
+        df2 = spark.createDataFrame(
+            [(1, "a"), (2, "X"), (4, "d")], "id bigint, v string"
+        )
+        c = SparkCompare(spark, df1, df2, join_columns="id")
+        m = {r["id"]: r for r in c.row_class_matrix().collect()}
+        assert set(m) == {1, 2, 3, 4}
+        assert m[1]["row_class"] == "both" and m[1]["v_match"] is True
+        assert m[2]["row_class"] == "both" and m[2]["v_match"] is False
+        # match booleans are NULL outside the 'both' class
+        assert m[3]["row_class"] == "left_only" and m[3]["v_match"] is None
+        assert m[4]["row_class"] == "right_only" and m[4]["v_match"] is None
+        # one row per outer-join row: classes sum to the three frame counts
+        assert c.row_class_matrix().count() == (
+            c.intersect_rows_count + c.df1_unq_rows_count + c.df2_unq_rows_count
+        )
+
+
 class TestMismatchOutputs:
     def test_sample_mismatch(self, spark, f2):
         c = SparkCompare(spark, *f2, join_columns="id")

@@ -65,6 +65,45 @@ def test_entry_flagship_runs(spark):
     assert df.count() >= 0
 
 
+def test_bench_trailing_medians_reads_driver_shaped_files(tmp_path):
+    """The bench outlier-replay pass must see per-query history in BOTH
+    file shapes: bare bench.py output ({"queries": …} at top level) and
+    driver-recorded rounds, which nest the parsed line under "parsed"
+    ({"n":…,"rc":…,"sf":…,"parsed":{"queries":…}}). Round-9 post-mortem:
+    reading only the top level made medians always {} so the 2×-median
+    replay trigger never fired and an 8.6 s noise spike survived as the
+    query's recorded number."""
+    import json as _json
+
+    import bench
+
+    driver_shaped = {
+        "n": 9, "rc": 0, "cpus": 32, "sf": 0.1,
+        "parsed": {"metric": "compare_report_sec", "value": 3.4, "sf": 0.1,
+                   "queries": {"compare_report": 3.4, "qx": 1.8}},
+    }
+    bare_shaped = {"metric": "compare_report_sec", "value": 3.6, "sf": 0.1,
+                   "queries": {"compare_report": 3.6, "qx": 2.0}}
+    (tmp_path / "BENCH_r01.json").write_text(_json.dumps(driver_shaped))
+    (tmp_path / "BENCH_r02.json").write_text(_json.dumps(bare_shaped))
+    med = bench._trailing_medians(0.1, here=str(tmp_path))
+    assert med.get("qx") == pytest.approx(1.9)
+    assert med.get("compare_report") == pytest.approx(3.5)
+    # a different SF must contribute nothing
+    assert bench._trailing_medians(0.01, here=str(tmp_path)) == {}
+
+
+def test_bench_medians_nonempty_on_real_history():
+    """With the actual driver-written BENCH_r*.json in the repo, the
+    sf0.1 medians must be non-empty — the live guarantee that the replay
+    pass is armed for the per-round bench run."""
+    import bench
+
+    med = bench._trailing_medians(0.1)
+    assert med, "trailing medians empty — replay pass is dead again"
+    assert "compare_report" in med
+
+
 def test_coverage_md_header_matches_registry(registry):
     """COVERAGE.md is the judge's cross-reference ledger — its header count
     must track the live registry, and no table row may be duplicated."""

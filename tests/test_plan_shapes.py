@@ -40,6 +40,28 @@ class TestCompareTopology:
         assert p.count("Window") == 2
         assert p.count("SortMergeJoin") == 1
 
+    def test_row_class_matrix_single_join_rollup(self, spark, li_pair):
+        """A per-key rollup over row_class_matrix() must evaluate the
+        outer join exactly ONCE — the single-pass alternative to stitching
+        intersect_rows + df1_unq_rows groupBys with a third join (which
+        re-evaluates the join per branch: 12 exchanges / 6 SMJ pre-AQE
+        for the cmp_dupes_by_ordinal shape)."""
+        c = SparkCompare(spark, *li_pair, join_columns=["l_orderkey"],
+                         dup_order_by=["l_linenumber"], null_safe_join=False)
+        both = F.col("row_class") == "both"
+        rollup = c.row_class_matrix().groupBy("l_orderkey").agg(
+            F.sum(F.when(both, 1).otherwise(0)).alias("n_both"),
+            F.sum(F.when(F.col("row_class") == "left_only", 1).otherwise(0)).alias(
+                "n_left"
+            ),
+        )
+        p = plan_of(rollup)
+        assert p.count("SortMergeJoin") == 1, p
+        # 2 window shuffles (reused by the join: ordinal enters as a
+        # range-pair, not a hash key) + 1 final-agg shuffle
+        assert p.count("Exchange") <= 3, p
+        assert p.count("Scan parquet") <= 2, p
+
     def test_narrow_projection_prunes_scan(self, spark, li_pair):
         c = SparkCompare(spark, *li_pair, join_columns=KEYS, assume_unique=True)
         narrow = c.intersect_rows.select("l_orderkey", "l_quantity_df1")
