@@ -20,10 +20,12 @@ from datacompy_spark.functions.comparators import (
     columns_equal,
 )
 from datacompy_spark.plans.report import ReportData, build_report_data
+from datacompy_spark.plans.cache import release_caches
 
 __version__ = "0.5.0"
 __all__ = [
     "SparkCompare",
+    "release_caches",
     "ColumnStat",
     "BaseComparator",
     "ArrayComparator",

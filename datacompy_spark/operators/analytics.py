@@ -1057,8 +1057,12 @@ def rolling_drift_from_counts(pb: DataFrame, bucket: str = "day") -> DataFrame:
     # adjacency probe — unpersisted, Spark re-executes the full scan +
     # partial agg per reuse (plan audit showed 4 scans of the raw
     # table); cached, the 100 TB scan happens once and every reuse
-    # reads the periods×(bins+3)-row aggregate
-    pb = pb.persist()
+    # reads the periods×(bins+3)-row aggregate. Tracked: the returned
+    # plan is lazy, so datacompy_spark.release_caches() is the drop path
+    # for long-lived sessions calling this repeatedly.
+    from datacompy_spark.plans.cache import tracked_persist
+
+    pb = tracked_persist(pb)
     step = F.expr(f"INTERVAL 1 {bucket.upper()}")
     cur = pb.alias("c")
     prv = pb.select(

@@ -36,6 +36,7 @@ from datacompy_spark.functions.hashing import (
 )
 from datacompy_spark.functions.text import normalize, tokens
 from datacompy_spark.plans.barrier import lineage_barrier
+from datacompy_spark.plans.cache import tracked_persist
 
 # NOTE on staging: expensive scalar expressions (normalize → regexes, md5)
 # are materialized as real columns in their own projections before any
@@ -1370,7 +1371,7 @@ def incremental_dedup(
     if method == "editdist":
         # the batch's normalized keys are shared by the cross join AND the
         # batch-internal self-join: derive, persist, and materialize ONCE
-        bkeys = _ed_keys(batch, id_col, text_col, prefix_len).persist()
+        bkeys = tracked_persist(_ed_keys(batch, id_col, text_col, prefix_len))
         bkeys.count()
         rep_hits = (
             edit_distance_cross(
@@ -2033,7 +2034,8 @@ def edit_distance_cross(
     if _left_keys is not None:
         kl = _left_keys  # caller-persisted (incremental_dedup shares one frame)
     else:
-        kl = _ed_keys(left, id_col, text_col, prefix_len).persist()
+        # tracked (see edit_distance_pairs): release_caches() reclaims it
+        kl = tracked_persist(_ed_keys(left, id_col, text_col, prefix_len))
         kl.count()
     kr = _ed_keys(right, id_col, text_col, prefix_len)
 
@@ -2163,7 +2165,10 @@ def edit_distance_pairs(
     if _keys is not None:
         keys = _keys  # caller-persisted (incremental_dedup shares one frame)
     else:
-        keys = _ed_keys(df, id_col, text_col, prefix_len).persist()
+        # tracked: the RETURNED plan consumes this cache lazily, so the
+        # function can't unpersist it — datacompy_spark.release_caches()
+        # drops it once the caller has materialized the result
+        keys = tracked_persist(_ed_keys(df, id_col, text_col, prefix_len))
         keys.count()  # materialize once: reused by index, probe, and verify
 
     # ---- short route: any pair whose shorter key has < k chars lives

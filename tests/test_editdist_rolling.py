@@ -72,6 +72,29 @@ class TestEditDistancePairs:
         with pytest.raises(ValueError):
             edit_distance_pairs(df, "doc_id", "text", 0)
 
+    def test_release_caches_drops_internal_persists(self, spark):
+        """Operator-internal persisted frames (the normalized key frame
+        here) are registered in the tracked-cache ledger; release_caches()
+        unpersists them so long-lived sessions don't accumulate cache
+        entries across repeated calls."""
+        from datacompy_spark import release_caches
+        from datacompy_spark.plans import cache as cache_mod
+
+        release_caches()  # drain anything earlier tests left behind
+        df = spark.createDataFrame(
+            [(1, "hello world"), (2, "hello worlds")], "doc_id long, text string"
+        )
+        pairs = edit_distance_pairs(df, "doc_id", "text", 2)
+        assert len(cache_mod._TRACKED) == 1
+        tracked = cache_mod._TRACKED[0]
+        pairs.count()  # materialize: cache is now populated and idle
+        assert tracked.storageLevel.useMemory
+        assert release_caches() == 1
+        assert not tracked.storageLevel.useMemory
+        assert release_caches() == 0  # ledger drained
+        # the returned plan stays correct after the drop (recompute path)
+        assert pairs.count() == 1
+
 
 class TestRollingDrift:
     def _events(self, spark, rows):

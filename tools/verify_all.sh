@@ -6,30 +6,39 @@
 #   4. the same sweep under a perverse partitioning (7 shuffle partitions,
 #      AQE off) — partition-count invariance, i.e. cluster-layout
 #      determinism
-#   5. plan audit (unexpected nested-loop joins fail it) + PLANS.md regen
-#   6. benchmark (one JSON line)
+#   5. the same sweep on 2 cores — task-serialization / low-parallelism
+#      invariance
+#   6. plan audit (unexpected nested-loop joins fail it) + PLANS.md regen
+#   7. benchmark (one JSON line)
 # Runs serially on purpose: concurrent Spark sessions contend for the same
 # cores and poison the timings. ~35-45 min on local[32].
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-echo "=== 1/6 pytest ==="
+echo "=== 1/7 pytest ==="
 python -m pytest tests/ -q
 
-echo "=== 2/6 oracle sweep sf0.01 ==="
+echo "=== 2/7 oracle sweep sf0.01 ==="
 python tools/check_oracles.py /root/testdata/sf0.01
 
-echo "=== 3/6 oracle sweep sf0.1 ==="
+echo "=== 3/7 oracle sweep sf0.1 ==="
 python tools/check_oracles.py /root/testdata/sf0.1
 
-echo "=== 4/6 partition-invariance sweep (7 partitions, AQE off) ==="
+echo "=== 4/7 partition-invariance sweep (7 partitions, AQE off) ==="
 SPARK_GRAFT_SHUFFLE_PARTITIONS=7 SPARK_GRAFT_AQE=false \
     python tools/check_oracles.py /root/testdata/sf0.01
 
-echo "=== 5/6 plan audit ==="
+echo "=== 5/7 low-parallelism sweep (2 cores) ==="
+# a 2-core layout catches task-serialization assumptions (e.g. an
+# operator that only works because 32 tasks run at once) that the
+# 7-partition/32-core probe cannot
+SPARK_GRAFT_CPUS=2 SPARK_GRAFT_SHUFFLE_PARTITIONS=4 \
+    python tools/check_oracles.py /root/testdata/sf0.01
+
+echo "=== 6/7 plan audit ==="
 python tools/plan_audit.py --write
 
-echo "=== 6/6 bench ==="
+echo "=== 7/7 bench ==="
 python bench.py
 
 echo "ALL VERIFICATION STAGES PASSED"
