@@ -745,6 +745,13 @@ def build_parser() -> argparse.ArgumentParser:
         "volatile ingestion-timestamp column",
     )
     sn.add_argument(
+        "--by", action="append", default=[], metavar="TABLE=COL",
+        help="drill down on a mismatched table: report WHICH groups of "
+        "this column differ via grouped checksums (same one-scan-per-side "
+        "cost, join only on the group domain) — the localization step "
+        "before a row-level compare of just the bad slices (repeatable)",
+    )
+    sn.add_argument(
         "--fail-on-mismatch", action="store_true",
         help="exit 1 when any table's rows or content differ (CI gate)",
     )
@@ -2027,6 +2034,7 @@ def run_snapshot(args) -> int:
     import json
 
     from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
 
     from datacompy_spark.operators.profile import dataset_diff
 
@@ -2045,6 +2053,16 @@ def run_snapshot(args) -> int:
                 "the digest"
             )
         ignore[name] = [c.strip() for c in cols.split(",") if c.strip()]
+    by: dict = {}
+    for spec in args.by:
+        name, sep, col = spec.partition("=")
+        if not sep or not col.strip():
+            raise CLIError(f"--by expects TABLE=COL, got {spec!r}")
+        if name not in tables:
+            raise CLIError(
+                f"--by names table {name!r} which is not in --tables {tables}"
+            )
+        by[name] = col.strip()
     created = SparkSession.getActiveSession() is None
     spark = SparkSession.builder.appName(args.spark_app_name).getOrCreate()
     try:
@@ -2082,6 +2100,35 @@ def run_snapshot(args) -> int:
             }
             for r in rows
         }
+        # drill-down: for each mismatched table with a --by spec, localize
+        # WHICH group values differ (grouped digests; group-domain join)
+        for t, gcol in by.items():
+            if verdicts.get(t, {}).get("content_match", True):
+                continue
+            from datacompy_spark.operators.profile import checksum_diff_by
+            from datacompy_spark.sources.loaders import load_table
+
+            lt = load_table(spark, args.left, t)
+            rt = load_table(spark, args.right, t)
+            for side, frame in (("left", lt), ("right", rt)):
+                if gcol not in frame.columns:
+                    raise CLIError(f"--by: column {gcol!r} not in {side} table {t!r}")
+            digest_cols = (columns or {}).get(t) or lt.columns
+            bad = (
+                checksum_diff_by(lt, rt, [gcol], columns=digest_cols)
+                .filter(~F.col("content_match"))
+                .orderBy(gcol)
+                .limit(1000)  # a fully-divergent table must not flood stdout
+                .collect()
+            )
+            verdicts[t]["bad_groups"] = {
+                str(r[gcol]): {
+                    "n_rows_left": r["n_rows_left"],
+                    "n_rows_right": r["n_rows_right"],
+                    "rows_match": bool(r["rows_match"]),
+                }
+                for r in bad
+            }
         n_bad = sum(1 for v in verdicts.values() if not v["content_match"])
         if not args.quiet:
             print(json.dumps({"tables": verdicts, "mismatched": n_bad}))

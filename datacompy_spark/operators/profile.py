@@ -109,6 +109,112 @@ def table_checksum_sql(table_expr: str, columns: Sequence[str]) -> str:
     )
 
 
+def table_checksum_by(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    columns: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Grouped content digest: one ``(group cols…, n_rows, checksum)`` row
+    per group — :func:`table_checksum` sharded along a grouping axis
+    (ingestion date, source, hash bucket…).
+
+    The 100 TB localization step: when the whole-table digest mismatches,
+    binary-searching WHICH slice corrupted via grouped digests costs the
+    same one narrow scan per side, and the follow-up row-level
+    :class:`~datacompy_spark.operators.compare.SparkCompare` then runs on
+    the few bad slices instead of the full snapshot. Partial aggregation
+    (map-side combine on the 60-bit digests) means the shuffle carries one
+    partial sum per (task, group), never row data; a skewed group costs
+    nothing because addition is commutative — there is no per-group buffer
+    to blow up, unlike ``collect_list``/``percentile`` rollups.
+
+    ``columns`` defaults to every column of ``df`` (group columns
+    included — they are constant within a group, so they shift each
+    group's digest deterministically)."""
+    gcols = list(group_cols)
+    if not gcols:
+        raise ValueError("table_checksum_by needs at least one group column")
+    cols = list(columns or df.columns)
+    return df.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.coalesce(
+            F.sum(_row_digest(cols).cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("checksum"),
+    )
+
+
+def table_checksum_by_sql(
+    table_expr: str, group_cols: Sequence[str], columns: Sequence[str]
+) -> str:
+    """DuckDB twin of :func:`table_checksum_by`."""
+    from datacompy_spark.functions.hashing import injective_key_sql, md5_long_sql
+
+    digest = md5_long_sql(f"({injective_key_sql(list(columns))})")
+    groups = ", ".join(group_cols)
+    return (
+        f"SELECT {groups}, count(*)::BIGINT AS n_rows, "
+        f"coalesce(sum({digest}), 0)::DECIMAL(38,0) AS checksum "
+        f"FROM {table_expr} GROUP BY {groups}"
+    )
+
+
+def checksum_diff_by(
+    left: DataFrame,
+    right: DataFrame,
+    group_cols: Sequence[str],
+    columns: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Group-localized snapshot diff: ``(group cols…, n_rows_left,
+    n_rows_right, rows_match, content_match)`` — one verdict row per
+    group value present on EITHER side (a slice missing entirely from one
+    snapshot surfaces as ``n_rows == 0`` + ``rows_match == false``, never
+    silently drops).
+
+    This is :func:`dataset_diff`'s drill-down: the whole-table gate says
+    "lineitem corrupted", this says "only the 2026-03 and 2026-07 ship
+    months". Cost: one grouped digest per side (scan-bound, map-side
+    combined) + one join on the GROUP DOMAIN — thousands of rows at most,
+    broadcast-sized, regardless of snapshot size. ``columns`` defaults to
+    the LEFT frame's column list (both sides digest in left order, same
+    discipline as :func:`dataset_diff`)."""
+    gcols = list(group_cols)
+    cols = list(columns or left.columns)
+    missing = [c for c in cols if c not in right.columns]
+    if missing:
+        raise ValueError(f"checksum_diff_by: right side is missing {missing}")
+    lc = table_checksum_by(left, gcols, cols).select(
+        *gcols,
+        F.col("n_rows").alias("__n_l"),
+        F.col("checksum").alias("__ck_l"),
+    )
+    rc = table_checksum_by(right, gcols, cols).select(
+        *gcols,
+        F.col("n_rows").alias("__n_r"),
+        F.col("checksum").alias("__ck_r"),
+    )
+    cond = _reduce_and([lc[g].eqNullSafe(rc[g]) for g in gcols])
+    joined = lc.join(rc, on=cond, how="full_outer")
+    n_l = F.coalesce(F.col("__n_l"), F.lit(0)).alias("n_rows_left")
+    n_r = F.coalesce(F.col("__n_r"), F.lit(0)).alias("n_rows_right")
+    rows_match = F.col("__n_l").eqNullSafe(F.col("__n_r"))
+    return joined.select(
+        *[F.coalesce(lc[g], rc[g]).alias(g) for g in gcols],
+        n_l,
+        n_r,
+        rows_match.alias("rows_match"),
+        (rows_match & F.col("__ck_l").eqNullSafe(F.col("__ck_r"))).alias(
+            "content_match"
+        ),
+    )
+
+
+def _reduce_and(exprs):
+    from functools import reduce
+
+    return reduce(lambda a, b: a & b, exprs)
+
+
 def dataset_diff(
     spark,
     left_dir: str,

@@ -2452,6 +2452,84 @@ def _sql_dataset_checksum() -> str:
 SQL_DATASET_CHECKSUM = _sql_dataset_checksum()
 
 
+#: lineitem digest order for the grouped-checksum diff (parquet schema order)
+_LI_CK_COLS = [
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+    "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+    "l_returnflag", "l_linestatus", "l_shipdate",
+]
+
+
+def q_checksum_diff_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-localized snapshot diff (operators/profile.py::
+    checksum_diff_by): lineitem vs a perturbed twin, grouped by ship
+    month. Months 3 and 7 get value corruption (l_quantity +1.0 on
+    ~1/13 of orders → rows_match but NOT content_match), month 11 loses
+    ~1% of its rows (rows_match false), every other month is clean —
+    all three verdict shapes exercised in one result.
+
+    This is dataset_diff's drill-down: the whole-table gate says
+    "lineitem corrupted", this localizes WHICH slices, at the cost of
+    one grouped digest scan per side + a join on the 12-row group
+    domain. The follow-up row-level SparkCompare then reads only the
+    bad slices."""
+    from datacompy_spark.operators.profile import checksum_diff_by
+
+    li = load_table(spark, sf_dir, "lineitem")
+    m = F.month("l_shipdate")
+    left = li.withColumn("ship_month", m)
+    right = (
+        li.filter(~((F.col("l_orderkey") % 101 == 0) & (m == 11)))
+        .withColumn(
+            "l_quantity",
+            F.when(
+                (F.col("l_orderkey") % 13 == 0) & m.isin(3, 7),
+                F.col("l_quantity") + F.lit(1.0),
+            ).otherwise(F.col("l_quantity")),
+        )
+        .withColumn("ship_month", F.month("l_shipdate"))
+    )
+    # digest the 11 real columns only — ship_month is the grouping axis,
+    # not content (the SQL twin digests the same list)
+    return checksum_diff_by(left, right, ["ship_month"], columns=_LI_CK_COLS)
+
+
+def _sql_checksum_diff_by_month() -> str:
+    from datacompy_spark.operators.profile import table_checksum_by_sql
+
+    perturbed_cols = ", ".join(
+        "CASE WHEN l_orderkey % 13 = 0 AND month(l_shipdate) IN (3, 7) "
+        "THEN l_quantity + 1.0::DOUBLE ELSE l_quantity END AS l_quantity"
+        if c == "l_quantity"
+        else c
+        for c in _LI_CK_COLS
+    )
+    lft = table_checksum_by_sql(
+        "(SELECT *, month(l_shipdate) AS ship_month FROM lineitem)",
+        ["ship_month"],
+        _LI_CK_COLS,
+    )
+    rgt = table_checksum_by_sql(
+        f"(SELECT {perturbed_cols}, month(l_shipdate) AS ship_month FROM lineitem "
+        f"WHERE NOT (l_orderkey % 101 = 0 AND month(l_shipdate) = 11))",
+        ["ship_month"],
+        _LI_CK_COLS,
+    )
+    return f"""
+WITH lft AS ({lft}), rgt AS ({rgt})
+SELECT coalesce(lft.ship_month, rgt.ship_month) AS ship_month,
+  coalesce(lft.n_rows, 0)::BIGINT AS n_rows_left,
+  coalesce(rgt.n_rows, 0)::BIGINT AS n_rows_right,
+  (lft.n_rows IS NOT DISTINCT FROM rgt.n_rows) AS rows_match,
+  ((lft.n_rows IS NOT DISTINCT FROM rgt.n_rows)
+   AND (lft.checksum IS NOT DISTINCT FROM rgt.checksum)) AS content_match
+FROM lft FULL OUTER JOIN rgt
+  ON lft.ship_month IS NOT DISTINCT FROM rgt.ship_month"""
+
+
+SQL_CHECKSUM_DIFF_BY_MONTH = _sql_checksum_diff_by_month()
+
+
 def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction + rollup: parse the events table's JSON
     ``props`` column once per row (operators/analytics.py::
@@ -3314,6 +3392,7 @@ PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gopher_quality": q_gopher_quality,
     "dup_rate_by_source": q_dup_rate_by_source,
     "dataset_checksum": q_dataset_checksum,
+    "checksum_diff_by_month": q_checksum_diff_by_month,
     "dedup_editdist": q_dedup_editdist,
     "rolling_drift": q_rolling_drift,
     "quantiles_distributed": q_quantiles_distributed,
@@ -3416,6 +3495,7 @@ PIPELINE_ORACLES: Dict[str, str] = {
     "gopher_quality": SQL_GOPHER_QUALITY,
     "dup_rate_by_source": SQL_DUP_RATE_BY_SOURCE,
     "dataset_checksum": SQL_DATASET_CHECKSUM,
+    "checksum_diff_by_month": SQL_CHECKSUM_DIFF_BY_MONTH,
     "dedup_editdist": SQL_DEDUP_EDITDIST,
     "rolling_drift": SQL_ROLLING_DRIFT,
     "quantiles_distributed": SQL_QUANTILES_DISTRIBUTED,

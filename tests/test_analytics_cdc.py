@@ -1238,6 +1238,52 @@ class TestTableChecksum:
         assert "Join" not in p
         assert p.count("Exchange hashpartitioning") == 0  # single-row fold only
 
+    def test_checksum_diff_by_all_verdict_shapes(self, spark):
+        from datacompy_spark.operators.profile import checksum_diff_by
+
+        left = spark.createDataFrame(
+            [("a", 1, "x"), ("a", 2, "y"), ("b", 3, "z"), ("c", 4, "w"), (None, 5, "n")],
+            "g string, k bigint, v string",
+        )
+        right = spark.createDataFrame(
+            # group a: identical; group b: value corrupted; group c: row
+            # missing; group d: right-only; NULL group: identical
+            [("a", 1, "x"), ("a", 2, "y"), ("b", 3, "Z"), ("d", 9, "q"), (None, 5, "n")],
+            "g string, k bigint, v string",
+        )
+        rows = {r["g"]: r for r in checksum_diff_by(left, right, ["g"]).collect()}
+        assert set(rows) == {"a", "b", "c", "d", None}
+        assert rows["a"]["rows_match"] and rows["a"]["content_match"]
+        assert rows["b"]["rows_match"] and not rows["b"]["content_match"]
+        assert not rows["c"]["rows_match"] and rows["c"]["n_rows_right"] == 0
+        assert not rows["d"]["rows_match"] and rows["d"]["n_rows_left"] == 0
+        # NULL is a group value, not a dropped row (null-safe group join)
+        assert rows[None]["content_match"]
+
+    def test_checksum_diff_by_missing_column_fails_loudly(self, spark):
+        from datacompy_spark.operators.profile import checksum_diff_by
+
+        left = spark.createDataFrame([("a", 1)], "g string, k bigint")
+        right = spark.createDataFrame([("a",)], "g string")
+        with pytest.raises(ValueError, match="missing"):
+            checksum_diff_by(left, right, ["g"])
+
+    def test_grouped_digest_sums_to_table_digest(self, spark):
+        """The grouped digests are a PARTITION of the table digest: their
+        exact DECIMAL sum equals table_checksum over the same columns —
+        the invariant that makes drill-down trustworthy (no row counted
+        twice or dropped by the grouping)."""
+        from datacompy_spark.operators.profile import table_checksum, table_checksum_by
+
+        df = spark.createDataFrame(
+            [(i % 5, i, f"v{i % 11}") for i in range(300)],
+            "g int, k bigint, v string",
+        )
+        whole = table_checksum(df).collect()[0]
+        parts = table_checksum_by(df, ["g"]).collect()
+        assert sum(int(r["checksum"]) for r in parts) == int(whole["checksum"])
+        assert sum(r["n_rows"] for r in parts) == whole["n_rows"]
+
     def test_dataset_diff_verdicts(self, spark, tmp_path):
         from datacompy_spark.operators.profile import dataset_diff
 

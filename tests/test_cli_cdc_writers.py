@@ -332,6 +332,41 @@ class TestCliSnapshot:
         out = json.loads(capsys.readouterr().out.strip())
         assert out["tables"]["t2"]["content_match"] is True
 
+    def test_by_drilldown_localizes_bad_groups(self, spark, tmp_path, capsys):
+        """--by TABLE=COL: a mismatched table reports WHICH group values
+        differ (grouped checksums); clean tables and clean groups stay out."""
+        left, right = self._dirs(spark, tmp_path)
+        rc = main([
+            "snapshot", "--left", left, "--right", right,
+            "--tables", "t1,t2", "--by", "t2=k", "--by", "t1=k",
+        ])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip())
+        # t1 matched → no drill-down section despite the --by spec
+        assert "bad_groups" not in out["tables"]["t1"]
+        # only k=7 was corrupted in t2 (value change, same row count)
+        bad = out["tables"]["t2"]["bad_groups"]
+        assert list(bad) == ["7"]
+        assert bad["7"]["rows_match"] is True
+        assert bad["7"]["n_rows_left"] == 1
+
+    def test_by_bad_specs_rejected(self, spark, tmp_path):
+        left, right = self._dirs(spark, tmp_path)
+        assert main([
+            "snapshot", "--left", left, "--right", right,
+            "--tables", "t1", "--by", "bogus",
+        ]) == 2
+        assert main([
+            "snapshot", "--left", left, "--right", right,
+            "--tables", "t1", "--by", "t9=k",
+        ]) == 2
+        # group column missing from the table errors only when the table
+        # actually mismatches (the drill-down runs on mismatched tables)
+        assert main([
+            "snapshot", "--left", left, "--right", right,
+            "--tables", "t2", "--by", "t2=nope",
+        ]) == 2
+
     def test_bad_specs_rejected(self, spark, tmp_path, capsys):
         left, right = self._dirs(spark, tmp_path)
         assert main([
