@@ -11,7 +11,7 @@ Prints one line per scale: rows, seconds, rows/sec, and the ratio of
 seconds to the 1x run (linear scaling => ratio ~= multiplier).
 
 Env knobs: SPARK_GRAFT_SECTIONS selects sections as a comma list out of
-{compare,minhash,spans,incr,cdc,bucketed,cc,kmeans,ivfindex,pagerank,hotkey}
+{compare,minhash,spans,incr,cdc,bucketed,cc,kmeans,ivfindex,pagerank,hotkey,ks,fk,editdist,quantiles,increditdist,checksum}
 (default: all) — a x64 compare
 datapoint or a memory-constrained minhash rerun shouldn't pay for every
 other section; SPARK_GRAFT_DRIVER_MEM bounds the single-JVM heap (the
@@ -35,7 +35,7 @@ def main() -> int:
     all_sections = (
         "compare", "minhash", "spans", "incr", "cdc", "bucketed", "cc",
         "kmeans", "ivfindex", "pagerank", "hotkey", "ks", "fk", "editdist",
-        "quantiles", "increditdist"
+        "quantiles", "increditdist", "checksum"
     )
     sections = set(
         s.strip() for s in os.environ.get(
@@ -737,6 +737,46 @@ def main() -> int:
                 f"  sec={el:7.2f}",
                 flush=True,
             )
+
+    # ---- grouped snapshot checksums: input scaled, group domain fixed.
+    # Claim: scan-bound — the digest is one 60-bit hash + integer add per
+    # row folded into the scan, map-side combined to one partial sum per
+    # (task, group); the join runs on the 12-row month domain at every
+    # scale. The bad-month verdict set must be scale-invariant (the same
+    # months corrupt at every mult — losslessness riding along).
+    t1 = None
+    for mult in muls if "checksum" in sections else []:
+        from datacompy_spark.operators.profile import checksum_diff_by
+
+        left = at_scale(mult).withColumn("ship_month", F.month("l_shipdate"))
+        right = (
+            at_scale(mult)
+            .withColumn(
+                "l_quantity",
+                F.when(
+                    (F.col("l_orderkey") % 13 == 0)
+                    & F.month("l_shipdate").isin(3, 7),
+                    F.col("l_quantity") + F.lit(1.0),
+                ).otherwise(F.col("l_quantity")),
+            )
+            .withColumn("ship_month", F.month("l_shipdate"))
+        )
+        n = left.count()
+        t0 = time.perf_counter()
+        bad = sorted(
+            r["ship_month"]
+            for r in checksum_diff_by(
+                left, right, ["ship_month"], columns=LI_COLS
+            ).filter(~F.col("content_match")).collect()
+        )
+        el = time.perf_counter() - t0
+        if t1 is None:
+            t1 = el
+        print(
+            f"checksum x{mult:<3d} rows={n:>11,d}  bad_months={bad}"
+            f"  sec={el:7.2f}  vs_x1={el/t1:5.2f} (scan-bound => <= {mult})",
+            flush=True,
+        )
 
     spark.stop()
     return 0
