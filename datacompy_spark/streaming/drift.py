@@ -524,6 +524,85 @@ def drift_histogram_to_sink(
     return writer.start()
 
 
+def checksum_to_sink(
+    stream: DataFrame,
+    ts_col: str,
+    ledger_path: str,
+    checkpoint_path: str,
+    columns=None,
+    bucket: str = "day",
+    trigger_available_now: bool = True,
+):
+    """Always-on content-integrity ledger: every micro-batch folds to
+    ``(period, n_rows, checksum, batch_id)`` increments — the same
+    60-bit per-row digests as the batch
+    :func:`~datacompy_spark.operators.profile.table_checksum_by` — and
+    appends them idempotently (``batch_id`` dynamic-overwrite partitions,
+    at-least-once-safe, same contract as the drift/CDC sinks).
+
+    The stream holds NO digest state: because the digest is a commutative
+    integer SUM, a period's checksum is the sum of its increments across
+    however many batches touched it, folded at read time by
+    :func:`checksum_view`. State bound: the per-batch aggregation covers
+    that batch only, and the ledger grows by ≤ |periods in batch| rows
+    per batch regardless of row volume.
+
+    The 100 TB use: stream the same feed into two systems and point
+    reconciliation at the two ledgers — per-period equality of
+    ``(n_rows, checksum)`` proves content-identical ingest with
+    ledger-sized scans, no row data ever re-read. A mismatched period
+    then drills down via batch
+    :func:`~datacompy_spark.operators.profile.checksum_diff_by` on just
+    that slice. ``columns`` defaults to every column of the stream."""
+    from datacompy_spark.operators.profile import _row_digest
+
+    if bucket not in ("hour", "day"):
+        raise ValueError("checksum_to_sink bucket must be 'hour' or 'day'")
+    cols = list(columns or stream.columns)
+    missing = [c for c in cols if c not in stream.columns]
+    if missing:
+        raise ValueError(f"checksum_to_sink: columns {missing} not in stream")
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        inc = (
+            batch_df.select(
+                F.date_trunc(bucket, F.col(ts_col)).alias("period"),
+                _row_digest(cols).cast("decimal(38,0)").alias("__d"),
+            )
+            .groupBy("period")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("__d").alias("checksum"),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        _write_batch_idempotent(inc, ledger_path)
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def checksum_view(spark, ledger_path: str) -> DataFrame:
+    """Fold a :func:`checksum_to_sink` ledger to per-period
+    ``(period, n_rows, checksum)`` totals — bit-identical to running the
+    batch grouped digest over everything ingested (pinned by the
+    streaming tests: any batch split of the input produces the same
+    view, and a replayed batch changes nothing). One partial-agg groupBy
+    over the tiny increment log."""
+    led = spark.read.parquet(ledger_path)
+    return led.groupBy("period").agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("checksum").cast("decimal(38,0)").alias("checksum"),
+    )
+
+
 def rolling_drift_view(spark, hist_path: str, bucket: str = "day") -> DataFrame:
     """Fold the :func:`drift_histogram_to_sink` increment log to
     ``(period, bin)`` totals and score period-over-period PSI/TV through

@@ -734,3 +734,85 @@ class TestStreamingRollingDrift:
                                        "x", "y", bucket="month")
         with pytest.raises(ValueError):
             SD.drift_histogram_to_sink(stream, "ts", "value", 5.0, 5.0, "x", "y")
+
+
+class TestStreamingChecksumLedger:
+    def test_view_matches_batch_grouped_digest(self, spark, events_dir, tmp_path):
+        """Any micro-batch split of the feed must fold to EXACTLY the
+        batch grouped digest — the commutative-sum property that makes
+        the ledger trustworthy (periods straddling batches are the hard
+        case)."""
+        from datacompy_spark.operators.profile import table_checksum_by
+
+        src = str(tmp_path / "ev_split")
+        ev = spark.read.parquet(events_dir)
+        for m in range(3):
+            ev.filter(F.col("event_id") % 3 == m).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        batch = spark.read.parquet(src)
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        ledger = str(tmp_path / "ledger")
+        q = SD.checksum_to_sink(
+            stream, "ts", ledger, str(tmp_path / "ckpt"), bucket="day"
+        )
+        q.awaitTermination(120)
+        assert spark.read.parquet(ledger).select("batch_id").distinct().count() > 1
+        got = {
+            r["period"]: (r["n_rows"], int(r["checksum"]))
+            for r in SD.checksum_view(spark, ledger).collect()
+        }
+        want_df = table_checksum_by(
+            batch.withColumn("period", F.date_trunc("day", F.col("ts"))),
+            ["period"],
+            columns=batch.columns,
+        )
+        want = {
+            r["period"]: (r["n_rows"], int(r["checksum"]))
+            for r in want_df.collect()
+        }
+        assert got == want and len(got) > 0
+
+    def test_replayed_batch_is_idempotent(self, spark, events_dir, tmp_path):
+        from datacompy_spark.operators.profile import _row_digest
+
+        batch = spark.read.parquet(events_dir)
+        ledger = str(tmp_path / "ledger2")
+        stream = spark.readStream.schema(batch.schema).parquet(events_dir)
+        q = SD.checksum_to_sink(stream, "ts", ledger, str(tmp_path / "ckpt2"))
+        q.awaitTermination(120)
+        before = {
+            r["period"]: (r["n_rows"], int(r["checksum"]))
+            for r in SD.checksum_view(spark, ledger).collect()
+        }
+        # simulate an at-least-once replay of batch 0: rewrite its partition
+        inc = (
+            batch.select(
+                F.date_trunc("day", F.col("ts")).alias("period"),
+                _row_digest(batch.columns).cast("decimal(38,0)").alias("__d"),
+            )
+            .groupBy("period")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("__d").alias("checksum"),
+            )
+            .withColumn("batch_id", F.lit(0))
+        )
+        SD._write_batch_idempotent(inc, ledger)
+        after = {
+            r["period"]: (r["n_rows"], int(r["checksum"]))
+            for r in SD.checksum_view(spark, ledger).collect()
+        }
+        assert before == after
+
+    def test_validation(self, spark, events_dir):
+        batch = spark.read.parquet(events_dir)
+        stream = spark.readStream.schema(batch.schema).parquet(events_dir)
+        with pytest.raises(ValueError):
+            SD.checksum_to_sink(stream, "ts", "x", "y", bucket="month")
+        with pytest.raises(ValueError):
+            SD.checksum_to_sink(stream, "ts", "x", "y", columns=["nope"])
