@@ -1751,10 +1751,19 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     independently-derived v2 snapshot itself. A hash match here proves
     diff + replay compose to the identity across engines."""
     from datacompy_spark.operators.cdc import apply_changes, snapshot_cdc
+    from datacompy_spark.plans.barrier import lineage_barrier
 
     old = _orders_v1(spark, sf_dir)
     new = _orders_v2(spark, sf_dir)
-    feed = snapshot_cdc(old, new, keys=["o_orderkey"])
+    # barrier the feed: apply_changes consumes it twice (delete/update
+    # keys for the anti-join, insert/update rows for the append), and an
+    # unbarriered inline feed re-executes the full v1⋈v2 CDC join per
+    # consumer (6 exchanges / 3 SMJ / 7 scans). Materializing it once is
+    # also the production contract — a real pipeline stores the feed and
+    # replays it later.
+    feed = lineage_barrier(
+        snapshot_cdc(old, new, keys=["o_orderkey"]), eager=False
+    )
     return apply_changes(old, feed, ["o_orderkey"], _ORDERS_CMP_COLS)
 
 

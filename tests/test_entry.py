@@ -46,6 +46,32 @@ def test_every_query_emits_only_atomic_columns(spark, sf_dir, registry):
     )
 
 
+def test_no_wide_decimal_output_columns(spark, sf_dir, registry):
+    """No queries() entry may emit DECIMAL with precision > 18.
+
+    Round-9 lesson generalized: values beyond 2⁵³ round-trip differently
+    through the driver's two pandas paths (DuckDB renders wide decimals
+    as lossy float64, Spark's Arrow path yields exact Decimal), so a
+    bit-identical result still hash-mismatches. DECIMAL ≤ 18 digits fits
+    int64 and converts exactly in both engines; anything wider must
+    cross the boundary as a fixed-width string (see dataset_checksum)."""
+    from pyspark.sql.types import DecimalType
+
+    offenders = {}
+    for name, q in registry.items():
+        wide = [
+            f"{f.name}:{f.dataType.simpleString()}"
+            for f in q(spark, sf_dir).schema.fields
+            if isinstance(f.dataType, DecimalType) and f.dataType.precision > 18
+        ]
+        if wide:
+            offenders[name] = wide
+    assert not offenders, (
+        f"queries() emit wide DECIMAL columns (driver-hash hazard — render "
+        f"as strings instead): {offenders}"
+    )
+
+
 def test_oracle_sql_covers_every_query(registry):
     oracles = entry.oracle_sql()
     missing = [n for n in registry if n not in oracles]
