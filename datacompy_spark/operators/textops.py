@@ -856,6 +856,97 @@ FROM (SELECT DISTINCT {id_col} AS doc_id FROM {table}) i
 LEFT JOIN per USING (doc_id)"""
 
 
+def ngram_novelty(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5
+) -> DataFrame:
+    """Ordered-corpus novelty attribution: per document, the fraction of
+    its distinct word ``n``-grams whose FIRST occurrence in id order is
+    this document. The complementary signal to
+    :func:`ngram_duplication_profile`: ``dup_frac`` is symmetric (both
+    copies of shared boilerplate score high), while novelty attributes
+    shared content to its EARLIEST owner — the drop-priority ranking a
+    curation pass wants ("this late document adds nothing new; the
+    content it carries already entered the corpus upstream"). Ingestion
+    order lives in the id: map timestamps/sequence numbers into the id
+    ordering before calling if arrival order differs from id order.
+
+    Output ``(doc_id, n_grams, n_novel_grams, novelty_frac)`` —
+    ``novelty_frac`` NULL when the document produced no grams (NULL
+    text); 0-gram docs retained. A document with entirely unique content
+    scores 1.0 regardless of position; the first copy of boilerplate
+    scores 1.0 on those grams, every later copy 0.
+
+    Scale shape (same discipline as :func:`ngram_duplication_profile`):
+    the first-owner fold is ``groupBy(gram).agg(min(doc_id))`` — a hot
+    boilerplate gram appearing in 10⁸ documents collapses map-side to
+    one integer min per task, never a per-gram window sort; the
+    first-owner relation (one row per DISTINCT gram) joins back to the
+    grams, and the per-doc fold is one doc_id shuffle."""
+    from datacompy_spark.functions.hashing import word_shingles
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__toks")
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_shingles(F.col("__toks"), n))
+        ).alias("gram"),
+    )
+    first = grams.groupBy("gram").agg(F.min("doc_id").alias("__first"))
+    per = (
+        grams.join(first, "gram")  # NULL grams (NULL text) drop here
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.coalesce(
+                F.sum(F.when(F.col("__first") == F.col("doc_id"), F.lit(1))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_novel_grams"),
+        )
+    )
+    ids = df.select(F.col(id_col).alias("doc_id")).distinct()
+    return ids.join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+        F.coalesce(F.col("n_novel_grams"), F.lit(0))
+        .cast("long")
+        .alias("n_novel_grams"),
+        F.when(
+            F.coalesce(F.col("n_grams"), F.lit(0)) > 0,
+            F.col("n_novel_grams").cast("double") / F.col("n_grams").cast("double"),
+        ).alias("novelty_frac"),
+    )
+
+
+def ngram_novelty_sql(table: str, id_col: str, text_col: str, n: int = 5) -> str:
+    """DuckDB twin of :func:`ngram_novelty` (same gram definition, same
+    min-id first-owner attribution, same NULL-text handling)."""
+    from datacompy_spark.functions.hashing import word_shingles_sql
+    from datacompy_spark.functions.text import tokens_sql
+
+    toks = tokens_sql(text_col)
+    sh = word_shingles_sql("toks", n)
+    return f"""
+WITH toks AS (SELECT {id_col} AS doc_id, {toks} AS toks FROM {table}),
+grams AS (SELECT doc_id, unnest(list_distinct({sh})) AS gram FROM toks),
+gf AS (SELECT gram, min(doc_id) AS first_doc FROM grams GROUP BY gram),
+per AS (
+  SELECT doc_id, count(*) AS n_grams,
+    coalesce(sum(CASE WHEN first_doc = doc_id THEN 1 END), 0)::BIGINT
+      AS n_novel_grams
+  FROM grams JOIN gf USING (gram) GROUP BY doc_id)
+SELECT i.doc_id,
+  coalesce(n_grams, 0)::BIGINT AS n_grams,
+  coalesce(n_novel_grams, 0)::BIGINT AS n_novel_grams,
+  CASE WHEN coalesce(n_grams, 0) > 0
+       THEN n_novel_grams::DOUBLE / n_grams::DOUBLE END AS novelty_frac
+FROM (SELECT DISTINCT {id_col} AS doc_id FROM {table}) i
+LEFT JOIN per USING (doc_id)"""
+
+
 def remove_dup_spans(
     df: DataFrame, id_col: str, text_col: str, n: int = 5, min_docs: int = 2
 ) -> DataFrame:

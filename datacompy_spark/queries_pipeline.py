@@ -1298,6 +1298,74 @@ def q_ngram_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TO.ngram_duplication_profile(docs, "doc_id", "text", n=5)
 
 
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-corpus novelty attribution per document (first-occurrence
+    ownership of each distinct 5-gram, by id order) — the drop-priority
+    complement to ngram_dup_profile's symmetric dup_frac. To guarantee
+    the metric discriminates (the raw testdata is near-boilerplate-free),
+    every 7th document is REPLACED by a copy of the text of the largest
+    smaller non-7th doc id: those copies arrive strictly LATER in id
+    order than their source, so the source keeps novelty 1.0 and the
+    copy scores ~0. Every 53rd doc's text is nulled for the NULL spine
+    path."""
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.select("doc_id", "text").alias("s")
+    tgt = docs.select("doc_id").alias("t")
+    # copy source: the largest non-multiple-of-7 doc_id strictly below —
+    # expressible identically in both engines as a max() over an
+    # inequality self-join on the tiny (doc_id) projection
+    from datacompy_spark.plans.barrier import lineage_barrier
+
+    copies = lineage_barrier(
+        tgt.filter((F.col("t.doc_id") % 7 == 0) & (F.col("t.doc_id") % 53 != 0))
+        .join(
+            src.filter((F.col("s.doc_id") % 7 != 0) & (F.col("s.doc_id") % 53 != 0)),
+            F.col("s.doc_id") < F.col("t.doc_id"),
+        )
+        .groupBy(F.col("t.doc_id").alias("doc_id"))
+        .agg(F.max_by(F.col("s.text"), F.col("s.doc_id")).alias("text")),
+        eager=False,
+    )
+    # the perturbed corpus feeds the operator's two scans (grams + the
+    # doc spine); barrier it too or the copies anti-join/union re-plans
+    # per consumer — the planted SCENARIO must not dominate the plan the
+    # audit attributes to the operator
+    base = lineage_barrier(
+        docs.select(
+            "doc_id",
+            F.when(F.col("doc_id") % 53 == 0, F.lit(None).cast("string"))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .join(copies, "doc_id", "left_anti")
+        .unionByName(copies),
+        eager=False,
+    )
+    return TO.ngram_novelty(base, "doc_id", "text", n=5)
+
+
+def _sql_ngram_novelty() -> str:
+    from datacompy_spark.operators.textops import ngram_novelty_sql
+
+    base = """
+(WITH copies AS (
+  SELECT t.doc_id,
+    arg_max(s.text, s.doc_id) AS text
+  FROM (SELECT doc_id FROM documents WHERE doc_id % 7 = 0 AND doc_id % 53 != 0) t
+  JOIN (SELECT doc_id, text FROM documents WHERE doc_id % 7 != 0 AND doc_id % 53 != 0) s
+    ON s.doc_id < t.doc_id
+  GROUP BY t.doc_id)
+SELECT d.doc_id,
+  CASE WHEN d.doc_id % 53 = 0 THEN NULL ELSE d.text END AS text
+FROM documents d ANTI JOIN copies c ON d.doc_id = c.doc_id
+UNION ALL
+SELECT doc_id, text FROM copies)"""
+    return ngram_novelty_sql(base, "doc_id", "text", n=5)
+
+
+SQL_NGRAM_NOVELTY = _sql_ngram_novelty()
+
+
 def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-span REMOVAL (Lee et al. "Deduplicating Training
     Data" rewrite): a 5-token window shared verbatim across documents
@@ -3394,6 +3462,7 @@ PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # registry front-to-back and has truncated before — never displace a
     # not-yet-swept query by inserting ahead of it mid-round
     "ngram_dup_profile": q_ngram_dup_profile,
+    "ngram_novelty": q_ngram_novelty,
     "fuzzy_key_match": q_fuzzy_key_match,
     "dedup_incremental": q_dedup_incremental,
     "ledger_replay": q_ledger_replay,
@@ -3497,6 +3566,7 @@ PIPELINE_ORACLES: Dict[str, str] = {
     "source_cap": SQL_SOURCE_CAP,
     "join_cardinality": SQL_JOIN_CARDINALITY,
     "ngram_dup_profile": SQL_NGRAM_DUP_PROFILE,
+    "ngram_novelty": SQL_NGRAM_NOVELTY,
     "fuzzy_key_match": SQL_FUZZY_KEY_MATCH,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "ledger_replay": SQL_LEDGER_REPLAY,

@@ -2631,3 +2631,43 @@ class TestMinhashIndexAndDupRate:
         assert abs(out["a"]["dup_rate"] - 1 / 3) < 1e-12
         # the two NULL texts collapse into ONE sentinel group
         assert out["b"]["n_docs"] == 3 and out["b"]["n_distinct"] == 2
+
+
+class TestNgramNovelty:
+    def test_first_owner_attribution(self, spark):
+        """Doc 1 owns the boilerplate (first in id order); doc 3 repeats
+        it verbatim and scores 0; doc 2 is fully novel; doc 4 mixes one
+        owned span with one repeated span."""
+        boiler = "alpha beta gamma delta epsilon"          # one 5-gram
+        rows = [
+            (1, boiler),
+            (2, "zeta eta theta iota kappa"),              # novel 5-gram
+            (3, boiler),                                   # late copy
+            (4, boiler + " zeta0 eta0 theta0 iota0 kappa0"),
+            (5, None),                                     # NULL spine
+            (6, "too short"),                              # <5 tokens: 1 whole-doc shingle
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        out = {r["doc_id"]: r for r in TO.ngram_novelty(df, "doc_id", "text", n=5).collect()}
+        assert out[1]["novelty_frac"] == 1.0
+        assert out[2]["novelty_frac"] == 1.0
+        assert out[3]["n_grams"] == 1 and out[3]["novelty_frac"] == 0.0
+        # doc 4: 6 distinct 5-grams over 10 tokens; exactly one (the
+        # boilerplate) is owned upstream
+        assert out[4]["n_grams"] == 6
+        assert out[4]["n_novel_grams"] == 5
+        assert out[5]["n_grams"] == 0 and out[5]["novelty_frac"] is None
+        assert out[6]["n_grams"] == 1 and out[6]["novelty_frac"] == 1.0
+
+    def test_symmetric_dup_vs_ordered_novelty(self, spark):
+        """The discriminating case vs ngram_dup_profile: BOTH copies of
+        shared content score dup_frac 1.0, but only the LATE copy loses
+        novelty."""
+        rows = [(1, "one two three four five"), (2, "one two three four five")]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        dup = {r["doc_id"]: r["dup_frac"]
+               for r in TO.ngram_duplication_profile(df, "doc_id", "text", n=5).collect()}
+        nov = {r["doc_id"]: r["novelty_frac"]
+               for r in TO.ngram_novelty(df, "doc_id", "text", n=5).collect()}
+        assert dup == {1: 1.0, 2: 1.0}
+        assert nov == {1: 1.0, 2: 0.0}

@@ -48,6 +48,9 @@ EXPECTED_NLJ = {
     "kmeans_assign": "broadcast k-row centroid table vs corpus (Lloyd assignment)",
     "cluster_sample": "composes kmeans_assign's broadcast centroid join",
     "tfidf_top_terms": "broadcast 1-row corpus-size agg",
+    "ngram_novelty": "planted-copy spine: broadcast id-only (~1/7 of doc "
+    "ids) inequality self-join that synthesizes the late-copy ground "
+    "truth; the operator itself is equi-join-only",
     "corpus_mix": "broadcast per-source rate table",
     "stratified_sample": "broadcast per-stratum thresholds",
     "decontaminate": "broadcast eval shingle set",
