@@ -1155,3 +1155,101 @@ SELECT period,
       * ln(greatest(n_cur::DOUBLE / t_cur::DOUBLE, 1e-12)
            / greatest(n_prev::DOUBLE / t_prev::DOUBLE, 1e-12))) AS psi
 FROM t GROUP BY period"""
+
+
+def attribution_rollup(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    value_col: str,
+    conversion_type: str,
+    touch_types: Sequence[str],
+    tiebreak_col: Optional[str] = None,
+) -> DataFrame:
+    """First-touch / last-touch conversion attribution: every
+    ``conversion_type`` event is credited to the user's earliest
+    (first-touch) and most recent (last-touch) preceding touch event,
+    then rolled up per (model, touch_type) — which acquisition channel
+    "owns" conversions under each model, the canonical funnel-credit
+    question over an event log.
+
+    Implemented as the union-merge single-window pattern (same shape as
+    the as-of join): touches and conversions merge into one per-user
+    stream ordered by ``(ts, kind, tiebreak)`` — touches sort BEFORE a
+    conversion at the identical timestamp — and one running window
+    carries ``first/last non-null touch type`` to each conversion row.
+    ONE user-key shuffle for the window, one map-side-combining rollup;
+    no self-join, no per-conversion range scan. Conversions with no
+    preceding touch fall out of the rollup (untouched conversions are a
+    coverage question, not a credit one).
+
+    Values fold with the exact-integer idiom: ``value`` is quantized to
+    micro-units (``round(v·1e6)`` as BIGINT) BEFORE summation so the sum
+    is associative and layout/order-independent, then rescaled — the
+    float-sum determinism rule used across this codebase.
+
+    Output ``(model ∈ {first_touch, last_touch}, touch_type,
+    conversions, total_value)``.
+    """
+    kinds = list(touch_types)
+    if conversion_type in kinds:
+        raise ValueError("conversion_type must not appear in touch_types")
+    tb = (
+        F.col(tiebreak_col)
+        if tiebreak_col is not None
+        else F.monotonically_increasing_id()
+    )
+    touches = df.filter(F.col(type_col).isin(kinds)).select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).alias("t"),
+        F.lit(0).alias("kind"),
+        tb.alias("tb"),
+        F.col(type_col).alias("ttype"),
+        F.lit(None).cast("double").alias("v"),
+    )
+    convs = df.filter(F.col(type_col) == conversion_type).select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).alias("t"),
+        F.lit(1).alias("kind"),
+        tb.alias("tb"),
+        F.lit(None).cast("string").alias("ttype"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    w = (
+        Window.partitionBy("u")
+        .orderBy("t", "kind", "tb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = touches.unionByName(convs).select(
+        "kind",
+        "v",
+        F.first("ttype", ignorenulls=True).over(w).alias("first_touch"),
+        F.last("ttype", ignorenulls=True).over(w).alias("last_touch"),
+    )
+    credited = merged.filter(
+        (F.col("kind") == 1) & F.col("first_touch").isNotNull()
+    )
+    models = credited.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("first_touch").alias("model"),
+                    F.col("first_touch").alias("touch_type"),
+                ),
+                F.struct(
+                    F.lit("last_touch").alias("model"),
+                    F.col("last_touch").alias("touch_type"),
+                ),
+            )
+        ).alias("m"),
+        "v",
+    )
+    vq = F.round(F.col("v") * F.lit(1_000_000.0)).cast("long")
+    return models.groupBy(
+        F.col("m.model").alias("model"),
+        F.col("m.touch_type").alias("touch_type"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("conversions"),
+        (F.sum(vq).cast("double") / F.lit(1_000_000.0)).alias("total_value"),
+    )

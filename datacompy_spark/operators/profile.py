@@ -983,3 +983,80 @@ def winsorize_by_group(
         .withColumn(out_col, clamped)
         .drop("__q_lo", "__q_hi", *[f"__bg_{g}" for g in groups])
     )
+
+
+def mad_outlier_summary(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    k: float = 3.0,
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Per-group robust-outlier summary via median absolute deviation:
+    ``(group…, n, median, mad, n_outliers)`` where a value is an outlier
+    iff ``|v − median| > k · 1.4826 · MAD`` (1.4826 rescales MAD to σ
+    under normality, so ``k`` reads as "k sigmas" — the robust cousin of
+    a z-score gate that a single corrupt feed value cannot drag, unlike
+    mean/stddev which the outlier itself inflates).
+
+    Both the median and the MAD come from
+    :func:`group_quantiles_distributed` — exact interpolated quantiles
+    over range-partitioned ECDF prefix sums, so a hot group spreads over
+    many tasks and NO per-group value multiset is ever buffered (the
+    ``percentile()`` hazard). The two quantile passes join back as
+    |groups|-row broadcasts; the final fold is one map-side-combining
+    groupBy. Rows with NULL values are excluded; groups whose values are
+    all NULL yield no row. The threshold constant ``k · 1.4826`` is
+    folded in Python so both engines compare against the identical
+    double literal (see the oracle twin in ``queries_pipeline``).
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    groups = list(group_cols)
+    if not groups:
+        raise ValueError("group_cols must name at least one column")
+    vals = df.select(
+        *groups, F.col(value_col).cast("double").alias("__v")
+    ).filter(F.col("__v").isNotNull())
+    med = group_quantiles_distributed(
+        vals, groups, "__v", [0.5], num_partitions=num_partitions
+    ).select(
+        *[F.col(g).alias(f"__mg_{g}") for g in groups],
+        F.col("quantile").alias("__med"),
+    )
+    cond_m = None
+    for g in groups:
+        c = F.col(g).eqNullSafe(F.col(f"__mg_{g}"))
+        cond_m = c if cond_m is None else (cond_m & c)
+    dev = vals.join(F.broadcast(med), cond_m).select(
+        *groups,
+        "__med",
+        F.abs(F.col("__v") - F.col("__med")).alias("__d"),
+    )
+    mad = group_quantiles_distributed(
+        dev, groups, "__d", [0.5], num_partitions=num_partitions
+    ).select(
+        *[F.col(g).alias(f"__ag_{g}") for g in groups],
+        F.col("quantile").alias("__mad"),
+    )
+    cond_a = None
+    for g in groups:
+        c = F.col(g).eqNullSafe(F.col(f"__ag_{g}"))
+        cond_a = c if cond_a is None else (cond_a & c)
+    thresh = float(k) * 1.4826
+    return (
+        dev.join(F.broadcast(mad), cond_a)
+        .groupBy(*groups)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("__med").alias("median"),
+            F.min("__mad").alias("mad"),
+            F.sum(
+                F.when(
+                    F.col("__d") > F.lit(thresh) * F.col("__mad"), F.lit(1)
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )

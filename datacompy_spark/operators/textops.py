@@ -2385,3 +2385,198 @@ def decontaminate_editdist(
             "dist",
         )
     )
+
+
+def npmi_collocations(
+    df: DataFrame,
+    text_col: str,
+    min_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Collocation mining: the corpus's top-``k`` adjacent word bigrams by
+    normalized pointwise mutual information — the phrase-discovery step of
+    tokenizer-vocabulary curation and word2phrase-style preprocessing
+    ("new york" / "machine learning" merge into one unit because their
+    joint probability dwarfs the unigram product).
+
+    NPMI(w1,w2) = ln(p12 / (p1·p2)) / (-ln p12) (Bouma 2009), with ALL
+    probabilities normalized by the corpus token total N_u (the
+    word2phrase convention) — since c12 < N_u always, p12 < 1 (the
+    denominator can never be 0 even under ANSI mode) and p12 ≤ min(p1,
+    p2) keeps NPMI ≤ 1, so a frequency-independent threshold is
+    meaningful. Scores are emitted quantized (``npmi_q = floor(npmi·1e6
+    + 0.5)`` as BIGINT) so the ranking and the cross-engine contract are
+    integer-exact; the tokenizer is the shared :func:`~datacompy_spark.
+    functions.text.tokens` normalization, same as ``word_frequencies``.
+
+    Scale shape: bigram extraction is a narrow in-plan ``transform`` over
+    the token array (no self-join of token positions); both count folds
+    are map-side-combining groupBys; the ``min_count`` filter lands on
+    the bigram AGGREGATE before the two vocabulary joins, so the join
+    input is the rare-pair-pruned collocation candidate set, not the
+    corpus (at web scale: billions of bigram occurrences collapse to the
+    ≥min_count vocabulary first); corpus totals are 1-row broadcast
+    crossJoins; top-k is ``orderBy().limit(k)`` = TakeOrdered, never a
+    single-partition global sort.
+
+    Output ``(w1, w2, c12, npmi_q)`` ordered by (npmi_q DESC, w1, w2).
+    """
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    toks = df.select(tokens(F.col(text_col)).alias("l"))
+    uni = (
+        toks.select(F.explode("l").alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    n_u = uni.agg(F.sum("cu").alias("n_u"))
+    # guard size(l) < 2 BEFORE the transform: Spark's sequence(0, stop)
+    # DESCENDS when stop < 0, which would fabricate out-of-range (NULL) pairs
+    big = (
+        toks.filter(F.size("l") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(l) - 2),"
+                    " i -> struct(l[i] AS w1, l[i + 1] AS w2))"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+    )
+    bc = (
+        big.filter((F.col("w1") != "") & (F.col("w2") != ""))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    cand = bc.filter(F.col("c12") >= min_count)
+    u1 = uni.select(F.col("w").alias("w1"), F.col("cu").alias("cu1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("cu").alias("cu2"))
+    p12 = F.col("c12").cast("double") / F.col("n_u").cast("double")
+    p1 = F.col("cu1").cast("double") / F.col("n_u").cast("double")
+    p2 = F.col("cu2").cast("double") / F.col("n_u").cast("double")
+    npmi = F.log(p12 / (p1 * p2)) / -F.log(p12)
+    scored = (
+        cand.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(n_u))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.floor(npmi * F.lit(1_000_000.0) + F.lit(0.5))
+            .cast("long")
+            .alias("npmi_q"),
+        )
+    )
+    return scored.orderBy(
+        F.col("npmi_q").desc(), F.col("w1"), F.col("w2")
+    ).limit(top_k)
+
+
+def npmi_collocations_sql(
+    table: str, text_col: str, min_count: int = 5, top_k: int = 50
+) -> str:
+    """DuckDB twin of :func:`npmi_collocations` (1-indexed lists vs
+    Spark's 0-indexed arrays; same tokenizer, quantization, ordering)."""
+    from datacompy_spark.functions.text import tokens_sql
+
+    return f"""
+WITH t AS (SELECT {tokens_sql(text_col)} AS l FROM {table}),
+uni AS (
+  SELECT w, count(*) AS cu
+  FROM (SELECT unnest(l) AS w FROM t) WHERE w <> '' GROUP BY w),
+nu AS (SELECT sum(cu) AS n_u FROM uni),
+b AS (
+  SELECT u.w1 AS w1, u.w2 AS w2
+  FROM (SELECT unnest(list_transform(generate_series(1, len(l) - 1),
+                i -> struct_pack(w1 := l[i], w2 := l[i + 1]))) AS u
+        FROM t)
+  WHERE u.w1 <> '' AND u.w2 <> ''),
+bc AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY 1, 2),
+cand AS (SELECT * FROM bc WHERE c12 >= {int(min_count)}),
+scored AS (
+  SELECT cand.w1, cand.w2, cand.c12,
+    floor((ln((cand.c12::DOUBLE / n_u)
+              / ((u1.cu::DOUBLE / n_u) * (u2.cu::DOUBLE / n_u)))
+           / (-ln(cand.c12::DOUBLE / n_u))) * 1000000.0 + 0.5)::BIGINT
+      AS npmi_q
+  FROM cand JOIN uni u1 ON cand.w1 = u1.w
+            JOIN uni u2 ON cand.w2 = u2.w, nu)
+SELECT w1, w2, c12, npmi_q FROM scored
+ORDER BY npmi_q DESC, w1, w2 LIMIT {int(top_k)}"""
+
+
+def corpus_temperature_mix(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    text_col: str,
+    token_budget: int,
+    alpha: float = 0.3,
+    seed: str = "mix#1",
+) -> DataFrame:
+    """Temperature-scaled corpus mixing: :func:`corpus_mix_sample` with
+    per-source weight ``w_s = T_s^alpha`` (T_s = source token mass) — the
+    multinomial α-sampling used to rebalance heterogeneous corpora
+    (multilingual LM training's standard fix: α < 1 upweights low-resource
+    sources relative to their raw share; α = 1 reproduces natural
+    proportions, α = 0 uniform).
+
+    Same scale shape as the base mixer (one token-count shuffle, rates
+    derived on the |sources|-row aggregate, broadcast back). The emitted
+    ``rate_q`` is the acceptance rate quantized to 1e-9 (``pow`` is the
+    one non-arithmetic primitive here; quantizing the REPORTED rate keeps
+    the cross-engine contract integer-exact — acceptance itself compares
+    an integer lottery bucket against rate·1e6, where a final-ulp ``pow``
+    wobble cannot flip a comparison except on an exact integer boundary).
+
+    Output ``(doc_id, source, n_tokens, rate_q, accepted)``.
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError("alpha must be within [0, 1]")
+    out = corpus_mix_sample(
+        df,
+        id_col,
+        source_col,
+        text_col,
+        token_budget,
+        weight_expr=F.pow(F.col("src_tokens").cast("double"), float(alpha)),
+        seed=seed,
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.round(F.col("rate") * F.lit(1_000_000_000.0))
+        .cast("long")
+        .alias("rate_q"),
+        "accepted",
+    )
+
+
+def corpus_temperature_mix_sql(
+    table: str,
+    id_col: str,
+    source_col: str,
+    text_col: str,
+    token_budget: int,
+    alpha: float = 0.3,
+    seed: str = "mix#1",
+) -> str:
+    """DuckDB twin of :func:`corpus_temperature_mix`."""
+    inner = corpus_mix_sample_sql(
+        table,
+        id_col,
+        source_col,
+        text_col,
+        token_budget,
+        weight_sql=f"pow(src_tokens, {float(alpha)})",
+        seed=seed,
+    )
+    return (
+        "SELECT doc_id, source, n_tokens,"
+        " round(rate * 1000000000.0)::BIGINT AS rate_q, accepted"
+        f" FROM ({inner})"
+    )

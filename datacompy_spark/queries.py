@@ -559,21 +559,26 @@ from datacompy_spark.queries_pipeline import PIPELINE_ORACLES, PIPELINE_QUERIES 
 # Rebuilt each round (VERDICT r7/r8 rule): the driver's CORRECTNESS sweep
 # samples exactly the FIRST 50 registry names once per round, so the prefix
 # rotates: never-driver-green names lead, then names whose most-recent
-# driver-green row is OLDEST.  Round-10 window: the two round-10
-# registrations `checksum_diff_by_month` and `ngram_novelty` (never
+# driver-green row is OLDEST.  Round-10 window: the six round-10
+# registrations (`npmi_collocations`, `mad_outliers`, `events_attribution`,
+# `temperature_mix`, `checksum_diff_by_month`, `ngram_novelty` — never
 # driver-verified) lead, then `dataset_checksum` (its r9 row was red — a
 # DECIMAL(38,0) driver-hash artifact, now fixed by rendering the checksum
 # as a 39-digit string in both twins — so it must re-earn a green row),
 # then the 9 names whose latest green is r7 (the r9 window displaced them
-# past position 50), then 38 of the 50 r8-green names.  The 12 r8-green
-# names that don't fit (positions 51-62) plus the 50 r9-green names fall
+# past position 50), then 34 of the 50 r8-green names.  The 16 r8-green
+# names that don't fit (positions 51-66) plus the 50 r9-green names fall
 # to the tail; all of them carry a fresh in-round local oracle pass
 # (tools/check_oracles.py --unswept and the full verify_all sweeps), and
-# the 12 deferred r8 names MUST lead the r11 window (max driver-evidence
-# age stays ≤2 rounds: 111 names / 50-slot window = 3-round full
+# the 16 deferred r8 names MUST lead the r11 window (max driver-evidence
+# age stays ≤2 rounds: 115 names / 50-slot window = 3-round full
 # rotation).
 _SWEEP_FIRST = [
     # registered new in round 10 — never driver-verified, leads
+    "npmi_collocations",
+    "mad_outliers",
+    "events_attribution",
+    "temperature_mix",
     "checksum_diff_by_month",
     "ngram_novelty",
     # red in r9 (driver-hash artifact, values verified identical at 3 SFs;
@@ -626,13 +631,15 @@ _SWEEP_FIRST = [
     "events_anomaly",
     "events_transitions",
     "corpus_normalize",
+    # ---- position 51+: deferred to the r11 window head ----
+    # r8-green names that did not fit this round's 50 slots (the four
+    # round-10 additions above displaced leakage_split..leakage_split_fuzzy
+    # here); every one is locally oracle-verified this round and must lead
+    # _SWEEP_FIRST in r11
     "leakage_split",
     "kmeans_assign",
     "cluster_sample",
     "leakage_split_fuzzy",
-    # ---- position 51+: deferred to the r11 window head ----
-    # r8-green names that did not fit this round's 50 slots; every one is
-    # locally oracle-verified this round and must lead _SWEEP_FIRST in r11
     "embedding_health",
     "bm25_search",
     "lm_score",

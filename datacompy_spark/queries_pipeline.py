@@ -3398,6 +3398,107 @@ SELECT e.event_id, e.event_type, e.value,
 FROM events e LEFT JOIN b ON e.event_type IS NOT DISTINCT FROM b.event_type"""
 
 
+def q_npmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-20 adjacent word bigrams by quantized NPMI
+    (operators/textops.py::npmi_collocations — min-count filter lands on
+    the bigram aggregate BEFORE the vocabulary joins; top-k is
+    TakeOrdered)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TO.npmi_collocations(docs, "text", min_count=5, top_k=20)
+
+
+SQL_NPMI_COLLOCATIONS = TO.npmi_collocations_sql(
+    "documents", "text", min_count=5, top_k=20
+)
+
+
+#: folded in Python so both engines compare against the identical double
+#: literal (3 "sigmas" on the MAD scale)
+_MAD_K = 3.0
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type robust outlier summary via median/MAD
+    (operators/profile.py::mad_outlier_summary — two grouped distributed-
+    ECDF quantile passes, |groups|-row broadcast join-backs, one rollup)."""
+    from datacompy_spark.operators.profile import mad_outlier_summary
+
+    return mad_outlier_summary(
+        load_table(spark, sf_dir, "events"), ["event_type"], "value", k=_MAD_K
+    )
+
+
+SQL_MAD_OUTLIERS = f"""
+WITH v AS (SELECT event_type AS g, value::DOUBLE AS v
+           FROM events WHERE value IS NOT NULL),
+m AS (SELECT g, quantile_cont(v, 0.5) AS med FROM v GROUP BY g),
+d AS (SELECT v.g, m.med, abs(v.v - m.med) AS d
+      FROM v JOIN m ON v.g IS NOT DISTINCT FROM m.g),
+md AS (SELECT g, quantile_cont(d, 0.5) AS mad FROM d GROUP BY g)
+SELECT d.g AS event_type, count(*)::BIGINT AS n, min(d.med) AS median,
+       min(md.mad) AS mad,
+       sum(CASE WHEN d.d > {_MAD_K * 1.4826!r} * md.mad
+                THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+FROM d JOIN md ON d.g IS NOT DISTINCT FROM md.g
+GROUP BY d.g"""
+
+
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last-touch conversion attribution rollup
+    (operators/analytics.py::attribution_rollup — union-merge single
+    user-window pass, exact-integer value fold)."""
+    from datacompy_spark.operators.analytics import attribution_rollup
+
+    return attribution_rollup(
+        load_table(spark, sf_dir, "events"),
+        "user_id", "ts", "event_type", "value",
+        conversion_type="purchase",
+        touch_types=["click", "view", "signup"],
+        tiebreak_col="event_id",
+    )
+
+
+SQL_EVENTS_ATTRIBUTION = """
+WITH u AS (
+  SELECT user_id AS u, ts AS t, 0 AS kind, event_id AS tb,
+         event_type AS ttype, NULL::DOUBLE AS v
+  FROM events WHERE event_type IN ('click', 'view', 'signup')
+  UNION ALL
+  SELECT user_id, ts, 1, event_id, NULL, value::DOUBLE
+  FROM events WHERE event_type = 'purchase'),
+w AS (
+  SELECT kind, v,
+    first_value(ttype IGNORE NULLS) OVER win AS first_touch,
+    last_value(ttype IGNORE NULLS) OVER win AS last_touch
+  FROM u
+  WINDOW win AS (PARTITION BY u ORDER BY t, kind, tb
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+c AS (SELECT * FROM w WHERE kind = 1 AND first_touch IS NOT NULL),
+mm AS (
+  SELECT 'first_touch' AS model, first_touch AS touch_type, v FROM c
+  UNION ALL
+  SELECT 'last_touch' AS model, last_touch AS touch_type, v FROM c)
+SELECT model, touch_type, count(*)::BIGINT AS conversions,
+  (sum(round(v * 1000000)::BIGINT)::DOUBLE / 1000000.0) AS total_value
+FROM mm GROUP BY 1, 2"""
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (alpha=0.3) token-budget corpus mixing
+    (operators/textops.py::corpus_temperature_mix — rates derived on the
+    |sources|-row aggregate, broadcast back; reported rate quantized)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TO.corpus_temperature_mix(
+        docs, "doc_id", "source", "text", token_budget=_MIX_BUDGET, alpha=0.3
+    )
+
+
+SQL_TEMPERATURE_MIX = TO.corpus_temperature_mix_sql(
+    "documents", "doc_id", "source", "text",
+    token_budget=_MIX_BUDGET, alpha=0.3,
+)
+
+
 PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -3503,6 +3604,10 @@ PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_coverage": q_vocab_coverage,
     "html_extract": q_html_extract,
     "drift_ks": q_drift_ks,
+    "npmi_collocations": q_npmi_collocations,
+    "mad_outliers": q_mad_outliers,
+    "events_attribution": q_events_attribution,
+    "temperature_mix": q_temperature_mix,
 }
 
 PIPELINE_ORACLES: Dict[str, str] = {
@@ -3607,4 +3712,8 @@ PIPELINE_ORACLES: Dict[str, str] = {
     "vocab_coverage": SQL_VOCAB_COVERAGE,
     "html_extract": SQL_HTML_EXTRACT,
     "drift_ks": SQL_DRIFT_KS,
+    "npmi_collocations": SQL_NPMI_COLLOCATIONS,
+    "mad_outliers": SQL_MAD_OUTLIERS,
+    "events_attribution": SQL_EVENTS_ATTRIBUTION,
+    "temperature_mix": SQL_TEMPERATURE_MIX,
 }

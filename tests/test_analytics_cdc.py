@@ -1345,3 +1345,52 @@ class TestTableChecksum:
         want = con.execute(table_checksum_sql("t", ["k", "s", "x"])).fetchone()
         assert got["n_rows"] == want[0]
         assert int(got["checksum"]) == int(want[1])
+
+
+class TestAttribution:
+    def _events(self, spark):
+        # user 1: view -> click -> purchase(10) -> click -> purchase(20)
+        #   first_touch credits view both times; last_touch: click both times
+        # user 2: purchase with NO preceding touch -> drops from the rollup
+        # user 3: touch at the SAME ts as the conversion still counts (kind
+        #   orders touches before conversions at equal timestamps)
+        rows = [
+            (1, 1, "2024-01-01 00:00:00", "view", None),
+            (2, 1, "2024-01-01 01:00:00", "click", None),
+            (3, 1, "2024-01-01 02:00:00", "purchase", 10.0),
+            (4, 1, "2024-01-01 03:00:00", "click", None),
+            (5, 1, "2024-01-01 04:00:00", "purchase", 20.0),
+            (6, 2, "2024-01-01 00:00:00", "purchase", 99.0),
+            (7, 3, "2024-01-01 05:00:00", "signup", None),
+            (8, 3, "2024-01-01 05:00:00", "purchase", 7.5),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id bigint, user_id bigint, ts string, event_type string, value double"
+        )
+        return df.withColumn("ts", F.to_timestamp("ts"))
+
+    def test_models_credit_correctly(self, spark):
+        from datacompy_spark.operators.analytics import attribution_rollup
+
+        out = attribution_rollup(
+            self._events(spark), "user_id", "ts", "event_type", "value",
+            "purchase", ["click", "view", "signup"], tiebreak_col="event_id",
+        ).collect()
+        got = {(r["model"], r["touch_type"]): (r["conversions"], r["total_value"]) for r in out}
+        assert got[("first_touch", "view")] == (2, 30.0)
+        assert got[("first_touch", "signup")] == (1, 7.5)
+        assert got[("last_touch", "click")] == (2, 30.0)
+        assert got[("last_touch", "signup")] == (1, 7.5)
+        # untouched conversion (user 2) appears under no model
+        assert sum(v[0] for k, v in got.items() if k[0] == "first_touch") == 3
+
+    def test_conversion_type_cannot_be_a_touch(self, spark):
+        import pytest as _pytest
+
+        from datacompy_spark.operators.analytics import attribution_rollup
+
+        with _pytest.raises(ValueError):
+            attribution_rollup(
+                self._events(spark), "user_id", "ts", "event_type", "value",
+                "purchase", ["purchase", "click"],
+            )

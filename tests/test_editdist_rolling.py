@@ -457,3 +457,36 @@ class TestDecontaminateEditdist:
         )
         r = decontaminate_editdist(train, "doc_id", "text", eval_df, max_dist=1).collect()[0]
         assert (r["contaminated"], r["eval_match"], r["dist"]) == (True, 100, 1)
+
+
+class TestMadOutliers:
+    def test_planted_outlier_flagged_per_group(self, spark):
+        from datacompy_spark.operators.profile import mad_outlier_summary
+
+        # group 'a': tight cluster + one wild point; 'b': wider scale where
+        # the same absolute value is NOT an outlier on its own MAD scale
+        rows = (
+            [("a", float(v)) for v in (10, 11, 12, 13, 14, 1000)]
+            + [("b", float(v)) for v in (0, 500, 1000, 1500, 2000)]
+            + [("a", None)]  # NULL values excluded from n
+        )
+        df = spark.createDataFrame(rows, "g string, x double")
+        out = {r["g"]: r for r in mad_outlier_summary(df, ["g"], "x", k=3.0).collect()}
+        assert out["a"]["n"] == 6
+        assert out["a"]["median"] == pytest.approx(12.5)
+        assert out["a"]["n_outliers"] == 1  # the 1000
+        assert out["b"]["n_outliers"] == 0  # 2000 is in-scale for b
+        assert out["b"]["mad"] == pytest.approx(500.0)
+
+    def test_all_null_group_vanishes_and_validation(self, spark):
+        from datacompy_spark.operators.profile import mad_outlier_summary
+
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 2.0), ("c", None)], "g string, x double"
+        )
+        got = {r["g"] for r in mad_outlier_summary(df, ["g"], "x").collect()}
+        assert got == {"a"}
+        with pytest.raises(ValueError):
+            mad_outlier_summary(df, ["g"], "x", k=0.0)
+        with pytest.raises(ValueError):
+            mad_outlier_summary(df, [], "x")

@@ -2671,3 +2671,72 @@ class TestNgramNovelty:
                for r in TO.ngram_novelty(df, "doc_id", "text", n=5).collect()}
         assert dup == {1: 1.0, 2: 1.0}
         assert nov == {1: 1.0, 2: 0.0}
+
+
+class TestNpmiCollocations:
+    def test_planted_collocation_tops_ranking(self, spark):
+        # "san" and "francisco" ONLY ever occur adjacent (perfect
+        # collocation -> NPMI exactly 1.0); every other word also appears
+        # next to different neighbors, so its pairs score strictly lower.
+        rows = [(i, "san francisco the data") for i in range(5)]
+        rows += [(100 + i, "the engine san francisco") for i in range(5)]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        out = TO.npmi_collocations(df, "text", min_count=5, top_k=5).collect()
+        assert out, "no collocations found"
+        top = out[0]
+        assert (top["w1"], top["w2"]) == ("san", "francisco")
+        assert top["npmi_q"] == 1_000_000  # perfect collocation, exact
+        assert out[1]["npmi_q"] < 1_000_000
+        # quantized score: bounded in [-1e6, 1e6], ranking descending
+        scores = [r["npmi_q"] for r in out]
+        assert scores == sorted(scores, reverse=True)
+        assert all(-1_000_000 <= s <= 1_000_000 for s in scores)
+
+    def test_min_count_prunes_and_short_docs_safe(self, spark):
+        # 1-token and empty docs must not fabricate pairs (sequence(0,-1)
+        # descends in Spark — the guard filters size<2 token arrays first)
+        rows = [(1, "solo"), (2, ""), (3, None), (4, "alpha beta")]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        out = TO.npmi_collocations(df, "text", min_count=1, top_k=10).collect()
+        pairs = {(r["w1"], r["w2"]) for r in out}
+        assert pairs == {("alpha", "beta")}
+        assert not TO.npmi_collocations(df, "text", min_count=2, top_k=10).collect()
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([(1, "a b")], "doc_id bigint, text string")
+        with pytest.raises(ValueError):
+            TO.npmi_collocations(df, "text", min_count=0)
+
+
+class TestTemperatureMix:
+    def test_alpha_rebalances_toward_low_resource(self, spark):
+        # big source: 100 docs x 10 tokens; small: 10 docs x 10 tokens.
+        rows = [(i, "big", "w w w w w w w w w w") for i in range(100)]
+        rows += [(1000 + i, "small", "w w w w w w w w w w") for i in range(10)]
+        df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+        out = TO.corpus_temperature_mix(
+            df, "doc_id", "source", "text", token_budget=500, alpha=0.3
+        )
+        rates = {r["source"]: r["rate_q"] for r in out.select("source", "rate_q").distinct().collect()}
+        # alpha<1: the small source's ACCEPTANCE RATE must exceed the big one's
+        assert rates["small"] > rates["big"]
+        # alpha=1 reproduces natural proportions: equal rates
+        nat = TO.corpus_temperature_mix(
+            df, "doc_id", "source", "text", token_budget=500, alpha=1.0
+        )
+        nrates = {r["source"]: r["rate_q"] for r in nat.select("source", "rate_q").distinct().collect()}
+        assert nrates["small"] == nrates["big"]
+
+    def test_membership_deterministic(self, spark):
+        rows = [(i, f"s{i % 3}", "tok tok tok tok") for i in range(30)]
+        df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+        a = {r["doc_id"]: r["accepted"] for r in TO.corpus_temperature_mix(
+            df, "doc_id", "source", "text", 40).collect()}
+        b = {r["doc_id"]: r["accepted"] for r in TO.corpus_temperature_mix(
+            df.repartition(7), "doc_id", "source", "text", 40).collect()}
+        assert a == b
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([(1, "s", "a")], "doc_id bigint, source string, text string")
+        with pytest.raises(ValueError):
+            TO.corpus_temperature_mix(df, "doc_id", "source", "text", 10, alpha=1.5)
