@@ -2423,12 +2423,20 @@ def npmi_collocations(
     """
     if min_count < 1:
         raise ValueError("min_count must be >= 1")
+    from datacompy_spark.plans.barrier import lineage_barrier
+
     toks = df.select(tokens(F.col(text_col)).alias("l"))
-    uni = (
+    # the vocabulary frame feeds THREE consumers (n_u, the w1 join, the w2
+    # join); without the barrier each consumer re-derives it from a fresh
+    # corpus scan — 4 source scans instead of 2 (one per corpus-wide pass:
+    # unigram count + bigram count), for a |vocab|-row materialization
+    uni = lineage_barrier(
         toks.select(F.explode("l").alias("w"))
         .filter(F.col("w") != "")
         .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("cu"))
+        .agg(F.count(F.lit(1)).alias("cu")),
+        checkpoint_dir=None,
+        eager=False,
     )
     n_u = uni.agg(F.sum("cu").alias("n_u"))
     # guard size(l) < 2 BEFORE the transform: Spark's sequence(0, stop)

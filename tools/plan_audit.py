@@ -52,6 +52,11 @@ EXPECTED_NLJ = {
     "ids) inequality self-join that synthesizes the late-copy ground "
     "truth; the operator itself is equi-join-only",
     "corpus_mix": "broadcast per-source rate table",
+    "temperature_mix": "composes corpus_mix's broadcast per-source rate table",
+    "npmi_collocations": "broadcast 1-row corpus token-total agg",
+    "mad_outliers": "composes group_quantiles' broadcast 1-row probability "
+    "crossJoin, twice (median pass + MAD pass); both join-backs are "
+    "broadcast one-row-per-group null-safe hash joins",
     "stratified_sample": "broadcast per-stratum thresholds",
     "decontaminate": "broadcast eval shingle set",
     "curate_corpus": "composes decontaminate's broadcast eval set",
