@@ -1077,3 +1077,38 @@ def mad_outlier_summary(
             .alias("n_outliers"),
         )
     )
+
+
+def quantile_drift(
+    df_old: DataFrame,
+    df_new: DataFrame,
+    value_col: str,
+    probs: Sequence[float],
+) -> DataFrame:
+    """Percentile drift between two snapshots: each probe probability's
+    exact quantile in both snapshots side by side with the delta — the
+    monitoring cut when histogram drift's fixed bins are too coarse (a
+    tail shift moves p99 long before it moves a 10-bin mass profile).
+
+    Both sides run :func:`exact_quantiles_distributed` (range-partitioned
+    ECDF prefix sums — no value buffering, hot values spread over tasks),
+    then join on the len(probs)-row probe axis — a broadcast-tiny join.
+    ``delta = q_new − q_old`` is a single double subtraction of two
+    interpolated quantiles (both bit-identical cross-engine), so the
+    output is hash-stable. Snapshots with no non-NULL values contribute
+    NULL on their side; the full-outer prob join keeps the row.
+
+    Output ``(prob, q_old, q_new, delta)``.
+    """
+    qo = exact_quantiles_distributed(df_old, value_col, probs).select(
+        "prob", F.col("quantile").alias("q_old")
+    )
+    qn = exact_quantiles_distributed(df_new, value_col, probs).select(
+        "prob", F.col("quantile").alias("q_new")
+    )
+    return qo.join(qn, "prob", "full_outer").select(
+        "prob",
+        "q_old",
+        "q_new",
+        (F.col("q_new") - F.col("q_old")).alias("delta"),
+    )

@@ -2588,3 +2588,143 @@ def corpus_temperature_mix_sql(
         " round(rate * 1000000000.0)::BIGINT AS rate_q, accepted"
         f" FROM ({inner})"
     )
+
+
+def dsir_weights(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Importance weights for data selection (DSIR-style, Xie et al. 2023):
+    per training document, the add-``alpha``-smoothed unigram
+    log-likelihood ratio ln p_target(doc) − ln p_source(doc), where the
+    target LM comes from ``eval_df`` (the distribution you WANT more of)
+    and the source LM from the training corpus itself. Documents with the
+    highest weights read most like the target domain — resampling by
+    these weights is the standard cheap alternative to embedding-based
+    selection at pretraining scale.
+
+    Cross-engine determinism: the per-VOCAB-WORD log ratio is computed
+    once and quantized to 1e-9 integer units (``floor(lr·1e9 + 0.5)`` as
+    BIGINT); a document's weight is then the exact INTEGER sum of its
+    tokens' quantized ratios — float addition is order-dependent across
+    partitionings, integer addition is not (the codebase's exact-sum
+    rule). One double division at the end rescales nothing: the output
+    stays in quantized units (``logratio_q``), comparable and sortable.
+
+    Scale shape: both LMs are map-side-combining unigram count folds; the
+    vocabulary union is a vocab-sized full-outer join materialized ONCE
+    behind a lineage barrier (two consumers: the 1-row totals agg and the
+    ratio projection); corpus totals ride a broadcast 1-row crossJoin;
+    the token→ratio lookup is a vocab-sized equi-join (AQE broadcasts it
+    when small); the per-doc fold is ONE doc_id shuffle. Zero-token
+    documents keep a row (``n_tokens 0, logratio_q 0``) via the id spine.
+
+    Output ``(doc_id, n_tokens, logratio_q)``.
+    """
+    if alpha <= 0:
+        raise ValueError("alpha must be positive (add-alpha smoothing)")
+    from datacompy_spark.plans.barrier import lineage_barrier
+
+    def _counts(df: DataFrame) -> DataFrame:
+        return (
+            df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+            .filter(F.col("w") != "")
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    tt = _counts(eval_df).withColumnRenamed("c", "ct")
+    st = _counts(train_df).withColumnRenamed("c", "cs")
+    vocab = lineage_barrier(
+        tt.join(st, "w", "full_outer").select(
+            "w",
+            F.coalesce("ct", F.lit(0)).cast("long").alias("ct"),
+            F.coalesce("cs", F.lit(0)).cast("long").alias("cs"),
+        ),
+        checkpoint_dir=None,
+        eager=False,
+    )
+    totals = vocab.agg(
+        F.count(F.lit(1)).alias("v"),
+        F.sum("ct").alias("nt"),
+        F.sum("cs").alias("ns"),
+    )
+    a = float(alpha)
+    lr = F.log(
+        (F.col("ct").cast("double") + F.lit(a))
+        / (F.col("nt").cast("double") + F.lit(a) * F.col("v").cast("double"))
+    ) - F.log(
+        (F.col("cs").cast("double") + F.lit(a))
+        / (F.col("ns").cast("double") + F.lit(a) * F.col("v").cast("double"))
+    )
+    ratios = vocab.crossJoin(F.broadcast(totals)).select(
+        "w",
+        F.floor(lr * F.lit(1_000_000_000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("lrq"),
+    )
+    toks = train_df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("w"),
+    ).filter(F.col("w") != "")
+    per = (
+        toks.join(ratios, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("lrq").cast("long").alias("logratio_q"),
+        )
+    )
+    spine = train_df.select(F.col(id_col).alias("doc_id")).distinct()
+    return spine.join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce("logratio_q", F.lit(0)).cast("long").alias("logratio_q"),
+    )
+
+
+def dsir_weights_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    eval_pred: str,
+    train_pred: str,
+    alpha: float = 1.0,
+) -> str:
+    """DuckDB twin of :func:`dsir_weights` over one table split by
+    ``eval_pred`` / ``train_pred``."""
+    from datacompy_spark.functions.text import tokens_sql
+
+    a = float(alpha)
+    return f"""
+WITH ev AS (SELECT {tokens_sql(text_col)} AS l FROM {table} WHERE {eval_pred}),
+tr AS (SELECT {id_col} AS doc_id, {tokens_sql(text_col)} AS l
+       FROM {table} WHERE {train_pred}),
+tt AS (SELECT w, count(*) AS ct
+       FROM (SELECT unnest(l) AS w FROM ev) WHERE w <> '' GROUP BY w),
+st AS (SELECT w, count(*) AS cs
+       FROM (SELECT unnest(l) AS w FROM tr) WHERE w <> '' GROUP BY w),
+vocab AS (
+  SELECT coalesce(tt.w, st.w) AS w,
+         coalesce(ct, 0)::BIGINT AS ct, coalesce(cs, 0)::BIGINT AS cs
+  FROM tt FULL JOIN st ON tt.w = st.w),
+tot AS (SELECT count(*) AS v, sum(ct) AS nt, sum(cs) AS ns FROM vocab),
+ratios AS (
+  SELECT w,
+    floor((ln((ct::DOUBLE + {a}) / (nt::DOUBLE + {a} * v::DOUBLE))
+           - ln((cs::DOUBLE + {a}) / (ns::DOUBLE + {a} * v::DOUBLE)))
+          * 1000000000.0 + 0.5)::BIGINT AS lrq
+  FROM vocab, tot),
+toks AS (
+  SELECT doc_id, w FROM (SELECT doc_id, unnest(l) AS w FROM tr)
+  WHERE w <> ''),
+per AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(lrq)::BIGINT AS logratio_q
+  FROM toks JOIN ratios USING (w) GROUP BY doc_id)
+SELECT tr.doc_id,
+  coalesce(per.n_tokens, 0)::BIGINT AS n_tokens,
+  coalesce(per.logratio_q, 0)::BIGINT AS logratio_q
+FROM (SELECT DISTINCT doc_id FROM tr) tr LEFT JOIN per USING (doc_id)"""

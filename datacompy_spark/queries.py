@@ -575,6 +575,8 @@ from datacompy_spark.queries_pipeline import PIPELINE_ORACLES, PIPELINE_QUERIES 
 # rotation).
 _SWEEP_FIRST = [
     # registered new in round 10 — never driver-verified, leads
+    "dsir_weights",
+    "quantile_drift",
     "npmi_collocations",
     "mad_outliers",
     "events_attribution",

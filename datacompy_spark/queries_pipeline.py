@@ -3499,6 +3499,68 @@ SQL_TEMPERATURE_MIX = TO.corpus_temperature_mix_sql(
 )
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights for data selection: per training doc,
+    the smoothed unigram log-likelihood ratio target-vs-source, in exact
+    1e-9 integer units (operators/textops.py::dsir_weights — per-vocab-word
+    ratio quantized BEFORE the per-doc fold so the sum is an exact integer,
+    never an order-dependent float). Target = the deterministic eval
+    carve-out, same split as decontaminate."""
+    docs = load_table(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.expr(_DECON_EVAL_PRED))
+    train_df = docs.filter(~F.expr(_DECON_EVAL_PRED))
+    return TO.dsir_weights(train_df, eval_df, "doc_id", "text")
+
+
+SQL_DSIR_WEIGHTS = TO.dsir_weights_sql(
+    "documents", "doc_id", "text",
+    eval_pred=_DECON_EVAL_PRED,
+    train_pred=f"NOT ({_DECON_EVAL_PRED})",
+)
+
+
+_QDRIFT_PROBS = [0.5, 0.9, 0.99]
+
+
+def q_quantile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile drift between two lineitem snapshots — the tail-shift
+    monitor (operators/profile.py::quantile_drift: two exact
+    distributed-ECDF passes joined on the len(probs)-row probe axis).
+    The new snapshot plants a +5.0 shift on l_partkey%3=0 rows and drops
+    l_orderkey%5=0 rows, so every probe shows a real delta."""
+    from datacompy_spark.operators.profile import quantile_drift
+
+    li = load_table(spark, sf_dir, "lineitem")
+    v_old = li.select(F.col("l_quantity").cast("double").alias("v"))
+    v_new = li.filter(F.col("l_orderkey") % 5 != 0).select(
+        F.when(F.col("l_partkey") % 3 == 0, F.col("l_quantity") + F.lit(5.0))
+        .otherwise(F.col("l_quantity"))
+        .cast("double")
+        .alias("v")
+    )
+    return quantile_drift(v_old, v_new, "v", _QDRIFT_PROBS)
+
+
+SQL_QUANTILE_DRIFT = (
+    "WITH o AS (SELECT l_quantity::DOUBLE AS v FROM lineitem),\n"
+    "n AS (SELECT (CASE WHEN l_partkey % 3 = 0 THEN l_quantity + 5.0"
+    " ELSE l_quantity END)::DOUBLE AS v"
+    " FROM lineitem WHERE l_orderkey % 5 <> 0),\n"
+    "qo AS ("
+    + " UNION ALL ".join(
+        f"SELECT {p}::DOUBLE AS prob, quantile_cont(v, {p}) AS q_old FROM o"
+        for p in _QDRIFT_PROBS
+    )
+    + "),\nqn AS ("
+    + " UNION ALL ".join(
+        f"SELECT {p}::DOUBLE AS prob, quantile_cont(v, {p}) AS q_new FROM n"
+        for p in _QDRIFT_PROBS
+    )
+    + ")\nSELECT prob, q_old, q_new, q_new - q_old AS delta"
+    " FROM qo FULL JOIN qn USING (prob)"
+)
+
+
 PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -3608,6 +3670,8 @@ PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mad_outliers": q_mad_outliers,
     "events_attribution": q_events_attribution,
     "temperature_mix": q_temperature_mix,
+    "dsir_weights": q_dsir_weights,
+    "quantile_drift": q_quantile_drift,
 }
 
 PIPELINE_ORACLES: Dict[str, str] = {
@@ -3716,4 +3780,6 @@ PIPELINE_ORACLES: Dict[str, str] = {
     "mad_outliers": SQL_MAD_OUTLIERS,
     "events_attribution": SQL_EVENTS_ATTRIBUTION,
     "temperature_mix": SQL_TEMPERATURE_MIX,
+    "dsir_weights": SQL_DSIR_WEIGHTS,
+    "quantile_drift": SQL_QUANTILE_DRIFT,
 }

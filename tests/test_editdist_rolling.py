@@ -490,3 +490,28 @@ class TestMadOutliers:
             mad_outlier_summary(df, ["g"], "x", k=0.0)
         with pytest.raises(ValueError):
             mad_outlier_summary(df, [], "x")
+
+
+class TestQuantileDrift:
+    def test_tail_shift_visible_only_in_tail_probe(self, spark):
+        from datacompy_spark.operators.profile import quantile_drift
+
+        old = spark.createDataFrame([(float(v),) for v in range(1, 101)], "v double")
+        # shift ONLY the top decile by +100: p50 must not move, p99 must
+        new = spark.createDataFrame(
+            [(float(v if v <= 90 else v + 100),) for v in range(1, 101)], "v double"
+        )
+        out = {r["prob"]: r for r in quantile_drift(old, new, "v", [0.5, 0.99]).collect()}
+        assert out[0.5]["delta"] == pytest.approx(0.0)
+        assert out[0.99]["delta"] == pytest.approx(100.0)
+        assert out[0.99]["q_old"] == pytest.approx(99.01)
+
+    def test_empty_side_yields_null_quantile(self, spark):
+        from datacompy_spark.operators.profile import quantile_drift
+
+        old = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+        new = spark.createDataFrame([(None,)], "v double")
+        rows = quantile_drift(old, new, "v", [0.5]).collect()
+        assert len(rows) == 1
+        assert rows[0]["q_old"] == pytest.approx(1.5)
+        assert rows[0]["q_new"] is None and rows[0]["delta"] is None

@@ -2740,3 +2740,39 @@ class TestTemperatureMix:
         df = spark.createDataFrame([(1, "s", "a")], "doc_id bigint, source string, text string")
         with pytest.raises(ValueError):
             TO.corpus_temperature_mix(df, "doc_id", "source", "text", 10, alpha=1.5)
+
+
+class TestDsirWeights:
+    def test_target_like_docs_score_higher(self, spark):
+        # target (eval) distribution is about "finance"; train docs that
+        # share its vocabulary must outweigh off-domain docs
+        eval_df = spark.createDataFrame(
+            [(900, "stock market bond yield equity"),
+             (901, "bond market yield trading stock")],
+            "doc_id bigint, text string",
+        )
+        train = spark.createDataFrame(
+            [(1, "stock market yield report"),
+             (2, "cat dog bird fish lizard"),
+             (3, None),  # NULL text keeps a zero-weight row via the spine
+             (4, "")],
+            "doc_id bigint, text string",
+        )
+        out = {r["doc_id"]: r for r in TO.dsir_weights(train, eval_df, "doc_id", "text").collect()}
+        assert set(out) == {1, 2, 3, 4}
+        assert out[1]["logratio_q"] > out[2]["logratio_q"]
+        assert out[3]["n_tokens"] == 0 and out[3]["logratio_q"] == 0
+        assert out[4]["n_tokens"] == 0
+
+    def test_weight_is_partitioning_invariant(self, spark):
+        eval_df = spark.createDataFrame([(99, "alpha beta gamma")], "doc_id bigint, text string")
+        rows = [(i, "alpha beta delta epsilon zeta eta theta") for i in range(40)]
+        train = spark.createDataFrame(rows, "doc_id bigint, text string")
+        a = {r["doc_id"]: r["logratio_q"] for r in TO.dsir_weights(train, eval_df, "doc_id", "text").collect()}
+        b = {r["doc_id"]: r["logratio_q"] for r in TO.dsir_weights(train.repartition(13), eval_df, "doc_id", "text").collect()}
+        assert a == b  # exact integer fold: no float-order dependence
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([(1, "a")], "doc_id bigint, text string")
+        with pytest.raises(ValueError):
+            TO.dsir_weights(df, df, "doc_id", "text", alpha=0.0)

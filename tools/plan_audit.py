@@ -54,6 +54,10 @@ EXPECTED_NLJ = {
     "corpus_mix": "broadcast per-source rate table",
     "temperature_mix": "composes corpus_mix's broadcast per-source rate table",
     "npmi_collocations": "broadcast 1-row corpus token-total agg",
+    "dsir_weights": "broadcast 1-row vocab-totals agg (V, N_target, "
+    "N_source) crossJoined onto the vocab ratio projection",
+    "quantile_drift": "composes quantiles_distributed's broadcast <=2k-row "
+    "rank probes, once per snapshot side",
     "mad_outliers": "composes group_quantiles' broadcast 1-row probability "
     "crossJoin, twice (median pass + MAD pass); both join-backs are "
     "broadcast one-row-per-group null-safe hash joins",
