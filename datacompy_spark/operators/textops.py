@@ -2604,7 +2604,9 @@ def dsir_weights(
     and the source LM from the training corpus itself. Documents with the
     highest weights read most like the target domain — resampling by
     these weights is the standard cheap alternative to embedding-based
-    selection at pretraining scale.
+    selection at pretraining scale. Compose with :func:`weighted_sample`
+    (Efraimidis–Spirakis, weight = exp(logratio_q/1e9) or a softened
+    power of it) for the actual importance-resampled subset.
 
     Cross-engine determinism: the per-VOCAB-WORD log ratio is computed
     once and quantized to 1e-9 integer units (``floor(lr·1e9 + 0.5)`` as
