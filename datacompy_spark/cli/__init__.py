@@ -291,6 +291,23 @@ def build_parser() -> argparse.ArgumentParser:
         "ECDF (no aggregation-buffer value buffering at any scale; "
         "bit-identical to quantile_cont)",
     )
+    pr.add_argument(
+        "--mad-outliers", metavar="COL",
+        help="robust-outlier mode: per-group median/MAD summary of this "
+        "numeric column (n, median, mad, n_outliers where |v-median| > "
+        "k*1.4826*MAD) — the outlier gate a single corrupt value cannot "
+        "drag, via two grouped distributed-ECDF passes",
+    )
+    pr.add_argument(
+        "--by", metavar="COLS",
+        help="with --mad-outliers: comma-separated group columns "
+        "(default: the whole table as one group)",
+    )
+    pr.add_argument(
+        "--mad-k", type=float, default=3.0, metavar="K",
+        help="with --mad-outliers: the sigma-equivalent threshold "
+        "multiplier (default 3.0)",
+    )
     pr.add_argument("--format", choices=["text", "json"], default="text")
     pr.add_argument("--output", help="also write the result to this file")
     pr.add_argument("--quiet", action="store_true", help="suppress stdout output")
@@ -1004,6 +1021,59 @@ def run_profile(args) -> int:
                     )
                 )
             return 1 if (args.fail_on_bad and n_bad > 0) else 0
+        if args.mad_outliers:
+            if args.compare_to or args.ks or args.quantiles:
+                raise CLIError(
+                    "--mad-outliers cannot combine with --compare-to/--ks/--quantiles"
+                )
+            if args.mad_k <= 0:
+                raise CLIError("--mad-k must be positive")
+            from pyspark.sql import functions as F
+            from pyspark.sql.types import NumericType
+
+            from datacompy_spark.operators.profile import mad_outlier_summary
+
+            kwargs = {"delimiter": args.delimiter} if args.input_format == "csv" else {}
+            try:
+                df = load(spark, args.input, fmt=args.input_format, **kwargs)
+            except Exception as ex:
+                raise CLIError(f"failed to load input: {ex}") from ex
+            vcol = args.mad_outliers
+            if vcol not in df.columns:
+                raise CLIError(f"column not found in input: {vcol}")
+            if not isinstance(df.schema[vcol].dataType, NumericType):
+                raise CLIError(f"--mad-outliers needs a numeric column, got {vcol}")
+            groups = (
+                [c.strip() for c in args.by.split(",") if c.strip()]
+                if args.by
+                else []
+            )
+            bad = [c for c in groups if c not in df.columns]
+            if bad:
+                raise CLIError(f"--by columns not found in input: {bad}")
+            gcols = groups or ["__all"]
+            if not groups:
+                df = df.withColumn("__all", F.lit("all"))
+            try:
+                out = mad_outlier_summary(df, gcols, vcol, k=args.mad_k)
+                if not groups:
+                    out = out.drop("__all")
+                rows = out.toPandas().sort_values(
+                    groups or ["n"], ignore_index=True
+                )
+            except Exception as ex:
+                raise CLIError(str(ex)) from ex
+            rendered = (
+                rows.to_json(orient="records", indent=2)
+                if args.format == "json"
+                else rows.to_string(index=False)
+            )
+            if args.output:
+                with open(args.output, "w") as fh:
+                    fh.write(rendered + "\n")
+            if not args.quiet:
+                print(rendered)
+            return 0
         if args.quantiles:
             if args.compare_to or args.ks:
                 raise CLIError("--quantiles cannot combine with --compare-to or --ks")

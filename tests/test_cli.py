@@ -1004,3 +1004,47 @@ class TestCheckCommand:
         rules = self._rules_file(tmp_path, [{"rule": "frobnicate", "col": "id"}])
         rc = main(["check", "--input", dataset, "--input-format", "parquet", "--rules", rules])
         assert rc == 2 and "unknown rule" in capsys.readouterr().err
+
+
+class TestProfileMadOutliers:
+    def test_mad_by_group_json(self, tmp_path, capsys, spark):
+        import json as _json
+
+        p = str(tmp_path / "m.parquet")
+        rows = (
+            [("a", float(v)) for v in (10, 11, 12, 13, 14, 1000)]
+            + [("b", float(v)) for v in (0, 500, 1000, 1500, 2000)]
+        )
+        spark.createDataFrame(rows, "g string, v double").write.parquet(p)
+        rc = main([
+            "profile", "--input", p, "--mad-outliers", "v", "--by", "g",
+            "--format", "json",
+        ])
+        assert rc == 0
+        out = {r["g"]: r for r in _json.loads(capsys.readouterr().out)}
+        assert out["a"]["n_outliers"] == 1      # the 1000 in the tight group
+        assert out["b"]["n_outliers"] == 0      # in-scale for the wide group
+        assert out["a"]["median"] == 12.5
+
+    def test_mad_whole_table_and_validation(self, tmp_path, capsys, spark):
+        import json as _json
+
+        p = str(tmp_path / "m2.parquet")
+        spark.createDataFrame(
+            [(float(v), "x") for v in (1, 2, 3, 4, 100)], "v double, s string"
+        ).write.parquet(p)
+        rc = main(["profile", "--input", p, "--mad-outliers", "v",
+                   "--format", "json"])
+        assert rc == 0
+        rows = _json.loads(capsys.readouterr().out)
+        assert len(rows) == 1 and rows[0]["n"] == 5 and rows[0]["n_outliers"] == 1
+        assert "g" not in rows[0]  # whole-table mode leaks no group column
+        capsys.readouterr()
+        assert main(["profile", "--input", p, "--mad-outliers", "nope"]) == 2
+        assert main(["profile", "--input", p, "--mad-outliers", "s"]) == 2
+        assert main(["profile", "--input", p, "--mad-outliers", "v",
+                     "--by", "nope"]) == 2
+        assert main(["profile", "--input", p, "--mad-outliers", "v",
+                     "--mad-k", "0"]) == 2
+        assert main(["profile", "--input", p, "--mad-outliers", "v",
+                     "--quantiles", "0.5"]) == 2
