@@ -1128,3 +1128,62 @@ def quantile_drift(
             (F.col("q_new") - F.col("q_old")).alias("delta"),
         )
     )
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    k: int = 5,
+    sensitive_col: Optional[str] = None,
+    l: int = 2,
+) -> DataFrame:
+    """Privacy audit before a data release: every quasi-identifier group
+    that violates k-anonymity (fewer than ``k`` rows share the quasi
+    tuple → re-identifiable) and, when ``sensitive_col`` is given,
+    l-diversity (fewer than ``l`` distinct sensitive values in the group
+    → attribute disclosure even when k holds). Returns ONLY the violating
+    groups — at 100 TB the violation set is the small tail by
+    construction, so the output is bounded while the input is not.
+
+    The sensitive-distinct count deliberately avoids ``count_distinct``:
+    a grouped exact-distinct keeps a per-group hash set in the
+    aggregation buffer (the same hot-group hazard as ``percentile``).
+    Instead it folds ``groupBy(quasi…, sensitive).count`` first — pure
+    map-side-combining counts — then counts rows per quasi group: two
+    shuffles of group-domain-sized data, zero per-group buffers, exact.
+
+    NULL quasi values form real groups (they re-identify just as well);
+    NULL sensitive values count as one distinct value. Output
+    ``(quasi…, n_rows, n_distinct_sensitive, k_violation, l_violation)``
+    ordered nowhere (sort downstream); without ``sensitive_col`` the
+    distinct count is NULL and only k violations emit.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    quasi = list(quasi_cols)
+    if not quasi:
+        raise ValueError("quasi_cols must name at least one column")
+    if sensitive_col is not None:
+        if l < 1:
+            raise ValueError("l must be >= 1")
+        fine = df.groupBy(*quasi, F.col(sensitive_col).alias("__s")).agg(
+            F.count(F.lit(1)).alias("__c")
+        )
+        groups = fine.groupBy(*quasi).agg(
+            F.sum("__c").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct_sensitive"),
+        )
+        k_viol = F.col("n_rows") < k
+        l_viol = F.col("n_distinct_sensitive") < l
+    else:
+        groups = df.groupBy(*quasi).agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.lit(None).cast("long").alias("n_distinct_sensitive"),
+        )
+        k_viol = F.col("n_rows") < k
+        l_viol = F.lit(False)
+    return (
+        groups.withColumn("k_violation", k_viol)
+        .withColumn("l_violation", l_viol)
+        .filter(F.col("k_violation") | F.col("l_violation"))
+    )

@@ -571,10 +571,11 @@ from datacompy_spark.queries_pipeline import PIPELINE_ORACLES, PIPELINE_QUERIES 
 # to the tail; all of them carry a fresh in-round local oracle pass
 # (tools/check_oracles.py --unswept and the full verify_all sweeps), and
 # the 16 deferred r8 names MUST lead the r11 window (max driver-evidence
-# age stays ≤2 rounds: 117 names / 50-slot window = 3-round full
+# age stays ≤2 rounds: 118 names / 50-slot window = 3-round full
 # rotation).
 _SWEEP_FIRST = [
     # registered new in round 10 — never driver-verified, leads
+    "k_anonymity",
     "dsir_weights",
     "quantile_drift",
     "npmi_collocations",

@@ -3561,6 +3561,43 @@ SQL_QUANTILE_DRIFT = (
 )
 
 
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit: customer quasi-identifier groups — nation ×
+    segment × a zip-code-like bucket — violating k-anonymity (n < 10) or
+    l-diversity on account balance (< 8 distinct)
+    (operators/profile.py::k_anonymity_audit — two-level count fold, no
+    count_distinct aggregation buffers; only violations emit, so output
+    stays bounded at any input scale; at sf0.1 the filter discriminates
+    both ways: 2740 of 2862 groups violate, 122 pass)."""
+    from datacompy_spark.operators.profile import k_anonymity_audit
+
+    cu = load_table(spark, sf_dir, "customer").withColumn(
+        "c_zip_bucket", F.col("c_custkey") % 23
+    )
+    return k_anonymity_audit(
+        cu,
+        ["c_nationkey", "c_mktsegment", "c_zip_bucket"],
+        k=10,
+        sensitive_col="c_acctbal",
+        l=8,
+    )
+
+
+SQL_K_ANONYMITY = """
+WITH fine AS (
+  SELECT c_nationkey, c_mktsegment, c_custkey % 23 AS c_zip_bucket,
+         c_acctbal AS s, count(*) AS c
+  FROM customer GROUP BY 1, 2, 3, 4),
+groups AS (
+  SELECT c_nationkey, c_mktsegment, c_zip_bucket,
+    sum(c)::BIGINT AS n_rows, count(*)::BIGINT AS n_distinct_sensitive
+  FROM fine GROUP BY 1, 2, 3)
+SELECT c_nationkey, c_mktsegment, c_zip_bucket, n_rows,
+  n_distinct_sensitive,
+  n_rows < 10 AS k_violation, n_distinct_sensitive < 8 AS l_violation
+FROM groups WHERE n_rows < 10 OR n_distinct_sensitive < 8"""
+
+
 PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -3672,6 +3709,7 @@ PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "temperature_mix": q_temperature_mix,
     "dsir_weights": q_dsir_weights,
     "quantile_drift": q_quantile_drift,
+    "k_anonymity": q_k_anonymity,
 }
 
 PIPELINE_ORACLES: Dict[str, str] = {
@@ -3782,4 +3820,5 @@ PIPELINE_ORACLES: Dict[str, str] = {
     "temperature_mix": SQL_TEMPERATURE_MIX,
     "dsir_weights": SQL_DSIR_WEIGHTS,
     "quantile_drift": SQL_QUANTILE_DRIFT,
+    "k_anonymity": SQL_K_ANONYMITY,
 }

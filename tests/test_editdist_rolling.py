@@ -515,3 +515,44 @@ class TestQuantileDrift:
         assert len(rows) == 1
         assert rows[0]["q_old"] == pytest.approx(1.5)
         assert rows[0]["q_new"] is None and rows[0]["delta"] is None
+
+
+class TestKAnonymity:
+    def test_violations_and_null_quasi_group(self, spark):
+        from datacompy_spark.operators.profile import k_anonymity_audit
+
+        rows = (
+            # big, diverse group: passes both k=3 and l=2
+            [("US", "A", float(i)) for i in range(5)]
+            # small group: k violation
+            + [("DE", "B", 1.0)]
+            # big but sensitive-uniform group: l violation only
+            + [("FR", "C", 7.0)] * 4
+            # NULL quasi value is a REAL group (re-identifies the same)
+            + [(None, "D", 2.0)]
+        )
+        df = spark.createDataFrame(rows, "country string, seg string, bal double")
+        out = {(r["country"], r["seg"]): r for r in k_anonymity_audit(
+            df, ["country", "seg"], k=3, sensitive_col="bal", l=2
+        ).collect()}
+        assert ("US", "A") not in out
+        assert out[("DE", "B")]["k_violation"] and out[("DE", "B")]["l_violation"]
+        assert out[("FR", "C")]["l_violation"] and not out[("FR", "C")]["k_violation"]
+        assert out[(None, "D")]["k_violation"]
+
+    def test_k_only_mode_and_validation(self, spark):
+        from datacompy_spark.operators.profile import k_anonymity_audit
+
+        df = spark.createDataFrame(
+            [("a", 1.0)] * 5 + [("b", 2.0)], "g string, v double"
+        )
+        out = k_anonymity_audit(df, ["g"], k=3).collect()
+        assert len(out) == 1 and out[0]["g"] == "b"
+        assert out[0]["n_distinct_sensitive"] is None
+        assert out[0]["l_violation"] is False
+        with pytest.raises(ValueError):
+            k_anonymity_audit(df, [], k=3)
+        with pytest.raises(ValueError):
+            k_anonymity_audit(df, ["g"], k=0)
+        with pytest.raises(ValueError):
+            k_anonymity_audit(df, ["g"], k=3, sensitive_col="v", l=0)
