@@ -559,20 +559,21 @@ from datacompy_spark.queries_pipeline import PIPELINE_ORACLES, PIPELINE_QUERIES 
 # Rebuilt each round (VERDICT r7/r8 rule): the driver's CORRECTNESS sweep
 # samples exactly the FIRST 50 registry names once per round, so the prefix
 # rotates: never-driver-green names lead, then names whose most-recent
-# driver-green row is OLDEST.  Round-10 window: the six round-10
-# registrations (`npmi_collocations`, `mad_outliers`, `events_attribution`,
+# driver-green row is OLDEST.  Round-10 window: the nine round-10
+# registrations (`k_anonymity`, `dsir_weights`, `quantile_drift`,
+# `npmi_collocations`, `mad_outliers`, `events_attribution`,
 # `temperature_mix`, `checksum_diff_by_month`, `ngram_novelty` — never
 # driver-verified) lead, then `dataset_checksum` (its r9 row was red — a
 # DECIMAL(38,0) driver-hash artifact, now fixed by rendering the checksum
 # as a 39-digit string in both twins — so it must re-earn a green row),
 # then the 9 names whose latest green is r7 (the r9 window displaced them
-# past position 50), then 34 of the 50 r8-green names.  The 16 r8-green
-# names that don't fit (positions 51-66) plus the 50 r9-green names fall
+# past position 50), then 31 of the 50 r8-green names.  The 19 r8-green
+# names that don't fit (positions 51-69) plus the 50 r9-green names fall
 # to the tail; all of them carry a fresh in-round local oracle pass
-# (tools/check_oracles.py --unswept and the full verify_all sweeps), and
-# the 16 deferred r8 names MUST lead the r11 window (max driver-evidence
-# age stays ≤2 rounds: 118 names / 50-slot window = 3-round full
-# rotation).
+# (full 117-name sweeps at sf0.01 AND sf0.1 this session, plus
+# check_oracles --unswept), and the deferred r8 names MUST lead the r11
+# window (max driver-evidence age stays ≤2 rounds: 118 names / 50-slot
+# window = 3-round full rotation).
 _SWEEP_FIRST = [
     # registered new in round 10 — never driver-verified, leads
     "k_anonymity",
@@ -631,14 +632,16 @@ _SWEEP_FIRST = [
     "line_dedup",
     "events_json_props",
     "json_key_profile",
+    # ---- position 51+: deferred to the r11 window head ----
+    # r8-green names that did not fit this round's 50 slots (the seven
+    # round-10 registrations above displaced events_anomaly..
+    # leakage_split_fuzzy here); every one is locally oracle-verified
+    # this round (full 117-name sweeps at sf0.01 AND sf0.1 were green
+    # this session, k_anonymity checked at both SFs separately) and must
+    # lead _SWEEP_FIRST in r11
     "events_anomaly",
     "events_transitions",
     "corpus_normalize",
-    # ---- position 51+: deferred to the r11 window head ----
-    # r8-green names that did not fit this round's 50 slots (the four
-    # round-10 additions above displaced leakage_split..leakage_split_fuzzy
-    # here); every one is locally oracle-verified this round and must lead
-    # _SWEEP_FIRST in r11
     "leakage_split",
     "kmeans_assign",
     "cluster_sample",
