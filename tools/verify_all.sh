@@ -36,7 +36,10 @@ SPARK_GRAFT_CPUS=2 SPARK_GRAFT_SHUFFLE_PARTITIONS=4 \
     python tools/check_oracles.py /root/testdata/sf0.01
 
 echo "=== 6/7 plan audit ==="
-python tools/plan_audit.py --write
+# sf0.01 = the correctness-gate scale and the provenance of the committed
+# PLANS.md (the sf0.001 default can flip a join strategy on tiny stats and
+# churn the committed file)
+python tools/plan_audit.py /root/testdata/sf0.01 --write
 
 echo "=== 7/7 bench ==="
 python bench.py
