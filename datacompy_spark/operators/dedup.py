@@ -2240,3 +2240,60 @@ def edit_distance_pairs(
         .filter(F.col("dist") >= 0)
         .select("id_a", "id_b", "dist")
     )
+
+
+def knn_jaccard_graph(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    k: int = 5,
+    n: int = 3,
+    threshold: float = 0.2,
+    direct_block_cap: int = 1000,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Document kNN graph by exact character-n-gram Jaccard: each
+    document's top-``k`` most similar neighbors among the ≥ ``threshold``
+    pairs — the similarity graph that clustering, SemDedup-style pruning
+    and "show me near-duplicates of this doc" review tooling consume,
+    where the dedup operators only need a verdict.
+
+    Reuses :func:`ngram_jaccard_pairs` wholesale (adaptive direct /
+    PPJoin-prefix routing per block, so the pair stage never goes
+    all-pairs on an oversized block); the symmetric closure is a
+    column-swap union (pairs are emitted once with ``id_a < id_b``), and
+    the top-k is one hash-shuffle window with Spark's WindowGroupLimit
+    pushing the rank filter into the sort — O(k) memory per task however
+    hot a document's candidate list is. Documents with fewer than ``k``
+    neighbors at the threshold emit fewer rows; documents with none emit
+    no row (raise ``k``/lower ``threshold`` for denser graphs).
+
+    Output ``(src, dst, jaccard, knn_rank)`` with rank 1..k by
+    (jaccard DESC, dst ASC) — the tiebreak makes the graph deterministic
+    under any partitioning.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from datacompy_spark.operators.analytics import top_k_per_group
+
+    pairs = ngram_jaccard_pairs(
+        df,
+        id_col,
+        text_col,
+        block_col,
+        n=n,
+        threshold=threshold,
+        direct_block_cap=direct_block_cap,
+        checkpoint_dir=checkpoint_dir,
+    )
+    sym = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "jaccard"
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("src"), F.col("id_a").alias("dst"), "jaccard"
+        )
+    )
+    return top_k_per_group(
+        sym, ["src"], "jaccard", k, ascending=False, tiebreak=["dst"]
+    ).withColumnRenamed("rank", "knn_rank")

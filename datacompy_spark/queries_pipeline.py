@@ -3598,6 +3598,53 @@ SELECT c_nationkey, c_mktsegment, c_zip_bucket, n_rows,
 FROM groups WHERE n_rows < 10 OR n_distinct_sensitive < 8"""
 
 
+def q_knn_jaccard_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document kNN graph: top-3 neighbors per doc by exact char-3-gram
+    Jaccard ≥ 0.2 within (lang, length/50) blocks
+    (operators/dedup.py::knn_jaccard_graph — ngram_jaccard_pairs' adaptive
+    direct/PPJoin pair stage + a WindowGroupLimit top-k, O(k) memory per
+    task)."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "block", F.concat_ws("#", F.col("lang"), F.expr("n_chars div 50"))
+    )
+    return D.knn_jaccard_graph(
+        docs, "doc_id", "text", "block", k=3, n=3, threshold=0.2
+    )
+
+
+def _sql_knn_jaccard_graph() -> str:
+    grams = (
+        f"list_transform({H.char_ngrams_sql(TX.normalize_sql('text'), 3)},"
+        f" g -> {H.md5_long_sql('g')})"
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang || '#' || (n_chars // 50)::VARCHAR AS block, {grams} AS grams
+  FROM documents),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    len(list_intersect(a.grams, b.grams))::DOUBLE /
+    (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))::DOUBLE
+      AS jaccard
+  FROM base a JOIN base b ON a.block = b.block AND a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
+    (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))::DOUBLE
+      >= 0.2::DOUBLE),
+sym AS (
+  SELECT id_a AS src, id_b AS dst, jaccard FROM pairs
+  UNION ALL
+  SELECT id_b, id_a, jaccard FROM pairs),
+ranked AS (
+  SELECT src, dst, jaccard,
+    row_number() OVER (PARTITION BY src
+                       ORDER BY jaccard DESC, dst ASC)::INT AS knn_rank
+  FROM sym)
+SELECT src, dst, jaccard, knn_rank FROM ranked WHERE knn_rank <= 3"""
+
+
+SQL_KNN_JACCARD_GRAPH = _sql_knn_jaccard_graph()
+
+
 PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -3710,6 +3757,7 @@ PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_weights": q_dsir_weights,
     "quantile_drift": q_quantile_drift,
     "k_anonymity": q_k_anonymity,
+    "knn_jaccard_graph": q_knn_jaccard_graph,
 }
 
 PIPELINE_ORACLES: Dict[str, str] = {
@@ -3821,4 +3869,5 @@ PIPELINE_ORACLES: Dict[str, str] = {
     "dsir_weights": SQL_DSIR_WEIGHTS,
     "quantile_drift": SQL_QUANTILE_DRIFT,
     "k_anonymity": SQL_K_ANONYMITY,
+    "knn_jaccard_graph": SQL_KNN_JACCARD_GRAPH,
 }

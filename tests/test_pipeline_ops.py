@@ -2776,3 +2776,40 @@ class TestDsirWeights:
         df = spark.createDataFrame([(1, "a")], "doc_id bigint, text string")
         with pytest.raises(ValueError):
             TO.dsir_weights(df, df, "doc_id", "text", alpha=0.0)
+
+
+class TestKnnJaccardGraph:
+    def test_top_k_neighbors_ranked(self, spark):
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),   # identical to 1
+            (3, "the quick brown fox jumps over the lazy cat"),   # near 1/2
+            (4, "completely different text about spark engines"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string").withColumn(
+            "block", F.lit("b")
+        )
+        out = D.knn_jaccard_graph(df, "doc_id", "text", "block", k=2, threshold=0.2)
+        g = {}
+        for r in out.collect():
+            g.setdefault(r["src"], []).append((r["knn_rank"], r["dst"], r["jaccard"]))
+        # doc 1's best neighbor is its identical twin, jaccard exactly 1.0
+        assert sorted(g[1])[0] == (1, 2, 1.0)
+        # the graph is symmetric: 2's best neighbor is 1
+        assert sorted(g[2])[0] == (1, 1, 1.0)
+        # the off-topic doc has no neighbors at the threshold
+        assert 4 not in g
+        # nobody exceeds k rows
+        assert all(len(v) <= 2 for v in g.values())
+
+    def test_partitioning_invariant_and_validation(self, spark):
+        rows = [(i, f"shared common prefix text variant {i % 3}") for i in range(12)]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string").withColumn(
+            "block", F.lit("b")
+        )
+        a = sorted(map(tuple, D.knn_jaccard_graph(df, "doc_id", "text", "block", k=2).collect()))
+        b = sorted(map(tuple, D.knn_jaccard_graph(
+            df.repartition(7), "doc_id", "text", "block", k=2).collect()))
+        assert a == b
+        with pytest.raises(ValueError):
+            D.knn_jaccard_graph(df, "doc_id", "text", "block", k=0)
