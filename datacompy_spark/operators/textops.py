@@ -2730,3 +2730,80 @@ SELECT tr.doc_id,
   coalesce(per.n_tokens, 0)::BIGINT AS n_tokens,
   coalesce(per.logratio_q, 0)::BIGINT AS logratio_q
 FROM (SELECT DISTINCT doc_id FROM tr) tr LEFT JOIN per USING (doc_id)"""
+
+
+def char_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Character-level Shannon entropy of each document's NORMALIZED text
+    (the shared 37-symbol a-z/0-9/space alphabet) — the gibberish /
+    binary-spill / key-dump detector that length and repetition metrics
+    miss: natural language sits in a band (~2.9–4.2 bits/char), random
+    base64 pins the top, and a page of one repeated character pins the
+    bottom. The standard cheap quality gate next to
+    :func:`quality_metrics` and ``repetition_metrics``.
+
+    H = −Σ (c_i/n)·log2(c_i/n) over per-document character counts. The
+    per-(doc, char) term is quantized to 1e-9 integer units BEFORE the
+    per-doc fold (the :func:`dsir_weights` rule: float addition is
+    order-dependent across partitionings, integer addition is not), so
+    ``entropy_q`` is exact under any layout. Zero-length normalized text
+    keeps a row with ``entropy_q`` NULL via the id spine.
+
+    Scale shape: the per-char explode is corpus-byte-bound and folds
+    map-side into ≤37 rows per document before the shuffle; the per-doc
+    fold is one doc_id shuffle; no joins except the spine's.
+
+    Output ``(doc_id, n_chars_norm, entropy_q)``.
+    """
+    from datacompy_spark.functions.text import normalize
+
+    chars = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(normalize(F.col(text_col)), "")).alias("ch"),
+    ).filter(F.col("ch") != "")
+    per_char = chars.groupBy("doc_id", "ch").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    from pyspark.sql import Window
+
+    n = F.sum("c").over(Window.partitionBy("doc_id"))
+    p = F.col("c").cast("double") / n.cast("double")
+    term_q = F.floor(-p * F.log2(p) * F.lit(1_000_000_000.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    per_doc = (
+        per_char.select("doc_id", F.col("c"), term_q.alias("tq"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_chars_norm"),
+            F.sum("tq").cast("long").alias("entropy_q"),
+        )
+    )
+    spine = df.select(F.col(id_col).alias("doc_id")).distinct()
+    return spine.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_chars_norm", F.lit(0)).cast("long").alias("n_chars_norm"),
+        "entropy_q",
+    )
+
+
+def char_entropy_sql(table: str, id_col: str, text_col: str) -> str:
+    """DuckDB twin of :func:`char_entropy`."""
+    from datacompy_spark.functions.text import normalize_sql
+
+    return f"""
+WITH chars AS (
+  SELECT {id_col} AS doc_id, unnest(string_split({normalize_sql(text_col)}, '')) AS ch
+  FROM {table}),
+pc AS (
+  SELECT doc_id, ch, count(*) AS c FROM chars WHERE ch <> '' GROUP BY 1, 2),
+pn AS (
+  SELECT doc_id, c, sum(c) OVER (PARTITION BY doc_id) AS n FROM pc),
+pd AS (
+  SELECT doc_id, sum(c)::BIGINT AS n_chars_norm,
+    sum(floor(-(c::DOUBLE / n::DOUBLE) * log2(c::DOUBLE / n::DOUBLE)
+              * 1000000000.0 + 0.5)::BIGINT)::BIGINT AS entropy_q
+  FROM pn GROUP BY doc_id)
+SELECT s.doc_id, coalesce(pd.n_chars_norm, 0)::BIGINT AS n_chars_norm,
+       pd.entropy_q
+FROM (SELECT DISTINCT {id_col} AS doc_id FROM {table}) s
+LEFT JOIN pd USING (doc_id)"""

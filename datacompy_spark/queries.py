@@ -559,16 +559,16 @@ from datacompy_spark.queries_pipeline import PIPELINE_ORACLES, PIPELINE_QUERIES 
 # Rebuilt each round (VERDICT r7/r8 rule): the driver's CORRECTNESS sweep
 # samples exactly the FIRST 50 registry names once per round, so the prefix
 # rotates: never-driver-green names lead, then names whose most-recent
-# driver-green row is OLDEST.  Round-10 window: the ten round-10
-# registrations (`knn_jaccard_graph`, `k_anonymity`, `dsir_weights`, `quantile_drift`,
+# driver-green row is OLDEST.  Round-10 window: the eleven round-10
+# registrations (`char_entropy`, `knn_jaccard_graph`, `k_anonymity`, `dsir_weights`, `quantile_drift`,
 # `npmi_collocations`, `mad_outliers`, `events_attribution`,
 # `temperature_mix`, `checksum_diff_by_month`, `ngram_novelty` — never
 # driver-verified) lead, then `dataset_checksum` (its r9 row was red — a
 # DECIMAL(38,0) driver-hash artifact, now fixed by rendering the checksum
 # as a 39-digit string in both twins — so it must re-earn a green row),
 # then the 9 names whose latest green is r7 (the r9 window displaced them
-# past position 50), then 30 of the 50 r8-green names.  The 20 r8-green
-# names that don't fit (positions 51-70) plus the 50 r9-green names fall
+# past position 50), then 29 of the 50 r8-green names.  The 21 r8-green
+# names that don't fit (positions 51-71) plus the 50 r9-green names fall
 # to the tail; all of them carry a fresh in-round local oracle pass
 # (full 117-name sweeps at sf0.01 AND sf0.1 this session, plus
 # check_oracles --unswept), and the deferred r8 names MUST lead the r11
@@ -576,6 +576,7 @@ from datacompy_spark.queries_pipeline import PIPELINE_ORACLES, PIPELINE_QUERIES 
 # window = 3-round full rotation).
 _SWEEP_FIRST = [
     # registered new in round 10 — never driver-verified, leads
+    "char_entropy",
     "knn_jaccard_graph",
     "k_anonymity",
     "dsir_weights",

@@ -3645,6 +3645,18 @@ SELECT src, dst, jaccard, knn_rank FROM ranked WHERE knn_rank <= 3"""
 SQL_KNN_JACCARD_GRAPH = _sql_knn_jaccard_graph()
 
 
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-level Shannon entropy over the normalized
+    alphabet (operators/textops.py::char_entropy — per-(doc,char) term
+    quantized to 1e-9 ints before the per-doc fold, so the sum is exact
+    under any partitioning; the gibberish/binary-spill quality gate)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TO.char_entropy(docs, "doc_id", "text")
+
+
+SQL_CHAR_ENTROPY = TO.char_entropy_sql("documents", "doc_id", "text")
+
+
 PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -3758,6 +3770,7 @@ PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantile_drift": q_quantile_drift,
     "k_anonymity": q_k_anonymity,
     "knn_jaccard_graph": q_knn_jaccard_graph,
+    "char_entropy": q_char_entropy,
 }
 
 PIPELINE_ORACLES: Dict[str, str] = {
@@ -3870,4 +3883,5 @@ PIPELINE_ORACLES: Dict[str, str] = {
     "quantile_drift": SQL_QUANTILE_DRIFT,
     "k_anonymity": SQL_K_ANONYMITY,
     "knn_jaccard_graph": SQL_KNN_JACCARD_GRAPH,
+    "char_entropy": SQL_CHAR_ENTROPY,
 }

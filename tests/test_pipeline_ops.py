@@ -2813,3 +2813,30 @@ class TestKnnJaccardGraph:
         assert a == b
         with pytest.raises(ValueError):
             D.knn_jaccard_graph(df, "doc_id", "text", "block", k=0)
+
+
+class TestCharEntropy:
+    def test_entropy_bands(self, spark):
+        rows = [
+            (1, "aaaaaaaaaaaaaaaaaaaa"),        # one symbol: entropy 0
+            (2, "abababababababababab"),        # two equiprobable: exactly 1 bit
+            (3, "the quick brown fox jumps over the lazy dog"),  # natural text
+            (4, None),                           # NULL text: spine row, NULL score
+            (5, ""),                             # empty: 0 chars, NULL score
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        out = {r["doc_id"]: r for r in TO.char_entropy(df, "doc_id", "text").collect()}
+        assert out[1]["entropy_q"] == 0
+        assert out[2]["entropy_q"] == 1_000_000_000  # exactly 1.0 bit/char
+        assert 3_000_000_000 < out[3]["entropy_q"] < 4_500_000_000  # natural band
+        assert out[4]["n_chars_norm"] == 0 and out[4]["entropy_q"] is None
+        assert out[5]["entropy_q"] is None
+        assert len(out) == 5
+
+    def test_partitioning_invariant(self, spark):
+        rows = [(i, f"some shared text body variant {i % 4} with words") for i in range(24)]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        a = {r["doc_id"]: r["entropy_q"] for r in TO.char_entropy(df, "doc_id", "text").collect()}
+        b = {r["doc_id"]: r["entropy_q"] for r in TO.char_entropy(
+            df.repartition(7), "doc_id", "text").collect()}
+        assert a == b  # integer fold: no float-order dependence
