@@ -572,7 +572,7 @@ from datacompy_spark.queries_pipeline import PIPELINE_ORACLES, PIPELINE_QUERIES 
 # to the tail; all of them carry a fresh in-round local oracle pass
 # (full 117-name sweeps at sf0.01 AND sf0.1 this session, plus
 # check_oracles --unswept), and the deferred r8 names MUST lead the r11
-# window (max driver-evidence age stays ≤2 rounds: 118 names / 50-slot
+# window (max driver-evidence age stays ≤2 rounds: 120 names / 50-slot
 # window = 3-round full rotation).
 _SWEEP_FIRST = [
     # registered new in round 10 — never driver-verified, leads
