@@ -632,9 +632,9 @@ _SWEEP_FIRST = [
     "shard_corpus",
     "dedup_semantic",
     "line_dedup",
+    # ---- position 51+: deferred to the r11 window head ----
     "events_json_props",
     "json_key_profile",
-    # ---- position 51+: deferred to the r11 window head ----
     # r8-green names that did not fit this round's 50 slots (the seven
     # round-10 registrations above displaced events_anomaly..
     # leakage_split_fuzzy here); every one is locally oracle-verified
