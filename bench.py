@@ -20,12 +20,16 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def _trailing_medians(sf, here=None) -> dict:
+def _trailing_medians(sf, here=None, key="queries") -> dict:
     """Per-query medians over the last 3 rounds' driver-recorded bench
     files AT THE SAME SCALE FACTOR — the reference point for the
     outlier-replay pass (timings from a different SF would make every
     query look like an outlier, or hide real ones). ``here`` overrides
-    the BENCH_r*.json directory (tests feed a fixture dir)."""
+    the BENCH_r*.json directory (tests feed a fixture dir); ``key``
+    selects which timing dict to read ("queries" or "gates" — the gate
+    replay pass needs its own history, round-10 lesson: the knn_recall
+    gate recorded 21.94 s in a VM-pressure window with no in-record
+    exoneration because the replay pass covered only "queries")."""
     import glob
     import statistics
 
@@ -47,7 +51,7 @@ def _trailing_medians(sf, here=None) -> dict:
         # line has "queries" at the top level — accept both (round-9
         # lesson: reading only the top level made medians always {} and
         # the replay pass dead code)
-        q = data.get("queries") or (data.get("parsed") or {}).get("queries") or {}
+        q = data.get(key) or (data.get("parsed") or {}).get(key) or {}
         for k, v in q.items():
             if isinstance(v, (int, float)):
                 hist.setdefault(k, []).append(float(v))
@@ -265,6 +269,31 @@ def main() -> None:
             replayed.append(name)
             timings[name] = round(min(timings[name], again), 4)
             warm[name] = round(again, 4)
+
+    # gate-replay pass (round-10 verdict): gates run at their sweep
+    # position, so a VM-pressure window can inflate BOTH best-of-2
+    # samples (r10: knn_recall recorded 21.94 s vs a 6.76/9.17 s
+    # history, plan unchanged, quiet-machine 7.5-8.0 s) and — unlike
+    # queries — the record carried no exonerating replay. Same
+    # mechanics as the queries pass: any gate whose best-of exceeds
+    # 2× its trailing cross-round median gets one fresh end-of-sweep
+    # sample; the name lands in "replayed" so a surviving slow number
+    # is a real regression, not suspicion.
+    gate_medians = _trailing_medians(sf, key="gates")
+    for name, best in sorted(gates.items()):
+        med = gate_medians.get(name)
+        if best is None or med is None or name not in QUERIES:
+            continue
+        if best > 2.0 * med and best > 1.0:
+            try:
+                t0 = time.perf_counter()
+                QUERIES[name](spark, sf_dir).count()
+                again = time.perf_counter() - t0
+                spark.catalog.clearCache()
+            except Exception:  # noqa: BLE001 — keep the original number
+                continue
+            replayed.append(name)
+            gates[name] = round(min(gates[name], again), 4)
 
     # The driver captures only the last ~2000 chars of stdout and parses the
     # JSON line out of that tail (r3 lesson: a ~2800-char line with the warm

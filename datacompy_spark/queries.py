@@ -559,88 +559,23 @@ from datacompy_spark.queries_pipeline import PIPELINE_ORACLES, PIPELINE_QUERIES 
 # Rebuilt each round (VERDICT r7/r8 rule): the driver's CORRECTNESS sweep
 # samples exactly the FIRST 50 registry names once per round, so the prefix
 # rotates: never-driver-green names lead, then names whose most-recent
-# driver-green row is OLDEST.  Round-10 window: the eleven round-10
-# registrations (`char_entropy`, `knn_jaccard_graph`, `k_anonymity`, `dsir_weights`, `quantile_drift`,
-# `npmi_collocations`, `mad_outliers`, `events_attribution`,
-# `temperature_mix`, `checksum_diff_by_month`, `ngram_novelty` — never
-# driver-verified) lead, then `dataset_checksum` (its r9 row was red — a
-# DECIMAL(38,0) driver-hash artifact, now fixed by rendering the checksum
-# as a 39-digit string in both twins — so it must re-earn a green row),
-# then the 9 names whose latest green is r7 (the r9 window displaced them
-# past position 50), then 29 of the 50 r8-green names.  The 21 r8-green
-# names that don't fit (positions 51-71) plus the 50 r9-green names fall
-# to the tail; all of them carry a fresh in-round local oracle pass
-# (full 117-name sweeps at sf0.01 AND sf0.1 this session, plus
-# check_oracles --unswept), and the deferred r8 names MUST lead the r11
-# window (max driver-evidence age stays ≤2 rounds: 120 names / 50-slot
-# window = 3-round full rotation).
+# driver-green row is OLDEST. The registry holds 120 names and the window
+# 50, so a full rotation takes 3 rounds (the contract is stated in
+# COVERAGE.md; tests/test_entry.py enforces oldest-first against the
+# recorded CORRECTNESS_r*.json history).
+#
+# Round-11 window (r10 sweep was all-green, so ages are clean): the 21
+# names whose newest driver evidence is r8 lead (deferred past position
+# 50 by the r10 window, all judge-replayed green in the r10 verdict
+# session), then 29 of the 49 r9-age names in registry order. The
+# remaining 20 r9-age names (events_range_join .. decontaminate_editdist,
+# tail below) defer to r12 and MUST lead _SWEEP_FIRST then, alongside the
+# oldest r10-age names; every deferred name still gets a fresh in-round
+# local oracle pass via check_oracles --unswept.
 _SWEEP_FIRST = [
-    # registered new in round 10 — never driver-verified, leads
-    "char_entropy",
-    "knn_jaccard_graph",
-    "k_anonymity",
-    "dsir_weights",
-    "quantile_drift",
-    "npmi_collocations",
-    "mad_outliers",
-    "events_attribution",
-    "temperature_mix",
-    "checksum_diff_by_month",
-    "ngram_novelty",
-    # red in r9 (driver-hash artifact, values verified identical at 3 SFs;
-    # fix landed this round) — re-earn the green row first
-    "dataset_checksum",
-    # last driver-green in r7 — oldest evidence, re-earn it this round
-    # (all 9 were judge-replayed green in the r9 verdict session)
-    "knn_int8",
-    "join_cardinality",
-    "chunk_documents",
-    "drift_histogram",
-    "events_missing_periods",
-    "events_multi_rollup",
-    "source_cap",
-    "tfidf_top_terms",
-    "top_parts_per_supplier",
-    # last driver-green in r8 — registry order; the final 12 r8 names
-    # (embedding_health .. drift_ks, see tail comment) defer to r11
-    "cmp_row_classes",
-    "knn_pq",
-    "quality_filter",
-    "hash_split",
-    "pack_sequences",
-    "table_profile",
-    "profile_compare",
-    "stream_compare",
-    "media_features",
-    "profile_quantiles",
-    "schema_compare",
-    "repetition_metrics",
-    "decontaminate",
-    "stratified_sample",
-    "dedup_collapse",
-    "embedding_centroids",
-    "corpus_mix",
-    "events_funnel",
-    "curate_corpus",
-    "cdc_delta",
-    "scd2_history",
-    "embedding_quantize",
-    "knn_recall",
-    "ngram_dup_profile",
-    "fuzzy_key_match",
-    "dedup_incremental",
-    "shard_corpus",
-    "dedup_semantic",
-    "line_dedup",
-    # ---- position 51+: deferred to the r11 window head ----
+    # newest driver evidence r8 — oldest in the registry, re-earn first
     "events_json_props",
     "json_key_profile",
-    # r8-green names that did not fit this round's 50 slots (the seven
-    # round-10 registrations above displaced events_anomaly..
-    # leakage_split_fuzzy here); every one is locally oracle-verified
-    # this round (full 117-name sweeps at sf0.01 AND sf0.1 were green
-    # this session, k_anonymity checked at both SFs separately) and must
-    # lead _SWEEP_FIRST in r11
     "events_anomaly",
     "events_transitions",
     "corpus_normalize",
@@ -660,6 +595,60 @@ _SWEEP_FIRST = [
     "vocab_coverage",
     "html_extract",
     "drift_ks",
+    # newest driver evidence r9 — first 29 of the 49 r9-age names in
+    # registry order fill the window to 50
+    "cmp_column_stats",
+    "cmp_unique_rows",
+    "cmp_all_mismatch",
+    "cmp_matches_summary",
+    "cmp_dupes_by_ordinal",
+    "cmp_string_timestamp_cast",
+    "cmp_bool_numeric",
+    "cmp_array_equal",
+    "cmp_null_keys",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "knn_cosine_bruteforce",
+    "knn_lsh",
+    "text_stats",
+    "lang_id",
+    "token_count",
+    "doc_fingerprint",
+    "events_hourly_rollup",
+    "events_sessionize",
+    "cmp_ignore_flags",
+    "stream_hourly_profile",
+    "knn_ivf",
+    "cmp_rel_tol",
+    "cmp_decimal",
+    "word_frequencies",
+    "events_asof_join",
+    # ---- position 51+: the 20 r9-age names that did not fit this
+    # round's 50 slots — they MUST lead the r12 window (their r9
+    # evidence stays the registry's oldest after the r11 sweep) ----
+    "events_range_join",
+    "dedup_components",
+    "pii_scrub",
+    "cdc_apply",
+    "events_latest_per_user",
+    "key_skew_profile",
+    "sales_by_nation",
+    "events_retention",
+    "ledger_replay",
+    "minhash_index",
+    "gopher_quality",
+    "dup_rate_by_source",
+    "dedup_editdist",
+    "rolling_drift",
+    "quantiles_distributed",
+    "winsorize",
+    "fuzzy_key_editdist",
+    "group_quantiles",
+    "winsorize_by_group",
+    "decontaminate_editdist",
 ]
 
 

@@ -85,6 +85,50 @@ def test_sweep_prefix_names_are_registered(registry):
     assert not unknown, f"_SWEEP_FIRST names not in the registry: {unknown}"
 
 
+def test_sweep_window_is_oldest_evidence_first(registry):
+    """The driver sweeps the FIRST 50 registry names each round, so with a
+    120-name registry a full evidence rotation takes 3 rounds (contract in
+    COVERAGE.md). This pins the rotation invariant mechanically against
+    the recorded history: no name OUTSIDE the 50-name window may carry
+    strictly older driver evidence than any name inside it (never-swept
+    names count as oldest and must lead). Rebuilding _SWEEP_FIRST by hand
+    each round made this a judge-checked convention; now it's a gate."""
+    import glob
+    import json
+    import os
+    import re
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    newest = {}
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"_r(\d+)\.json$", path)
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except Exception:  # noqa: BLE001 — a malformed round file is not this test's bug
+            continue
+        for name, row in rows.items():
+            # green = the driver matched rows and recorded no error (hash
+            # may be absent for the weaker rows-only checks)
+            if isinstance(row, dict) and row.get("rows_match") and not row.get("err"):
+                newest[name] = max(newest.get(name, 0), rnd)
+    if not newest:  # fresh clone without driver artifacts — nothing to pin
+        return
+    names = list(registry)
+    window, tail = names[:50], names[50:]
+    window_max = max(newest.get(n, 0) for n in window)
+    offenders = [
+        f"{n} (evidence r{newest.get(n, 0)} < window max r{window_max})"
+        for n in tail
+        if newest.get(n, 0) < window_max
+    ]
+    assert not offenders, (
+        "sweep window is not oldest-evidence-first — these tail names are "
+        f"older than something in the window: {offenders}"
+    )
+
+
 def test_entry_flagship_runs(spark):
     df = entry.entry(spark)
     assert df.columns
@@ -106,15 +150,21 @@ def test_bench_trailing_medians_reads_driver_shaped_files(tmp_path):
     driver_shaped = {
         "n": 9, "rc": 0, "cpus": 32, "sf": 0.1,
         "parsed": {"metric": "compare_report_sec", "value": 3.4, "sf": 0.1,
-                   "queries": {"compare_report": 3.4, "qx": 1.8}},
+                   "queries": {"compare_report": 3.4, "qx": 1.8},
+                   "gates": {"knn_recall": 6.8}},
     }
     bare_shaped = {"metric": "compare_report_sec", "value": 3.6, "sf": 0.1,
-                   "queries": {"compare_report": 3.6, "qx": 2.0}}
+                   "queries": {"compare_report": 3.6, "qx": 2.0},
+                   "gates": {"knn_recall": 9.2}}
     (tmp_path / "BENCH_r01.json").write_text(_json.dumps(driver_shaped))
     (tmp_path / "BENCH_r02.json").write_text(_json.dumps(bare_shaped))
     med = bench._trailing_medians(0.1, here=str(tmp_path))
     assert med.get("qx") == pytest.approx(1.9)
     assert med.get("compare_report") == pytest.approx(3.5)
+    # gate history reads through the same dual-shape path (round-10
+    # lesson: the gate replay pass is dead without its own medians)
+    gmed = bench._trailing_medians(0.1, here=str(tmp_path), key="gates")
+    assert gmed.get("knn_recall") == pytest.approx(8.0)
     # a different SF must contribute nothing
     assert bench._trailing_medians(0.01, here=str(tmp_path)) == {}
 
@@ -128,6 +178,10 @@ def test_bench_medians_nonempty_on_real_history():
     med = bench._trailing_medians(0.1)
     assert med, "trailing medians empty — replay pass is dead again"
     assert "compare_report" in med
+    gmed = bench._trailing_medians(0.1, key="gates")
+    assert "knn_recall" in gmed, (
+        "gate medians empty — the gate replay pass is dead (r10 lesson)"
+    )
 
 
 def test_coverage_md_header_matches_registry(registry):
