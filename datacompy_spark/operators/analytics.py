@@ -1179,6 +1179,9 @@ def attribution_rollup(
     stream ordered by ``(ts, kind, tiebreak)`` — touches sort BEFORE a
     conversion at the identical timestamp — and one running window
     carries ``first/last non-null touch type`` to each conversion row.
+    ``tiebreak_col`` is required (ValueError otherwise): it totalizes the
+    order of equal-timestamp events so credit is run- and
+    partitioning-independent.
     ONE user-key shuffle for the window, one map-side-combining rollup;
     no self-join, no per-conversion range scan. Conversions with no
     preceding touch fall out of the rollup (untouched conversions are a
@@ -1195,11 +1198,18 @@ def attribution_rollup(
     kinds = list(touch_types)
     if conversion_type in kinds:
         raise ValueError("conversion_type must not appear in touch_types")
-    tb = (
-        F.col(tiebreak_col)
-        if tiebreak_col is not None
-        else F.monotonically_increasing_id()
-    )
+    if tiebreak_col is None:
+        # r10 advice: the old fallback (monotonically_increasing_id) is
+        # partitioning/run-dependent — equal-(ts, kind) events could swap
+        # order across runs and flip first/last-touch credit, breaking
+        # this operator family's determinism contract. Fail loudly
+        # instead of silently returning run-dependent credit.
+        raise ValueError(
+            "tiebreak_col is required: without a total order on "
+            "equal-timestamp events, first/last-touch credit is "
+            "nondeterministic (pass the event id column)"
+        )
+    tb = F.col(tiebreak_col)
     touches = df.filter(F.col(type_col).isin(kinds)).select(
         F.col(user_col).alias("u"),
         F.col(ts_col).alias("t"),

@@ -3558,6 +3558,12 @@ SQL_QUANTILE_DRIFT = (
     )
     + ")\nSELECT prob, q_old, q_new, q_new - q_old AS delta"
     " FROM qo FULL JOIN qn USING (prob)"
+    # r10 advice: quantile_cont over an EMPTY side still emits one row per
+    # probe (all-NULL), but the Spark operator emits no group rows for an
+    # empty side — when BOTH sides are empty the engines would diverge
+    # (len(probs) all-NULL rows vs zero rows). Drop the all-NULL spine so
+    # the twins agree at every scale, including degenerate ones.
+    " WHERE q_old IS NOT NULL OR q_new IS NOT NULL"
 )
 
 

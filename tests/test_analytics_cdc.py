@@ -1392,5 +1392,19 @@ class TestAttribution:
         with _pytest.raises(ValueError):
             attribution_rollup(
                 self._events(spark), "user_id", "ts", "event_type", "value",
-                "purchase", ["purchase", "click"],
+                "purchase", ["purchase", "click"], tiebreak_col="event_id",
+            )
+
+    def test_tiebreak_col_is_required(self, spark):
+        """r10 advice: the old monotonically_increasing_id fallback made
+        first/last-touch credit partitioning-dependent under timestamp
+        ties — the operator must refuse to run nondeterministically."""
+        import pytest as _pytest
+
+        from datacompy_spark.operators.analytics import attribution_rollup
+
+        with _pytest.raises(ValueError, match="tiebreak_col"):
+            attribution_rollup(
+                self._events(spark), "user_id", "ts", "event_type", "value",
+                "purchase", ["click", "view", "signup"],
             )
