@@ -308,6 +308,33 @@ def build_parser() -> argparse.ArgumentParser:
         help="with --mad-outliers: the sigma-equivalent threshold "
         "multiplier (default 3.0)",
     )
+    pr.add_argument(
+        "--k-anonymity", metavar="QUASI_COLS",
+        help="privacy-audit mode: comma-separated quasi-identifier "
+        "columns; prints every group violating k-anonymity (and, with "
+        "--sensitive, l-diversity) — the pre-release re-identification "
+        "gate. Only violating groups emit, so output stays bounded at "
+        "any input scale",
+    )
+    pr.add_argument(
+        "--sensitive", metavar="COL",
+        help="with --k-anonymity: also audit l-diversity of this "
+        "sensitive column within each quasi group",
+    )
+    pr.add_argument(
+        "--anon-k", type=int, default=5, metavar="K",
+        help="with --k-anonymity: minimum group size (default 5)",
+    )
+    pr.add_argument(
+        "--anon-l", type=int, default=2, metavar="L",
+        help="with --k-anonymity and --sensitive: minimum distinct "
+        "sensitive values per group (default 2)",
+    )
+    pr.add_argument(
+        "--fail-on-violation", action="store_true",
+        help="with --k-anonymity: exit 1 when any group violates (CI / "
+        "release gate)",
+    )
     pr.add_argument("--format", choices=["text", "json"], default="text")
     pr.add_argument("--output", help="also write the result to this file")
     pr.add_argument("--quiet", action="store_true", help="suppress stdout output")
@@ -685,6 +712,19 @@ def build_parser() -> argparse.ArgumentParser:
         "--verdict", metavar="PATH", required=True,
         help="write (doc_id, verdict, keep, split) to PATH as parquet",
     )
+    cu.add_argument(
+        "--dsir", metavar="PATH",
+        help="also score every input doc with DSIR importance weights "
+        "against --eval (the distribution you want more of) and write "
+        "(doc_id, n_tokens, logratio_q) to PATH as parquet — the cheap "
+        "data-selection signal for importance resampling at pretraining "
+        "scale",
+    )
+    cu.add_argument(
+        "--dsir-alpha", type=float, default=1.0, metavar="A",
+        help="with --dsir: add-alpha smoothing of the unigram LMs "
+        "(default 1.0)",
+    )
     cu.add_argument("--quiet", action="store_true", help="suppress the summary line")
     cu.add_argument("--input-format", choices=["csv", "parquet", "json", "jsonl", "orc"])
     cu.add_argument("--delimiter", default=",", help="CSV delimiter")
@@ -1021,6 +1061,46 @@ def run_profile(args) -> int:
                     )
                 )
             return 1 if (args.fail_on_bad and n_bad > 0) else 0
+        if args.k_anonymity:
+            if args.compare_to or args.ks or args.quantiles or args.mad_outliers:
+                raise CLIError(
+                    "--k-anonymity cannot combine with "
+                    "--compare-to/--ks/--quantiles/--mad-outliers"
+                )
+            from datacompy_spark.operators.profile import k_anonymity_audit
+
+            kwargs = {"delimiter": args.delimiter} if args.input_format == "csv" else {}
+            try:
+                df = load(spark, args.input, fmt=args.input_format, **kwargs)
+            except Exception as ex:
+                raise CLIError(f"failed to load input: {ex}") from ex
+            quasi = [c.strip() for c in args.k_anonymity.split(",") if c.strip()]
+            if not quasi:
+                raise CLIError("--k-anonymity needs at least one quasi column")
+            bad = [c for c in quasi if c not in df.columns]
+            if bad:
+                raise CLIError(f"--k-anonymity columns not found in input: {bad}")
+            if args.sensitive and args.sensitive not in df.columns:
+                raise CLIError(f"--sensitive column not found in input: {args.sensitive}")
+            try:
+                out = k_anonymity_audit(
+                    df, quasi, k=args.anon_k,
+                    sensitive_col=args.sensitive, l=args.anon_l,
+                )
+                rows = out.toPandas().sort_values(quasi, ignore_index=True)
+            except Exception as ex:
+                raise CLIError(str(ex)) from ex
+            rendered = (
+                rows.to_json(orient="records", indent=2)
+                if args.format == "json"
+                else rows.to_string(index=False)
+            )
+            if args.output:
+                with open(args.output, "w") as fh:
+                    fh.write(rendered + "\n")
+            if not args.quiet:
+                print(rendered)
+            return 1 if (args.fail_on_violation and len(rows) > 0) else 0
         if args.mad_outliers:
             if args.compare_to or args.ks or args.quantiles:
                 raise CLIError(
@@ -2079,21 +2159,33 @@ def run_curate(args) -> int:
                 .count()
                 .collect()
             }
+            n_dsir = None
+            if args.dsir:
+                from datacompy_spark.operators.textops import dsir_weights
+                from datacompy_spark.plans.cache import release_caches
+
+                weights = dsir_weights(
+                    df, ev, args.id_col, args.text_col,
+                    alpha=args.dsir_alpha,
+                )
+                weights.write.mode("overwrite").parquet(args.dsir)
+                release_caches()
+                n_dsir = spark.read.parquet(args.dsir).count()
         except CLIError:
             raise
         except Exception as ex:
             raise CLIError(str(ex)) from ex
         if not args.quiet:
-            print(
-                json.dumps(
-                    {
-                        "n_docs": sum(counts.values()),
-                        "verdicts": counts,
-                        "splits": splits,
-                        "verdict": args.verdict,
-                    }
-                )
-            )
+            summary = {
+                "n_docs": sum(counts.values()),
+                "verdicts": counts,
+                "splits": splits,
+                "verdict": args.verdict,
+            }
+            if args.dsir:
+                summary["dsir"] = args.dsir
+                summary["n_dsir"] = n_dsir
+            print(json.dumps(summary))
         return 0
     finally:
         if created:

@@ -1048,3 +1048,56 @@ class TestProfileMadOutliers:
                      "--mad-k", "0"]) == 2
         assert main(["profile", "--input", p, "--mad-outliers", "v",
                      "--quantiles", "0.5"]) == 2
+
+
+class TestProfileKAnonymity:
+    def _table(self, spark, tmp_path):
+        p = str(tmp_path / "ka.parquet")
+        rows = (
+            # group (US, a): 6 rows, 3 distinct salaries — passes k=5/l=2
+            [("US", "a", float(s)) for s in (10, 10, 20, 20, 30, 30)]
+            # group (US, b): 2 rows — k violation
+            + [("US", "b", 40.0), ("US", "b", 50.0)]
+            # group (CA, a): 5 rows all same salary — l violation only
+            + [("CA", "a", 60.0)] * 5
+        )
+        spark.createDataFrame(rows, "country string, tier string, salary double").write.parquet(p)
+        return p
+
+    def test_violations_and_gate(self, tmp_path, capsys, spark):
+        import json as _json
+
+        p = self._table(spark, tmp_path)
+        rc = main([
+            "profile", "--input", p, "--k-anonymity", "country,tier",
+            "--sensitive", "salary", "--anon-k", "5", "--anon-l", "2",
+            "--format", "json",
+        ])
+        assert rc == 0  # violations print but don't gate without the flag
+        out = {(r["country"], r["tier"]): r for r in _json.loads(capsys.readouterr().out)}
+        assert set(out) == {("US", "b"), ("CA", "a")}
+        assert out[("US", "b")]["k_violation"] is True
+        assert out[("CA", "a")]["k_violation"] is False
+        assert out[("CA", "a")]["l_violation"] is True
+        # CI gate: violations → exit 1
+        assert main([
+            "profile", "--input", p, "--k-anonymity", "country,tier",
+            "--sensitive", "salary", "--anon-k", "5",
+            "--fail-on-violation", "--quiet",
+        ]) == 1
+        # clean audit gates 0: k=2 without l-diversity has no violations
+        capsys.readouterr()
+        assert main([
+            "profile", "--input", p, "--k-anonymity", "country,tier",
+            "--anon-k", "2", "--fail-on-violation", "--quiet",
+        ]) == 0
+
+    def test_validation(self, tmp_path, capsys, spark):
+        p = self._table(spark, tmp_path)
+        assert main(["profile", "--input", p, "--k-anonymity", "nope"]) == 2
+        assert main(["profile", "--input", p, "--k-anonymity", "country",
+                     "--sensitive", "nope"]) == 2
+        assert main(["profile", "--input", p, "--k-anonymity", "country",
+                     "--anon-k", "0"]) == 2
+        assert main(["profile", "--input", p, "--k-anonymity", "country",
+                     "--mad-outliers", "salary"]) == 2

@@ -173,6 +173,30 @@ class TestCliCurate:
                    "--val-pct", "20"])
         assert rc == 2
 
+    def test_dsir_weights_export(self, spark, tmp_path, capsys):
+        """--dsir scores every input doc against --eval; docs that read
+        like the eval set rank higher than off-domain ones."""
+        docs_p = str(tmp_path / "docs.parquet")
+        eval_p = str(tmp_path / "eval.parquet")
+        on_domain = "physics energy momentum quantum field theory lattice"
+        off_domain = "recipe butter sugar flour oven whisk batter frosting"
+        spark.createDataFrame(
+            [Row(doc_id=1, text=on_domain), Row(doc_id=2, text=off_domain)]
+        ).write.parquet(docs_p)
+        spark.createDataFrame(
+            [Row(doc_id=9, text="quantum field theory of lattice physics")]
+        ).write.parquet(eval_p)
+
+        verdict, dsir = str(tmp_path / "verdict"), str(tmp_path / "dsir")
+        rc = main(["curate", "--input", docs_p, "--eval", eval_p,
+                   "--verdict", verdict, "--dsir", dsir])
+        assert rc == 0
+        summary = json.loads(capsys.readouterr().out.strip())
+        assert summary["dsir"] == dsir and summary["n_dsir"] == 2
+        w = {r["doc_id"]: r["logratio_q"] for r in spark.read.parquet(dsir).collect()}
+        assert set(w) == {1, 2}
+        assert w[1] > w[2]  # eval-like doc carries the higher weight
+
 
 class TestCliCluster:
     def test_assignments_centroids_and_cap(self, spark, tmp_path, capsys):
