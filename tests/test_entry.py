@@ -72,6 +72,37 @@ def test_no_wide_decimal_output_columns(spark, sf_dir, registry):
     )
 
 
+def test_no_ntz_timestamp_output_columns(spark, sf_dir, registry):
+    """Twin gate of the wide-DECIMAL rule for the other timestamp-shaped
+    driver-hash hazard: TIMESTAMP_NTZ output means a query loaded data
+    around the source boundary (loaders normalize NTZ→TIMESTAMP under the
+    fixed UTC session tz; r7's NTZ/session-tz lesson) — the two pandas
+    paths then disagree on the wall-clock value.
+
+    Deliberately NOT banned: sub-second TIMESTAMP values. Probed at
+    sf0.001 this round: `events_asof_join` and `events_latest_per_user`
+    pass through full microsecond event timestamps and both hold green
+    driver rows — micros (Spark's max precision) round-trip exactly
+    through pandas datetime64[ns] on BOTH engines, so precision itself is
+    not the hazard; only a timestamp CONSTRUCTED differently by the two
+    engines is, and that is exactly what the per-query value hash already
+    catches."""
+    from pyspark.sql.types import TimestampNTZType
+
+    ntz_offenders = {}
+    for name, q in registry.items():
+        ntz = [
+            f.name for f in q(spark, sf_dir).schema.fields
+            if isinstance(f.dataType, TimestampNTZType)
+        ]
+        if ntz:
+            ntz_offenders[name] = ntz
+    assert not ntz_offenders, (
+        f"queries() emit TIMESTAMP_NTZ columns (loader normalization "
+        f"bypassed — driver-hash hazard): {ntz_offenders}"
+    )
+
+
 def test_oracle_sql_covers_every_query(registry):
     oracles = entry.oracle_sql()
     missing = [n for n in registry if n not in oracles]
