@@ -177,6 +177,26 @@ def main() -> None:
     gates = {}
     spark.catalog.clearCache()
     sc = spark.sparkContext
+
+    # VM-noise sentinel: a FIXED CPU-bound job (no I/O, no shuffle, no
+    # cache) timed at sweep start / every 40 queries / sweep end. On a
+    # healthy machine every sample lands in the same narrow band; in a
+    # shared-VM pressure window the sentinel inflates with everything
+    # else. Carried in the driver-recorded line ("noise": [...]) so a
+    # slow query number co-occurring with an inflated sentinel is
+    # attributable INSIDE the driver artifact — r9/r10 attributed noise
+    # via cross-round medians and quiet-machine re-runs; this is the
+    # in-record instrument.
+    def _noise_probe() -> float:
+        sc.setJobGroup("noise-probe", "VM pressure sentinel")
+        t0 = time.perf_counter()
+        spark.range(0, 50_000_000, 1, int(cpus)).selectExpr(
+            "sum(hash(id)) AS h"
+        ).collect()
+        return round(time.perf_counter() - t0, 3)
+
+    _noise_probe()  # unrecorded: first call pays this expression's codegen (~3 s)
+    noise = [_noise_probe()]
     stage_counts: dict = {}  # per-query stage totals → BENCH_DETAIL, so a
     # stall window in a 3000+-stage shared session is attributable to the
     # query that actually ran the stages (r9: Stage 3289 by sweep end, and
@@ -203,6 +223,8 @@ def main() -> None:
                 sc._jvm.System.gc()
             except Exception:  # noqa: BLE001
                 pass
+        if qi and qi % 40 == 0:
+            noise.append(_noise_probe())
 
         def once() -> float:
             sc.setJobGroup(name, name)
@@ -295,6 +317,8 @@ def main() -> None:
             replayed.append(name)
             gates[name] = round(min(gates[name], again), 4)
 
+    noise.append(_noise_probe())  # end-of-sweep sentinel sample
+
     # The driver captures only the last ~2000 chars of stdout and parses the
     # JSON line out of that tail (r3 lesson: a ~2800-char line with the warm
     # timings inlined made the driver record parsed=null even at rc=0).
@@ -309,6 +333,7 @@ def main() -> None:
             "queries": compact,
             "gates": {k: (round(v, 2) if v is not None else None) for k, v in gates.items()},
             "replayed": replayed,
+            "noise": noise,
             "sf": sf,
         },
         separators=(",", ":"),
@@ -317,8 +342,9 @@ def main() -> None:
     with open(detail_path, "w") as fh:
         json.dump(
             {"queries": timings, "queries_warm": warm, "gates": gates,
-             "errors": errors, "replayed": replayed, "sf": sf,
-             "stage_counts": stage_counts, "medians": {k: round(v, 3) for k, v in medians.items()}},
+             "errors": errors, "replayed": replayed, "noise_probe": noise,
+             "sf": sf, "stage_counts": stage_counts,
+             "medians": {k: round(v, 3) for k, v in medians.items()}},
             fh,
             indent=1,
         )
@@ -331,6 +357,7 @@ def main() -> None:
                 "queries": q,
                 "gates": {k: (round(v, 2) if v is not None else None) for k, v in gates.items()},
                 "replayed": replayed,
+                "noise": noise,
                 "sf": sf,
             },
             separators=(",", ":"),
