@@ -6,11 +6,9 @@ Thin DataFrame wrappers around ``datacompy_spark.functions.text`` /
 
 from __future__ import annotations
 
-from functools import reduce
-from operator import add
 from typing import Dict
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from datacompy_spark.functions.hashing import char_ngrams
@@ -2748,60 +2746,53 @@ def char_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     per-doc fold (the :func:`dsir_weights` rule: float addition is
     order-dependent across partitionings, integer addition is not), so
     ``entropy_q`` is exact under any layout. Zero-length normalized text
-    keeps a row with ``entropy_q`` NULL.
+    keeps a row with ``entropy_q`` NULL via the id spine.
 
-    Scale shape (round-10 verdict item — no per-character explode): the
-    alphabet is FIXED at 37 symbols, so each row's per-symbol counts are
-    37 in-plan ``length(s) − length(replace(s, ch, ''))`` projections —
-    pure whole-stage-codegen string scans, ZERO row inflation on a
-    corpus-byte-bound input (the previous explode emitted one row per
-    character before its map-side fold). Counts then fold per doc_id in
-    ONE map-side-combining shuffle of 37 longs per row (pooling rows that
-    share an id, which also supplies the id spine), and the entropy terms
-    derive from the summed counts as a projection. One exchange total; no
-    joins; the old plan's 2 exchanges + spine join and its per-char
-    Generate are gone.
+    Scale shape — the explode IS the fast path, measured (r11): the
+    per-char ``explode`` folds map-side into ≤37 rows per document
+    INSIDE its own stage (exploded rows never reach the network), and
+    whole-stage-codegen Generate + partial HashAggregate outpaces the
+    explode-free alternative — 37 in-plan
+    ``length(s) − length(replace(s, ch, ''))`` projections — by ~3× per
+    corpus byte, because each ``replace`` rebuilds the string: on 212M
+    normalized chars (80k docs × ~2.6 KB), explode 0.66 s vs projection
+    1.91 s on local[32]; same ordering at ×1. The projection variant's
+    prettier plan (1 exchange, no join, no Generate) buys nothing — the
+    2 post-fold exchanges here carry ≤37 rows/doc, not corpus bytes. The
+    r10 hypothesis that the explode dominates at 100 TB is refuted by
+    measurement; both variants and the A/B live in SCALING.md r11.
 
     Output ``(doc_id, n_chars_norm, entropy_q)``.
     """
     from datacompy_spark.functions.text import normalize
 
-    alphabet = "abcdefghijklmnopqrstuvwxyz0123456789 "
-    norm = normalize(F.col(text_col))
-    n_row = F.length(norm)  # normalize() emits ONLY the 37-symbol alphabet
-    counts = df.select(
+    chars = df.select(
         F.col(id_col).alias("doc_id"),
-        *[
-            F.coalesce(  # NULL text counts as zero of every symbol
-                n_row - F.length(F.replace(norm, F.lit(ch), F.lit(""))),
-                F.lit(0),
-            )
-            .cast("long")
-            .alias(f"__c{i}")
-            for i, ch in enumerate(alphabet)
-        ],
+        F.explode(F.split(normalize(F.col(text_col)), "")).alias("ch"),
+    ).filter(F.col("ch") != "")
+    per_char = chars.groupBy("doc_id", "ch").agg(
+        F.count(F.lit(1)).alias("c")
     )
-    summed = counts.groupBy("doc_id").agg(
-        *[F.sum(f"__c{i}").alias(f"__c{i}") for i in range(len(alphabet))]
-    )
-    n = reduce(add, [F.col(f"__c{i}") for i in range(len(alphabet))])
+    from pyspark.sql import Window
 
-    def term_q(c: Column) -> Column:
-        p = c.cast("double") / n.cast("double")
-        return F.when(
-            c > 0,
-            F.floor(-p * F.log2(p) * F.lit(1_000_000_000.0) + F.lit(0.5)).cast(
-                "long"
-            ),
-        ).otherwise(F.lit(0).cast("long"))
-
-    entropy = reduce(
-        add, [term_q(F.col(f"__c{i}")) for i in range(len(alphabet))]
+    n = F.sum("c").over(Window.partitionBy("doc_id"))
+    p = F.col("c").cast("double") / n.cast("double")
+    term_q = F.floor(-p * F.log2(p) * F.lit(1_000_000_000.0) + F.lit(0.5)).cast(
+        "long"
     )
-    return summed.select(
+    per_doc = (
+        per_char.select("doc_id", F.col("c"), term_q.alias("tq"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_chars_norm"),
+            F.sum("tq").cast("long").alias("entropy_q"),
+        )
+    )
+    spine = df.select(F.col(id_col).alias("doc_id")).distinct()
+    return spine.join(per_doc, "doc_id", "left").select(
         "doc_id",
-        n.cast("long").alias("n_chars_norm"),
-        F.when(n > 0, entropy).cast("long").alias("entropy_q"),
+        F.coalesce("n_chars_norm", F.lit(0)).cast("long").alias("n_chars_norm"),
+        "entropy_q",
     )
 
 
