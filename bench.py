@@ -343,6 +343,10 @@ def main() -> None:
         json.dump(
             {"queries": timings, "queries_warm": warm, "gates": gates,
              "errors": errors, "replayed": replayed, "noise_probe": noise,
+             # sweep order, so noise_probe samples (taken at positions
+             # 0 / 40 / 80 / end) correlate to the queries that ran
+             # between them
+             "sweep_order": list(QUERIES),
              "sf": sf, "stage_counts": stage_counts,
              "medians": {k: round(v, 3) for k, v in medians.items()}},
             fh,
