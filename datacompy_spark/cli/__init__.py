@@ -969,6 +969,26 @@ def run_profile(args) -> int:
         if args.columns
         else None
     )
+    # profile MODES are mutually exclusive, enforced in ONE place. The
+    # per-branch guards below predate this and only rejected a subset —
+    # so e.g. `--vec-col ... --k-anonymity ... --fail-on-violation` took
+    # the vec-col branch and the privacy audit silently never ran, while
+    # its exit code still read as "no violations" (r11 review finding).
+    # (--ks and --columns are modifiers, not modes; --files/--row-groups
+    # are two variants of the same layout mode.)
+    modes = {
+        "--files/--row-groups": bool(args.files or args.row_groups),
+        "--vec-col": bool(args.vec_col),
+        "--k-anonymity": bool(args.k_anonymity),
+        "--mad-outliers": bool(args.mad_outliers),
+        "--quantiles": bool(args.quantiles),
+        "--compare-to": bool(args.compare_to),
+    }
+    chosen = [k for k, v in modes.items() if v]
+    if len(chosen) > 1:
+        raise CLIError(
+            f"profile modes are mutually exclusive; got {', '.join(chosen)}"
+        )
     created = SparkSession.getActiveSession() is None
     spark = SparkSession.builder.appName(args.spark_app_name).getOrCreate()
     try:

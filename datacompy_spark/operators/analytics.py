@@ -1165,7 +1165,7 @@ def attribution_rollup(
     value_col: str,
     conversion_type: str,
     touch_types: Sequence[str],
-    tiebreak_col: Optional[str] = None,
+    tiebreak_col: str,
 ) -> DataFrame:
     """First-touch / last-touch conversion attribution: every
     ``conversion_type`` event is credited to the user's earliest
@@ -1198,12 +1198,13 @@ def attribution_rollup(
     kinds = list(touch_types)
     if conversion_type in kinds:
         raise ValueError("conversion_type must not appear in touch_types")
-    if tiebreak_col is None:
-        # r10 advice: the old fallback (monotonically_increasing_id) is
+    if not tiebreak_col:
+        # r10 advice: the old fallback (monotonically_increasing_id) was
         # partitioning/run-dependent — equal-(ts, kind) events could swap
         # order across runs and flip first/last-touch credit, breaking
-        # this operator family's determinism contract. Fail loudly
-        # instead of silently returning run-dependent credit.
+        # this operator family's determinism contract. The parameter is
+        # now required in the signature (omission is a TypeError at the
+        # call site); this guards explicit None/"" too.
         raise ValueError(
             "tiebreak_col is required: without a total order on "
             "equal-timestamp events, first/last-touch credit is "

@@ -1398,13 +1398,20 @@ class TestAttribution:
     def test_tiebreak_col_is_required(self, spark):
         """r10 advice: the old monotonically_increasing_id fallback made
         first/last-touch credit partitioning-dependent under timestamp
-        ties — the operator must refuse to run nondeterministically."""
+        ties — the operator must refuse to run nondeterministically.
+        Omission fails at the call site (required parameter); an explicit
+        None fails with the determinism explanation."""
         import pytest as _pytest
 
         from datacompy_spark.operators.analytics import attribution_rollup
 
-        with _pytest.raises(ValueError, match="tiebreak_col"):
+        with _pytest.raises(TypeError):
             attribution_rollup(
                 self._events(spark), "user_id", "ts", "event_type", "value",
                 "purchase", ["click", "view", "signup"],
+            )
+        with _pytest.raises(ValueError, match="tiebreak_col"):
+            attribution_rollup(
+                self._events(spark), "user_id", "ts", "event_type", "value",
+                "purchase", ["click", "view", "signup"], tiebreak_col=None,
             )

@@ -746,7 +746,8 @@ class TestProfileFiles:
             "--files", "--compare-to", f"{sf_dir}/orders.parquet",
         ])
         assert rc == 2
-        assert "physical layout" in capsys.readouterr().err
+        # the single up-front mode guard fires before the per-branch one
+        assert "mutually exclusive" in capsys.readouterr().err
 
 
 class TestCompactCommand:
@@ -1101,3 +1102,10 @@ class TestProfileKAnonymity:
                      "--anon-k", "0"]) == 2
         assert main(["profile", "--input", p, "--k-anonymity", "country",
                      "--mad-outliers", "salary"]) == 2
+        # modes are mutually exclusive in ONE up-front guard (r11 review:
+        # the per-branch guards let --vec-col swallow --k-anonymity, so a
+        # --fail-on-violation CI gate silently never audited)
+        assert main(["profile", "--input", p, "--k-anonymity", "country",
+                     "--vec-col", "emb", "--dim", "4"]) == 2
+        assert main(["profile", "--input", p, "--k-anonymity", "country",
+                     "--files"]) == 2

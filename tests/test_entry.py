@@ -133,6 +133,8 @@ def test_sweep_window_is_oldest_evidence_first(registry):
     by_round = {}
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         m = re.search(r"_r(\d+)\.json$", path)
+        if m is None:  # e.g. a CORRECTNESS_r10.bak.json matching the glob
+            continue
         rnd = int(m.group(1))
         try:
             with open(path) as fh:
@@ -147,9 +149,17 @@ def test_sweep_window_is_oldest_evidence_first(registry):
         newest = {}
         for rnd in rounds:
             for name, row in by_round[rnd].items():
-                # green = the driver matched rows and recorded no error
-                # (hash may be absent for the weaker rows-only checks)
-                if isinstance(row, dict) and row.get("rows_match") and not row.get("err"):
+                # green = rows matched, no error, and the value hash did
+                # not FAIL (hash may be absent for the weaker rows-only
+                # checks, but hash_match=False is a red row — r9's
+                # dataset_checksum precedent — and red evidence must not
+                # keep a name out of the window)
+                if (
+                    isinstance(row, dict)
+                    and row.get("rows_match")
+                    and not row.get("err")
+                    and row.get("hash_match") is not False
+                ):
                     newest[name] = max(newest.get(name, 0), rnd)
         names = list(registry)
         window, tail = names[:50], names[50:]
