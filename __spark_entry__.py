@@ -1,13 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry(spark)`` — flagship query smoke check on sf0.001.
-``queries()`` — the full 120-query surface: the SURVEY.md §2 datacompy
+``queries()`` — the full 121-query surface: the SURVEY.md §2 datacompy
     comparison core (``cmp_*``) plus the LLM-data-pipeline extensions
     (dedup/ANN/text/corpus/drift/CDC/graph/multimodal/streaming
     families). Ordering matters: the driver sweep samples the FIRST 50
     names per round (rotation in ``datacompy_spark/queries.py::
     _SWEEP_FIRST``).
-``oracle_sql()`` — DuckDB-equivalent ANSI SQL for each query (120/120).
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL for each query (121/121).
 
 Implementations live in ``datacompy_spark/queries.py`` and
 ``datacompy_spark/queries_pipeline.py``.

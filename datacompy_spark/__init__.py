@@ -20,12 +20,13 @@ from datacompy_spark.functions.comparators import (
     columns_equal,
 )
 from datacompy_spark.plans.report import ReportData, build_report_data
-from datacompy_spark.plans.cache import release_caches
+from datacompy_spark.plans.cache import release_caches, release_checkpoints
 
 __version__ = "0.5.0"
 __all__ = [
     "SparkCompare",
     "release_caches",
+    "release_checkpoints",
     "ColumnStat",
     "BaseComparator",
     "ArrayComparator",

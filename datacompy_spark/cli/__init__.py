@@ -989,6 +989,51 @@ def run_profile(args) -> int:
         raise CLIError(
             f"profile modes are mutually exclusive; got {', '.join(chosen)}"
         )
+    # modifier→mode dependency guard (r11 ADVICE): every "with --X"
+    # modifier must come WITH its mode — a modifier passed without it was
+    # silently ignored, e.g. `profile --sensitive salary
+    # --fail-on-violation` without --k-anonymity ran a plain table profile
+    # and exited 0, the same silent-no-audit hazard the mode-exclusivity
+    # guard above closes for mode combinations. Flags with defaults are
+    # compared by value: argparse cannot see an explicitly-passed default,
+    # which is fine — the default is behaviorally identical to omission.
+    _deps = [
+        ("--ks", args.ks, bool(args.compare_to), "--compare-to"),
+        ("--ks-threshold", args.ks_threshold is not None, args.ks, "--ks"),
+        ("--small-file-mb", args.small_file_mb != 128, bool(args.files), "--files"),
+        ("--vec-id-col", args.vec_id_col != "vec_id", bool(args.vec_col), "--vec-col"),
+        ("--dim", args.dim is not None, bool(args.vec_col), "--vec-col"),
+        ("--vec-export", bool(args.vec_export), bool(args.vec_col), "--vec-col"),
+        ("--fail-on-bad", args.fail_on_bad, bool(args.vec_col), "--vec-col"),
+        ("--by", bool(args.by), bool(args.mad_outliers), "--mad-outliers"),
+        ("--mad-k", args.mad_k != 3.0, bool(args.mad_outliers), "--mad-outliers"),
+        ("--sensitive", bool(args.sensitive), bool(args.k_anonymity), "--k-anonymity"),
+        ("--anon-k", args.anon_k != 5, bool(args.k_anonymity), "--k-anonymity"),
+        ("--anon-l", args.anon_l != 2, bool(args.k_anonymity), "--k-anonymity"),
+        (
+            "--fail-on-violation",
+            args.fail_on_violation,
+            bool(args.k_anonymity),
+            "--k-anonymity",
+        ),
+    ]
+    orphans = [
+        f"{flag} requires {mode}"
+        for flag, given, mode_on, mode in _deps
+        if given and not mode_on
+    ]
+    # --columns selects data columns for the table/drift/quantile modes
+    # only; in the other modes it would be silently ignored
+    if args.columns and (
+        args.k_anonymity or args.mad_outliers or args.vec_col
+        or args.files or args.row_groups
+    ):
+        orphans.append(
+            "--columns does not apply to this mode (valid with the plain "
+            "profile, --compare-to, and --quantiles)"
+        )
+    if orphans:
+        raise CLIError("; ".join(orphans))
     created = SparkSession.getActiveSession() is None
     spark = SparkSession.builder.appName(args.spark_app_name).getOrCreate()
     try:
@@ -2182,14 +2227,23 @@ def run_curate(args) -> int:
             n_dsir = None
             if args.dsir:
                 from datacompy_spark.operators.textops import dsir_weights
-                from datacompy_spark.plans.cache import release_caches
+                from datacompy_spark.plans.cache import (
+                    release_caches,
+                    release_checkpoints,
+                )
 
                 weights = dsir_weights(
                     df, ev, args.id_col, args.text_col,
                     alpha=args.dsir_alpha,
                 )
                 weights.write.mode("overwrite").parquet(args.dsir)
+                # everything is on disk now; in a borrowed long-lived
+                # session drop BOTH the tracked persists and the
+                # lineage_barrier localCheckpoint blocks (release_caches
+                # alone never reached the latter — r11 ADVICE; the count
+                # below re-reads from parquet, not the dead frames)
                 release_caches()
+                release_checkpoints()
                 n_dsir = spark.read.parquet(args.dsir).count()
         except CLIError:
             raise

@@ -53,7 +53,13 @@ def lineage_barrier(
         except Exception:  # noqa: BLE001 — the audit must never break the op
             pass
     if checkpoint_dir is None:
-        return df.localCheckpoint(eager=eager)
+        from datacompy_spark.plans.cache import register_checkpoint
+
+        # registered (weakly) so long-lived sessions can reclaim the
+        # executor-local blocks explicitly via release_checkpoints();
+        # reliable checkpoint() below writes files, not block-manager
+        # blocks, so only this branch registers
+        return register_checkpoint(df.localCheckpoint(eager=eager))
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() != checkpoint_dir:
         sc.setCheckpointDir(checkpoint_dir)

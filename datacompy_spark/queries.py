@@ -550,6 +550,85 @@ SELECT c_custkey,
 FROM j"""
 
 
+# -------------------------------------------------------------------- Q11
+
+def q_cmp_struct_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct / map / binary comparison through ``ComplexComparator`` — the
+    one comparator family that extends BEYOND the reference (which leaves
+    these types to the constant-False fallthrough, ref spark.py:989-990).
+
+    Three complex columns ride one pass over ``orders``:
+
+    * ``meta`` struct(status, prio): side 2 nulls ``status`` on the same
+      %23 rows as side 1 (inner NULL==NULL must match — probed: Spark's
+      struct ``eqNullSafe`` treats inner nulls as equal, identical to
+      per-field IS NOT DISTINCT FROM) and perturbs it to '?' on %13 rows.
+    * ``props`` map: side 2 reverses INSERTION order (sorted-entry
+      comparison must still match) and perturbs the 'prio' value on %17.
+    * ``payload`` binary: utf-8 bytes of priority, perturbed on %29.
+    """
+    ords = load_table(spark, sf_dir, "orders")
+    null23 = F.col("o_orderkey") % 23 == 0
+    s1 = F.when(null23, F.lit(None).cast("string")).otherwise(F.col("o_orderstatus"))
+    s2 = F.when(null23, F.lit(None).cast("string")).otherwise(
+        F.when(F.col("o_orderkey") % 13 == 0, F.lit("?")).otherwise(
+            F.col("o_orderstatus")
+        )
+    )
+    prio2 = F.when(
+        F.col("o_orderkey") % 17 == 0, F.concat(F.col("o_orderpriority"), F.lit("_x"))
+    ).otherwise(F.col("o_orderpriority"))
+    pay2 = F.when(
+        F.col("o_orderkey") % 29 == 0, F.concat(F.col("o_orderpriority"), F.lit("!"))
+    ).otherwise(F.col("o_orderpriority"))
+    df1 = ords.select(
+        "o_orderkey",
+        F.struct(s1.alias("status"), F.col("o_orderpriority").alias("prio")).alias("meta"),
+        F.create_map(
+            F.lit("prio"), F.col("o_orderpriority"),
+            F.lit("cust"), F.col("o_custkey").cast("string"),
+        ).alias("props"),
+        F.encode(F.col("o_orderpriority"), "utf-8").alias("payload"),
+    )
+    df2 = ords.select(
+        "o_orderkey",
+        F.struct(s2.alias("status"), F.col("o_orderpriority").alias("prio")).alias("meta"),
+        # reversed insertion order — content-equal except the %17 perturbation
+        F.create_map(
+            F.lit("cust"), F.col("o_custkey").cast("string"),
+            F.lit("prio"), prio2,
+        ).alias("props"),
+        F.encode(pay2, "utf-8").alias("payload"),
+    )
+    c = SparkCompare(spark, df1, df2, join_columns=["o_orderkey"], assume_unique=True)
+    return c.intersect_rows.select(
+        "o_orderkey",
+        F.col("meta_match").alias("meta_match"),
+        F.col("props_match").alias("props_match"),
+        F.col("payload_match").alias("payload_match"),
+    )
+
+
+SQL_CMP_STRUCT_MAP = """
+WITH s AS (
+  SELECT o_orderkey,
+    CASE WHEN o_orderkey % 23 = 0 THEN NULL ELSE o_orderstatus END AS s1,
+    CASE WHEN o_orderkey % 23 = 0 THEN NULL
+         WHEN o_orderkey % 13 = 0 THEN '?'
+         ELSE o_orderstatus END AS s2,
+    o_orderpriority AS p1,
+    CASE WHEN o_orderkey % 17 = 0 THEN o_orderpriority || '_x'
+         ELSE o_orderpriority END AS p2,
+    CASE WHEN o_orderkey % 29 = 0 THEN o_orderpriority || '!'
+         ELSE o_orderpriority END AS b2
+  FROM orders)
+SELECT o_orderkey,
+  (s1 IS NOT DISTINCT FROM s2) AS meta_match,
+  (p1 IS NOT DISTINCT FROM p2) AS props_match,
+  (p1 IS NOT DISTINCT FROM b2) AS payload_match
+FROM s"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -564,71 +643,21 @@ from datacompy_spark.queries_pipeline import PIPELINE_ORACLES, PIPELINE_QUERIES 
 # COVERAGE.md; tests/test_entry.py enforces oldest-first against the
 # recorded CORRECTNESS_r*.json history).
 #
-# Round-11 window (r10 sweep was all-green, so ages are clean): the 21
-# names whose newest driver evidence is r8 lead (deferred past position
-# 50 by the r10 window, all judge-replayed green in the r10 verdict
-# session), then 29 of the 49 r9-age names in registry order. The
-# remaining 20 r9-age names (events_range_join .. decontaminate_editdist,
-# tail below) defer to r12 and MUST lead _SWEEP_FIRST then, alongside the
-# oldest r10-age names; every deferred name still gets a fresh in-round
-# local oracle pass via check_oracles --unswept.
+# Round-12 window (r11 sweep was all-green — third consecutive — so ages
+# are clean: 20 names @ r9, 50 @ r10, 50 @ r11, plus the one NEW
+# registration this round). Order: `cmp_struct_map` leads (never driver-
+# swept — counts as oldest under the rotation contract), then the 20
+# deferred r9-age names (judge-replayed green in the r11 verdict session),
+# then the first 29 of the 50 r10-age names in registry order to fill the
+# window to 50. The remaining 21 r10-age names (tail below, position 51+)
+# defer to r13 and MUST lead _SWEEP_FIRST then; every deferred name still
+# gets a fresh in-round local oracle pass via check_oracles --unswept.
+# Registry is now 121 names, so a full rotation remains 3 rounds
+# (50+50+21) — COVERAGE.md contract unchanged.
 _SWEEP_FIRST = [
-    # newest driver evidence r8 — oldest in the registry, re-earn first
-    "events_json_props",
-    "json_key_profile",
-    "events_anomaly",
-    "events_transitions",
-    "corpus_normalize",
-    "leakage_split",
-    "kmeans_assign",
-    "cluster_sample",
-    "leakage_split_fuzzy",
-    "embedding_health",
-    "bm25_search",
-    "lm_score",
-    "zorder_key",
-    "graph_pagerank",
-    "data_expectations",
-    "dup_span_removal",
-    "fk_discovery",
-    "semantic_decontaminate",
-    "vocab_coverage",
-    "html_extract",
-    "drift_ks",
-    # newest driver evidence r9 — first 29 of the 49 r9-age names in
-    # registry order fill the window to 50
-    "cmp_column_stats",
-    "cmp_unique_rows",
-    "cmp_all_mismatch",
-    "cmp_matches_summary",
-    "cmp_dupes_by_ordinal",
-    "cmp_string_timestamp_cast",
-    "cmp_bool_numeric",
-    "cmp_array_equal",
-    "cmp_null_keys",
-    "dedup_exact",
-    "dedup_minhash_pairs",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "knn_cosine_bruteforce",
-    "knn_lsh",
-    "text_stats",
-    "lang_id",
-    "token_count",
-    "doc_fingerprint",
-    "events_hourly_rollup",
-    "events_sessionize",
-    "cmp_ignore_flags",
-    "stream_hourly_profile",
-    "knn_ivf",
-    "cmp_rel_tol",
-    "cmp_decimal",
-    "word_frequencies",
-    "events_asof_join",
-    # ---- position 51+: the 20 r9-age names that did not fit this
-    # round's 50 slots — they MUST lead the r12 window (their r9
-    # evidence stays the registry's oldest after the r11 sweep) ----
+    # never driver-swept — new this round, leads the window
+    "cmp_struct_map",
+    # newest driver evidence r9 — the 20 names deferred by the r11 window
     "events_range_join",
     "dedup_components",
     "pii_scrub",
@@ -649,6 +678,61 @@ _SWEEP_FIRST = [
     "group_quantiles",
     "winsorize_by_group",
     "decontaminate_editdist",
+    # newest driver evidence r10 — first 29 of the 50 r10-age names in
+    # registry order fill the window to 50
+    "cmp_row_classes",
+    "knn_pq",
+    "quality_filter",
+    "hash_split",
+    "pack_sequences",
+    "table_profile",
+    "profile_compare",
+    "stream_compare",
+    "media_features",
+    "profile_quantiles",
+    "schema_compare",
+    "repetition_metrics",
+    "decontaminate",
+    "stratified_sample",
+    "dedup_collapse",
+    "embedding_centroids",
+    "corpus_mix",
+    "events_funnel",
+    "curate_corpus",
+    "cdc_delta",
+    "scd2_history",
+    "top_parts_per_supplier",
+    "drift_histogram",
+    "tfidf_top_terms",
+    "chunk_documents",
+    "embedding_quantize",
+    "events_multi_rollup",
+    "events_missing_periods",
+    "knn_int8",
+    # ---- position 51+: the 21 r10-age names that did not fit this
+    # round's 50 slots — they MUST lead the r13 window (their r10
+    # evidence stays the registry's oldest after the r12 sweep) ----
+    "knn_recall",
+    "source_cap",
+    "join_cardinality",
+    "ngram_dup_profile",
+    "ngram_novelty",
+    "fuzzy_key_match",
+    "dedup_incremental",
+    "dataset_checksum",
+    "checksum_diff_by_month",
+    "shard_corpus",
+    "dedup_semantic",
+    "line_dedup",
+    "npmi_collocations",
+    "mad_outliers",
+    "events_attribution",
+    "temperature_mix",
+    "dsir_weights",
+    "quantile_drift",
+    "k_anonymity",
+    "knn_jaccard_graph",
+    "char_entropy",
 ]
 
 
@@ -670,6 +754,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cmp_bool_numeric": q_cmp_bool_numeric,
     "cmp_array_equal": q_cmp_array_equal,
     "cmp_null_keys": q_cmp_null_keys,
+    "cmp_struct_map": q_cmp_struct_map,
     **PIPELINE_QUERIES,
 }
 QUERIES = _sweep_order(QUERIES)
@@ -685,6 +770,7 @@ ORACLES: Dict[str, str] = {
     "cmp_bool_numeric": SQL_CMP_BOOL_NUMERIC,
     "cmp_array_equal": SQL_CMP_ARRAY_EQUAL,
     "cmp_null_keys": SQL_CMP_NULL_KEYS,
+    "cmp_struct_map": SQL_CMP_STRUCT_MAP,
     **PIPELINE_ORACLES,
 }
 ORACLES = _sweep_order(ORACLES)

@@ -1109,3 +1109,140 @@ class TestProfileKAnonymity:
                      "--vec-col", "emb", "--dim", "4"]) == 2
         assert main(["profile", "--input", p, "--k-anonymity", "country",
                      "--files"]) == 2
+
+
+class TestNoOrphanFlags:
+    """Parity with the reference's parser/constructor drift guard
+    (ref cli/parser.py:25-28, tests/cli/test_parser.py): every declared
+    option must be CONSUMED by its subcommand's run_* handler (directly or
+    through a helper the handler passes ``args`` to). An unconsumed flag is
+    exactly the r11 silent-no-op class of bug: the user passes a gate flag,
+    nothing errors, and the gate never runs."""
+
+    #: mirrors the dispatch table in cli.main()
+    HANDLERS = {
+        "compare": "run_compare",
+        "profile": "run_profile",
+        "dedup": "run_dedup",
+        "cdc": "run_cdc",
+        "anomaly": "run_anomaly",
+        "compact": "run_compact",
+        "cluster": "run_cluster",
+        "ann": "run_ann",
+        "curate": "run_curate",
+        "check": "run_check",
+        "snapshot": "run_snapshot",
+    }
+    #: consumed by main()/the shared parent, not the handlers
+    GLOBAL_DESTS = {"command", "debug", "help", "version"}
+
+    def _handler_source(self, handler_name: str) -> str:
+        """Handler source plus every module-level helper it calls that has
+        an ``args`` parameter (one level — e.g. run_compare defers gating
+        to _within_threshold(args, data), run_dedup to
+        _run_dedup_rewrite(spark, df, args))."""
+        import inspect
+        import re
+
+        import datacompy_spark.cli as cli_mod
+
+        src = inspect.getsource(getattr(cli_mod, handler_name))
+        for helper in set(re.findall(r"(\w+)\(", src)):
+            fn = getattr(cli_mod, helper, None)
+            if helper == handler_name or not inspect.isfunction(fn):
+                continue
+            try:
+                if "args" in inspect.signature(fn).parameters:
+                    src += inspect.getsource(fn)
+            except (OSError, TypeError, ValueError):
+                pass
+        return src
+
+    def test_every_flag_is_consumed_by_its_handler(self):
+        from datacompy_spark.cli import build_parser
+
+        parser = build_parser()
+        sub_action = next(
+            a for a in parser._actions
+            if isinstance(a, argparse._SubParsersAction)
+        )
+        assert set(sub_action.choices) == set(self.HANDLERS), (
+            "dispatch table drifted from the declared subcommands — "
+            "update HANDLERS and cli.main() together"
+        )
+        orphans = {}
+        for cmd, sp in sub_action.choices.items():
+            src = self._handler_source(self.HANDLERS[cmd])
+            missing = [
+                a.dest
+                for a in sp._actions
+                if a.dest not in self.GLOBAL_DESTS
+                and f"args.{a.dest}" not in src
+            ]
+            if missing:
+                orphans[cmd] = missing
+        assert not orphans, (
+            f"declared options never read by their handler (silent no-op "
+            f"hazard): {orphans}"
+        )
+
+
+class TestProfileModifierGuard:
+    """r11 ADVICE: modifier flags outside their mode must be REJECTED, not
+    silently ignored — `profile --sensitive x --fail-on-violation` without
+    --k-anonymity used to run a plain table profile and exit 0, a silent
+    no-audit in a CI gate."""
+
+    def _table(self, spark, tmp_path):
+        p = str(tmp_path / "mg.parquet")
+        spark.createDataFrame(
+            [("US", "a", 1.0), ("US", "a", 2.0), ("CA", "b", 3.0)],
+            "country string, tier string, salary double",
+        ).write.mode("overwrite").parquet(p)
+        return p
+
+    def test_k_anonymity_modifiers_require_mode(self, tmp_path, spark, capsys):
+        p = self._table(spark, tmp_path)
+        for extra in (
+            ["--sensitive", "salary"],
+            ["--fail-on-violation"],
+            ["--anon-k", "9"],
+            ["--anon-l", "3"],
+        ):
+            assert main(["profile", "--input", p, "--quiet", *extra]) == 2, extra
+            err = capsys.readouterr().err
+            assert "--k-anonymity" in err
+
+    def test_vec_and_mad_modifiers_require_mode(self, tmp_path, spark, capsys):
+        p = self._table(spark, tmp_path)
+        for extra, mode in (
+            (["--dim", "4"], "--vec-col"),
+            (["--fail-on-bad"], "--vec-col"),
+            (["--by", "country"], "--mad-outliers"),
+            (["--mad-k", "2.5"], "--mad-outliers"),
+            (["--ks"], "--compare-to"),
+            (["--ks-threshold", "0.1"], "--ks"),
+            (["--small-file-mb", "64"], "--files"),
+        ):
+            assert main(["profile", "--input", p, "--quiet", *extra]) == 2, extra
+            assert mode in capsys.readouterr().err
+
+    def test_columns_rejected_in_non_column_modes(self, tmp_path, spark, capsys):
+        p = self._table(spark, tmp_path)
+        rc = main([
+            "profile", "--input", p, "--quiet",
+            "--k-anonymity", "country", "--columns", "salary",
+        ])
+        assert rc == 2
+        assert "--columns" in capsys.readouterr().err
+
+    def test_defaults_and_valid_pairings_still_run(self, tmp_path, spark, capsys):
+        p = self._table(spark, tmp_path)
+        # plain profile with no modifiers: unaffected
+        assert main(["profile", "--input", p, "--quiet"]) == 0
+        # modifier WITH its mode: unaffected
+        assert main([
+            "profile", "--input", p, "--quiet",
+            "--k-anonymity", "country,tier", "--sensitive", "salary",
+            "--anon-k", "2", "--fail-on-violation",
+        ]) in (0, 1)

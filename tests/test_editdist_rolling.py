@@ -95,6 +95,50 @@ class TestEditDistancePairs:
         # the returned plan stays correct after the drop (recompute path)
         assert pairs.count() == 1
 
+    def test_release_checkpoints_frees_localcheckpoint_blocks(self, spark):
+        """lineage_barrier's localCheckpoint branch registers its frames
+        (weakly) so release_checkpoints() can reclaim the executor-local
+        blocks in a borrowed long-lived session (r11 ADVICE: release_caches
+        alone never reached them — the blocks live in the LogicalRDD's
+        internal RDD, not the persist ledger)."""
+        from datacompy_spark import release_checkpoints
+        from datacompy_spark.plans import cache as cache_mod
+        from datacompy_spark.plans.barrier import lineage_barrier
+
+        release_checkpoints()  # drain anything earlier tests left behind
+        spark.catalog.clearCache()
+
+        def cached_blocks() -> int:
+            sc = spark.sparkContext
+            return sum(
+                i.numCachedPartitions() for i in sc._jsc.sc().getRDDStorageInfo()
+            )
+
+        before = cached_blocks()
+        barred = lineage_barrier(spark.range(1000), None, eager=True)
+        assert len(cache_mod._TRACKED_CHECKPOINTS) == 1
+        assert barred.count() == 1000
+        assert cached_blocks() > before  # checkpoint blocks materialized
+        assert release_checkpoints() == 1
+        assert cached_blocks() == before  # blocks actually freed
+        assert release_checkpoints() == 0  # ledger drained
+
+    def test_release_checkpoints_skips_gc_dropped_frames(self, spark):
+        """A frame the caller already dropped must not count as released —
+        the ledger holds weakrefs precisely so the normal GC +
+        ContextCleaner path keeps working for abandoned frames."""
+        import gc
+
+        from datacompy_spark import release_checkpoints
+        from datacompy_spark.plans.barrier import lineage_barrier
+
+        release_checkpoints()
+        barred = lineage_barrier(spark.range(10), None, eager=True)
+        barred.count()
+        del barred
+        gc.collect()
+        assert release_checkpoints() == 0
+
 
 class TestRollingDrift:
     def _events(self, spark, rows):

@@ -118,7 +118,7 @@ def test_sweep_prefix_names_are_registered(registry):
 
 def test_sweep_window_is_oldest_evidence_first(registry):
     """The driver sweeps the FIRST 50 registry names each round, so with a
-    120-name registry a full evidence rotation takes 3 rounds (contract in
+    121-name registry a full evidence rotation takes 3 rounds (contract in
     COVERAGE.md). This pins the rotation invariant mechanically against
     the recorded history: no name OUTSIDE the 50-name window may carry
     strictly older driver evidence than any name inside it (never-swept
@@ -131,17 +131,26 @@ def test_sweep_window_is_oldest_evidence_first(registry):
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     by_round = {}
+    matched = 0
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         m = re.search(r"_r(\d+)\.json$", path)
         if m is None:  # e.g. a CORRECTNESS_r10.bak.json matching the glob
             continue
         rnd = int(m.group(1))
+        matched += 1
         try:
             with open(path) as fh:
                 rows = json.load(fh)
-        except Exception:  # noqa: BLE001 — a malformed round file is not this test's bug
+        except Exception:  # noqa: BLE001 — ONE malformed round file is not this test's bug
             continue
         by_round[rnd] = rows
+    # a single unparseable round file is tolerable history damage, but if
+    # round files exist and NONE parsed, the gate must not silently degrade
+    # to a no-op (repo-wide history corruption would otherwise pass)
+    assert by_round or not matched, (
+        f"{matched} CORRECTNESS_r*.json files found but none parsed — "
+        "driver-history corruption; the rotation gate cannot run"
+    )
     if not by_round:  # fresh clone without driver artifacts — nothing to pin
         return
 
