@@ -235,6 +235,12 @@ def test_bench_trailing_medians_reads_driver_shaped_files(tmp_path):
     assert gmed.get("knn_recall") == pytest.approx(8.0)
     # a different SF must contribute nothing
     assert bench._trailing_medians(0.01, here=str(tmp_path)) == {}
+    # the creep probe reads the SERIES in round order — the [-1] element
+    # must be the NEWEST round's number (r11 verdict item 2: two
+    # consecutive elevated rounds is trend, one is weather)
+    series = bench._trailing_values(0.1, here=str(tmp_path))
+    assert series.get("qx") == [1.8, 2.0]
+    assert series.get("compare_report") == [3.4, 3.6]
 
 
 def test_bench_medians_nonempty_on_real_history():

@@ -27,6 +27,29 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _shuffle_write_bytes(sc) -> int:
+    """Total shuffle-write bytes across all retained stages (AppStatusStore).
+
+    Deltas around a run give that run's shuffle volume — the number that
+    predicts 100 TB network cost where wall-clock on a 32-core VM cannot.
+    py4j cannot fill Scala default args, so every stageList parameter is
+    passed explicitly. Returns -1 if the internal API moved."""
+    try:
+        store = sc._jsc.sc().statusStore()
+        stages = store.stageList(
+            sc._jvm.java.util.ArrayList(),  # statuses: all
+            False,                          # details
+            False,                          # withSummaries
+            sc._gateway.new_array(sc._jvm.double, 0),  # unsortedQuantiles
+            sc._jvm.java.util.ArrayList(),  # taskStatus
+        )
+        return sum(
+            stages.apply(i).shuffleWriteBytes() for i in range(stages.size())
+        )
+    except Exception:  # noqa: BLE001 — diagnostics must not fail the probe
+        return -1
+
+
 def main() -> int:
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -109,17 +132,21 @@ def main() -> int:
         df1 = at_scale(mult)
         df2 = perturb(df1)
         n = df1.count()
+        sb0 = _shuffle_write_bytes(spark.sparkContext)
         t0 = time.perf_counter()
         cmp_ = SparkCompare(
             spark, df1, df2, join_columns=LI_KEYS, abs_tol=_LI_ABS_TOL
         )
         cmp_.report(sample_count=10)
         el = time.perf_counter() - t0
+        sb1 = _shuffle_write_bytes(spark.sparkContext)
+        shuffle_mb = (sb1 - sb0) / 1e6 if sb0 >= 0 and sb1 >= 0 else -1
         if t1 is None:
             t1 = el
         print(
             f"compare x{mult:<3d} rows={n:>10,d}  sec={el:7.2f}"
-            f"  rows/s={n/el:>10,.0f}  vs_x1={el/t1:5.2f} (linear => ~{mult})",
+            f"  rows/s={n/el:>10,.0f}  vs_x1={el/t1:5.2f} (linear => ~{mult})"
+            f"  shuffle_write_mb={shuffle_mb:,.0f}",
             flush=True,
         )
 
