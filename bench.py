@@ -67,6 +67,18 @@ def _trailing_medians(sf, here=None, key="queries") -> dict:
     }
 
 
+def _is_creeping(best, med, series) -> bool:
+    """Sub-2× creep detection (r11 verdict item 2): True when this sweep's
+    best-of sits in (1.3×, 2×] of the trailing median AND the most recent
+    recorded round was also above 1.3× of it — two consecutive elevated
+    rounds is a trend, one is weather. Above 2× the outlier-replay pass
+    already owns the case; at/below 0.5 s absolute, 1.3× is all jitter."""
+    if best is None or med is None or best <= 0.5:
+        return False
+    prev_elevated = bool(series) and series[-1] > 1.3 * med
+    return 1.3 * med < best <= 2.0 * med and prev_elevated
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -315,18 +327,9 @@ def main() -> None:
     history = _trailing_values(sf)
     creep = []
     for name, best in sorted(timings.items()):
-        med = medians.get(name)
-        series = history.get(name) or []
-        if (
-            best is None
-            or med is None
-            or name not in QUERIES
-            or name in replayed
-            or best <= 0.5  # sub-half-second numbers are all jitter at 1.3×
-        ):
+        if name not in QUERIES or name in replayed:
             continue
-        prev_elevated = bool(series) and series[-1] > 1.3 * med
-        if 1.3 * med < best <= 2.0 * med and prev_elevated:
+        if _is_creeping(best, medians.get(name), history.get(name) or []):
             try:
                 t0 = time.perf_counter()
                 QUERIES[name](spark, sf_dir).count()

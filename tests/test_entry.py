@@ -276,3 +276,22 @@ def test_coverage_md_header_matches_registry(registry):
     # header/separator rows legitimately repeat across tables; real rows don't
     dupes = {r for r in dupes if not set(r) <= set("|- ") and "Operator" not in r and "Test / query" not in r}
     assert not dupes, f"duplicated COVERAGE.md rows: {sorted(dupes)[:3]}"
+
+
+def test_bench_creep_detector_semantics():
+    """The sub-2× creep probe (r11 verdict item 2, dedup_ngram_jaccard's
+    2.18→3.58 s four-round drift): replay-worthy iff this round is in
+    (1.3×, 2×] of the trailing median AND the newest recorded round was
+    also elevated — one elevated round is weather, above 2× belongs to
+    the outlier pass, and ≤0.5 s absolute is jitter territory."""
+    import bench
+
+    med, hist = 2.0, [2.0, 2.9]  # newest round 2.9 > 1.3×2.0
+    assert bench._is_creeping(3.0, med, hist)            # trend: flag
+    assert not bench._is_creeping(3.0, med, [2.9, 2.0])  # newest calm: weather
+    assert not bench._is_creeping(4.5, med, hist)        # >2×: outlier pass owns it
+    assert not bench._is_creeping(2.0, med, hist)        # at median: fine
+    assert not bench._is_creeping(3.0, med, [])          # no history: no trend
+    assert not bench._is_creeping(None, med, hist)       # errored query
+    assert not bench._is_creeping(3.0, None, hist)       # no median yet
+    assert not bench._is_creeping(0.4, 0.25, [0.4, 0.4])  # sub-0.5 s jitter
