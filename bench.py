@@ -295,7 +295,12 @@ def main() -> None:
     # sample at the end of the sweep, when the stall window has passed;
     # the replayed names are reported so a surviving slow number is a real
     # regression, not suspicion.
-    medians = _trailing_medians(sf)
+    import statistics as _stats
+
+    # one history read serves both the outlier pass (medians) and the
+    # creep pass (series) — _trailing_medians is just median-of-series
+    history = _trailing_values(sf)
+    medians = {k: _stats.median(v) for k, v in history.items()}
     replayed = []
     for name, best in sorted(timings.items()):
         med = medians.get(name)
@@ -324,7 +329,6 @@ def main() -> None:
     # 1.3× that median is trending, not weathering — replay it once at
     # sweep end and record the name under "creep" so a surviving elevated
     # number reads as real drift inside the driver artifact.
-    history = _trailing_values(sf)
     creep = []
     for name, best in sorted(timings.items()):
         if name not in QUERIES or name in replayed:

@@ -20,13 +20,18 @@ from datacompy_spark.functions.comparators import (
     columns_equal,
 )
 from datacompy_spark.plans.report import ReportData, build_report_data
-from datacompy_spark.plans.cache import release_caches, release_checkpoints
+from datacompy_spark.plans.cache import (
+    checkpoint_ledger_mark,
+    release_caches,
+    release_checkpoints,
+)
 
 __version__ = "0.5.0"
 __all__ = [
     "SparkCompare",
     "release_caches",
     "release_checkpoints",
+    "checkpoint_ledger_mark",
     "ColumnStat",
     "BaseComparator",
     "ArrayComparator",

@@ -19,6 +19,22 @@ class CLIError(Exception):
     """User/config error → exit code 2."""
 
 
+#: profile-subcommand modifier defaults, shared by build_parser's
+#: add_argument declarations and run_profile's modifier→mode guard. One
+#: source of truth: the guard detects "modifier explicitly passed" by
+#: comparing against the default, so a default edited in only one place
+#: would either reject every plain `profile` run or silently stop
+#: guarding (r12 review finding).
+PROFILE_DEFAULTS = {
+    "rel_tol": 0.1,
+    "small_file_mb": 128,
+    "vec_id_col": "vec_id",
+    "mad_k": 3.0,
+    "anon_k": 5,
+    "anon_l": 2,
+}
+
+
 def tolerance(value: str):
     """Parse ``--abs-tol``/``--rel-tol`` values: a bare number, or a
     ``COLUMN=VALUE`` pair for per-column tolerances (ref
@@ -230,8 +246,9 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument(
         "--rel-tol",
         type=float,
-        default=0.1,
-        help="relative drift tolerance for null-rate/distinct-count (default 0.1)",
+        default=PROFILE_DEFAULTS["rel_tol"],
+        help="with --compare-to: relative drift tolerance for "
+        "null-rate/distinct-count (default 0.1)",
     )
     pr.add_argument(
         "--exact-distinct",
@@ -257,7 +274,7 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument(
         "--small-file-mb",
         type=int,
-        default=128,
+        default=PROFILE_DEFAULTS["small_file_mb"],
         help="with --files: small-file threshold in MB (default 128)",
     )
     pr.add_argument(
@@ -267,7 +284,7 @@ def build_parser() -> argparse.ArgumentParser:
         "counts on stdout. Incompatible with --compare-to/--columns/--files",
     )
     pr.add_argument(
-        "--vec-id-col", default="vec_id", metavar="COL",
+        "--vec-id-col", default=PROFILE_DEFAULTS["vec_id_col"], metavar="COL",
         help="with --vec-col: row id column (default vec_id)",
     )
     pr.add_argument(
@@ -304,7 +321,7 @@ def build_parser() -> argparse.ArgumentParser:
         "(default: the whole table as one group)",
     )
     pr.add_argument(
-        "--mad-k", type=float, default=3.0, metavar="K",
+        "--mad-k", type=float, default=PROFILE_DEFAULTS["mad_k"], metavar="K",
         help="with --mad-outliers: the sigma-equivalent threshold "
         "multiplier (default 3.0)",
     )
@@ -322,11 +339,11 @@ def build_parser() -> argparse.ArgumentParser:
         "sensitive column within each quasi group",
     )
     pr.add_argument(
-        "--anon-k", type=int, default=5, metavar="K",
+        "--anon-k", type=int, default=PROFILE_DEFAULTS["anon_k"], metavar="K",
         help="with --k-anonymity: minimum group size (default 5)",
     )
     pr.add_argument(
-        "--anon-l", type=int, default=2, metavar="L",
+        "--anon-l", type=int, default=PROFILE_DEFAULTS["anon_l"], metavar="L",
         help="with --k-anonymity and --sensitive: minimum distinct "
         "sensitive values per group (default 2)",
     )
@@ -997,19 +1014,41 @@ def run_profile(args) -> int:
     # guard above closes for mode combinations. Flags with defaults are
     # compared by value: argparse cannot see an explicitly-passed default,
     # which is fine — the default is behaviorally identical to omission.
+    dflt = PROFILE_DEFAULTS  # single source of truth with build_parser
     _deps = [
         ("--ks", args.ks, bool(args.compare_to), "--compare-to"),
         ("--ks-threshold", args.ks_threshold is not None, args.ks, "--ks"),
-        ("--small-file-mb", args.small_file_mb != 128, bool(args.files), "--files"),
-        ("--vec-id-col", args.vec_id_col != "vec_id", bool(args.vec_col), "--vec-col"),
+        (
+            "--rel-tol",
+            args.rel_tol != dflt["rel_tol"],
+            bool(args.compare_to),
+            "--compare-to",
+        ),
+        (
+            "--small-file-mb",
+            args.small_file_mb != dflt["small_file_mb"],
+            bool(args.files),
+            "--files",
+        ),
+        (
+            "--vec-id-col",
+            args.vec_id_col != dflt["vec_id_col"],
+            bool(args.vec_col),
+            "--vec-col",
+        ),
         ("--dim", args.dim is not None, bool(args.vec_col), "--vec-col"),
         ("--vec-export", bool(args.vec_export), bool(args.vec_col), "--vec-col"),
         ("--fail-on-bad", args.fail_on_bad, bool(args.vec_col), "--vec-col"),
         ("--by", bool(args.by), bool(args.mad_outliers), "--mad-outliers"),
-        ("--mad-k", args.mad_k != 3.0, bool(args.mad_outliers), "--mad-outliers"),
+        (
+            "--mad-k",
+            args.mad_k != dflt["mad_k"],
+            bool(args.mad_outliers),
+            "--mad-outliers",
+        ),
         ("--sensitive", bool(args.sensitive), bool(args.k_anonymity), "--k-anonymity"),
-        ("--anon-k", args.anon_k != 5, bool(args.k_anonymity), "--k-anonymity"),
-        ("--anon-l", args.anon_l != 2, bool(args.k_anonymity), "--k-anonymity"),
+        ("--anon-k", args.anon_k != dflt["anon_k"], bool(args.k_anonymity), "--k-anonymity"),
+        ("--anon-l", args.anon_l != dflt["anon_l"], bool(args.k_anonymity), "--k-anonymity"),
         (
             "--fail-on-violation",
             args.fail_on_violation,
@@ -1031,6 +1070,16 @@ def run_profile(args) -> int:
         orphans.append(
             "--columns does not apply to this mode (valid with the plain "
             "profile, --compare-to, and --quantiles)"
+        )
+    # --exact-distinct tunes the stats pass of the plain profile and the
+    # --compare-to drift check; the other modes never compute distincts
+    if args.exact_distinct and (
+        args.k_anonymity or args.mad_outliers or args.vec_col
+        or args.files or args.row_groups or args.quantiles
+    ):
+        orphans.append(
+            "--exact-distinct does not apply to this mode (valid with the "
+            "plain profile and --compare-to)"
         )
     if orphans:
         raise CLIError("; ".join(orphans))
@@ -2228,10 +2277,12 @@ def run_curate(args) -> int:
             if args.dsir:
                 from datacompy_spark.operators.textops import dsir_weights
                 from datacompy_spark.plans.cache import (
+                    checkpoint_ledger_mark,
                     release_caches,
                     release_checkpoints,
                 )
 
+                ckpt_mark = checkpoint_ledger_mark()
                 weights = dsir_weights(
                     df, ev, args.id_col, args.text_col,
                     alpha=args.dsir_alpha,
@@ -2239,11 +2290,14 @@ def run_curate(args) -> int:
                 weights.write.mode("overwrite").parquet(args.dsir)
                 # everything is on disk now; in a borrowed long-lived
                 # session drop BOTH the tracked persists and the
-                # lineage_barrier localCheckpoint blocks (release_caches
-                # alone never reached the latter — r11 ADVICE; the count
-                # below re-reads from parquet, not the dead frames)
+                # lineage_barrier localCheckpoint blocks this dsir call
+                # registered (release_caches alone never reached the
+                # latter — r11 ADVICE). Mark-scoped: a global checkpoint
+                # release could kill frames unrelated consumers in the
+                # borrowed session still need. The count below re-reads
+                # from parquet, not the dead frames.
                 release_caches()
-                release_checkpoints()
+                release_checkpoints(ckpt_mark)
                 n_dsir = spark.read.parquet(args.dsir).count()
         except CLIError:
             raise

@@ -25,18 +25,27 @@ this library persisted and nothing else.
 
 from __future__ import annotations
 
-import weakref
 from typing import List
 
 from pyspark.sql import DataFrame
 
 _TRACKED: List[DataFrame] = []
 
-#: weakrefs to frames returned by ``lineage_barrier``'s localCheckpoint
-#: branch. Weak, not strong: if the caller dropped every reference, the
-#: Python GC + Spark's ContextCleaner reclaim the blocks on their own, and
-#: a strong ledger entry would PIN the frame and block exactly that path.
-_TRACKED_CHECKPOINTS: List["weakref.ref[DataFrame]"] = []
+#: internal-RDD ids of frames returned by ``lineage_barrier``'s
+#: localCheckpoint branch. Ids, not DataFrame references: a strong ref
+#: would pin the JVM Dataset and block ContextCleaner's own cleanup, and
+#: a WEAK ref is dead at every real call site — operators drop the Python
+#: wrapper as soon as they return a derived frame, while the checkpoint
+#: blocks stay pinned by the derived plan's LogicalRDD (probed: wrapper
+#: GC does NOT free the blocks; unpersisting by id from
+#: ``getPersistentRDDs`` does, even after the wrapper is gone). RDD ids
+#: are monotonic per context and never reused, so a stale id simply
+#: misses in the persistent-RDD map.
+_TRACKED_CHECKPOINTS: List[int] = []
+
+#: soft cap: ints are tiny, but a service that calls barrier-using
+#: operators forever without ever releasing shouldn't grow this unbounded
+_CHECKPOINT_LEDGER_CAP = 100_000
 
 
 def tracked_persist(df: DataFrame) -> DataFrame:
@@ -51,9 +60,28 @@ def tracked_persist(df: DataFrame) -> DataFrame:
 
 
 def register_checkpoint(df: DataFrame) -> DataFrame:
-    """Record a localCheckpoint-ed frame for :func:`release_checkpoints`."""
-    _TRACKED_CHECKPOINTS.append(weakref.ref(df))
+    """Record a localCheckpoint-ed frame's internal-RDD id for
+    :func:`release_checkpoints`. Lazy (eager=False) checkpoints register
+    too — localCheckpoint marks the RDD persisted immediately, so the id
+    is already in the persistent-RDD map before materialization."""
+    try:
+        _TRACKED_CHECKPOINTS.append(
+            df._jdf.queryExecution().analyzed().rdd().id()
+        )
+    except Exception:  # noqa: BLE001 — ledger bookkeeping must never break the op
+        return df
+    if len(_TRACKED_CHECKPOINTS) > _CHECKPOINT_LEDGER_CAP:
+        del _TRACKED_CHECKPOINTS[: _CHECKPOINT_LEDGER_CAP // 2]
     return df
+
+
+def checkpoint_ledger_mark() -> int:
+    """Current ledger position — pass to :func:`release_checkpoints` to
+    release only checkpoints registered AFTER this point (scoping a
+    destructive release to one operator call instead of the whole
+    process; a global release could kill checkpointed frames that
+    unrelated consumers in a borrowed session still need)."""
+    return len(_TRACKED_CHECKPOINTS)
 
 
 def release_caches() -> int:
@@ -76,30 +104,44 @@ def release_caches() -> int:
     return released
 
 
-def release_checkpoints() -> int:
-    """Free the executor-local blocks of every registered localCheckpoint.
+def release_checkpoints(mark: int = 0) -> int:
+    """Free the executor-local blocks of registered localCheckpoints.
 
     UNLIKE :func:`release_caches` this is destructive: a localCheckpoint
     TRUNCATED its frame's lineage, so once the blocks are dropped the frame
-    cannot be recomputed — any later action on it fails. Call it only when
-    every consumer has fully materialized (e.g. after writing the results
-    to parquet), in long-lived/borrowed sessions where waiting for GC +
-    ContextCleaner to reclaim the blocks is not acceptable. Frames the
-    caller already dropped are skipped (the weakref is dead) — the normal
-    GC path reclaims those.
+    cannot be recomputed — any later action on any plan built over it
+    fails. Call it only when every consumer has fully materialized (e.g.
+    after writing the results to parquet), in long-lived/borrowed sessions
+    where waiting for the JVM GC + ContextCleaner to reclaim the blocks is
+    not acceptable. Pass ``mark`` from :func:`checkpoint_ledger_mark` to
+    release only the checkpoints one operator call registered, leaving
+    earlier ones (possibly owned by unrelated consumers) alone.
+
+    Blocks Spark's ContextCleaner already reclaimed are skipped (their id
+    is gone from the persistent-RDD map).
     """
+    from pyspark.sql import SparkSession
+
+    mark = max(0, min(mark, len(_TRACKED_CHECKPOINTS)))
+    ids = _TRACKED_CHECKPOINTS[mark:]
+    del _TRACKED_CHECKPOINTS[mark:]
+    if not ids:
+        return 0
+    spark = SparkSession.getActiveSession()
+    if spark is None:  # session gone — its block manager went with it
+        return 0
     released = 0
-    while _TRACKED_CHECKPOINTS:
-        df = _TRACKED_CHECKPOINTS.pop()()
-        if df is None:  # caller dropped it — GC/ContextCleaner's job
-            continue
+    try:
+        persistent = spark.sparkContext._jsc.getPersistentRDDs()
+    except Exception:  # noqa: BLE001 — a dying session must not raise here
+        return 0
+    for rid in ids:
         try:
-            # the localCheckpoint blocks live in the LogicalRDD's internal
-            # RDD; DataFrame.unpersist() does not reach them (probed on
-            # PySpark 4.1: this drops the MapPartitionsRDD blocks from
-            # getRDDStorageInfo, plain unpersist leaves them)
-            df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+            jrdd = persistent.get(rid)
+            if jrdd is None:  # ContextCleaner beat us to it
+                continue
+            jrdd.unpersist(False)
             released += 1
-        except Exception:  # noqa: BLE001 — a dead session must not raise here
+        except Exception:  # noqa: BLE001
             pass
     return released

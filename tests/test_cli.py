@@ -1170,6 +1170,8 @@ class TestNoOrphanFlags:
             "dispatch table drifted from the declared subcommands — "
             "update HANDLERS and cli.main() together"
         )
+        import re
+
         orphans = {}
         for cmd, sp in sub_action.choices.items():
             src = self._handler_source(self.HANDLERS[cmd])
@@ -1177,7 +1179,9 @@ class TestNoOrphanFlags:
                 a.dest
                 for a in sp._actions
                 if a.dest not in self.GLOBAL_DESTS
-                and f"args.{a.dest}" not in src
+                # \b, not substring: "args.ks" must not be satisfied by an
+                # occurrence of "args.ks_threshold"
+                and not re.search(rf"args\.{re.escape(a.dest)}\b", src)
             ]
             if missing:
                 orphans[cmd] = missing
@@ -1223,6 +1227,7 @@ class TestProfileModifierGuard:
             (["--ks"], "--compare-to"),
             (["--ks-threshold", "0.1"], "--ks"),
             (["--small-file-mb", "64"], "--files"),
+            (["--rel-tol", "0.5"], "--compare-to"),
         ):
             assert main(["profile", "--input", p, "--quiet", *extra]) == 2, extra
             assert mode in capsys.readouterr().err
@@ -1235,6 +1240,28 @@ class TestProfileModifierGuard:
         ])
         assert rc == 2
         assert "--columns" in capsys.readouterr().err
+        rc = main([
+            "profile", "--input", p, "--quiet",
+            "--quantiles", "0.5", "--exact-distinct",
+        ])
+        assert rc == 2
+        assert "--exact-distinct" in capsys.readouterr().err
+
+    def test_guard_defaults_shared_with_parser(self):
+        """The guard detects 'explicitly passed' by comparing to the
+        default, so PROFILE_DEFAULTS must BE the parser's defaults — a
+        drift either rejects every plain profile run or silently stops
+        guarding (r12 review finding)."""
+        from datacompy_spark.cli import PROFILE_DEFAULTS, build_parser
+
+        parser = build_parser()
+        sub = next(
+            a for a in parser._actions
+            if isinstance(a, argparse._SubParsersAction)
+        )
+        profile = sub.choices["profile"]
+        for dest, val in PROFILE_DEFAULTS.items():
+            assert profile.get_default(dest) == val, dest
 
     def test_defaults_and_valid_pairings_still_run(self, tmp_path, spark, capsys):
         p = self._table(spark, tmp_path)

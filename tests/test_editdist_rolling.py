@@ -95,12 +95,17 @@ class TestEditDistancePairs:
         # the returned plan stays correct after the drop (recompute path)
         assert pairs.count() == 1
 
-    def test_release_checkpoints_frees_localcheckpoint_blocks(self, spark):
-        """lineage_barrier's localCheckpoint branch registers its frames
-        (weakly) so release_checkpoints() can reclaim the executor-local
-        blocks in a borrowed long-lived session (r11 ADVICE: release_caches
-        alone never reached them — the blocks live in the LogicalRDD's
-        internal RDD, not the persist ledger)."""
+    def test_release_checkpoints_frees_blocks_after_wrapper_gc(self, spark):
+        """The real call-site shape (r12 review finding): every operator
+        drops its localCheckpoint WRAPPER immediately, returning a derived
+        frame whose JVM plan pins the blocks — so the ledger must hold
+        internal-RDD ids, not (weak) DataFrame references, for
+        release_checkpoints() to reclaim anything in a borrowed long-lived
+        session (r11 ADVICE: release_caches never reached these blocks)."""
+        import gc
+
+        from pyspark.sql import functions as F
+
         from datacompy_spark import release_checkpoints
         from datacompy_spark.plans import cache as cache_mod
         from datacompy_spark.plans.barrier import lineage_barrier
@@ -117,27 +122,33 @@ class TestEditDistancePairs:
         before = cached_blocks()
         barred = lineage_barrier(spark.range(1000), None, eager=True)
         assert len(cache_mod._TRACKED_CHECKPOINTS) == 1
-        assert barred.count() == 1000
-        assert cached_blocks() > before  # checkpoint blocks materialized
-        assert release_checkpoints() == 1
-        assert cached_blocks() == before  # blocks actually freed
+        derived = barred.agg(F.count(F.lit(1)).alias("n"))  # pins blocks JVM-side
+        assert derived.collect()[0]["n"] == 1000
+        del barred  # the wrapper dies at every real call site
+        gc.collect()
+        assert cached_blocks() > before  # wrapper GC does NOT free the blocks
+        assert release_checkpoints() == 1  # id-based release DOES
+        assert cached_blocks() == before
         assert release_checkpoints() == 0  # ledger drained
 
-    def test_release_checkpoints_skips_gc_dropped_frames(self, spark):
-        """A frame the caller already dropped must not count as released —
-        the ledger holds weakrefs precisely so the normal GC +
-        ContextCleaner path keeps working for abandoned frames."""
-        import gc
-
-        from datacompy_spark import release_checkpoints
+    def test_release_checkpoints_mark_scopes_the_release(self, spark):
+        """release_checkpoints(mark) must leave checkpoints registered
+        BEFORE the mark untouched — a destructive global release could
+        kill frames unrelated consumers in a borrowed session still need
+        (the CLI --dsir path scopes its release this way)."""
+        from datacompy_spark import checkpoint_ledger_mark, release_checkpoints
         from datacompy_spark.plans.barrier import lineage_barrier
 
         release_checkpoints()
-        barred = lineage_barrier(spark.range(10), None, eager=True)
-        barred.count()
-        del barred
-        gc.collect()
-        assert release_checkpoints() == 0
+        earlier = lineage_barrier(spark.range(500), None, eager=True)
+        earlier.count()
+        mark = checkpoint_ledger_mark()
+        later = lineage_barrier(spark.range(200), None, eager=True)
+        later.count()
+        assert release_checkpoints(mark) == 1  # only the post-mark entry
+        # the pre-mark frame survived the scoped release and still reads
+        assert earlier.count() == 500
+        assert release_checkpoints() == 1  # the earlier one is still owed
 
 
 class TestRollingDrift:

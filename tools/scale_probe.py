@@ -79,6 +79,10 @@ def main() -> int:
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # the shuffle-byte deltas read retained-stage totals; a long
+        # multi-section run can exceed the 1000-stage default and evict
+        # stages between snapshots (delta undercount, caught above)
+        .config("spark.ui.retainedStages", "20000")
         .appName("datacompy-spark-scale-probe")
         .getOrCreate()
     )
@@ -140,7 +144,12 @@ def main() -> int:
         cmp_.report(sample_count=10)
         el = time.perf_counter() - t0
         sb1 = _shuffle_write_bytes(spark.sparkContext)
-        shuffle_mb = (sb1 - sb0) / 1e6 if sb0 >= 0 and sb1 >= 0 else -1
+        # a NEGATIVE delta means AppStatusStore evicted pre-snapshot stages
+        # between the reads (spark.ui.retainedStages) — the delta is then
+        # an undercount, so report -1 (unknown) rather than a wrong number
+        shuffle_mb = (
+            (sb1 - sb0) / 1e6 if 0 <= sb0 <= sb1 else -1
+        )
         if t1 is None:
             t1 = el
         print(
