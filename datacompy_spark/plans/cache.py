@@ -120,20 +120,22 @@ def release_checkpoints(mark: int = 0) -> int:
     Blocks Spark's ContextCleaner already reclaimed are skipped (their id
     is gone from the persistent-RDD map).
     """
-    from pyspark.sql import SparkSession
+    from pyspark import SparkContext
 
     mark = max(0, min(mark, len(_TRACKED_CHECKPOINTS)))
     ids = _TRACKED_CHECKPOINTS[mark:]
     del _TRACKED_CHECKPOINTS[mark:]
     if not ids:
         return 0
-    spark = SparkSession.getActiveSession()
-    if spark is None:  # session gone — its block manager went with it
+    # the blocks live on the CONTEXT (getActiveSession is thread-local and
+    # may be None for a borrowed session touched from another thread)
+    sc = SparkContext._active_spark_context
+    if sc is None:  # context gone — its block manager went with it
         return 0
     released = 0
     try:
-        persistent = spark.sparkContext._jsc.getPersistentRDDs()
-    except Exception:  # noqa: BLE001 — a dying session must not raise here
+        persistent = sc._jsc.getPersistentRDDs()
+    except Exception:  # noqa: BLE001 — a dying context must not raise here
         return 0
     for rid in ids:
         try:
