@@ -197,6 +197,40 @@ class TestCliCurate:
         assert set(w) == {1, 2}
         assert w[1] > w[2]  # eval-like doc carries the higher weight
 
+    def test_dsir_path_releases_its_checkpoint_blocks(self, spark, tmp_path, capsys):
+        """End-to-end pin of the r11 ADVICE fix: in a BORROWED session (the
+        CLI here runs inside the test's long-lived session), the --dsir
+        path must leave no lineage_barrier localCheckpoint blocks behind —
+        release_caches() alone never reached them, and the first fix's
+        weakref ledger was provably a no-op at this very call site."""
+        from datacompy_spark import release_checkpoints
+
+        release_checkpoints()  # drain other tests' leftovers
+        spark.catalog.clearCache()
+
+        def ckpt_blocks() -> int:
+            sc = spark.sparkContext
+            return sum(
+                i.numCachedPartitions() for i in sc._jsc.sc().getRDDStorageInfo()
+            )
+
+        docs_p = str(tmp_path / "docs2.parquet")
+        eval_p = str(tmp_path / "eval2.parquet")
+        spark.createDataFrame(
+            [Row(doc_id=i, text=f"alpha beta gamma delta token{i}") for i in range(6)]
+        ).write.parquet(docs_p)
+        spark.createDataFrame(
+            [Row(doc_id=9, text="alpha beta gamma delta")]
+        ).write.parquet(eval_p)
+        before = ckpt_blocks()
+        rc = main(["curate", "--input", docs_p, "--eval", eval_p,
+                   "--verdict", str(tmp_path / "v2"),
+                   "--dsir", str(tmp_path / "d2"), "--quiet"])
+        assert rc == 0
+        assert ckpt_blocks() == before, (
+            "curate --dsir left localCheckpoint blocks in the borrowed session"
+        )
+
 
 class TestCliCluster:
     def test_assignments_centroids_and_cap(self, spark, tmp_path, capsys):
