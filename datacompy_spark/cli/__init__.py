@@ -1086,12 +1086,11 @@ def run_profile(args) -> int:
     created = SparkSession.getActiveSession() is None
     spark = SparkSession.builder.appName(args.spark_app_name).getOrCreate()
     try:
+        # NOTE: per-branch combination guards were removed — every illegal
+        # pairing is rejected by the single up-front mode-exclusivity check
+        # plus the modifier→mode dependency table above (r12 review: the
+        # in-branch copies had become unreachable and could only drift)
         if args.files or args.row_groups:
-            if args.compare_to or args.columns or args.ks:
-                raise CLIError(
-                    "--files/--row-groups profile the physical layout only; "
-                    "they cannot combine with --compare-to, --columns, or --ks"
-                )
             try:
                 if args.row_groups:
                     from datacompy_spark.operators.profile import (
@@ -1130,11 +1129,6 @@ def run_profile(args) -> int:
 
             from datacompy_spark.operators.profile import embedding_health
 
-            if args.compare_to or args.columns or args.ks:
-                raise CLIError(
-                    "--vec-col profiles embedding health only; it cannot "
-                    "combine with --compare-to, --columns, or --ks"
-                )
             if not args.dim:
                 raise CLIError("--vec-col requires --dim")
             try:
@@ -1176,11 +1170,6 @@ def run_profile(args) -> int:
                 )
             return 1 if (args.fail_on_bad and n_bad > 0) else 0
         if args.k_anonymity:
-            if args.compare_to or args.ks or args.quantiles or args.mad_outliers:
-                raise CLIError(
-                    "--k-anonymity cannot combine with "
-                    "--compare-to/--ks/--quantiles/--mad-outliers"
-                )
             from datacompy_spark.operators.profile import k_anonymity_audit
 
             kwargs = {"delimiter": args.delimiter} if args.input_format == "csv" else {}
@@ -1216,10 +1205,6 @@ def run_profile(args) -> int:
                 print(rendered)
             return 1 if (args.fail_on_violation and len(rows) > 0) else 0
         if args.mad_outliers:
-            if args.compare_to or args.ks or args.quantiles:
-                raise CLIError(
-                    "--mad-outliers cannot combine with --compare-to/--ks/--quantiles"
-                )
             if args.mad_k <= 0:
                 raise CLIError("--mad-k must be positive")
             from pyspark.sql import functions as F
@@ -1269,8 +1254,6 @@ def run_profile(args) -> int:
                 print(rendered)
             return 0
         if args.quantiles:
-            if args.compare_to or args.ks:
-                raise CLIError("--quantiles cannot combine with --compare-to or --ks")
             try:
                 probs = [float(p) for p in args.quantiles.split(",") if p.strip()]
             except ValueError as ex:
@@ -2282,22 +2265,24 @@ def run_curate(args) -> int:
                     release_checkpoints,
                 )
 
-                ckpt_mark = checkpoint_ledger_mark()
+                ckpt_lo = checkpoint_ledger_mark()
                 weights = dsir_weights(
                     df, ev, args.id_col, args.text_col,
                     alpha=args.dsir_alpha,
                 )
+                ckpt_hi = checkpoint_ledger_mark()
                 weights.write.mode("overwrite").parquet(args.dsir)
                 # everything is on disk now; in a borrowed long-lived
                 # session drop BOTH the tracked persists and the
                 # lineage_barrier localCheckpoint blocks this dsir call
                 # registered (release_caches alone never reached the
-                # latter — r11 ADVICE). Mark-scoped: a global checkpoint
+                # latter — r11 ADVICE). Span-scoped [lo, hi): a wider
                 # release could kill frames unrelated consumers in the
-                # borrowed session still need. The count below re-reads
-                # from parquet, not the dead frames.
+                # borrowed session registered before OR after this call.
+                # The count below re-reads from parquet, not the dead
+                # frames.
                 release_caches()
-                release_checkpoints(ckpt_mark)
+                release_checkpoints(ckpt_lo, ckpt_hi)
                 n_dsir = spark.read.parquet(args.dsir).count()
         except CLIError:
             raise

@@ -31,20 +31,29 @@ from pyspark.sql import DataFrame
 
 _TRACKED: List[DataFrame] = []
 
-#: internal-RDD ids of frames returned by ``lineage_barrier``'s
-#: localCheckpoint branch. Ids, not DataFrame references: a strong ref
-#: would pin the JVM Dataset and block ContextCleaner's own cleanup, and
-#: a WEAK ref is dead at every real call site — operators drop the Python
-#: wrapper as soon as they return a derived frame, while the checkpoint
-#: blocks stay pinned by the derived plan's LogicalRDD (probed: wrapper
-#: GC does NOT free the blocks; unpersisting by id from
-#: ``getPersistentRDDs`` does, even after the wrapper is gone). RDD ids
-#: are monotonic per context and never reused, so a stale id simply
-#: misses in the persistent-RDD map.
-_TRACKED_CHECKPOINTS: List[int] = []
+#: ``(seq, internal-RDD id)`` pairs for frames returned by
+#: ``lineage_barrier``'s localCheckpoint branch. Ids, not DataFrame
+#: references: a strong ref would pin the JVM Dataset and block
+#: ContextCleaner's own cleanup, and a WEAK ref is dead at every real
+#: call site — operators drop the Python wrapper as soon as they return a
+#: derived frame, while the checkpoint blocks stay pinned by the derived
+#: plan's LogicalRDD (probed: wrapper GC does NOT free the blocks;
+#: unpersisting by id from ``getPersistentRDDs`` does, even after the
+#: wrapper is gone). RDD ids are monotonic per context and never reused,
+#: so a stale id simply misses in the persistent-RDD map. The seq is a
+#: MONOTONIC registration counter — marks are seqs, not list positions,
+#: so trimming the ledger can never shift an outstanding mark onto
+#: someone else's entries (r12 review finding).
+_TRACKED_CHECKPOINTS: List[tuple] = []
 
-#: soft cap: ints are tiny, but a service that calls barrier-using
-#: operators forever without ever releasing shouldn't grow this unbounded
+#: next registration seq; monotone for the life of the process
+_CHECKPOINT_SEQ = 0
+
+#: soft cap: entries are two ints, but a service that calls barrier-using
+#: operators forever without ever releasing shouldn't grow this unbounded.
+#: Trimmed entries' blocks become unreleasable through this ledger (the
+#: JVM GC + ContextCleaner path still applies) — the cap trades complete
+#: coverage for a bounded footprint.
 _CHECKPOINT_LEDGER_CAP = 100_000
 
 
@@ -64,24 +73,29 @@ def register_checkpoint(df: DataFrame) -> DataFrame:
     :func:`release_checkpoints`. Lazy (eager=False) checkpoints register
     too — localCheckpoint marks the RDD persisted immediately, so the id
     is already in the persistent-RDD map before materialization."""
+    global _CHECKPOINT_SEQ
     try:
-        _TRACKED_CHECKPOINTS.append(
-            df._jdf.queryExecution().analyzed().rdd().id()
-        )
+        rdd_id = df._jdf.queryExecution().analyzed().rdd().id()
     except Exception:  # noqa: BLE001 — ledger bookkeeping must never break the op
         return df
+    _TRACKED_CHECKPOINTS.append((_CHECKPOINT_SEQ, rdd_id))
+    _CHECKPOINT_SEQ += 1
     if len(_TRACKED_CHECKPOINTS) > _CHECKPOINT_LEDGER_CAP:
+        # drop the OLDEST entries; seqs are absolute, so outstanding marks
+        # stay valid (they simply match fewer remaining entries)
         del _TRACKED_CHECKPOINTS[: _CHECKPOINT_LEDGER_CAP // 2]
     return df
 
 
 def checkpoint_ledger_mark() -> int:
-    """Current ledger position — pass to :func:`release_checkpoints` to
-    release only checkpoints registered AFTER this point (scoping a
+    """Current registration seq — pass to :func:`release_checkpoints` to
+    release only checkpoints registered AT or AFTER this point (scoping a
     destructive release to one operator call instead of the whole
     process; a global release could kill checkpointed frames that
-    unrelated consumers in a borrowed session still need)."""
-    return len(_TRACKED_CHECKPOINTS)
+    unrelated consumers in a borrowed session still need). For interleaved
+    consumers, bracket the span: take a mark before the call and one
+    after, and pass both (``release_checkpoints(m0, m1)``)."""
+    return _CHECKPOINT_SEQ
 
 
 def release_caches() -> int:
@@ -104,7 +118,7 @@ def release_caches() -> int:
     return released
 
 
-def release_checkpoints(mark: int = 0) -> int:
+def release_checkpoints(mark: int = 0, until: int = None) -> int:
     """Free the executor-local blocks of registered localCheckpoints.
 
     UNLIKE :func:`release_caches` this is destructive: a localCheckpoint
@@ -113,18 +127,26 @@ def release_checkpoints(mark: int = 0) -> int:
     fails. Call it only when every consumer has fully materialized (e.g.
     after writing the results to parquet), in long-lived/borrowed sessions
     where waiting for the JVM GC + ContextCleaner to reclaim the blocks is
-    not acceptable. Pass ``mark`` from :func:`checkpoint_ledger_mark` to
-    release only the checkpoints one operator call registered, leaving
-    earlier ones (possibly owned by unrelated consumers) alone.
+    not acceptable.
+
+    ``mark``/``until`` are seqs from :func:`checkpoint_ledger_mark`:
+    entries with ``mark <= seq < until`` are released (``until=None``
+    means "to the end"). A consumer that may interleave with others must
+    bracket its own span — take one mark before its operator calls and
+    one after — so its release cannot touch checkpoints a later consumer
+    registered (r12 review finding: a bare suffix release is only safe
+    under strictly LIFO usage).
 
     Blocks Spark's ContextCleaner already reclaimed are skipped (their id
     is gone from the persistent-RDD map).
     """
     from pyspark import SparkContext
 
-    mark = max(0, min(mark, len(_TRACKED_CHECKPOINTS)))
-    ids = _TRACKED_CHECKPOINTS[mark:]
-    del _TRACKED_CHECKPOINTS[mark:]
+    hi = _CHECKPOINT_SEQ if until is None else until
+    ids = [rid for seq, rid in _TRACKED_CHECKPOINTS if mark <= seq < hi]
+    _TRACKED_CHECKPOINTS[:] = [
+        (seq, rid) for seq, rid in _TRACKED_CHECKPOINTS if not (mark <= seq < hi)
+    ]
     if not ids:
         return 0
     # the blocks live on the CONTEXT (getActiveSession is thread-local and

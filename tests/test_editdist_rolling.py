@@ -132,23 +132,31 @@ class TestEditDistancePairs:
         assert release_checkpoints() == 0  # ledger drained
 
     def test_release_checkpoints_mark_scopes_the_release(self, spark):
-        """release_checkpoints(mark) must leave checkpoints registered
-        BEFORE the mark untouched — a destructive global release could
-        kill frames unrelated consumers in a borrowed session still need
-        (the CLI --dsir path scopes its release this way)."""
+        """release_checkpoints(mark, until) must release exactly the
+        [mark, until) span — a wider release could kill frames unrelated
+        consumers in a borrowed session registered before OR after the
+        caller's own span (the CLI --dsir path brackets its span this
+        way). Marks are registration seqs, not list positions, so they
+        survive ledger trims (r12 review finding)."""
         from datacompy_spark import checkpoint_ledger_mark, release_checkpoints
         from datacompy_spark.plans.barrier import lineage_barrier
 
         release_checkpoints()
         earlier = lineage_barrier(spark.range(500), None, eager=True)
         earlier.count()
-        mark = checkpoint_ledger_mark()
-        later = lineage_barrier(spark.range(200), None, eager=True)
-        later.count()
-        assert release_checkpoints(mark) == 1  # only the post-mark entry
-        # the pre-mark frame survived the scoped release and still reads
+        lo = checkpoint_ledger_mark()
+        mine = lineage_barrier(spark.range(200), None, eager=True)
+        mine.count()
+        hi = checkpoint_ledger_mark()
+        # an interleaving consumer registers AFTER my span but BEFORE my
+        # release — non-LIFO order, the case a suffix release destroys
+        interleaved = lineage_barrier(spark.range(300), None, eager=True)
+        interleaved.count()
+        assert release_checkpoints(lo, hi) == 1  # exactly my span
+        # both neighbours survived the scoped release and still read
         assert earlier.count() == 500
-        assert release_checkpoints() == 1  # the earlier one is still owed
+        assert interleaved.count() == 300
+        assert release_checkpoints() == 2  # the neighbours are still owed
 
 
 class TestRollingDrift:

@@ -279,19 +279,32 @@ def test_coverage_md_header_matches_registry(registry):
 
 
 def test_bench_creep_detector_semantics():
-    """The sub-2× creep probe (r11 verdict item 2, dedup_ngram_jaccard's
-    2.18→3.58 s four-round drift): replay-worthy iff this round is in
-    (1.3×, 2×] of the trailing median AND the newest recorded round was
-    also elevated — one elevated round is weather, above 2× belongs to
-    the outlier pass, and ≤0.5 s absolute is jitter territory."""
+    """The sub-2× creep probe (r11 verdict item 2): the detector must fire
+    on the MOTIVATING monotone drift — dedup_ngram_jaccard's real
+    2.18→2.62→3.07→3.58 s driver records — which a median-relative test
+    provably cannot catch (each round is only ~1.2× its own trailing
+    median; r12 review finding). med is always median(series) in
+    production, so every case here uses that honest pairing."""
+    import statistics
+
     import bench
 
-    med, hist = 2.0, [2.0, 2.9]  # newest round 2.9 > 1.3×2.0
-    assert bench._is_creeping(3.0, med, hist)            # trend: flag
-    assert not bench._is_creeping(3.0, med, [2.9, 2.0])  # newest calm: weather
-    assert not bench._is_creeping(4.5, med, hist)        # >2×: outlier pass owns it
-    assert not bench._is_creeping(2.0, med, hist)        # at median: fine
-    assert not bench._is_creeping(3.0, med, [])          # no history: no trend
-    assert not bench._is_creeping(None, med, hist)       # errored query
-    assert not bench._is_creeping(3.0, None, hist)       # no median yet
-    assert not bench._is_creeping(0.4, 0.25, [0.4, 0.4])  # sub-0.5 s jitter
+    def creeping(best, series):
+        return bench._is_creeping(best, statistics.median(series), series)
+
+    # the motivating drift, replayed round by round as bench would see it
+    assert creeping(3.58, [2.18, 2.62, 3.07])   # r11's sweep: flag
+    assert creeping(3.07, [2.18, 2.62])          # fires a round earlier too
+    # a step change flags on its SECOND elevated round, not the first
+    assert not creeping(3.0, [2.0, 2.0, 2.0])    # first elevation: weather
+    assert creeping(3.0, [2.0, 2.0, 3.0])        # second: trend
+    # recovered after a bad patch: no flag
+    assert not creeping(2.3, [3.0, 3.5, 2.2])
+    # stable (flat band): no flag
+    assert not creeping(3.1, [3.0, 3.0, 3.0])
+    # >2× the median belongs to the outlier-replay pass
+    assert not creeping(7.0, [2.0, 2.0, 3.0])
+    # guards
+    assert not bench._is_creeping(3.0, 2.0, [])        # no history: no trend
+    assert not bench._is_creeping(None, 2.0, [2.9])    # errored query
+    assert not creeping(0.45, [0.3, 0.3, 0.4])          # sub-0.5 s jitter
