@@ -79,10 +79,12 @@ def main() -> int:
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
-        # the shuffle-byte deltas read retained-stage totals; a long
-        # multi-section run can exceed the 1000-stage default and evict
-        # stages between snapshots (delta undercount, caught above)
-        .config("spark.ui.retainedStages", "20000")
+        # NOTE: do NOT raise spark.ui.retainedStages to protect the
+        # shuffle-byte deltas — A/B measured 47.0 s vs 34.8 s on the x16
+        # compare leg (~35% tax) with retainedStages=20000, the status
+        # store's tracking cost scaling with retention. Stage eviction at
+        # the 1000 default is instead DETECTED by the negative-delta guard
+        # below, which reports -1 (unknown) rather than an undercount.
         .appName("datacompy-spark-scale-probe")
         .getOrCreate()
     )
