@@ -25,11 +25,19 @@ this library persisted and nothing else.
 
 from __future__ import annotations
 
+import threading
 from typing import List
 
 from pyspark.sql import DataFrame
 
 _TRACKED: List[DataFrame] = []
+
+#: guards _CHECKPOINT_SEQ and _TRACKED_CHECKPOINTS: the docstrings advertise
+#: multi-consumer borrowed sessions, where concurrent register calls could
+#: otherwise interleave seq increment and append and hand two checkpoints
+#: the same seq — making one caller's [lo, hi) span release a neighbor's
+#: blocks, the exact hazard the span API exists to prevent (r12 review).
+_LEDGER_LOCK = threading.Lock()
 
 #: ``(seq, internal-RDD id)`` pairs for frames returned by
 #: ``lineage_barrier``'s localCheckpoint branch. Ids, not DataFrame
@@ -78,12 +86,13 @@ def register_checkpoint(df: DataFrame) -> DataFrame:
         rdd_id = df._jdf.queryExecution().analyzed().rdd().id()
     except Exception:  # noqa: BLE001 — ledger bookkeeping must never break the op
         return df
-    _TRACKED_CHECKPOINTS.append((_CHECKPOINT_SEQ, rdd_id))
-    _CHECKPOINT_SEQ += 1
-    if len(_TRACKED_CHECKPOINTS) > _CHECKPOINT_LEDGER_CAP:
-        # drop the OLDEST entries; seqs are absolute, so outstanding marks
-        # stay valid (they simply match fewer remaining entries)
-        del _TRACKED_CHECKPOINTS[: _CHECKPOINT_LEDGER_CAP // 2]
+    with _LEDGER_LOCK:
+        _TRACKED_CHECKPOINTS.append((_CHECKPOINT_SEQ, rdd_id))
+        _CHECKPOINT_SEQ += 1
+        if len(_TRACKED_CHECKPOINTS) > _CHECKPOINT_LEDGER_CAP:
+            # drop the OLDEST entries; seqs are absolute, so outstanding
+            # marks stay valid (they simply match fewer remaining entries)
+            del _TRACKED_CHECKPOINTS[: _CHECKPOINT_LEDGER_CAP // 2]
     return df
 
 
@@ -138,27 +147,37 @@ def release_checkpoints(mark: int = 0, until: int = None) -> int:
     under strictly LIFO usage).
 
     Blocks Spark's ContextCleaner already reclaimed are skipped (their id
-    is gone from the persistent-RDD map).
+    is gone from the persistent-RDD map). Ledger entries are removed only
+    AFTER ``getPersistentRDDs`` succeeds: on the early-return paths (no
+    active context seen from this thread, or a transient JVM failure) the
+    span stays in the ledger, so a later release call can still free the
+    blocks — deleting first would make them permanently unreleasable
+    through the ledger (r12 review finding). Never raises either way.
     """
     from pyspark import SparkContext
 
-    hi = _CHECKPOINT_SEQ if until is None else until
-    ids = [rid for seq, rid in _TRACKED_CHECKPOINTS if mark <= seq < hi]
-    _TRACKED_CHECKPOINTS[:] = [
-        (seq, rid) for seq, rid in _TRACKED_CHECKPOINTS if not (mark <= seq < hi)
-    ]
+    with _LEDGER_LOCK:
+        hi = _CHECKPOINT_SEQ if until is None else until
+        ids = [rid for seq, rid in _TRACKED_CHECKPOINTS if mark <= seq < hi]
     if not ids:
         return 0
     # the blocks live on the CONTEXT (getActiveSession is thread-local and
     # may be None for a borrowed session touched from another thread)
     sc = SparkContext._active_spark_context
-    if sc is None:  # context gone — its block manager went with it
+    if sc is None:  # no context visible from here — keep the span queued
         return 0
-    released = 0
     try:
         persistent = sc._jsc.getPersistentRDDs()
     except Exception:  # noqa: BLE001 — a dying context must not raise here
-        return 0
+        return 0  # transient failure — keep the span queued for retry
+    # JVM handle obtained — NOW it is safe to retire the span's entries
+    with _LEDGER_LOCK:
+        _TRACKED_CHECKPOINTS[:] = [
+            (seq, rid)
+            for seq, rid in _TRACKED_CHECKPOINTS
+            if not (mark <= seq < hi)
+        ]
+    released = 0
     for rid in ids:
         try:
             jrdd = persistent.get(rid)

@@ -643,75 +643,17 @@ from datacompy_spark.queries_pipeline import PIPELINE_ORACLES, PIPELINE_QUERIES 
 # COVERAGE.md; tests/test_entry.py enforces oldest-first against the
 # recorded CORRECTNESS_r*.json history).
 #
-# Round-12 window (r11 sweep was all-green — third consecutive — so ages
-# are clean: 20 names @ r9, 50 @ r10, 50 @ r11, plus the one NEW
-# registration this round). Order: `cmp_struct_map` leads (never driver-
-# swept — counts as oldest under the rotation contract), then the 20
-# deferred r9-age names (judge-replayed green in the r11 verdict session),
-# then the first 29 of the 50 r10-age names in registry order to fill the
-# window to 50. The remaining 21 r10-age names (tail below, position 51+)
-# defer to r13 and MUST lead _SWEEP_FIRST then; every deferred name still
-# gets a fresh in-round local oracle pass via check_oracles --unswept.
-# Registry is now 121 names, so a full rotation remains 3 rounds
-# (50+50+21) — COVERAGE.md contract unchanged.
+# Round-13 window (r12 sweep was all-green — fourth consecutive — so ages
+# are exactly 21 names @ r10, 50 @ r11, 50 @ r12; no new registrations).
+# Order: the 21 r10-age names deferred by the r12 window lead (their r10
+# evidence is the registry's oldest), then the first 29 of the 50 r11-age
+# names in registry order fill the window to 50. The remaining 21 r11-age
+# names (tail below, position 51+) defer to r14 and MUST lead _SWEEP_FIRST
+# then; every deferred name still gets a fresh in-round local oracle pass
+# via check_oracles --unswept. Registry holds at 121 names, so a full
+# rotation remains 3 rounds (50+50+21) — COVERAGE.md contract unchanged.
 _SWEEP_FIRST = [
-    # never driver-swept — new this round, leads the window
-    "cmp_struct_map",
-    # newest driver evidence r9 — the 20 names deferred by the r11 window
-    "events_range_join",
-    "dedup_components",
-    "pii_scrub",
-    "cdc_apply",
-    "events_latest_per_user",
-    "key_skew_profile",
-    "sales_by_nation",
-    "events_retention",
-    "ledger_replay",
-    "minhash_index",
-    "gopher_quality",
-    "dup_rate_by_source",
-    "dedup_editdist",
-    "rolling_drift",
-    "quantiles_distributed",
-    "winsorize",
-    "fuzzy_key_editdist",
-    "group_quantiles",
-    "winsorize_by_group",
-    "decontaminate_editdist",
-    # newest driver evidence r10 — first 29 of the 50 r10-age names in
-    # registry order fill the window to 50
-    "cmp_row_classes",
-    "knn_pq",
-    "quality_filter",
-    "hash_split",
-    "pack_sequences",
-    "table_profile",
-    "profile_compare",
-    "stream_compare",
-    "media_features",
-    "profile_quantiles",
-    "schema_compare",
-    "repetition_metrics",
-    "decontaminate",
-    "stratified_sample",
-    "dedup_collapse",
-    "embedding_centroids",
-    "corpus_mix",
-    "events_funnel",
-    "curate_corpus",
-    "cdc_delta",
-    "scd2_history",
-    "top_parts_per_supplier",
-    "drift_histogram",
-    "tfidf_top_terms",
-    "chunk_documents",
-    "embedding_quantize",
-    "events_multi_rollup",
-    "events_missing_periods",
-    "knn_int8",
-    # ---- position 51+: the 21 r10-age names that did not fit this
-    # round's 50 slots — they MUST lead the r13 window (their r10
-    # evidence stays the registry's oldest after the r12 sweep) ----
+    # newest driver evidence r10 — the 21 names deferred by the r12 window
     "knn_recall",
     "source_cap",
     "join_cardinality",
@@ -733,6 +675,61 @@ _SWEEP_FIRST = [
     "k_anonymity",
     "knn_jaccard_graph",
     "char_entropy",
+    # newest driver evidence r11 — first 29 of the 50 r11-age names in
+    # registry order fill the window to 50
+    "cmp_column_stats",
+    "cmp_unique_rows",
+    "cmp_all_mismatch",
+    "cmp_matches_summary",
+    "cmp_dupes_by_ordinal",
+    "cmp_string_timestamp_cast",
+    "cmp_bool_numeric",
+    "cmp_array_equal",
+    "cmp_null_keys",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "knn_cosine_bruteforce",
+    "knn_lsh",
+    "text_stats",
+    "lang_id",
+    "token_count",
+    "doc_fingerprint",
+    "events_hourly_rollup",
+    "events_sessionize",
+    "cmp_ignore_flags",
+    "stream_hourly_profile",
+    "knn_ivf",
+    "cmp_rel_tol",
+    "cmp_decimal",
+    "word_frequencies",
+    "events_asof_join",
+    # ---- position 51+: the 21 r11-age names that did not fit this
+    # round's 50 slots — they MUST lead the r14 window (their r11
+    # evidence stays the registry's oldest after the r13 sweep) ----
+    "events_json_props",
+    "json_key_profile",
+    "events_anomaly",
+    "events_transitions",
+    "corpus_normalize",
+    "leakage_split",
+    "kmeans_assign",
+    "cluster_sample",
+    "leakage_split_fuzzy",
+    "embedding_health",
+    "bm25_search",
+    "lm_score",
+    "zorder_key",
+    "graph_pagerank",
+    "data_expectations",
+    "dup_span_removal",
+    "fk_discovery",
+    "semantic_decontaminate",
+    "vocab_coverage",
+    "html_extract",
+    "drift_ks",
 ]
 
 

@@ -243,6 +243,71 @@ def test_bench_trailing_medians_reads_driver_shaped_files(tmp_path):
     assert series.get("compare_report") == [3.4, 3.6]
 
 
+def test_bench_healthy_sentinel_floor(tmp_path):
+    """The start-of-sweep sentinel gate (r12 verdict item 2) keys off this
+    machine's recorded noise floor. The floor must read the ``noise``
+    array from BOTH file shapes, across ALL scale factors (the sentinel
+    is a fixed CPU job — sf-independent), take the minimum, and degrade
+    to None on no history so a fresh clone never stalls the sweep."""
+    import json as _json
+
+    import bench
+
+    driver_shaped = {
+        "n": 11, "rc": 0, "sf": 0.1,
+        "parsed": {"metric": "compare_report_sec", "value": 3.6, "sf": 0.1,
+                   "queries": {}, "noise": [0.15, 0.403, 0.362, 0.256]},
+    }
+    bare_shaped = {"metric": "compare_report_sec", "value": 4.6, "sf": 0.01,
+                   "queries": {}, "noise": [0.197, 0.437, 0.114]}
+    (tmp_path / "BENCH_r11.json").write_text(_json.dumps(driver_shaped))
+    (tmp_path / "BENCH_r12.json").write_text(_json.dumps(bare_shaped))
+    # min across every sample of every round, regardless of sf
+    assert bench._healthy_sentinel_floor(here=str(tmp_path)) == pytest.approx(0.114)
+    # no history → None (gate off, ratio 1.0), never a crash
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert bench._healthy_sentinel_floor(here=str(empty)) is None
+    # a noise-free old record (pre-r11 shape) contributes nothing but
+    # must not poison the scan
+    (empty / "BENCH_r10.json").write_text(
+        _json.dumps({"parsed": {"queries": {"q": 1.0}, "sf": 0.1}})
+    )
+    assert bench._healthy_sentinel_floor(here=str(empty)) is None
+
+
+def test_bench_floor_nonempty_on_real_history():
+    """With the repo's actual BENCH_r*.json (r11+ records carry noise
+    arrays), the sentinel floor must resolve — the live guarantee that
+    the start-of-sweep gate and the sentinel_ratio twin are armed."""
+    import bench
+
+    floor = bench._healthy_sentinel_floor()
+    assert floor is not None and 0.03 < floor < 0.3, (
+        f"sentinel floor {floor!r} outside any plausible quiet-machine "
+        "band — the sweep gate would misfire"
+    )
+
+
+def test_bench_outlier_floor_has_no_dead_band_with_creep_probe():
+    """r12 review finding: the outlier replay required best > 1.0 s while
+    _is_creeping deferred every >2x-median case to it, so a regressed
+    query with best in (0.5, 1.0] got NO replay from either pass. The
+    fix pins the outlier pass's absolute floor to the same 0.5 s as the
+    creep probe's jitter floor; this test greps the live source so the
+    two floors cannot silently diverge again."""
+    import inspect
+
+    import bench
+
+    src = inspect.getsource(bench.main)
+    assert "best > 2.0 * med and best > 0.5" in src, (
+        "outlier replay floor drifted from the creep probe's 0.5 s "
+        "jitter floor — the (0.5, 1.0] dead band is back"
+    )
+    assert "best > 2.0 * med and best > 1.0" not in src
+
+
 def test_bench_medians_nonempty_on_real_history():
     """With the actual driver-written BENCH_r*.json in the repo, the
     sf0.1 medians must be non-empty — the live guarantee that the replay

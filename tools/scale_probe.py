@@ -11,11 +11,13 @@ Prints one line per scale: rows, seconds, rows/sec, and the ratio of
 seconds to the 1x run (linear scaling => ratio ~= multiplier).
 
 Env knobs: SPARK_GRAFT_SECTIONS selects sections as a comma list out of
-{compare,minhash,spans,incr,cdc,bucketed,cc,kmeans,ivfindex,pagerank,hotkey,ks,fk,editdist,quantiles,increditdist,checksum}
+{compare,minhash,spans,incr,cdc,bucketed,cc,kmeans,ivfindex,pagerank,hotkey,ks,fk,editdist,quantiles,increditdist,checksum,skewaqe}
 (default: all) — a x64 compare
 datapoint or a memory-constrained minhash rerun shouldn't pay for every
 other section; SPARK_GRAFT_DRIVER_MEM bounds the single-JVM heap (the
-local-mode stand-in for executor memory) for constrained-memory probes.
+local-mode stand-in for executor memory) for constrained-memory probes;
+SPARK_GRAFT_MASTER overrides the master (e.g. local-cluster[2,8,4096]
+for a real multi-JVM serializer/transport boundary).
 """
 
 from __future__ import annotations
@@ -27,13 +29,19 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _shuffle_write_bytes(sc) -> int:
-    """Total shuffle-write bytes across all retained stages (AppStatusStore).
+def _shuffle_write_bytes(sc):
+    """``(total shuffle-write bytes, min retained stage id)`` across all
+    retained stages (AppStatusStore).
 
     Deltas around a run give that run's shuffle volume — the number that
     predicts 100 TB network cost where wall-clock on a 32-core VM cannot.
+    The min stage id is the eviction witness: the status store retains the
+    NEWEST ``spark.ui.retainedStages`` stages, so if the minimum retained
+    id ROSE between two reads, pre-snapshot stages were evicted and the
+    delta is an undercount even when it comes out positive (r12 review
+    finding: the old negative-delta-only guard missed exactly that case).
     py4j cannot fill Scala default args, so every stageList parameter is
-    passed explicitly. Returns -1 if the internal API moved."""
+    passed explicitly. Returns (-1, -1) if the internal API moved."""
     try:
         store = sc._jsc.sc().statusStore()
         stages = store.stageList(
@@ -43,11 +51,16 @@ def _shuffle_write_bytes(sc) -> int:
             sc._gateway.new_array(sc._jvm.double, 0),  # unsortedQuantiles
             sc._jvm.java.util.ArrayList(),  # taskStatus
         )
-        return sum(
-            stages.apply(i).shuffleWriteBytes() for i in range(stages.size())
-        )
+        total, min_id = 0, -1
+        for i in range(stages.size()):
+            info = stages.apply(i)
+            total += info.shuffleWriteBytes()
+            sid = info.stageId()
+            if min_id < 0 or sid < min_id:
+                min_id = sid
+        return total, min_id
     except Exception:  # noqa: BLE001 — diagnostics must not fail the probe
-        return -1
+        return -1, -1
 
 
 def main() -> int:
@@ -58,7 +71,7 @@ def main() -> int:
     all_sections = (
         "compare", "minhash", "spans", "incr", "cdc", "bucketed", "cc",
         "kmeans", "ivfindex", "pagerank", "hotkey", "ks", "fk", "editdist",
-        "quantiles", "increditdist", "checksum"
+        "quantiles", "increditdist", "checksum", "skewaqe"
     )
     sections = set(
         s.strip() for s in os.environ.get(
@@ -72,8 +85,23 @@ def main() -> int:
         )
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # SPARK_GRAFT_MASTER overrides the master, e.g. local-cluster[2,8,4096]
+    # (2 executor JVMs x 8 cores x 4 GiB). local[N] runs everything in ONE
+    # JVM, so shuffle "transfer" is a map-status lookup and rows cross
+    # stages without serialization — exactly the costs that dominate a
+    # 1000-executor 100 TB run. A local-cluster leg sends every shuffled
+    # row through real serialization + a netty block transfer between
+    # processes, validating the ~384 B/row shuffle-cost figure against an
+    # actual serializer/transport boundary (r12 verdict item 3).
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master)
+        # executor JVMs in local-cluster mode spawn their own Python
+        # workers, which must be able to import datacompy_spark (pandas
+        # UDFs pickle references to package functions); harmless in local
+        # mode where workers inherit the driver's sys.path anyway
+        .config("spark.executorEnv.PYTHONPATH", repo_root)
         .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
@@ -83,8 +111,9 @@ def main() -> int:
         # shuffle-byte deltas — A/B measured 47.0 s vs 34.8 s on the x16
         # compare leg (~35% tax) with retainedStages=20000, the status
         # store's tracking cost scaling with retention. Stage eviction at
-        # the 1000 default is instead DETECTED by the negative-delta guard
-        # below, which reports -1 (unknown) rather than an undercount.
+        # the 1000 default is instead DETECTED below (negative delta OR a
+        # risen min retained stage id — the window visibly rolled), which
+        # reports -1 (unknown) rather than an undercount.
         .appName("datacompy-spark-scale-probe")
         .getOrCreate()
     )
@@ -138,19 +167,23 @@ def main() -> int:
         df1 = at_scale(mult)
         df2 = perturb(df1)
         n = df1.count()
-        sb0 = _shuffle_write_bytes(spark.sparkContext)
+        sb0, minid0 = _shuffle_write_bytes(spark.sparkContext)
         t0 = time.perf_counter()
         cmp_ = SparkCompare(
             spark, df1, df2, join_columns=LI_KEYS, abs_tol=_LI_ABS_TOL
         )
         cmp_.report(sample_count=10)
         el = time.perf_counter() - t0
-        sb1 = _shuffle_write_bytes(spark.sparkContext)
-        # a NEGATIVE delta means AppStatusStore evicted pre-snapshot stages
-        # between the reads (spark.ui.retainedStages) — the delta is then
-        # an undercount, so report -1 (unknown) rather than a wrong number
+        sb1, minid1 = _shuffle_write_bytes(spark.sparkContext)
+        # eviction makes the delta an undercount: either it drove sb1 below
+        # sb0 (negative delta) or — the subtler case — the retained window
+        # visibly rolled (min retained stage id rose) while the delta stayed
+        # positive. Report -1 (unknown) in both rather than a wrong number.
+        window_rolled = minid0 >= 0 and minid1 > minid0
         shuffle_mb = (
-            (sb1 - sb0) / 1e6 if 0 <= sb0 <= sb1 else -1
+            (sb1 - sb0) / 1e6
+            if 0 <= sb0 <= sb1 and not window_rolled
+            else -1
         )
         if t1 is None:
             t1 = el
@@ -775,6 +808,116 @@ def main() -> int:
                 f"  sec={el:7.2f}",
                 flush=True,
             )
+
+    # ---- AQE skew-join evidence for the core compare's outer join (r12
+    # verdict item 4). Data: 2M rows/side, ONE join-key value carrying 30%
+    # of the rows (600k), background keys unique. Three legs in one
+    # session with skew thresholds lowered to probe scale:
+    #   inner-ctl : the same skewed shuffle through an INNER sort-merge
+    #               join — AQE's OptimizeSkewedJoin should engage
+    #               (skew=true in the final adaptive plan). Proves the
+    #               session/thresholds CAN split, isolating the next leg.
+    #   outer     : identical data through a FULL OUTER sort-merge join —
+    #               the compare's J1 shape. Spark's OptimizeSkewedJoin
+    #               supports Inner/LeftOuter/RightOuter/LeftSemi/LeftAnti
+    #               only (splitting a full-outer side would duplicate the
+    #               preserved null-extension on every split), so skew=true
+    #               must NOT appear: at 100 TB a hot key in a plain
+    #               compare lands on one task, AQE or not.
+    #   ordinal   : the engine's mitigation — dup_join_on_ordinal=True
+    #               re-keys the pairing join to (key, ordinal), which is
+    #               UNIFORM (built-in salting: the ordinal is the salt and
+    #               the pairing semantics make it exact, not approximate).
+    #               Residual skew is the one window sort computing
+    #               ordinals for the hot key — O(k log k) in a single
+    #               task, measured here as the leg's wall clock.
+    if "skewaqe" in sections:
+        _SKEW_CONFS = {
+            "spark.sql.adaptive.skewJoin.enabled": "true",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1m",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1m",
+            # both legs must shuffle — a broadcast join has no skew to split
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        }
+        saved_confs = {}
+        for k, v in _SKEW_CONFS.items():
+            try:
+                saved_confs[k] = spark.conf.get(k)
+            except Exception:  # noqa: BLE001 — unset conf
+                saved_confs[k] = None
+            spark.conf.set(k, v)
+
+        def _final_plan(df) -> str:
+            try:
+                return df._jdf.queryExecution().executedPlan().toString()
+            except Exception:  # noqa: BLE001 — diagnostics only
+                return ""
+
+        try:
+            n_bg, k_hot = 1_400_000, 600_000
+            hot = spark.range(0, k_hot).select(
+                F.lit(0).cast("long").alias("k"), F.col("id").alias("v")
+            )
+            bg = spark.range(1, n_bg + 1).select(
+                F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+            )
+            skewed = hot.unionAll(bg)
+            # right side: ONE row per key (no duplicates), so join output
+            # stays O(input) while the left shuffle partition for k=0 is
+            # ~10 MB vs a ~0.7 MB median — comfortably past factor=2 +
+            # threshold=1m
+            dim = spark.range(0, n_bg + 1).select(
+                F.col("id").alias("k"), (F.col("id") % 7).alias("w")
+            )
+            for how, label in (("inner", "inner-ctl"), ("full_outer", "outer")):
+                out = skewed.join(dim, "k", how).select(
+                    F.sum(F.col("v") + F.col("w")).alias("s")
+                )
+                t0 = time.perf_counter()
+                n_out = out.collect()[0]["s"]
+                el = time.perf_counter() - t0
+                plan = _final_plan(out)
+                engaged = "skew=true" in plan
+                print(
+                    f"skewaqe {label:<9s} rows={2_000_000:>9,d} hot=30%"
+                    f"  sec={el:7.2f}  aqe_skew_split="
+                    f"{'ENGAGED' if engaged else 'not-engaged'}"
+                    f"  (checksum={n_out})",
+                    flush=True,
+                )
+            # mitigation leg: the compare itself, hot key duplicated on
+            # BOTH sides, ordinal pairing mode
+            df1 = skewed
+            df2 = skewed.select(
+                "k",
+                F.when(F.col("v") % 5 == 0, F.col("v") + 1)
+                .otherwise(F.col("v"))
+                .alias("v"),
+            )
+            t0 = time.perf_counter()
+            cmp_ = SparkCompare(
+                spark, df1, df2, join_columns=["k"], dup_order_by=["v"],
+                dup_join_on_ordinal=True,
+            )
+            n_match = cmp_.count_matching_rows()
+            el = time.perf_counter() - t0
+            print(
+                f"skewaqe ordinal   rows={2_000_000:>9,d} hot=30%"
+                f"  sec={el:7.2f}  matched={n_match:>9,d}"
+                f"  (uniform (k,ordinal) join key — the salting mitigation)",
+                flush=True,
+            )
+        finally:
+            for k, v in saved_confs.items():
+                try:
+                    if v is None:
+                        spark.conf.unset(k)
+                    else:
+                        spark.conf.set(k, v)
+                except Exception:  # noqa: BLE001
+                    pass
 
     # ---- grouped snapshot checksums: input scaled, group domain fixed.
     # Claim: scan-bound — the digest is one 60-bit hash + integer add per
