@@ -35,6 +35,41 @@ PROFILE_DEFAULTS = {
 }
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def borrowed_session(app_name: str, hive: bool = False):
+    """Create-or-borrow a SparkSession; stop it on exit ONLY if this
+    invocation created it — borrow-don't-stop semantics (parity:
+    ``reference/datacompy/cli/backends.py:250-288``). Every ``run_*``
+    handler used to inline this create/try/finally boilerplate (11
+    copies, the module's main drift surface — r12 verdict item 5); the
+    behavior contracts are pinned by ``tests/test_cli.py``.
+
+    ``hive=True`` requests ``enableHiveSupport()`` WHEN CREATING: a
+    "persistent" dedup ledger registered in the default in-memory catalog
+    dies with the process — the next CLI invocation sees no table but an
+    orphaned warehouse directory (LOCATION_ALREADY_EXISTS). The hive
+    catalog's derby metastore (``./metastore_db``) persists catalog
+    entries across invocations, which is the whole point of ``--ledger``.
+    A BORROWED session cannot be retrofitted (e.g. under pytest), so the
+    flag is ignored when an active session already exists.
+    """
+    from pyspark.sql import SparkSession
+
+    created = SparkSession.getActiveSession() is None
+    builder = SparkSession.builder.appName(app_name)
+    if hive and created:
+        builder = builder.enableHiveSupport()
+    spark = builder.getOrCreate()
+    try:
+        yield spark
+    finally:
+        if created:
+            spark.stop()
+
+
 def tolerance(value: str):
     """Parse ``--abs-tol``/``--rel-tol`` values: a bare number, or a
     ``COLUMN=VALUE`` pair for per-column tolerances (ref
@@ -882,9 +917,7 @@ def run_compare(args) -> int:
     _validate_args(args)
     abs_tol = _combine_tolerances(args.abs_tol, "--abs-tol")
     rel_tol = _combine_tolerances(args.rel_tol, "--rel-tol")
-    created = SparkSession.getActiveSession() is None
-    spark = SparkSession.builder.appName(args.spark_app_name).getOrCreate()
-    try:
+    with borrowed_session(args.spark_app_name) as spark:
         kwargs = {}
         if args.input_format == "csv":
             kwargs["delimiter"] = args.delimiter
@@ -968,11 +1001,6 @@ def run_compare(args) -> int:
             with open(args.output, "w") as fh:
                 fh.write(rendered)
         return 0 if _within_threshold(args, data) else 1
-    finally:
-        # borrow-don't-stop semantics (ref cli/backends.py:250-288): only stop
-        # a session this invocation created
-        if created:
-            spark.stop()
 
 
 def run_profile(args) -> int:
@@ -1083,9 +1111,7 @@ def run_profile(args) -> int:
         )
     if orphans:
         raise CLIError("; ".join(orphans))
-    created = SparkSession.getActiveSession() is None
-    spark = SparkSession.builder.appName(args.spark_app_name).getOrCreate()
-    try:
+    with borrowed_session(args.spark_app_name) as spark:
         # NOTE: per-branch combination guards were removed — every illegal
         # pairing is rejected by the single up-front mode-exclusivity check
         # plus the modifier→mode dependency table above (r12 review: the
@@ -1374,9 +1400,6 @@ def run_profile(args) -> int:
             and bool((rows["ks_stat"].dropna() > args.ks_threshold).any())
         )
         return 1 if (len(drifted) or ks_gate) else 0
-    finally:
-        if created:
-            spark.stop()
 
 
 def _run_dedup_rewrite(spark, df, args) -> int:
@@ -1535,19 +1558,11 @@ def run_dedup(args) -> int:
     from datacompy_spark.operators import dedup as D
     from datacompy_spark.sources.loaders import load
 
-    created = SparkSession.getActiveSession() is None
-    builder = SparkSession.builder.appName(args.spark_app_name)
-    if getattr(args, "ledger", None) and created:
-        # a 'persistent' ledger registered in the default in-memory catalog
-        # dies with the process — the next CLI invocation sees no table but
-        # an orphaned warehouse directory (LOCATION_ALREADY_EXISTS). The
-        # hive catalog's derby metastore (./metastore_db) persists catalog
-        # entries across invocations, which is the whole point of --ledger.
-        # Only when this process owns the session: enableHiveSupport cannot
-        # retrofit an already-running session (e.g. under pytest).
-        builder = builder.enableHiveSupport()
-    spark = builder.getOrCreate()
-    try:
+    # hive=--ledger: a persistent dedup ledger needs the derby
+    # metastore to outlive this process (rationale in borrowed_session)
+    with borrowed_session(
+        args.spark_app_name, hive=bool(getattr(args, "ledger", None))
+    ) as spark:
         kwargs = {"delimiter": args.delimiter} if args.input_format == "csv" else {}
         try:
             df = load(spark, args.input, fmt=args.input_format, **kwargs)
@@ -1644,9 +1659,6 @@ def run_dedup(args) -> int:
                 )
             )
         return 0
-    finally:
-        if created:
-            spark.stop()
 
 
 def run_cdc(args) -> int:
@@ -1661,9 +1673,7 @@ def run_cdc(args) -> int:
     keys = [c.strip() for c in args.keys.split(",") if c.strip()]
     if not keys:
         raise CLIError("--keys must name at least one column")
-    created = SparkSession.getActiveSession() is None
-    spark = SparkSession.builder.appName(args.spark_app_name).getOrCreate()
-    try:
+    with borrowed_session(args.spark_app_name) as spark:
         kwargs = {"delimiter": args.delimiter} if args.input_format == "csv" else {}
         try:
             old = load(spark, args.old, fmt=args.input_format, **kwargs)
@@ -1713,9 +1723,6 @@ def run_cdc(args) -> int:
                 )
             )
         return 1 if (args.fail_on_change and n_changes) else 0
-    finally:
-        if created:
-            spark.stop()
 
 
 def run_anomaly(args) -> int:
@@ -1732,9 +1739,7 @@ def run_anomaly(args) -> int:
         raise CLIError("--by must name at least one column")
     if args.threshold <= 0:
         raise CLIError("--threshold must be positive")
-    created = SparkSession.getActiveSession() is None
-    spark = SparkSession.builder.appName(args.spark_app_name).getOrCreate()
-    try:
+    with borrowed_session(args.spark_app_name) as spark:
         kwargs = {"delimiter": args.delimiter} if args.input_format == "csv" else {}
         try:
             df = load(spark, args.input, fmt=args.input_format, **kwargs)
@@ -1836,9 +1841,6 @@ def run_anomaly(args) -> int:
         return 1 if (
             args.fail_on_anomaly and (n_anomalies > 0 or n_drift > 0)
         ) else 0
-    finally:
-        if created:
-            spark.stop()
 
 
 def run_check(args) -> int:
@@ -1869,9 +1871,7 @@ def run_check(args) -> int:
         fk_specs.append((child_col, parent_ref, parent_col))
     if not rules and not fk_specs:
         raise CLIError("nothing to check: pass --rules and/or --fk")
-    created = SparkSession.getActiveSession() is None
-    spark = SparkSession.builder.appName(args.spark_app_name).getOrCreate()
-    try:
+    with borrowed_session(args.spark_app_name) as spark:
         kwargs = {"delimiter": args.delimiter} if args.input_format == "csv" else {}
         try:
             df = load(spark, args.input, fmt=args.input_format, **kwargs)
@@ -1965,9 +1965,6 @@ def run_check(args) -> int:
                 )
             )
         return 1 if (args.fail_on_violation and failed) else 0
-    finally:
-        if created:
-            spark.stop()
 
 
 def run_ann(args) -> int:
@@ -1990,9 +1987,7 @@ def run_ann(args) -> int:
         )
     if args.k <= 0 or args.nprobe <= 0:
         raise CLIError("--k and --nprobe must be positive")
-    created = SparkSession.getActiveSession() is None
-    spark = SparkSession.builder.appName(args.spark_app_name).getOrCreate()
-    try:
+    with borrowed_session(args.spark_app_name) as spark:
         if args.build:
             try:
                 corpus = load(spark, args.build, fmt=args.input_format)
@@ -2083,9 +2078,6 @@ def run_ann(args) -> int:
                 )
             )
         return 0
-    finally:
-        if created:
-            spark.stop()
 
 
 def run_cluster(args) -> int:
@@ -2104,9 +2096,7 @@ def run_cluster(args) -> int:
         raise CLIError("--iters must be positive")
     if args.cap is not None and args.cap <= 0:
         raise CLIError("--cap must be positive")
-    created = SparkSession.getActiveSession() is None
-    spark = SparkSession.builder.appName(args.spark_app_name).getOrCreate()
-    try:
+    with borrowed_session(args.spark_app_name) as spark:
         try:
             df = load(spark, args.input, fmt=args.input_format)
         except Exception as ex:
@@ -2164,9 +2154,6 @@ def run_cluster(args) -> int:
                 )
             )
         return 0
-    finally:
-        if created:
-            spark.stop()
 
 
 def run_compact(args) -> int:
@@ -2183,9 +2170,7 @@ def run_compact(args) -> int:
         if args.sort_by
         else None
     )
-    created = SparkSession.getActiveSession() is None
-    spark = SparkSession.builder.appName(args.spark_app_name).getOrCreate()
-    try:
+    with borrowed_session(args.spark_app_name) as spark:
         try:
             summary = compact_files(
                 spark,
@@ -2203,9 +2188,6 @@ def run_compact(args) -> int:
         if not args.quiet:
             print(json.dumps(summary))
         return 0
-    finally:
-        if created:
-            spark.stop()
 
 
 def run_curate(args) -> int:
@@ -2219,9 +2201,7 @@ def run_curate(args) -> int:
 
     if args.train_pct + args.val_pct > 100 or args.train_pct < 0 or args.val_pct < 0:
         raise CLIError("--train-pct/--val-pct must be non-negative and sum to ≤ 100")
-    created = SparkSession.getActiveSession() is None
-    spark = SparkSession.builder.appName(args.spark_app_name).getOrCreate()
-    try:
+    with borrowed_session(args.spark_app_name) as spark:
         kwargs = {"delimiter": args.delimiter} if args.input_format == "csv" else {}
         try:
             df = load(spark, args.input, fmt=args.input_format, **kwargs)
@@ -2300,9 +2280,6 @@ def run_curate(args) -> int:
                 summary["n_dsir"] = n_dsir
             print(json.dumps(summary))
         return 0
-    finally:
-        if created:
-            spark.stop()
 
 
 def run_snapshot(args) -> int:
@@ -2338,9 +2315,7 @@ def run_snapshot(args) -> int:
                 f"--by names table {name!r} which is not in --tables {tables}"
             )
         by[name] = col.strip()
-    created = SparkSession.getActiveSession() is None
-    spark = SparkSession.builder.appName(args.spark_app_name).getOrCreate()
-    try:
+    with borrowed_session(args.spark_app_name) as spark:
         columns = None
         if ignore:
             from datacompy_spark.sources.loaders import load_table
@@ -2410,9 +2385,6 @@ def run_snapshot(args) -> int:
         if args.fail_on_mismatch and n_bad:
             return 1
         return 0
-    finally:
-        if created:
-            spark.stop()
 
 
 def main(argv: Optional[Sequence[str]] = None) -> int:
