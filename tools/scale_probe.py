@@ -94,6 +94,12 @@ def main() -> int:
     # processes, validating the ~384 B/row shuffle-cost figure against an
     # actual serializer/transport boundary (r12 verdict item 3).
     master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    if master.startswith("local-cluster"):
+        # executor launch needs SPARK_HOME; the pip install's package dir
+        # carries the jars/ and the launcher scripts it looks for
+        import pyspark as _ps
+
+        os.environ.setdefault("SPARK_HOME", os.path.dirname(_ps.__file__))
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     spark = (
         SparkSession.builder.master(master)
