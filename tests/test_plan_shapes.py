@@ -595,3 +595,76 @@ class TestPlanAuditBarrierVisibility:
         # second sees the cache boundary and adds nothing for it
         assert totals[0]["exchanges"] >= 1
         assert totals[1]["exchanges"] == 0
+
+
+class TestPlanFingerprint:
+    """The plan-shape fingerprint gate (r12 verdict item 7): without
+    --write, tools/plan_audit.py fails when any query's operator-tree
+    shape drifted from the committed PLANS.md. These pin the pieces the
+    gate stands on: same plan -> same digest across separate builds,
+    different shape -> different digest, and the PLANS.md round-trip."""
+
+    @staticmethod
+    def _load_audit_module():
+        import importlib.util
+        from pathlib import Path
+
+        path = Path(__file__).resolve().parent.parent / "tools" / "plan_audit.py"
+        spec = importlib.util.spec_from_file_location("plan_audit", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    def test_fingerprint_stable_and_shape_sensitive(self, spark):
+        audit = self._load_audit_module()
+
+        def build():
+            return (
+                spark.range(1000)
+                .groupBy((F.col("id") % 7).alias("k"))
+                .count()
+            )
+
+        fp1 = audit._fingerprint([build()._jdf.queryExecution()])
+        fp2 = audit._fingerprint([build()._jdf.queryExecution()])
+        assert fp1 == fp2 and len(fp1) == 10
+        # a changed LITERAL keeps the shape (no ids/values in the digest)
+        same_shape = (
+            spark.range(1000).groupBy((F.col("id") % 13).alias("k")).count()
+        )
+        assert audit._fingerprint([same_shape._jdf.queryExecution()]) == fp1
+        # an added exchange changes it
+        wider = build().orderBy("k")
+        assert audit._fingerprint([wider._jdf.queryExecution()]) != fp1
+
+    def test_fingerprints_roundtrip_through_plans_md(self, tmp_path):
+        audit = self._load_audit_module()
+        rows = [
+            {"query": "q_a", "exchanges": 2, "broadcasts": 0, "smj": 1,
+             "bhj": 0, "nlj": 0, "scans": 2, "python": 0, "barriers": 0,
+             "fingerprint": "0123456789", "error": None},
+            {"query": "q_err", "error": "Boom: nope"},
+            {"query": "q_b", "exchanges": 0, "broadcasts": 1, "smj": 0,
+             "bhj": 1, "nlj": 0, "scans": 1, "python": 1, "barriers": 2,
+             "fingerprint": "abcdef0123", "error": None},
+        ]
+        path = tmp_path / "PLANS.md"
+        path.write_text(audit.render(rows, "/tmp/sfX"))
+        got = audit.read_fingerprints(str(path))
+        # error rows carry no fingerprint; good rows round-trip exactly
+        assert got == {"q_a": "0123456789", "q_b": "abcdef0123"}
+        # missing file / pre-fingerprint file degrade to empty (gate off)
+        assert audit.read_fingerprints(str(tmp_path / "nope.md")) == {}
+
+    def test_committed_plans_md_carries_fingerprints(self):
+        """Live guarantee: the committed PLANS.md has a fingerprint for
+        every registry query, so the verify_all gate is armed."""
+        import os
+
+        from datacompy_spark.queries import QUERIES
+
+        audit = self._load_audit_module()
+        here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        fps = audit.read_fingerprints(os.path.join(here, "PLANS.md"))
+        missing = sorted(set(QUERIES) - set(fps))
+        assert not missing, f"PLANS.md lacks fingerprints for {missing}"

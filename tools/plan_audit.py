@@ -9,6 +9,10 @@ while results stay correct.
 
 Usage: python tools/plan_audit.py [sf_dir] [--write]
   --write regenerates PLANS.md from the audit table.
+  Without --write the run is a GATE: it fails (exit 1) if any query's
+  plan-shape fingerprint differs from the committed PLANS.md — an
+  intentional plan change must be recorded by regenerating with --write
+  and committing the diff (r12 verdict item 7).
 
 Notes: queries are BUILT, not executed (no .count()), but a few operators
 materialize sketch frames at build time (documented persist-before-self-join
@@ -147,6 +151,114 @@ def _counts(qe, seen_caches) -> dict:
     return counts
 
 
+#: runtime/codegen artifacts of the SAME logical plan — transparent in the
+#: shape. BroadcastExchange is here because Catalyst picks the BHJ build
+#: side from size ESTIMATES: a materialized cache whose measured size
+#: lands near the threshold flips which child carries the exchange between
+#: otherwise-identical runs (observed live on knn_jaccard_graph while
+#: seeding the baseline — same code, two fingerprints). The broadcast
+#: still shows in the audited `broadcasts` count; a broadcast→shuffle
+#: strategy change still changes the JOIN node class, which IS hashed.
+_SHAPE_TRANSPARENT = {
+    "WholeStageCodegenExec",
+    "InputAdapter",
+    "ColumnarToRowExec",
+    "RowToColumnarExec",
+    "BroadcastExchangeExec",
+}
+
+#: join nodes whose children are hashed as an UNORDERED pair: the
+#: stats-driven build/stream side swap is the same benign nondeterminism
+#: as the exchange placement above.
+_SHAPE_JOINS = {
+    "BroadcastHashJoinExec",
+    "ShuffledHashJoinExec",
+    "SortMergeJoinExec",
+    "BroadcastNestedLoopJoinExec",
+    "CartesianProductExec",
+}
+
+
+def _shape(node, seen_caches) -> str:
+    """Canonical operator-tree shape: node class names + structure only —
+    no expression ids, no stats, no file paths — so the string (and the
+    fingerprint hashed from it) is stable across processes for the same
+    code at the same scale/config. Traversal mirrors :func:`_walk`
+    exactly: AQE roots and query stages descend into their real plan,
+    each distinct cached build plan prints once (later readers collapse
+    to ``CacheRef``), reused exchanges/subqueries are leaf markers, and
+    expression subqueries are folded in (a shuffle inside a subquery must
+    change the fingerprint). Codegen wrappers and broadcast exchanges are
+    transparent and join children are order-insensitive (see
+    ``_SHAPE_TRANSPARENT`` — Catalyst's stats-driven build-side choice
+    must not read as a plan regression)."""
+    cls = node.getClass().getSimpleName()
+    if cls == "AdaptiveSparkPlanExec":
+        return _shape(node.executedPlan(), seen_caches)
+    if cls.endswith("QueryStageExec"):
+        return _shape(node.plan(), seen_caches)
+    if cls == "InMemoryTableScanExec":
+        try:
+            cached = node.relation().cachedPlan()
+            key = cached.id()
+        except Exception:  # noqa: BLE001 — API drift: opaque leaf
+            return "InMemoryTableScan[?]"
+        if key in seen_caches:
+            return "CacheRef"
+        seen_caches.add(key)
+        return f"Cache({_shape(cached, seen_caches)})"
+    if cls in ("ReusedExchangeExec", "ReusedSubqueryExec"):
+        return cls
+    if cls in _SHAPE_TRANSPARENT:
+        kids = node.children()
+        inner = [
+            _shape(kids.apply(i), seen_caches) for i in range(kids.length())
+        ]
+        return ",".join(inner)
+    parts = []
+    try:
+        subs = node.subqueries()
+        for i in range(subs.length()):
+            parts.append("sub:" + _shape(subs.apply(i), seen_caches))
+    except Exception:  # noqa: BLE001 — API drift tolerated
+        pass
+    kids = node.children()
+    # visit in plan order (Cache/CacheRef assignment stays deterministic),
+    # then canonicalize join children by sorting the rendered shapes
+    kid_shapes = [_shape(kids.apply(i), seen_caches) for i in range(kids.length())]
+    if cls in _SHAPE_JOINS:
+        kid_shapes = sorted(kid_shapes)
+    parts.extend(kid_shapes)
+    return f"{cls}({','.join(parts)})" if parts else cls
+
+
+def _fingerprint(fragments) -> str:
+    """10-hex-char digest of the operator-tree shapes of the final plan
+    plus every pre-barrier fragment, in order."""
+    import hashlib
+
+    seen_caches: set = set()
+    joined = "||".join(
+        _shape(qe.executedPlan(), seen_caches) for qe in fragments
+    )
+    return hashlib.sha1(joined.encode()).hexdigest()[:10]
+
+
+def read_fingerprints(path: str) -> dict:
+    """``{query: fingerprint}`` parsed from a committed PLANS.md; empty if
+    the file is missing or predates the fingerprint column."""
+    import re
+
+    try:
+        with open(path) as fh:
+            text = fh.read()
+    except OSError:
+        return {}
+    return dict(
+        re.findall(r"^\| (\S+) \|(?:[^|\n]*\|)* ([0-9a-f]{10}) \|$", text, re.M)
+    )
+
+
 def audit(spark, sf_dir: str):
     """One row per query. Counts are the SUM of the final plan plus every
     pre-barrier fragment captured via plans.barrier.PLAN_AUDIT_SINK —
@@ -175,6 +287,7 @@ def audit(spark, sf_dir: str):
             for k, v in _counts(fragment_qe, seen_caches).items():
                 total[k] += v
         row.update(total)
+        row["fingerprint"] = _fingerprint([qe, *sink])
         rows.append(row)
         spark.catalog.clearCache()
     return rows
@@ -202,16 +315,23 @@ def render(rows, sf_dir: str) -> str:
         "fuzzy_key_match, incremental dedups) would otherwise under-report.",
         "`barriers` is the number of truncated fragments folded in.",
         "",
-        "| query | exchanges | broadcasts | smj | bhj | nlj | scans | python | barriers |",
-        "|---|---|---|---|---|---|---|---|---|",
+        "`fingerprint` is a digest of the operator-tree SHAPE (class names +",
+        "structure, no ids/stats/paths): stable for unchanged code, different",
+        "for any plan-shape change. `tools/plan_audit.py` without `--write`",
+        "fails when a fingerprint differs from this committed file — a plan",
+        "regression gate; an INTENTIONAL change is 'explained' by regenerating",
+        "with `--write` and committing the diff.",
+        "",
+        "| query | exchanges | broadcasts | smj | bhj | nlj | scans | python | barriers | fingerprint |",
+        "|---|---|---|---|---|---|---|---|---|---|",
     ]
     for r in rows:
         if r.get("error"):
-            out.append(f"| {r['query']} | ERROR: {r['error']} | | | | | | | |")
+            out.append(f"| {r['query']} | ERROR: {r['error']} | | | | | | | | |")
         else:
             out.append(
                 "| {query} | {exchanges} | {broadcasts} | {smj} | {bhj} | {nlj} "
-                "| {scans} | {python} | {barriers} |".format(**r)
+                "| {scans} | {python} | {barriers} | {fingerprint} |".format(**r)
             )
     out.append("")
     out.append(
@@ -252,10 +372,35 @@ def main() -> int:
     errs = [r for r in rows if r.get("error")]
     text = render(rows, sf_dir)
     print(text)
-    if write:
-        path = os.path.join(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"
+    )
+    # fingerprint regression gate (r12 verdict item 7): diff the fresh
+    # audit against the committed PLANS.md. Without --write, ANY drift
+    # fails — "zero hot-path code changed, plans identical" becomes a
+    # mechanical check instead of a judge reading the diff. An intentional
+    # plan change is accepted by regenerating with --write and committing.
+    committed = read_fingerprints(path)
+    fresh = {
+        r["query"]: r["fingerprint"] for r in rows if not r.get("error")
+    }
+    drift: list = []
+    if committed:
+        changed = sorted(
+            q for q in fresh if q in committed and fresh[q] != committed[q]
         )
+        added = sorted(q for q in fresh if q not in committed)
+        removed = sorted(q for q in committed if q not in fresh)
+        drift = changed + added + removed
+        if changed:
+            print("FINGERPRINT CHANGES vs PLANS.md:", changed)
+        if added:
+            print("NEW QUERIES not in PLANS.md:", added)
+        if removed:
+            print("QUERIES GONE from the registry:", removed)
+    else:
+        print("PLANS.md has no fingerprint baseline — run with --write to seed it")
+    if write:
         with open(path, "w") as fh:
             fh.write(text)
         print(f"wrote {path}")
@@ -264,7 +409,13 @@ def main() -> int:
     if errs:
         print("ERRORS:", [r["query"] for r in errs])
     spark.stop()
-    return 1 if (bad or errs) else 0
+    if bad or errs:
+        return 1
+    if drift and not write:
+        print("plan fingerprints drifted from PLANS.md — if intentional, "
+              "regenerate with --write and commit the diff")
+        return 1
+    return 0
 
 
 if __name__ == "__main__":

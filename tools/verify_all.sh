@@ -35,11 +35,14 @@ echo "=== 5/7 low-parallelism sweep (2 cores) ==="
 SPARK_GRAFT_CPUS=2 SPARK_GRAFT_SHUFFLE_PARTITIONS=4 \
     python tools/check_oracles.py /root/testdata/sf0.01
 
-echo "=== 6/7 plan audit ==="
+echo "=== 6/7 plan audit + fingerprint gate ==="
 # sf0.01 = the correctness-gate scale and the provenance of the committed
 # PLANS.md (the sf0.001 default can flip a join strategy on tiny stats and
-# churn the committed file)
-python tools/plan_audit.py /root/testdata/sf0.01 --write
+# churn the committed file). NO --write: this is the plan-shape regression
+# gate — it FAILS if any fingerprint drifted from the committed PLANS.md.
+# An intentional plan change is accepted by regenerating first:
+#   python tools/plan_audit.py /root/testdata/sf0.01 --write   # + commit
+python tools/plan_audit.py /root/testdata/sf0.01
 
 echo "=== 7/7 bench ==="
 python bench.py
