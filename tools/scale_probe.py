@@ -584,6 +584,7 @@ def main() -> int:
         write_bucketed(right, "sp_right", agg_keys, num_buckets=int(cpus))
         t_bucket = time.perf_counter() - t0
         try:
+            sb0, minid0 = _shuffle_write_bytes(spark.sparkContext)
             t0 = time.perf_counter()
             cmp_b = SparkCompare(
                 spark,
@@ -595,10 +596,16 @@ def main() -> int:
             )
             cmp_b.report(sample_count=10)
             t_bucketed = time.perf_counter() - t0
+            sb1, minid1 = _shuffle_write_bytes(spark.sparkContext)
+            rolled = minid0 >= 0 and minid1 > minid0
+            b_mb = (
+                (sb1 - sb0) / 1e6 if 0 <= sb0 <= sb1 and not rolled else -1
+            )
             print(
                 f"bucketed rows={n:>10,d}  plain={t_plain:6.2f}s  "
                 f"bucket_once={t_bucket:6.2f}s  bucketed_cmp={t_bucketed:6.2f}s  "
-                f"speedup={t_plain / t_bucketed:5.2f}x per recurring compare",
+                f"speedup={t_plain / t_bucketed:5.2f}x per recurring compare  "
+                f"bucketed_shuffle_mb={b_mb:,.1f}",
                 flush=True,
             )
         finally:
