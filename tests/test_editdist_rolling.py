@@ -158,6 +158,65 @@ class TestEditDistancePairs:
         assert interleaved.count() == 300
         assert release_checkpoints() == 2  # the neighbours are still owed
 
+    def test_release_keeps_span_queued_on_transient_failure(self, spark):
+        """r12 review finding: release_checkpoints used to delete the
+        [mark, until) ledger entries BEFORE touching the JVM, so a
+        transiently-invisible context (borrowed session touched from an
+        odd thread state) made those blocks permanently unreleasable.
+        The span must survive the early return and release on retry."""
+        import pyspark
+
+        from datacompy_spark import release_checkpoints
+        from datacompy_spark.plans import cache as cache_mod
+        from datacompy_spark.plans.barrier import lineage_barrier
+
+        release_checkpoints()  # drain other tests' leftovers
+        barred = lineage_barrier(spark.range(400), None, eager=True)
+        assert barred.count() == 400
+        assert len(cache_mod._TRACKED_CHECKPOINTS) == 1
+        real_sc = pyspark.SparkContext._active_spark_context
+        pyspark.SparkContext._active_spark_context = None
+        try:
+            assert release_checkpoints() == 0  # nothing released...
+            # ...and — the fix — nothing forgotten either
+            assert len(cache_mod._TRACKED_CHECKPOINTS) == 1
+        finally:
+            pyspark.SparkContext._active_spark_context = real_sc
+        assert release_checkpoints() == 1  # retry succeeds
+        assert len(cache_mod._TRACKED_CHECKPOINTS) == 0
+
+    def test_register_checkpoint_seqs_unique_under_threads(self, spark):
+        """r12 review finding: the seq increment + ledger append were not
+        atomic, so concurrent register_checkpoint calls (the borrowed-
+        session multi-consumer story) could mint duplicate seqs — making
+        one caller's [lo, hi) span release a neighbor's checkpoint. The
+        module lock must keep seqs unique under real thread interleaving."""
+        import threading
+
+        from datacompy_spark import release_checkpoints
+        from datacompy_spark.plans import cache as cache_mod
+
+        release_checkpoints()
+        df = spark.range(10).localCheckpoint(eager=True)
+        n_threads, per_thread = 8, 25
+
+        def register_many():
+            for _ in range(per_thread):
+                cache_mod.register_checkpoint(df)
+
+        threads = [threading.Thread(target=register_many) for _ in range(n_threads)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        try:
+            seqs = [seq for seq, _ in cache_mod._TRACKED_CHECKPOINTS]
+            assert len(seqs) == n_threads * per_thread
+            assert len(set(seqs)) == len(seqs), "duplicate seqs minted"
+        finally:
+            release_checkpoints()
+            df.unpersist()
+
 
 class TestRollingDrift:
     def _events(self, spark, rows):

@@ -92,8 +92,24 @@ def main() -> int:
     # perverse partitioning (e.g. 7 partitions, AQE off); a hash that moves
     # with the partition count is a distributed-nondeterminism bug that
     # would surface as flaky results on a real cluster.
+    # SPARK_GRAFT_MASTER (e.g. local-cluster[2,8,8192]): TRANSPORT
+    # invariance — the same sweep across a real multi-JVM serializer/
+    # network boundary, catching anything that only works because tasks
+    # share the driver's JVM or Python process (r13 axis).
+    master = os.environ.get(
+        "SPARK_GRAFT_MASTER",
+        f"local[{os.environ.get('SPARK_GRAFT_CPUS', '16')}]",
+    )
+    if master.startswith("local-cluster"):
+        import pyspark as _ps
+
+        os.environ.setdefault(
+            "SPARK_HOME", os.path.dirname(_ps.__file__)
+        )
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     spark = (
-        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '16')}]")
+        SparkSession.builder.master(master)
+        .config("spark.executorEnv.PYTHONPATH", repo_root)
         .config(
             "spark.sql.shuffle.partitions",
             os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "16"),
