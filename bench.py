@@ -118,7 +118,16 @@ def _healthy_sentinel_floor(here=None):
         except Exception:  # noqa: BLE001
             continue
         noise = data.get("noise") or (data.get("parsed") or {}).get("noise") or []
-        samples.extend(v for v in noise if isinstance(v, (int, float)) and v > 0)
+        # plausibility clamp: the sentinel is a fixed 50M-row hash-sum on
+        # 32 threads — nothing real lands below ~0.03 s or above ~2 s on
+        # any machine this runs on. One glitched sample in one record
+        # (a serialization bug, a truncated file) must not become the
+        # floor forever, silently arming the gate on every future sweep.
+        samples.extend(
+            v
+            for v in noise
+            if isinstance(v, (int, float)) and 0.03 < v < 2.0
+        )
     return min(samples) if samples else None
 
 

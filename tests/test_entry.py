@@ -264,6 +264,13 @@ def test_bench_healthy_sentinel_floor(tmp_path):
     (tmp_path / "BENCH_r12.json").write_text(_json.dumps(bare_shaped))
     # min across every sample of every round, regardless of sf
     assert bench._healthy_sentinel_floor(here=str(tmp_path)) == pytest.approx(0.114)
+    # a glitched sample (0.001 s — impossible for the fixed 50M-row job)
+    # must not become the floor forever and arm the gate on every sweep
+    (tmp_path / "BENCH_r13.json").write_text(
+        _json.dumps({"metric": "compare_report_sec", "value": 4.0, "sf": 0.1,
+                     "queries": {}, "noise": [0.001, 0.15]})
+    )
+    assert bench._healthy_sentinel_floor(here=str(tmp_path)) == pytest.approx(0.114)
     # no history → None (gate off, ratio 1.0), never a crash
     empty = tmp_path / "empty"
     empty.mkdir()
