@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import argparse
 import sys
+from contextlib import contextmanager
 from typing import Optional, Sequence
 
 
@@ -33,9 +34,6 @@ PROFILE_DEFAULTS = {
     "anon_k": 5,
     "anon_l": 2,
 }
-
-
-from contextlib import contextmanager
 
 
 @contextmanager
