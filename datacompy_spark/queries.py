@@ -638,7 +638,7 @@ from datacompy_spark.queries_pipeline import PIPELINE_ORACLES, PIPELINE_QUERIES 
 # Rebuilt each round (VERDICT r7/r8 rule): the driver's CORRECTNESS sweep
 # samples exactly the FIRST 50 registry names once per round, so the prefix
 # rotates: never-driver-green names lead, then names whose most-recent
-# driver-green row is OLDEST. The registry holds 120 names and the window
+# driver-green row is OLDEST. The registry holds 121 names and the window
 # 50, so a full rotation takes 3 rounds (the contract is stated in
 # COVERAGE.md; tests/test_entry.py enforces oldest-first against the
 # recorded CORRECTNESS_r*.json history).
