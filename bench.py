@@ -162,6 +162,55 @@ def main() -> None:
     nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
     SparkCompare(spark, nation, nation.select(*nation.columns), join_columns="n_nationkey").report()
 
+    sc = spark.sparkContext
+
+    # VM-noise sentinel: a FIXED CPU-bound job (no I/O, no shuffle, no
+    # cache) timed BEFORE the headline / after the headline sections /
+    # every 40 queries / sweep end. On a healthy machine every sample
+    # lands in the same narrow band; in a shared-VM pressure window the
+    # sentinel inflates with everything else. Carried in the driver-
+    # recorded line ("noise": [...]) so a slow number co-occurring with
+    # an inflated sentinel is attributable INSIDE the driver artifact —
+    # r9/r10 attributed noise via cross-round medians and quiet-machine
+    # re-runs; this is the in-record instrument. The pre-headline sample
+    # exists because the headline is the single most-graded number and a
+    # pressure burst confined to the headline section would otherwise be
+    # invisible to every sample (observed live in an r13 synthetic-burner
+    # probe: burner died before the first post-headline sample, headline
+    # 4.3 s vs a 2.2-2.6 band, record carried no attribution).
+    def _noise_probe() -> float:
+        sc.setJobGroup("noise-probe", "VM pressure sentinel")
+        t0 = time.perf_counter()
+        spark.range(0, 50_000_000, 1, int(cpus)).selectExpr(
+            "sum(hash(id)) AS h"
+        ).collect()
+        return round(time.perf_counter() - t0, 3)
+
+    _noise_probe()  # unrecorded: first call pays this expression's codegen (~3 s)
+    # noise_pos tracks WHERE each sample was taken: -1 = before the
+    # headline sections, 0 = after them (= sweep start), qi = mid-sweep,
+    # len(QUERIES) = end. The normalization below uses the samples
+    # BRACKETING each timing's position — pressure that arrives mid-sweep
+    # must not retro-attribute onto the headline, nor vice versa.
+    noise = [_noise_probe()]
+    noise_pos = [-1]
+
+    # start-of-run sentinel GATE (r12 verdict item 2): a VM pressure
+    # window at run start inflated the whole r12 driver record (+28%
+    # headline, sentinel 0.197-0.437 vs the healthy 0.13-0.15 band) and
+    # could only be exonerated after the fact. If the opening sentinel
+    # exceeds 2x this machine's recorded floor, wait once for the window
+    # to pass and re-probe; BOTH samples stay in "noise" so the record
+    # shows the gate fired. One retry only — an all-evening pressure
+    # window must not stall the driver, it gets attributed via the
+    # normalized twins instead. The gate sits BEFORE the headline: the
+    # headline is the number the gate exists to protect.
+    sentinel_floor = _healthy_sentinel_floor()
+    if sentinel_floor and noise[0] > 2.0 * sentinel_floor:
+        time.sleep(float(os.environ.get("SPARK_GRAFT_SENTINEL_WAIT", "60")))
+        noise.append(_noise_probe())
+        noise_pos.append(-1)
+
     timings = {}
     # steady-state (warm) companions: the LAST run of each query, after JVM/
     # codegen warmup — best-of-N damps shared-VM noise spikes but can hide a
@@ -249,48 +298,11 @@ def main() -> None:
 
     gates = {}
     spark.catalog.clearCache()
-    sc = spark.sparkContext
 
-    # VM-noise sentinel: a FIXED CPU-bound job (no I/O, no shuffle, no
-    # cache) timed at sweep start / every 40 queries / sweep end. On a
-    # healthy machine every sample lands in the same narrow band; in a
-    # shared-VM pressure window the sentinel inflates with everything
-    # else. Carried in the driver-recorded line ("noise": [...]) so a
-    # slow query number co-occurring with an inflated sentinel is
-    # attributable INSIDE the driver artifact — r9/r10 attributed noise
-    # via cross-round medians and quiet-machine re-runs; this is the
-    # in-record instrument.
-    def _noise_probe() -> float:
-        sc.setJobGroup("noise-probe", "VM pressure sentinel")
-        t0 = time.perf_counter()
-        spark.range(0, 50_000_000, 1, int(cpus)).selectExpr(
-            "sum(hash(id)) AS h"
-        ).collect()
-        return round(time.perf_counter() - t0, 3)
-
-    _noise_probe()  # unrecorded: first call pays this expression's codegen (~3 s)
-    noise = [_noise_probe()]
-
-    # start-of-sweep sentinel GATE (r12 verdict item 2): a VM pressure
-    # window at sweep start inflated the whole r12 driver record (+28%
-    # headline, sentinel 0.197-0.437 vs the healthy 0.13-0.15 band) and
-    # could only be exonerated after the fact. If the opening sentinel
-    # exceeds 2x this machine's recorded floor, wait once for the window
-    # to pass and re-probe; BOTH samples stay in "noise" so the record
-    # shows the gate fired. One retry only — an all-evening pressure
-    # window must not stall the driver, it gets attributed via
-    # sentinel_ratio instead (below).
-    # noise_pos tracks WHERE in the sweep each sample was taken (query
-    # index; -1 = the pre-sweep headline section, len(QUERIES) = end), so
-    # the normalization below can use the samples nearest each timing
-    # instead of a sweep-wide average — pressure that arrives mid-sweep
-    # must not retro-attribute onto the headline, nor vice versa.
-    noise_pos = [0]
-    sentinel_floor = _healthy_sentinel_floor()
-    if sentinel_floor and noise[0] > 2.0 * sentinel_floor:
-        time.sleep(float(os.environ.get("SPARK_GRAFT_SENTINEL_WAIT", "60")))
-        noise.append(_noise_probe())
-        noise_pos.append(0)
+    # post-headline / sweep-start sentinel sample: closes the bracket
+    # around the headline sections and opens the sweep's
+    noise.append(_noise_probe())
+    noise_pos.append(0)
     stage_counts: dict = {}  # per-query stage totals → BENCH_DETAIL, so a
     # stall window in a 3000+-stage shared session is attributable to the
     # query that actually ran the stages (r9: Stage 3289 by sweep end, and
@@ -308,8 +320,9 @@ def main() -> None:
         except Exception:  # noqa: BLE001 — diagnostics must not fail the bench
             return -1
 
-    # sweep position per timed name; the two headline sections ran before
-    # the sweep (position -1, nearest sample = the opening sentinel)
+    # position per timed name; the two headline sections ran between the
+    # pre-headline sample (pos -1) and the sweep-start sample (pos 0), so
+    # their norm brackets with exactly those two
     qpos = {"compare_report": -1, "compare_report_bucketed": -1}
 
     for qi, (name, fn) in enumerate(QUERIES.items()):
