@@ -643,72 +643,18 @@ from datacompy_spark.queries_pipeline import PIPELINE_ORACLES, PIPELINE_QUERIES 
 # COVERAGE.md; tests/test_entry.py enforces oldest-first against the
 # recorded CORRECTNESS_r*.json history).
 #
-# Round-13 window (r12 sweep was all-green — fourth consecutive — so ages
-# are exactly 21 names @ r10, 50 @ r11, 50 @ r12; no new registrations).
-# Order: the 21 r10-age names deferred by the r12 window lead (their r10
-# evidence is the registry's oldest), then the first 29 of the 50 r11-age
-# names in registry order fill the window to 50. The remaining 21 r11-age
-# names (tail below, position 51+) defer to r14 and MUST lead _SWEEP_FIRST
-# then; every deferred name still gets a fresh in-round local oracle pass
-# via check_oracles --unswept. Registry holds at 121 names, so a full
-# rotation remains 3 rounds (50+50+21) — COVERAGE.md contract unchanged.
+# Round-14 window (r13 sweep was all-green — fifth consecutive — so ages
+# are exactly 21 names @ r11, 50 @ r12, 50 @ r13; no new registrations).
+# Order: the 21 r11-age names deferred by the r13 window lead (their r11
+# evidence is the registry's oldest — the r13 verdict mandates they MUST
+# lead), then the first 29 of the 50 r12-age names in registry order fill
+# the window to 50. The remaining 21 r12-age names (tail below, position
+# 51+) defer to r15 and MUST lead _SWEEP_FIRST then; every deferred name
+# still gets a fresh in-round local oracle pass via check_oracles
+# --unswept. Registry holds at 121 names, so a full rotation remains 3
+# rounds (50+50+21) — COVERAGE.md contract unchanged.
 _SWEEP_FIRST = [
-    # newest driver evidence r10 — the 21 names deferred by the r12 window
-    "knn_recall",
-    "source_cap",
-    "join_cardinality",
-    "ngram_dup_profile",
-    "ngram_novelty",
-    "fuzzy_key_match",
-    "dedup_incremental",
-    "dataset_checksum",
-    "checksum_diff_by_month",
-    "shard_corpus",
-    "dedup_semantic",
-    "line_dedup",
-    "npmi_collocations",
-    "mad_outliers",
-    "events_attribution",
-    "temperature_mix",
-    "dsir_weights",
-    "quantile_drift",
-    "k_anonymity",
-    "knn_jaccard_graph",
-    "char_entropy",
-    # newest driver evidence r11 — first 29 of the 50 r11-age names in
-    # registry order fill the window to 50
-    "cmp_column_stats",
-    "cmp_unique_rows",
-    "cmp_all_mismatch",
-    "cmp_matches_summary",
-    "cmp_dupes_by_ordinal",
-    "cmp_string_timestamp_cast",
-    "cmp_bool_numeric",
-    "cmp_array_equal",
-    "cmp_null_keys",
-    "dedup_exact",
-    "dedup_minhash_pairs",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "knn_cosine_bruteforce",
-    "knn_lsh",
-    "text_stats",
-    "lang_id",
-    "token_count",
-    "doc_fingerprint",
-    "events_hourly_rollup",
-    "events_sessionize",
-    "cmp_ignore_flags",
-    "stream_hourly_profile",
-    "knn_ivf",
-    "cmp_rel_tol",
-    "cmp_decimal",
-    "word_frequencies",
-    "events_asof_join",
-    # ---- position 51+: the 21 r11-age names that did not fit this
-    # round's 50 slots — they MUST lead the r14 window (their r11
-    # evidence stays the registry's oldest after the r13 sweep) ----
+    # newest driver evidence r11 — the 21 names deferred by the r13 window
     "events_json_props",
     "json_key_profile",
     "events_anomaly",
@@ -730,6 +676,61 @@ _SWEEP_FIRST = [
     "vocab_coverage",
     "html_extract",
     "drift_ks",
+    # newest driver evidence r12 — first 29 of the 50 r12-age names in
+    # registry order fill the window to 50
+    "cmp_row_classes",
+    "cmp_struct_map",
+    "knn_pq",
+    "events_range_join",
+    "dedup_components",
+    "pii_scrub",
+    "quality_filter",
+    "hash_split",
+    "pack_sequences",
+    "table_profile",
+    "profile_compare",
+    "stream_compare",
+    "media_features",
+    "profile_quantiles",
+    "schema_compare",
+    "repetition_metrics",
+    "decontaminate",
+    "stratified_sample",
+    "dedup_collapse",
+    "embedding_centroids",
+    "corpus_mix",
+    "events_funnel",
+    "curate_corpus",
+    "cdc_delta",
+    "cdc_apply",
+    "scd2_history",
+    "events_latest_per_user",
+    "key_skew_profile",
+    "sales_by_nation",
+    # ---- position 51+: the 21 r12-age names that did not fit this
+    # round's 50 slots — they MUST lead the r15 window (their r12
+    # evidence stays the registry's oldest after the r14 sweep) ----
+    "events_retention",
+    "top_parts_per_supplier",
+    "drift_histogram",
+    "tfidf_top_terms",
+    "chunk_documents",
+    "embedding_quantize",
+    "events_multi_rollup",
+    "events_missing_periods",
+    "knn_int8",
+    "ledger_replay",
+    "minhash_index",
+    "gopher_quality",
+    "dup_rate_by_source",
+    "dedup_editdist",
+    "rolling_drift",
+    "quantiles_distributed",
+    "winsorize",
+    "fuzzy_key_editdist",
+    "group_quantiles",
+    "winsorize_by_group",
+    "decontaminate_editdist",
 ]
 
 
