@@ -19,6 +19,28 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# History cutoff (r13 verdict item 7): BENCH_r01..r07 predate the sentinel /
+# creep / gate-replay machinery (no noise arrays, different query set, a
+# different warmup discipline), so they are excluded from every history scan
+# by ROUND NUMBER, not just by shape — a pre-r8 record must never feed the
+# sentinel floor or a trailing median even if a future re-serialization gives
+# it the modern fields. Files whose name doesn't parse as BENCH_r{N}.json are
+# kept (tests feed arbitrary fixture names through ``here=``).
+_HISTORY_MIN_ROUND = 8
+
+
+def _history_files(here: str):
+    """The BENCH_r*.json paths eligible for history scans, sorted by name."""
+    import glob
+
+    out = []
+    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if m and int(m.group(1)) < _HISTORY_MIN_ROUND:
+            continue
+        out.append(path)
+    return out
+
 
 def _trailing_values(sf, here=None, key="queries") -> dict:
     """Per-query timing SERIES (round order, oldest first) over the last 3
@@ -29,14 +51,12 @@ def _trailing_values(sf, here=None, key="queries") -> dict:
     ("queries" or "gates" — the gate replay pass needs its own history,
     round-10 lesson: the knn_recall gate recorded 21.94 s in a VM-pressure
     window with no in-record exoneration because the replay pass covered
-    only "queries")."""
-    import glob
-
+    only "queries"). Pre-r8 rounds are excluded (_HISTORY_MIN_ROUND)."""
     hist: dict = {}
     if here is None:
         here = os.path.dirname(os.path.abspath(__file__))
     candidates = []
-    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+    for path in _history_files(here):
         try:
             with open(path) as fh:
                 data = json.load(fh)
@@ -105,13 +125,12 @@ def _healthy_sentinel_floor(here=None):
     0.114 s sample), so min-over-history tracks the true quiet-machine
     band rather than drifting with the weather the way a median would.
     Returns None with no usable history (the gate then degrades to
-    ratio=1.0 / no wait — a fresh clone must not stall the sweep)."""
-    import glob
-
+    ratio=1.0 / no wait — a fresh clone must not stall the sweep).
+    Pre-r8 rounds are excluded (_HISTORY_MIN_ROUND)."""
     if here is None:
         here = os.path.dirname(os.path.abspath(__file__))
     samples = []
-    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+    for path in _history_files(here):
         try:
             with open(path) as fh:
                 data = json.load(fh)
@@ -184,7 +203,13 @@ def main() -> None:
         spark.range(0, 50_000_000, 1, int(cpus)).selectExpr(
             "sum(hash(id)) AS h"
         ).collect()
-        return round(time.perf_counter() - t0, 3)
+        elapsed = round(time.perf_counter() - t0, 3)
+        # restore a neutral label (r13 review): the probe now runs BEFORE
+        # the headline, so leaving 'noise-probe' set would mis-attribute
+        # every headline stage to the sentinel in the UI/status store —
+        # exactly the attribution the sentinel exists to keep clean
+        sc.setJobGroup("bench-overhead", "between timed sections")
+        return elapsed
 
     _noise_probe()  # unrecorded: first call pays this expression's codegen (~3 s)
     # noise_pos tracks WHERE each sample was taken: -1 = before the
@@ -221,6 +246,7 @@ def main() -> None:
     # headline: full compare + report, the reference's benchmark unit of work.
     # best-of-2 — first iteration can absorb residual JVM/codegen compilation.
     def headline_once() -> float:
+        sc.setJobGroup("headline:compare_report", "headline compare+report")
         spark.catalog.clearCache()
         t0 = time.perf_counter()
         cmp_ = _li_compare(spark, sf_dir)
@@ -251,6 +277,7 @@ def main() -> None:
     # needs no Exchange and no Sort per side (zero-shuffle plan, pinned by
     # tests/test_plan_shapes.py). The bucketing write is setup, not metric.
     def bucketed_once() -> float:
+        sc.setJobGroup("headline:compare_report_bucketed", "bucketed headline")
         spark.catalog.clearCache()
         t0 = time.perf_counter()
         cmp_ = SparkCompare(
@@ -380,6 +407,40 @@ def main() -> None:
                 warm[name] = None
             spark.catalog.clearCache()
 
+    # end-of-sweep sentinel sample — taken BEFORE the replay passes (r14):
+    # it closes the bracket around the sweep proper, and the gate-replay
+    # trigger below is pressure-sensitive, so it needs the full bracket to
+    # compute position-local ratios. Replays run after it and keep their
+    # original sweep position (documented conservative).
+    noise.append(_noise_probe())
+    noise_pos.append(len(QUERIES))
+
+    # sentinel-normalized twin machinery (r12 verdict item 2; extended to
+    # gates in r14). The sentinel is a fixed CPU-bound job, so
+    # sample/healthy-band-top estimates how much shared-VM pressure
+    # inflated the wall clocks taken NEAR that sample; dividing the raw
+    # numbers out gives a calm-window ESTIMATE the judge can read next to
+    # the raw record instead of reconstructing it from cross-round medians
+    # (the r9/r10/r12 adjudication pattern). Each timing is normalized by
+    # the mean of the two sentinel samples BRACKETING its sweep position —
+    # pressure that arrives mid-sweep must not retro-attribute onto the
+    # headline (r12: opening sentinel 0.197, mid-sweep 0.437; a sweep-wide
+    # median would over-correct the early queries and under-correct the
+    # late ones). Band top = 1.3x the historical floor — matches the
+    # observed healthy 0.13-0.15 s band over a 0.114 s floor, so a calm
+    # sweep normalizes to ratio 1.0 exactly (never scales honest numbers
+    # down). Raw numbers stay the record of truth; the twin is
+    # attribution, not measurement.
+    def _ratio_at(pos: int) -> float:
+        if not sentinel_floor or not noise:
+            return 1.0
+        band_top = 1.3 * sentinel_floor
+        before = [s for s, p in zip(noise, noise_pos) if p <= pos]
+        after = [s for s, p in zip(noise, noise_pos) if p > pos]
+        b = before[-1] if before else after[0]
+        a = after[0] if after else b
+        return max(1.0, round((a + b) / 2.0 / band_top, 3))
+
     # outlier-replay pass: a single JVM stall has twice produced a false
     # slow number that survived BOTH samples of one query (json_key_profile
     # 7.14 s ×2 vs a 0.8 s replay; cmp_unique_rows r7). Any query whose
@@ -442,59 +503,36 @@ def main() -> None:
             timings[name] = round(min(timings[name], again), 4)
             warm[name] = round(again, 4)
 
-    # gate-replay pass (round-10 verdict): gates run at their sweep
-    # position, so a VM-pressure window can inflate BOTH best-of-2
-    # samples (r10: knn_recall recorded 21.94 s vs a 6.76/9.17 s
-    # history, plan unchanged, quiet-machine 7.5-8.0 s) and — unlike
-    # queries — the record carried no exonerating replay. Same
-    # mechanics as the queries pass: any gate whose best-of exceeds
-    # 2× its trailing cross-round median gets one fresh end-of-sweep
-    # sample; the name lands in "replayed" so a surviving slow number
-    # is a real regression, not suspicion.
+    # gate-replay pass (round-10 verdict; r13 verdict item 2 made it
+    # pressure-sensitive): gates run at their sweep position, so a
+    # VM-pressure window can inflate BOTH best-of-2 samples (r10:
+    # knn_recall recorded 21.94 s vs a 6.76/9.17 s history, plan
+    # unchanged, quiet-machine 7.5-8.0 s) and — unlike queries — the
+    # record carried no exonerating replay. Same mechanics as the queries
+    # pass, with one addition: when the sentinels bracketing the gate's
+    # sweep position are elevated (position-local ratio > 1.2, i.e. the
+    # bracket mean sits >20% above the healthy band top), the replay
+    # trigger drops from 2× to 1.5× the trailing median — pressure is
+    # exactly when a replay-min is most informative (r13: knn_recall
+    # 14.91 s at sentinel_ratio 2.618 sat just under 2×7.89 and got no
+    # replay, making the number unfalsifiable from the record alone).
     gate_medians = _trailing_medians(sf, key="gates")
     for name, best in sorted(gates.items()):
         med = gate_medians.get(name)
         if best is None or med is None or name not in QUERIES:
             continue
-        if best > 2.0 * med and best > 0.5:
+        trigger = 1.5 if _ratio_at(qpos.get(name, 0)) > 1.2 else 2.0
+        if best > trigger * med and best > 0.5:
             again = _replay_once(name)
             if again is None:
                 continue
             replayed.append(name)
             gates[name] = round(min(gates[name], again), 4)
 
-    noise.append(_noise_probe())  # end-of-sweep sentinel sample
-    noise_pos.append(len(QUERIES))
-
-    # sentinel-normalized twin of every timing (r12 verdict item 2). The
-    # sentinel is a fixed CPU-bound job, so sample/healthy-band-top
-    # estimates how much shared-VM pressure inflated the wall clocks taken
-    # NEAR that sample; dividing the raw numbers out gives a calm-window
-    # ESTIMATE the judge can read next to the raw record instead of
-    # reconstructing it from cross-round medians (the r9/r10/r12
-    # adjudication pattern). Each timing is normalized by the mean of the
-    # two sentinel samples BRACKETING its sweep position — pressure that
-    # arrives mid-sweep must not retro-attribute onto the headline (r12:
-    # opening sentinel 0.197, mid-sweep 0.437; a sweep-wide median would
-    # over-correct the early queries and under-correct the late ones).
-    # Band top = 1.3x the historical floor — matches the observed healthy
-    # 0.13-0.15 s band over a 0.114 s floor, so a calm sweep normalizes to
-    # ratio 1.0 exactly (never scales honest numbers down). Raw numbers
-    # stay the record of truth; the twin is attribution, not measurement.
-    # (Replayed names keep their original position: the min may come from
-    # the end-of-sweep replay, making their norm conservative.)
-    def _ratio_at(pos: int) -> float:
-        if not sentinel_floor or not noise:
-            return 1.0
-        band_top = 1.3 * sentinel_floor
-        before = [s for s, p in zip(noise, noise_pos) if p <= pos]
-        after = [s for s, p in zip(noise, noise_pos) if p > pos]
-        b = before[-1] if before else after[0]
-        a = after[0] if after else b
-        return max(1.0, round((a + b) / 2.0 / band_top, 3))
-
     # sweep-wide weather summary for the one-line record; per-name ratios
-    # (position-local) drive the actual normalized twins
+    # (position-local) drive the actual normalized twins. (Replayed names
+    # keep their original position: the min may come from the end-of-sweep
+    # replay, making their norm conservative.)
     sentinel_ratio = 1.0
     if sentinel_floor and noise:
         sentinel_ratio = max(
@@ -504,6 +542,13 @@ def main() -> None:
         k: (round(v / _ratio_at(qpos.get(k, 0)), 4) if v is not None else None)
         for k, v in timings.items()
     }
+    # r13 verdict item 2: gates get the SAME weather instrument queries
+    # have — without this twin, a pressured gate reading has to be
+    # exonerated from SCALING.md instead of from the record itself
+    gates_norm = {
+        k: (round(v / _ratio_at(qpos.get(k, 0)), 4) if v is not None else None)
+        for k, v in gates.items()
+    }
 
     # The driver captures only the last ~2000 chars of stdout and parses the
     # JSON line out of that tail (r3 lesson: a ~2800-char line with the warm
@@ -512,13 +557,18 @@ def main() -> None:
     # spaces — and write the full detail (warm runs, errors) to a sidecar.
     compact = {k: (round(v, 2) if v is not None else None) for k, v in timings.items()}
     _hl = compact["compare_report"]
-    # normalized by the OPENING sentinel (the sample nearest the headline
-    # sections), not the sweep-wide ratio
+    # normalized by the mean of the two sentinel samples BRACKETING the
+    # headline sections (the pre-headline pos -1 sample and the
+    # sweep-start pos 0 sample), not the sweep-wide ratio
     value_norm = (
         round(norm["compare_report"], 2)
         if norm.get("compare_report") is not None
         else None
     )
+    _gates_2dp = {k: (round(v, 2) if v is not None else None) for k, v in gates.items()}
+    _gates_norm_2dp = {
+        k: (round(v, 2) if v is not None else None) for k, v in gates_norm.items()
+    }
     line = json.dumps(
         {
             "metric": "compare_report_sec",
@@ -527,10 +577,15 @@ def main() -> None:
             "sentinel_ratio": sentinel_ratio,
             "unit": "sec",
             "queries": compact,
-            "gates": {k: (round(v, 2) if v is not None else None) for k, v in gates.items()},
+            "gates": _gates_2dp,
+            "gates_norm": _gates_norm_2dp,
             "replayed": replayed,
             "creep": creep,
             "noise": noise,
+            # r13 verdict item 4: positions aligned with "noise", so the
+            # gate's firing and the headline bracketing are verifiable
+            # from the driver artifact alone (was sidecar-only)
+            "noise_pos": noise_pos,
             "sf": sf,
         },
         separators=(",", ":"),
@@ -539,7 +594,8 @@ def main() -> None:
     with open(detail_path, "w") as fh:
         json.dump(
             {"queries": timings, "queries_warm": warm, "gates": gates,
-             "queries_norm": norm, "sentinel_ratio": sentinel_ratio,
+             "queries_norm": norm, "gates_norm": gates_norm,
+             "sentinel_ratio": sentinel_ratio,
              "sentinel_floor": sentinel_floor,
              "errors": errors, "replayed": replayed, "creep": creep,
              "noise_probe": noise, "noise_pos": noise_pos,
@@ -553,6 +609,9 @@ def main() -> None:
             indent=1,
         )
     def _shrunk(q: dict) -> str:
+        # space-tight fallback: creep drops to a COUNT (names are always in
+        # BENCH_DETAIL.json) — noise_pos/gates_norm stay, they are the
+        # fields the record exists to carry (r13 verdict items 2+4)
         return json.dumps(
             {
                 "metric": "compare_report_sec",
@@ -561,10 +620,12 @@ def main() -> None:
                 "sentinel_ratio": sentinel_ratio,
                 "unit": "sec",
                 "queries": q,
-                "gates": {k: (round(v, 2) if v is not None else None) for k, v in gates.items()},
+                "gates": _gates_2dp,
+                "gates_norm": _gates_norm_2dp,
                 "replayed": replayed,
-                "creep": creep,
+                "creep": len(creep),
                 "noise": noise,
+                "noise_pos": noise_pos,
                 "sf": sf,
             },
             separators=(",", ":"),

@@ -152,15 +152,19 @@ def release_checkpoints(mark: int = 0, until: int = None) -> int:
     active context seen from this thread, or a transient JVM failure) the
     span stays in the ledger, so a later release call can still free the
     blocks — deleting first would make them permanently unreleasable
-    through the ledger (r12 review finding). Never raises either way.
+    through the ledger (r12 review finding). Snapshot and retire happen in
+    ONE locked section keyed on the entries actually removed, so two
+    concurrent releases with overlapping spans can never both claim (and
+    both count) the same checkpoint — unpersist is idempotent, but the
+    returned counts must partition the work (r13 review finding). Never
+    raises either way.
     """
     from pyspark import SparkContext
 
-    with _LEDGER_LOCK:
+    with _LEDGER_LOCK:  # cheap empty-span fast path; mutates nothing
         hi = _CHECKPOINT_SEQ if until is None else until
-        ids = [rid for seq, rid in _TRACKED_CHECKPOINTS if mark <= seq < hi]
-    if not ids:
-        return 0
+        if not any(mark <= seq < hi for seq, _ in _TRACKED_CHECKPOINTS):
+            return 0
     # the blocks live on the CONTEXT (getActiveSession is thread-local and
     # may be None for a borrowed session touched from another thread)
     sc = SparkContext._active_spark_context
@@ -170,8 +174,13 @@ def release_checkpoints(mark: int = 0, until: int = None) -> int:
         persistent = sc._jsc.getPersistentRDDs()
     except Exception:  # noqa: BLE001 — a dying context must not raise here
         return 0  # transient failure — keep the span queued for retry
-    # JVM handle obtained — NOW it is safe to retire the span's entries
+    # JVM handle obtained — NOW it is safe to retire the span's entries.
+    # Snapshot + retire atomically: ids = exactly the entries THIS caller
+    # removed, so a concurrent overlapping release sees them already gone
+    # and cannot double-count.
     with _LEDGER_LOCK:
+        hi = _CHECKPOINT_SEQ if until is None else until
+        ids = [rid for seq, rid in _TRACKED_CHECKPOINTS if mark <= seq < hi]
         _TRACKED_CHECKPOINTS[:] = [
             (seq, rid)
             for seq, rid in _TRACKED_CHECKPOINTS

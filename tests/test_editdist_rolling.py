@@ -185,6 +185,46 @@ class TestEditDistancePairs:
         assert release_checkpoints() == 1  # retry succeeds
         assert len(cache_mod._TRACKED_CHECKPOINTS) == 0
 
+    def test_concurrent_releases_partition_the_count(self, spark):
+        """r13 review finding: release_checkpoints dropped _LEDGER_LOCK
+        between snapshotting ids and retiring entries, so two concurrent
+        releases with overlapping spans could both snapshot the same ids
+        and both count the same checkpoint (unpersist is idempotent, so
+        only the COUNT was wrong). Snapshot + retire are now one locked
+        section keyed on the entries actually removed — the counts across
+        concurrent full-span releases must sum to exactly the number of
+        registered checkpoints."""
+        import threading
+
+        from datacompy_spark import release_checkpoints
+        from datacompy_spark.plans.barrier import lineage_barrier
+
+        release_checkpoints()  # drain other tests' leftovers
+        n = 6
+        frames = [
+            lineage_barrier(spark.range(100 + i), None, eager=True)
+            for i in range(n)
+        ]
+        for f in frames:
+            f.count()
+        counts = []
+        barrier = threading.Barrier(4)
+
+        def release_all():
+            barrier.wait()  # maximize overlap
+            counts.append(release_checkpoints())
+
+        threads = [threading.Thread(target=release_all) for _ in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert sum(counts) == n, (
+            f"concurrent releases double-counted: {counts} (sum "
+            f"{sum(counts)}, expected {n})"
+        )
+        assert release_checkpoints() == 0  # ledger drained exactly once
+
     def test_register_checkpoint_seqs_unique_under_threads(self, spark):
         """r12 review finding: the seq increment + ledger append were not
         atomic, so concurrent register_checkpoint calls (the borrowed-

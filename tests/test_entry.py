@@ -224,8 +224,8 @@ def test_bench_trailing_medians_reads_driver_shaped_files(tmp_path):
     bare_shaped = {"metric": "compare_report_sec", "value": 3.6, "sf": 0.1,
                    "queries": {"compare_report": 3.6, "qx": 2.0},
                    "gates": {"knn_recall": 9.2}}
-    (tmp_path / "BENCH_r01.json").write_text(_json.dumps(driver_shaped))
-    (tmp_path / "BENCH_r02.json").write_text(_json.dumps(bare_shaped))
+    (tmp_path / "BENCH_r11.json").write_text(_json.dumps(driver_shaped))
+    (tmp_path / "BENCH_r12.json").write_text(_json.dumps(bare_shaped))
     med = bench._trailing_medians(0.1, here=str(tmp_path))
     assert med.get("qx") == pytest.approx(1.9)
     assert med.get("compare_report") == pytest.approx(3.5)
@@ -241,6 +241,67 @@ def test_bench_trailing_medians_reads_driver_shaped_files(tmp_path):
     series = bench._trailing_values(0.1, here=str(tmp_path))
     assert series.get("qx") == [1.8, 2.0]
     assert series.get("compare_report") == [3.4, 3.6]
+
+
+def test_bench_history_cutoff_excludes_pre_r8_rounds(tmp_path):
+    """r13 verdict item 7: BENCH_r01..r07 predate the sentinel/creep/gate
+    machinery (different query set, no noise arrays, different warmup
+    discipline) — they must be excluded from EVERY history scan by round
+    number, so a future re-serialization that gives an old record modern
+    fields can never skew the sentinel floor or a trailing median. Files
+    whose names don't parse as BENCH_r{N}.json stay eligible (fixtures)."""
+    import json as _json
+
+    import bench
+
+    old = {"metric": "compare_report_sec", "value": 9.9, "sf": 0.1,
+           "queries": {"qx": 9.9}, "gates": {"knn_recall": 30.0},
+           "noise": [0.04]}
+    new = {"metric": "compare_report_sec", "value": 3.0, "sf": 0.1,
+           "queries": {"qx": 3.0}, "gates": {"knn_recall": 7.0},
+           "noise": [0.15]}
+    (tmp_path / "BENCH_r07.json").write_text(_json.dumps(old))
+    (tmp_path / "BENCH_r08.json").write_text(_json.dumps(new))
+    # r07's 9.9 would drag the median to 6.45 and its glitch-plausible
+    # 0.04 s sample would become the floor — both must be invisible
+    assert bench._trailing_medians(0.1, here=str(tmp_path)) == {"qx": 3.0}
+    gmed = bench._trailing_medians(0.1, here=str(tmp_path), key="gates")
+    assert gmed == {"knn_recall": 7.0}
+    assert bench._healthy_sentinel_floor(here=str(tmp_path)) == pytest.approx(0.15)
+    assert bench._HISTORY_MIN_ROUND == 8
+
+
+def test_bench_gate_instruments_in_record():
+    """r13 verdict items 2+4: the one-line driver record must carry (a)
+    gates_norm — the sentinel-normalized twin of every gate timing, (b)
+    noise_pos aligned with noise, and (c) a pressure-sensitive gate
+    replay trigger (1.5× trailing median when the bracketing sentinels
+    are elevated, 2.0× when calm). The r13 driver record's knn_recall
+    14.91 s (sentinel_ratio 2.618) sat just under 2×7.89 with no replay
+    and no normalized twin — unfalsifiable from the record alone. Greps
+    the live source so the instruments cannot silently regress."""
+    import inspect
+
+    import bench
+
+    src = inspect.getsource(bench.main)
+    assert '"gates_norm": _gates_norm_2dp' in src, (
+        "gates_norm missing from the one-line record — gate timings lost "
+        "their weather instrument"
+    )
+    assert src.count('"noise_pos": noise_pos') >= 2, (
+        "noise_pos must be in BOTH the primary line and the _shrunk "
+        "fallback — the gate's firing must be verifiable from the driver "
+        "artifact alone"
+    )
+    assert "trigger = 1.5 if _ratio_at(qpos.get(name, 0)) > 1.2 else 2.0" in src, (
+        "gate replay trigger is no longer pressure-sensitive"
+    )
+    # the end-of-sweep sentinel must be appended BEFORE the replay passes
+    # (the pressure-sensitive trigger needs the full bracket)
+    assert src.index("noise_pos.append(len(QUERIES))") < src.index(
+        "gate_medians = _trailing_medians"
+    )
 
 
 def test_bench_healthy_sentinel_floor(tmp_path):

@@ -637,6 +637,45 @@ class TestPlanFingerprint:
         wider = build().orderBy("k")
         assert audit._fingerprint([wider._jdf.queryExecution()]) != fp1
 
+    def test_join_type_and_smj_side_order_in_fingerprint(self, spark):
+        """r13 review finding: hashing only the node class name (with
+        children sorted for ALL joins) made (a) an inner→left_outer flip
+        on the same physical strategy and (b) a deliberate stream/build
+        side swap in a sort-merge join fingerprint-identical. Join labels
+        now fold in the join type, and only the stats-driven HASH joins
+        (BHJ/SHJ — where Catalyst's build-side pick is genuinely
+        nondeterministic) keep unordered children."""
+        audit = self._load_audit_module()
+
+        def fp(df):
+            return audit._fingerprint([df._jdf.queryExecution()])
+
+        left = spark.range(1000).withColumnRenamed("id", "k")
+        right = spark.range(500).withColumnRenamed("id", "k")
+
+        # (a) join-TYPE change, same strategy → different fingerprint
+        smj_inner = left.join(right.hint("merge"), "k", "inner")
+        smj_left = left.join(right.hint("merge"), "k", "left")
+        assert fp(smj_inner) != fp(smj_left)
+        bhj_inner = left.join(right.hint("broadcast"), "k", "inner")
+        bhj_left = left.join(right.hint("broadcast"), "k", "left")
+        assert fp(bhj_inner) != fp(bhj_left)
+
+        # (b) SMJ side swap → different fingerprint (children ordered).
+        # One side carries an Aggregate so the two children have distinct
+        # shapes — a swap of identical shapes is invisible by definition
+        # (a Filter won't do: InferFiltersFromConstraints copies an
+        # equi-join-key predicate onto BOTH sides, re-symmetrizing them).
+        narrowed = left.groupBy("k").agg(F.count(F.lit(1)).alias("c")).drop("c")
+        ab = narrowed.join(right.hint("merge"), "k", "inner")
+        ba = right.join(narrowed.hint("merge"), "k", "inner")
+        assert fp(ab) != fp(ba)
+
+        # (c) BHJ build-side swap stays TRANSPARENT (stats-driven, benign)
+        bhj_ab = narrowed.join(right.hint("broadcast"), "k", "inner")
+        bhj_ba = right.hint("broadcast").join(narrowed, "k", "inner")
+        assert fp(bhj_ab) == fp(bhj_ba)
+
     def test_fingerprints_roundtrip_through_plans_md(self, tmp_path):
         audit = self._load_audit_module()
         rows = [

@@ -167,15 +167,28 @@ _SHAPE_TRANSPARENT = {
     "BroadcastExchangeExec",
 }
 
-#: join nodes whose children are hashed as an UNORDERED pair: the
-#: stats-driven build/stream side swap is the same benign nondeterminism
-#: as the exchange placement above.
+#: join nodes whose children are hashed as an UNORDERED pair — ONLY the
+#: stats-driven hash joins, where Catalyst's size-estimate build-side
+#: choice is the same benign nondeterminism as the exchange placement
+#: above. Sort-merge / nested-loop / cartesian children stay ORDERED: a
+#: deliberate stream/build side swap there is a real plan change the gate
+#: must catch (r13 review finding).
 _SHAPE_JOINS = {
+    "BroadcastHashJoinExec",
+    "ShuffledHashJoinExec",
+}
+
+#: join nodes whose label folds in the JOIN TYPE: hashing only the class
+#: name made an inner→left_outer flip on the same physical strategy
+#: fingerprint-identical (r13 review finding — semantics were still
+#: oracle-caught, but the plan gate under-detected). CartesianProductExec
+#: is always inner and exposes no joinType(); the try/except leaves it
+#: and any API drift as a bare class label.
+_SHAPE_TYPED_JOINS = {
     "BroadcastHashJoinExec",
     "ShuffledHashJoinExec",
     "SortMergeJoinExec",
     "BroadcastNestedLoopJoinExec",
-    "CartesianProductExec",
 }
 
 
@@ -189,9 +202,11 @@ def _shape(node, seen_caches) -> str:
     to ``CacheRef``), reused exchanges/subqueries are leaf markers, and
     expression subqueries are folded in (a shuffle inside a subquery must
     change the fingerprint). Codegen wrappers and broadcast exchanges are
-    transparent and join children are order-insensitive (see
-    ``_SHAPE_TRANSPARENT`` — Catalyst's stats-driven build-side choice
-    must not read as a plan regression)."""
+    transparent; HASH-join children are order-insensitive (``_SHAPE_JOINS``
+    — Catalyst's stats-driven build-side choice must not read as a plan
+    regression) while sort-merge/nested-loop children stay ordered; join
+    labels carry the join type (``_SHAPE_TYPED_JOINS`` — an inner→outer
+    flip on the same strategy must change the fingerprint)."""
     cls = node.getClass().getSimpleName()
     if cls == "AdaptiveSparkPlanExec":
         return _shape(node.executedPlan(), seen_caches)
@@ -222,14 +237,20 @@ def _shape(node, seen_caches) -> str:
             parts.append("sub:" + _shape(subs.apply(i), seen_caches))
     except Exception:  # noqa: BLE001 — API drift tolerated
         pass
+    label = cls
+    if cls in _SHAPE_TYPED_JOINS:
+        try:
+            label = f"{cls}[{node.joinType().toString()}]"
+        except Exception:  # noqa: BLE001 — API drift: keep the bare class
+            pass
     kids = node.children()
     # visit in plan order (Cache/CacheRef assignment stays deterministic),
-    # then canonicalize join children by sorting the rendered shapes
+    # then canonicalize HASH-join children by sorting the rendered shapes
     kid_shapes = [_shape(kids.apply(i), seen_caches) for i in range(kids.length())]
     if cls in _SHAPE_JOINS:
         kid_shapes = sorted(kid_shapes)
     parts.extend(kid_shapes)
-    return f"{cls}({','.join(parts)})" if parts else cls
+    return f"{label}({','.join(parts)})" if parts else label
 
 
 def _fingerprint(fragments) -> str:
