@@ -54,6 +54,20 @@ except Exception:  # pragma: no cover
 
 MASK_VALUE = "*******"  # ref ``spark.py:246`` sensitive-column replacement
 
+#: Hot-join-key advisory threshold (r13 verdict item 3). AQE's
+#: OptimizeSkewedJoin never splits a FULL OUTER join (verified with an
+#: engaged inner-join control at the same thresholds — SCALING.md r13
+#: §hot-key), so every row of one join-key value lands on ONE task at any
+#: cluster size, and the default range-pair ordinal residual is O(k²)
+#: inside that task. Below ~10⁴ rows per key both effects are noise;
+#: above, the single task becomes the straggler that dominates the stage.
+#: When the single statistics pass observes a key at/over this threshold
+#: on either side, the engine logs a loud warning naming the
+#: ``dup_join_on_ordinal=True`` re-key (uniform by construction, linear
+#: in k) as the mitigation. Advisory only — results are identical either
+#: way, and uniform-key compares never reach it.
+HOT_KEY_WARN_THRESHOLD = 10_000
+
 
 def consistent_key_sample(
     df: DataFrame,
@@ -161,7 +175,10 @@ class SparkCompare:
     this True: the ordinal becomes a real equi-join key, the hot key's
     rows spread across (key, ordinal) hash partitions, and the join is
     linear in k at the cost of one extra exchange per side. Same results
-    either way — measured in SCALING.md §hot-key.
+    either way — measured in SCALING.md §hot-key. The engine detects the
+    condition itself: when the statistics pass observes a key at/over
+    :data:`HOT_KEY_WARN_THRESHOLD` rows in the default mode it logs a
+    warning naming this flag (see :meth:`_warn_if_hot_key`).
     """
 
     def __init__(
@@ -695,7 +712,55 @@ class SparkCompare:
                 )
                 aggs.append(F.max(guarded).alias(f"__maxdiff__{c}"))
         row = self._outer.agg(*aggs).collect()[0].asDict()
-        return {k: (0 if v is None else v) for k, v in row.items()}
+        stats = {k: (0 if v is None else v) for k, v in row.items()}
+        self._warn_if_hot_key(stats)
+        return stats
+
+    def _warn_if_hot_key(self, stats: Dict[str, Any]) -> None:
+        """Hot-join-key advisory (r13 verdict item 3): the pairing ordinal
+        already measures per-key duplication, so the hottest key's row
+        count (``__max_ord`` + 1) falls out of the single statistics pass
+        for free. At/over :data:`HOT_KEY_WARN_THRESHOLD` rows on one key —
+        with the default range-pair join mode — warn loudly: AQE cannot
+        split a skewed FULL OUTER join, so that key serializes onto one
+        task at ANY cluster size and the range-pair residual is O(k²)
+        inside it. ``dup_join_on_ordinal=True`` is the engine's own
+        mitigation (re-keys the join to (key, ordinal) — uniform by
+        construction, linear in k). Advisory only: identical results
+        either way; uniform keys (max ordinal 0) never get near the
+        threshold, and the re-keyed mode is exempt because it already IS
+        the mitigation."""
+        hottest = int(stats.get("__max_ord", 0)) + 1
+        if (
+            self.assume_unique
+            or self.dup_join_on_ordinal
+            or hottest < HOT_KEY_WARN_THRESHOLD
+        ):
+            return
+        msg = (
+            f"hot join key detected: some join-key value has "
+            f"{hottest:,} rows on one side. Spark's AQE skew "
+            "split does not apply to FULL OUTER joins, so this key runs "
+            "on a single task regardless of cluster size, and the "
+            "default duplicate-pairing mode costs O(k²) within it. "
+            "Pass dup_join_on_ordinal=True to SparkCompare to re-key the "
+            "join on (key, ordinal) - rows of the hot key then spread "
+            "uniformly across partitions (identical results, one extra "
+            "exchange per side)."
+        )
+        LOG.warning(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=3)
+
+    @property
+    def hot_key_rows(self) -> int:
+        """Rows carried by the HOTTEST join-key value on either side —
+        observed from the pairing ordinals during the single statistics
+        pass (zero extra work). At/over :data:`HOT_KEY_WARN_THRESHOLD`
+        with the default join mode, :meth:`_warn_if_hot_key` has already
+        logged the ``dup_join_on_ordinal=True`` advisory."""
+        return int(self._stats["__max_ord"]) + 1
 
     @property
     def has_duplicates(self) -> bool:

@@ -563,6 +563,67 @@ class TestSkew:
         # all_mismatch carries join cols + suffixed value pairs
         assert {(r["id"], r["seq_df1"]) for r in mism} == {(1, 7), (1, 19_999)}
 
+    def test_hot_key_warning_names_the_mitigation(self, spark, caplog):
+        """r13 verdict item 3: AQE's OptimizeSkewedJoin never splits a
+        FULL OUTER join, so a hot compare key serializes onto one task at
+        any scale — and the engine already owns the fix
+        (dup_join_on_ordinal=True). The statistics pass must self-diagnose
+        the condition from the pairing ordinal it already computes (zero
+        extra work) and log a warning naming the flag; the re-keyed mode
+        and uniform keys stay silent."""
+        import logging
+        import warnings as _w
+
+        from pyspark.sql import functions as F
+
+        from datacompy_spark.operators import compare as cmp_mod
+
+        # ~30%-hot-key shape (the SCALING.md skew-probe fixture, shrunk):
+        # one key carries 12k rows, comfortably over the 10k threshold
+        hot = spark.range(12_000).select(
+            F.lit(1).alias("id"), F.col("id").alias("seq"), (F.col("id") * 2).alias("v")
+        )
+        tail = spark.range(2, 28_000).select(
+            F.col("id"), F.lit(0).alias("seq"), (F.col("id") * 10).alias("v")
+        )
+        df1 = hot.unionAll(tail)
+        df2 = df1.withColumn(
+            "v", F.when(F.col("seq") == 7, F.col("v") + 1).otherwise(F.col("v"))
+        )
+
+        def run(**kw):
+            c = SparkCompare(spark, df1, df2, join_columns="id",
+                             dup_order_by=["seq"], **kw)
+            with caplog.at_level(logging.WARNING, logger=cmp_mod.__name__):
+                caplog.clear()
+                with _w.catch_warnings(record=True) as seen:
+                    _w.simplefilter("always")
+                    n_matching = c.count_matching_rows()
+            hot_msgs = [r for r in caplog.records if "hot join key" in r.message]
+            hot_warns = [w for w in seen if "hot join key" in str(w.message)]
+            return c, n_matching, hot_msgs, hot_warns
+
+        c_def, n_def, logs, warns = run()
+        assert c_def.hot_key_rows == 12_000
+        assert len(logs) == 1 and len(warns) == 1
+        msg = logs[0].message
+        assert "dup_join_on_ordinal=True" in msg  # names the mitigation
+        assert "12,000" in msg and "FULL OUTER" in msg  # says why
+
+        # the mitigation mode IS the fix — it must not nag
+        c_ord, n_ord, logs, warns = run(dup_join_on_ordinal=True)
+        assert not logs and not warns
+        assert n_ord == n_def  # identical results either way
+
+        # uniform keys: max ordinal 0, nowhere near the threshold
+        u1 = spark.range(50).select(F.col("id"), (F.col("id") * 2).alias("v"))
+        cu = SparkCompare(spark, u1, u1, join_columns="id")
+        with caplog.at_level(logging.WARNING, logger=cmp_mod.__name__):
+            caplog.clear()
+            cu.count_matching_rows()
+        assert not [r for r in caplog.records if "hot join key" in r.message]
+        assert cu.hot_key_rows == 1
+
 
 def test_row_classes_one_pass(spark):
     df1 = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id bigint, v string")
