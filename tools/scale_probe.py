@@ -810,15 +810,28 @@ def main() -> int:
             df = hotkey_frame(k_hot)
             df2 = df.select("k", F.when(F.col("v") % 5 == 0, F.col("v") + 1).otherwise(F.col("v")).alias("v"))
             t0 = time.perf_counter()
-            cmp_ = SparkCompare(
-                spark, df, df2, join_columns=["k"], dup_order_by=["v"],
-                dup_join_on_ordinal=(mode == "ordinal"),
-            )
-            n_match = cmp_.count_matching_rows()
+            # r14: the hot-key advisory (compare.py::_warn_if_hot_key) must
+            # fire on exactly this fixture at k >= HOT_KEY_WARN_THRESHOLD in
+            # the default range-pair mode, and stay silent in ordinal mode
+            # (it already IS the mitigation the advisory names).
+            import warnings as _w
+
+            with _w.catch_warnings(record=True) as _caught:
+                _w.simplefilter("always")
+                cmp_ = SparkCompare(
+                    spark, df, df2, join_columns=["k"], dup_order_by=["v"],
+                    dup_join_on_ordinal=(mode == "ordinal"),
+                )
+                n_match = cmp_.count_matching_rows()
             el = time.perf_counter() - t0
+            warned = any(
+                issubclass(c.category, RuntimeWarning)
+                and "hot join key" in str(c.message)
+                for c in _caught
+            )
             print(
                 f"hotkey  k={k_hot:>9,d} mode={mode:<7s} matched={n_match:>9,d}"
-                f"  sec={el:7.2f}",
+                f"  sec={el:7.2f}  hottest={cmp_.hot_key_rows:>9,d} warn={warned}",
                 flush=True,
             )
 
