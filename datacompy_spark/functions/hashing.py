@@ -205,7 +205,16 @@ def simhash_from_hashes(hashes: Column, bits: int = SIMHASH_BITS) -> Column:
     60-element mask array: unrolling a separate ``F.aggregate`` per bit
     builds a ~60x larger expression tree whose driver-side analysis cost
     (~2 s/invocation) dwarfed the actual per-row work (same pathology and
-    fix as the LSH plane matrix, ``similarity.py:knn_lsh``)."""
+    fix as the LSH plane matrix, ``similarity.py:knn_lsh``).
+
+    SCOPE (r14): this Column form evaluates 60×T interpreted lambda steps
+    inside the owning row's task — fine when the signature shares a
+    single-pass projection with other per-row outputs
+    (``textops.fingerprint``), but a multi-MB document serializes
+    ~14-28 s/MB onto one task. Hot paths that ONLY need signatures use
+    the DataFrame-level vote-sum groupBy form instead
+    (``operators.dedup._simhash_by_vote`` — codegen'd, long-document
+    safe, bit-identical output)."""
     masks = F.array(*[F.lit(1 << j).cast("long") for j in range(bits)])
     return F.aggregate(
         masks,

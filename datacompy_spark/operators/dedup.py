@@ -26,11 +26,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from datacompy_spark.functions.hashing import (
+    SIMHASH_BITS,
     hamming_distance,
     lsh_band_keys,
     minhash_from_hashes,
     shingle_hashes,
-    simhash_from_hashes,
     token_hashes,
     word_shingles,
 )
@@ -259,21 +259,54 @@ def minhash_lsh_pairs(
     return cross.unionAll(within)
 
 
+def _simhash_by_vote(staged: DataFrame, carry_cols) -> DataFrame:
+    """(carry_cols..., simhash) from a frame with a ``thash`` long-array
+    column — the DataFrame-level SimHash evaluation: explode the token
+    hashes and compute the 60 per-bit vote sums as codegen'd groupBy
+    aggregates, then pack the sign bits into one long.
+
+    Same math as :func:`~datacompy_spark.functions.hashing.
+    simhash_from_hashes` (vote sums are order-independent, ties break
+    unset; A/B checksums identical on the sf0.1 corpus), different
+    execution: the Column form folds 60×T interpreted lambda steps inside
+    ONE task per document — ~14-28 s per MB of document (SCALING.md r14
+    long-document probe) — while this form is whole-stage-codegen
+    arithmetic plus one partial-aggregated shuffle of 60 longs per
+    document (~500 B/doc at any document size). Measured 3× faster on the
+    normal sf0.1 corpus and 10× with an 8 MB outlier document; at 100 TB
+    the monster document stops being a task-level cliff entirely.
+    ``explode_outer`` keeps token-less documents (their votes aggregate
+    over zero rows → NULL → every bit unset → signature 0, matching the
+    Column form on an empty array)."""
+    carry_cols = list(carry_cols)
+    exploded = staged.select(*carry_cols, F.explode_outer("thash").alias("__h"))
+    votes = [
+        F.sum(
+            F.shiftright(F.col("__h"), j).bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"__v{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    agg = exploded.groupBy(*carry_cols).agg(*votes)
+    sig = F.lit(0).cast("long")
+    for j in range(SIMHASH_BITS):
+        sig = sig + F.when(
+            F.col(f"__v{j}") > 0, F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return agg.select(*carry_cols, sig.alias("simhash"))
+
+
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, 60-bit simhash) sketch table. Fans out first: the per-token
-    hash + 60-bit vote loop is interpreted, so partition count caps its
-    parallelism."""
+    """(id, 60-bit simhash) sketch table, via the vote-sum groupBy form
+    (:func:`_simhash_by_vote` — long-document safe). Fans out first so
+    the tokenize/hash/explode work spreads before the per-doc shuffle."""
     from datacompy_spark.plans.partitioning import fan_out
 
-    return (
-        fan_out(
-            df.select(
-                F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
-            )
+    staged = fan_out(
+        df.select(
+            F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
         )
-        .select("doc_id", token_hashes(F.col("toks")).alias("thash"))
-        .select("doc_id", simhash_from_hashes(F.col("thash")).alias("simhash"))
-    )
+    ).select("doc_id", token_hashes(F.col("toks")).alias("thash"))
+    return _simhash_by_vote(staged, ["doc_id"])
 
 
 def simhash_near_dups(
@@ -296,13 +329,10 @@ def simhash_near_dups(
     bits_per_band = 60 // bands
     members, reps = collapse_exact_content(df, id_col, text_col)
     # members is a narrow projection of collapse's eager cache — no extra persist
-    sigs = (
-        reps.select("doc_id", "chash", token_hashes(F.col("toks")).alias("thash"))
-        .select(
-            "doc_id", "chash", simhash_from_hashes(F.col("thash")).alias("simhash")
-        )
-        .persist()
-    )
+    sigs = _simhash_by_vote(
+        reps.select("doc_id", "chash", token_hashes(F.col("toks")).alias("thash")),
+        ["doc_id", "chash"],
+    ).persist()
     sigs.count()  # materialize before the self-join (see minhash note)
     banded = sigs.select(
         "doc_id",

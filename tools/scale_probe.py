@@ -11,7 +11,7 @@ Prints one line per scale: rows, seconds, rows/sec, and the ratio of
 seconds to the 1x run (linear scaling => ratio ~= multiplier).
 
 Env knobs: SPARK_GRAFT_SECTIONS selects sections as a comma list out of
-{compare,minhash,spans,incr,cdc,bucketed,cc,kmeans,ivfindex,pagerank,hotkey,ks,fk,editdist,quantiles,increditdist,checksum,skewaqe}
+{compare,minhash,spans,incr,cdc,bucketed,cc,kmeans,ivfindex,pagerank,hotkey,longdoc,ks,fk,editdist,quantiles,increditdist,checksum,skewaqe}
 (default: all) — a x64 compare
 datapoint or a memory-constrained minhash rerun shouldn't pay for every
 other section; SPARK_GRAFT_DRIVER_MEM bounds the single-JVM heap (the
@@ -70,7 +70,7 @@ def main() -> int:
     muls = [int(m) for m in (sys.argv[1:] or ["1", "4", "16"])]
     all_sections = (
         "compare", "minhash", "spans", "incr", "cdc", "bucketed", "cc",
-        "kmeans", "ivfindex", "pagerank", "hotkey", "ks", "fk", "editdist",
+        "kmeans", "ivfindex", "pagerank", "hotkey", "longdoc", "ks", "fk", "editdist",
         "quantiles", "increditdist", "checksum", "skewaqe"
     )
     sections = set(
@@ -834,6 +834,83 @@ def main() -> int:
                 f"  sec={el:7.2f}  hottest={cmp_.hot_key_rows:>9,d} warn={warned}",
                 flush=True,
             )
+
+    # ---- long-document robustness (r14): a multi-MB outlier document in
+    # an otherwise normal corpus. Shingling is a JVM-side array transform
+    # with ~k× transient per-row amplification (word_shingles materializes
+    # T-k+1 k-word strings inside ONE Tungsten row), so a monster document
+    # is the one input whose cost cannot be spread across partitions — at
+    # 100 TB a web/book corpus WILL contain them. Legs per size: columnar
+    # text/token stats (linear, whole-stage codegen), simhash signatures
+    # (per-token hash + 60-bit vote), minhash LSH pairs (persists the
+    # per-representative DISTINCT-shingle sets — the heaviest single-row
+    # amplification in the engine). The monster's word stream is aperiodic
+    # (two coprime moduli), so its shingles are mostly DISTINCT — repeated
+    # text would collapse under array_distinct and understate the stress.
+    # Degradation must be a slowdown bounded by the one serial task, never
+    # a failure; rerun with SPARK_GRAFT_DRIVER_MEM=2g for the constrained
+    # leg (r13 memory-cliff axis).
+    if "longdoc" in sections:
+        from datacompy_spark.operators.dedup import simhash_signatures
+        from datacompy_spark.operators.textops import text_stats, token_counts
+
+        def monster(doc_id: int, n_words: int):
+            return spark.range(1).select(
+                F.lit(doc_id).cast("long").alias("doc_id"),
+                F.array_join(
+                    F.transform(
+                        F.sequence(F.lit(1), F.lit(n_words)),
+                        lambda i: F.concat(
+                            F.lit("w"), (i % 50021).cast("string"),
+                            F.lit("x"), (i % 7919).cast("string"),
+                        ),
+                    ),
+                    " ",
+                ).alias("text"),
+            )
+
+        for size_mb in (0, 1, 8, 32):
+            n_words = size_mb * 95_000  # ~11 bytes/word
+            corpus = docs if size_mb == 0 else docs.unionAll(
+                monster(10_000_000 + size_mb, n_words)
+            )
+            legs = {}
+            # every leg forces evaluation through an aggregate over the
+            # COMPUTED columns — a bare count() lets Catalyst prune the
+            # projection and time an empty scan (observed: simhash "cost"
+            # a flat 0.5 s at every size until this forced it)
+            t0 = time.perf_counter()
+            st = text_stats(corpus, "doc_id", "text")
+            metric_cols = [c for c, t in st.dtypes if c != "doc_id" and t != "string"]
+            stats_row = st.agg(
+                F.count("*").alias("n"), *[F.sum(c).alias(c) for c in metric_cols]
+            ).collect()[0]
+            stats_rows = stats_row["n"]
+            mon_tokens = (
+                token_counts(corpus, "doc_id", "text")
+                .agg(F.max("ws_tokens").alias("m")).collect()[0]["m"]
+            )
+            legs["stats"] = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            n_sigs = (
+                simhash_signatures(corpus, "doc_id", "text")
+                .agg(F.count("*").alias("n"), F.max("simhash")).collect()[0]["n"]
+            )
+            legs["simhash"] = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            n_pairs = minhash_lsh_pairs(
+                corpus, "doc_id", "text", num_hashes=16, bands=4,
+                shingle_k=3, threshold=0.3,
+            ).count()
+            legs["minhash"] = time.perf_counter() - t0
+            print(
+                f"longdoc sz={size_mb:>2d}MB docs={stats_rows:>7,d} "
+                f"max_tokens={int(mon_tokens):>10,d} sigs={n_sigs:>7,d} "
+                f"pairs={n_pairs:>6,d}  "
+                + "  ".join(f"{k}={v:6.2f}s" for k, v in legs.items()),
+                flush=True,
+            )
+            spark.catalog.clearCache()
 
     # ---- AQE skew-join evidence for the core compare's outer join (r12
     # verdict item 4). Data: 2M rows/side, ONE join-key value carrying 30%
