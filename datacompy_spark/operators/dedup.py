@@ -86,7 +86,7 @@ def _shingled(df: DataFrame, id_col: str, text_col: str, shingle_k: int) -> Data
     )
 
 
-def collapse_exact_content(df: DataFrame, id_col: str, text_col: str):
+def collapse_exact_content(df: DataFrame, id_col: str, text_col: str, eager: bool = True):
     """Split a corpus into exact-content duplicate groups: returns
     ``(members, reps)`` where ``members`` is (doc_id, chash) for every
     document and ``reps`` is one (chash, doc_id, toks) row per distinct
@@ -106,7 +106,15 @@ def collapse_exact_content(df: DataFrame, id_col: str, text_col: str):
         df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks"))
     ).select("doc_id", "toks", F.md5(F.concat_ws("\x1f", "toks")).alias("chash"))
     staged = staged.persist()
-    staged.count()
+    # eager=False (r14): callers whose FIRST action is a single-lineage
+    # descendant of this cache (minhash: banded.count(); simhash:
+    # sigs.count()) populate it as part of that action — an eager count
+    # here would be one extra full tokenize-pass action per call. Callers
+    # that fan straight into a multi-branch plan keep the default: two
+    # concurrent stages racing an unpopulated cache each recompute the
+    # tokenize pass.
+    if eager:
+        staged.count()
     members = staged.select("doc_id", "chash")
     reps = staged.groupBy("chash").agg(
         F.min("doc_id").alias("doc_id"), F.min_by("toks", "doc_id").alias("toks")
@@ -150,7 +158,9 @@ def minhash_lsh_pairs(
     bands."""
     rows_per_band = num_hashes // bands
     # ---- stage 0: exact-content collapse --------------------------------
-    members, reps = collapse_exact_content(df, id_col, text_col)
+    # eager=False: banded.count() below materializes the whole
+    # staged→base→banded cache chain in ONE serial action (r14 — was three)
+    members, reps = collapse_exact_content(df, id_col, text_col, eager=False)
     # members is a narrow projection of collapse's eager cache — no extra persist
     # Persist the per-representative sketches: Spark re-evaluates projection
     # expressions per JOINED ROW in self-joins, so without materialization the
@@ -172,8 +182,11 @@ def minhash_lsh_pairs(
         )
         .persist()
     )
-    base.count()  # materialize BEFORE the self-join: two lazy scans of the
-    # same unpopulated cache race and each recomputes the sketches
+    # no count() here (r14): `banded` below is a single-lineage descendant —
+    # its count() computes through this cache and populates it on the way,
+    # so the self-join still reads a warm cache (the race the old eager
+    # count guarded against needs an action that fans out BEFORE any
+    # materialization; banded.count() cannot, it is serial)
     sig = base.withColumn(
         "signature", minhash_from_hashes(F.col("shash"), num_hashes)
     )
@@ -327,8 +340,10 @@ def simhash_near_dups(
     afterwards: members inherit their representative's pairs, within-group
     pairs are Hamming 0 by definition."""
     bits_per_band = 60 // bands
-    members, reps = collapse_exact_content(df, id_col, text_col)
-    # members is a narrow projection of collapse's eager cache — no extra persist
+    # eager=False: sigs.count() below is a single-lineage descendant of the
+    # collapse cache and populates it in the same action (r14 — was two)
+    members, reps = collapse_exact_content(df, id_col, text_col, eager=False)
+    # members is a narrow projection of collapse's cache — no extra persist
     sigs = _simhash_by_vote(
         reps.select("doc_id", "chash", token_hashes(F.col("toks")).alias("thash")),
         ["doc_id", "chash"],
@@ -592,12 +607,17 @@ def ngram_jaccard_pairs(
     never the per-document gram stats."""
     base = _ngram_base(df, id_col, text_col, block_col, n).persist()
     # without the persist the gram hashing re-runs per joined pair
-    base.count()  # materialize before the self-joins
     sizes = base.groupBy("block").agg(F.count(F.lit(1)).alias("__bn"))
     # driver-side routing probe — one tiny action over the cached base (the
     # AQE philosophy: pick the physical strategy from runtime statistics).
     # When nothing is oversized, the whole prefix machinery vanishes from
     # the plan and the operator is exactly the minimal all-pairs self-join.
+    # This probe is ALSO the eager materialization of `base`: its aggregate
+    # computes every input partition (limit(1) can only short-circuit the
+    # post-shuffle stage), so the cache is fully populated before the
+    # self-joins — a separate base.count() pass (r13 form) paid one extra
+    # full action per call for nothing (guide §1.2: don't compute things
+    # you throw away).
     any_big = (
         sizes.filter(F.col("__bn") > direct_block_cap).limit(1).count() > 0
     )

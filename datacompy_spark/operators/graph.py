@@ -45,7 +45,9 @@ def pagerank(
     an edges⋈ranks shuffle join on the source key followed by a
     destination-keyed partial-agg integer sum — the canonical distributed
     PageRank step (no broadcast of the node set, which at crawl scale is
-    itself billions of rows). The per-edge contribution split
+    itself billions of rows; the node COUNT is one driver scalar, folded
+    into the teleport/init literals instead of crossJoining a 1-row
+    aggregate into every iteration). The per-edge contribution split
     ``floor(rank * w / out_w)`` keeps ``rank * w`` below 2^52 for edge
     weights up to ~4e6, so the floor-double division is bit-identical in
     both engines.
@@ -83,17 +85,26 @@ def pagerank(
     # rank-frontier join instead of re-pairing every edge with its source's
     # out-weight every round
     e_out = e.join(out_w, "src").persist()
-    n_nodes = nodes.agg(F.count(F.lit(1)).alias("n"))
+    # n is ONE scalar: take it on the driver (r14 optimization). The former
+    # form — a 1-row count aggregate crossJoin(broadcast(...))ed into the
+    # rank frontier and into every iteration's damping step — re-planned and
+    # re-broadcast that 1-row subtree 1 + iterations times (guide §2.4:
+    # remove exchanges outright). One count() action (which also materializes
+    # the persisted node set the loop reuses) folds n into literals; the
+    # fixed-point arithmetic below is bit-identical because both operands are
+    # exact sub-2^53 integers, so Python's IEEE double division and floor
+    # match Spark's floor(cast(double)/cast(double)) exactly — and the DuckDB
+    # twin keeps computing the same quantities from its own nn CTE.
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("node", F.lit(0).cast("long").alias("rank_q"))
     # r0 = floor(SCALE / n) per node; teleport term floor(SCALE*(100-d)/(100*n))
-    ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
-        "node",
-        F.floor(F.lit(RANK_SCALE).cast("double") / F.col("n").cast("double"))
-        .cast("long")
-        .alias("rank_q"),
-    )
-    teleport = F.floor(
-        (F.lit(RANK_SCALE).cast("long") * F.lit(100 - damping_pct)).cast("double")
-        / (F.lit(100).cast("long") * F.col("n")).cast("double")
+    import math
+
+    r0_q = math.floor(float(RANK_SCALE) / float(n))
+    ranks = nodes.select("node", F.lit(r0_q).cast("long").alias("rank_q"))
+    teleport = F.lit(
+        math.floor(float(RANK_SCALE * (100 - damping_pct)) / float(100 * n))
     ).cast("long")
     for _ in range(iterations):
         contrib = (
@@ -112,7 +123,6 @@ def pagerank(
         )
         ranks = (
             nodes.join(contrib, "node", "left")
-            .crossJoin(F.broadcast(n_nodes))
             .select(
                 "node",
                 (

@@ -74,7 +74,9 @@ EXPECTED_NLJ = {
     "bm25_search": "broadcast 1-row corpus stats (N, sum_dl) agg",
     "lm_score": "broadcast 1-row total-token agg into the vocab cost",
     "zorder_key": "broadcast 1-row per-column min/max agg",
-    "graph_pagerank": "broadcast 1-row node-count agg (teleport term)",
+    # graph_pagerank dropped from this table in r14: the node count is now a
+    # driver scalar folded into literals, so the 1-row crossJoin (its only
+    # NLJ) no longer exists in the plan.
     "semantic_decontaminate": "broadcast 1-row folded eval-vector array",
     "drift_ks": "broadcast 1-row snapshot-totals agg",
 }
