@@ -844,23 +844,20 @@ def ks_drift(
             F.coalesce(F.col("cb"), F.lit(0)).cast("long").alias("cb"),
         )
     )
-    cum = distributed_prefix_sum(
+    cum, ranged = distributed_prefix_sum(
         pooled,
         order_cols=["v"],
         sum_cols=["ca", "cb"],
         num_partitions=num_partitions,
         checkpoint_dir=checkpoint_dir,
-    ).select(
-        F.col("ca_cum").alias("cum_a"),
-        F.col("cb_cum").alias("cum_b"),
-        "ca",
-        "cb",
+        also_ranged=True,
     )
-    # totals from the cumsum output frame: aggregating `pooled` again
-    # would re-execute both distinct-count groupBys and the full-outer
-    # join (the helper's barrier only covers its own branches)
-    totals = cum.agg(F.sum("ca").alias("n_old"), F.sum("cb").alias("n_new"))
-    cum = cum.select("cum_a", "cum_b")
+    cum = cum.select(F.col("ca_cum").alias("cum_a"), F.col("cb_cum").alias("cum_b"))
+    # totals from the BARRIERED ranged frame (r14): aggregating the cumsum
+    # output re-executed the offsets join + sort/window a second time, and
+    # aggregating `pooled` would re-execute both distinct-count groupBys +
+    # the full-outer join. Plain integer sums — identical from any frame.
+    totals = ranged.agg(F.sum("ca").alias("n_old"), F.sum("cb").alias("n_new"))
     d = F.abs(
         F.try_divide(F.col("cum_a").cast("double"), F.col("n_old").cast("double"))
         - F.try_divide(F.col("cum_b").cast("double"), F.col("n_new").cast("double"))

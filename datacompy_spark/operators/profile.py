@@ -731,16 +731,20 @@ def exact_quantiles_distributed(
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    cum = distributed_prefix_sum(
+    cum, ranged = distributed_prefix_sum(
         counts,
         order_cols=["v"],
         sum_cols=["c"],
         num_partitions=num_partitions,
         checkpoint_dir=checkpoint_dir,
+        also_ranged=True,
     )
-    # total from the cumsum output (the helper's barrier covers it; a
-    # second agg over `counts` would re-run the distinct-count shuffle)
-    totals = cum.agg(F.sum("c").cast("long").alias("n"))
+    # total from the BARRIERED ranged frame (r14): an agg over `cum` would
+    # re-run the offsets join + per-partition sort/window machinery just to
+    # sum a column the barrier already holds; an agg over `counts` would
+    # re-run the distinct-count shuffle. Order-independent integer sum —
+    # identical value from any of the three frames.
+    totals = ranged.agg(F.sum("c").cast("long").alias("n"))
     pf = spark.createDataFrame([(p,) for p in plist], "prob double")
     pos = F.col("prob") * (F.col("n") - 1).cast("double")
     probes = (
@@ -863,15 +867,18 @@ def group_quantiles_distributed(
         .groupBy(*groups, "v")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    cum = distributed_prefix_sum(
+    cum, ranged = distributed_prefix_sum(
         counts,
         order_cols=["v"],
         sum_cols=["c"],
         group_cols=groups,
         num_partitions=num_partitions,
         checkpoint_dir=checkpoint_dir,
+        also_ranged=True,
     )
-    totals = cum.groupBy(*groups).agg(F.sum("c").cast("long").alias("n"))
+    # per-group totals from the barriered ranged frame (r14; see
+    # exact_quantiles_distributed — same reasoning, grouped)
+    totals = ranged.groupBy(*groups).agg(F.sum("c").cast("long").alias("n"))
     pf = spark.createDataFrame([(p,) for p in plist], "prob double")
     pos = F.col("prob") * (F.col("n") - 1).cast("double")
     probes = (

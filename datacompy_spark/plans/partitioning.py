@@ -95,7 +95,8 @@ def distributed_prefix_sum(
     group_cols=(),
     num_partitions: int | None = None,
     checkpoint_dir: str | None = None,
-) -> DataFrame:
+    also_ranged: bool = False,
+):
     """Inclusive running sums of ``sum_cols`` ordered by ``order_cols``
     (within ``group_cols``) as a DISTRIBUTED two-phase prefix sum — the
     shared machinery under ``pack_sequences`` (token budgets) and
@@ -173,10 +174,20 @@ def distributed_prefix_sum(
     for g in group_cols:
         cond = cond & F.col(g).eqNullSafe(F.col(f"__offg_{g}"))
     out = ranged.join(F.broadcast(offsets), cond)
-    return out.select(
+    out = out.select(
         *df.columns,
         *[
             (F.sum(c).over(w_local) + F.col(f"__off_{c}")).alias(f"{c}_cum")
             for c in sum_cols
         ],
     )
+    if also_ranged:
+        # r14: expose the barriered input frame so callers can compute
+        # order-independent totals (plain sums of ``sum_cols``) from it
+        # directly. Aggregating the RESULT for totals re-executes the
+        # offsets broadcast join + the per-partition sort/window a second
+        # time; aggregating the caller's ORIGINAL frame re-executes
+        # everything below the barrier. The ranged frame is the cheap,
+        # already-materialized middle ground.
+        return out, ranged
+    return out
