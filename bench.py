@@ -164,6 +164,18 @@ def main() -> None:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # r14: disable PySpark's per-API-call origin capture (a debugging
+        # aid that wraps EVERY DataFrame/Column op in getActiveSession +
+        # conf.get + a JVM origin set/clear — 3-4 extra py4j round trips
+        # per op). Measured on the headline compare: plan-build time
+        # 1.55 s → 0.50 s, report assembly 1.3 → 0.6 s; the effect
+        # applies to every query's build phase and is core-count- and
+        # scale-independent (pure driver-side Python cost), so it is the
+        # recommended production setting for this engine wherever
+        # call-site-enriched error messages aren't worth 3x driver
+        # latency. Correctness paths (check_oracles) deliberately keep
+        # the PySpark default.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.ui.enabled", "false")
         # NTZ→TIMESTAMP normalization at the source boundary is
         # value-preserving only under a fixed UTC session tz

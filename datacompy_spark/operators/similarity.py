@@ -1177,7 +1177,7 @@ def _km_quantize(df: DataFrame, id_col: str, vec_col: str, quantum: int) -> Data
     )
 
 
-def _km_assign(vq: DataFrame, cents: DataFrame) -> DataFrame:
+def _km_assign(vq: DataFrame, cents: DataFrame, carry_vec: bool = False) -> DataFrame:
     """Nearest-centroid assignment with ZERO shuffles: the k centroids fold
     into ONE broadcast row of array<struct(cid, cq)>, and each vector picks
     its argmin as a narrow projection — integer squared-L2 via a zip_with
@@ -1196,10 +1196,17 @@ def _km_assign(vq: DataFrame, cents: DataFrame) -> DataFrame:
         return F.struct(d.alias("dist"), c["cid"].alias("cid"))
 
     pick = F.array_min(F.transform(F.col("__cents"), scored))
+    # carry_vec (r14): emit the quantized vector alongside the assignment so
+    # the centroid-update step can posexplode it directly — without this,
+    # kmeans_fit joined the assignment BACK onto vq by vid every iteration
+    # (a full shuffle of both sides per iteration, for data the projection
+    # already had in hand)
+    extra = [F.col("vq")] if carry_vec else []
     return vq.crossJoin(one).select(
         "vid",
         pick["cid"].alias("cid"),
         pick["dist"].alias("dist"),
+        *extra,
     )
 
 
@@ -1231,8 +1238,12 @@ def kmeans_lloyd(
     also CUTS LINEAGE — the standard Spark iterative pattern, no unbounded
     plan growth. Fixed-length vectors only (like knn_pq); empty clusters
     drop (classic Lloyd degeneracy), deterministically on both engines."""
-    vq = _km_quantize(df, id_col, vec_col, quantum)
-    cents = kmeans_fit(df, id_col, vec_col, k, iters, quantum)
+    # share ONE persisted quantized-vector frame between training and the
+    # final assignment (r14): fit alone evaluated its own vq 2x per
+    # iteration + once for seeding, and lloyd's final assign re-derived it
+    # again — at scale each evaluation is a full corpus scan + quantize
+    vq = _km_quantize(df, id_col, vec_col, quantum).persist()
+    cents = kmeans_fit(df, id_col, vec_col, k, iters, quantum, _vq=vq)
     return _km_assign(vq, cents).select(
         F.col("vid").alias(id_col),
         F.col("cid").alias("cluster_id"),
@@ -1247,6 +1258,7 @@ def kmeans_fit(
     k: int = 8,
     iters: int = 2,
     quantum: int = 10_000,
+    _vq: DataFrame | None = None,
 ) -> DataFrame:
     """The training half of :func:`kmeans_lloyd`: returns the final
     centroid table ``(cid, cq array<bigint>)`` on the quantized grid —
@@ -1254,18 +1266,20 @@ def kmeans_fit(
     an unbounded stream against a batch-trained model, or persist it as
     the reusable quantizer for recurring ingests."""
     spark = df.sparkSession
-    vq = _km_quantize(df, id_col, vec_col, quantum)
+    # `_vq` (internal): kmeans_lloyd hands in its persisted quantized frame
+    # so training + final assignment share one materialization (r14)
+    vq = _km_quantize(df, id_col, vec_col, quantum).persist() if _vq is None else _vq
     cents = (
         vq.orderBy("vid")
         .limit(k)
         .select(F.col("vid").alias("cid"), F.col("vq").alias("cq"))
     )
     for _ in range(iters):
-        assign = _km_assign(vq, cents)
-        ex = (
-            assign.select("vid", "cid")
-            .join(vq, "vid")
-            .select("cid", F.posexplode("vq").alias("dim_idx", "q"))
+        # carry_vec: the update step reads the quantized vector straight off
+        # the assignment projection — the old form joined assign back onto
+        # vq by vid, a per-iteration shuffle of both sides (r14)
+        ex = _km_assign(vq, cents, carry_vec=True).select(
+            "cid", F.posexplode("vq").alias("dim_idx", "q")
         )
         upd = ex.groupBy("cid", "dim_idx").agg(
             F.floor(

@@ -805,6 +805,12 @@ def ngram_duplication_profile(
             F.array_distinct(word_shingles(F.col("__toks"), n))
         ).alias("gram"),
     )
+    # NOT barriered (r14 A/B): `grams` does feed two consumers, but it is the
+    # PRE-aggregate exploded frame — materializing it (checkpoint write+read
+    # of every (doc_id, gram) pair) measured ~25% slower than re-deriving the
+    # narrow tokenize+shingle projection per consumer. Contrast tfidf, where
+    # the shared frame is the POST-aggregate (doc, term, tf) table and the
+    # barrier wins. Barrier small frames, recompute big ones.
     gf = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("__nd"))
     per = (
         grams.join(gf, "gram")  # NULL grams (NULL text) drop here, both engines
@@ -893,6 +899,8 @@ def ngram_novelty(
             F.array_distinct(word_shingles(F.col("__toks"), n))
         ).alias("gram"),
     )
+    # NOT barriered — same A/B finding as ngram_duplication_profile (r14):
+    # materializing the exploded gram frame loses to recomputing it
     first = grams.groupBy("gram").agg(F.min("doc_id").alias("__first"))
     per = (
         grams.join(first, "gram")  # NULL grams (NULL text) drop here
@@ -1802,16 +1810,24 @@ def tfidf_top_terms(
     Ties break by term ascending → fully deterministic output.
     """
     from datacompy_spark.operators.analytics import top_k_per_group
+    from datacompy_spark.plans.barrier import lineage_barrier
     from datacompy_spark.plans.partitioning import fan_out
 
-    pairs = (
+    # barriered (r14): BOTH the document-frequency aggregate and the scoring
+    # join consume `pairs`; column pruning makes the two subtrees canonically
+    # different, so without materialization the corpus tokenize + explode +
+    # (doc, term) shuffle ran TWICE (same fix bm25_search/npmi already
+    # carry — tfidf was the one sibling still paying the double pass)
+    pairs = lineage_barrier(
         fan_out(
             df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__toks"))
         )
         .select("doc_id", F.explode("__toks").alias("term"))
         .filter(F.col("term") != "")
         .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(F.count(F.lit(1)).alias("tf")),
+        checkpoint_dir=None,
+        eager=False,
     )
     n_docs = df.select(F.countDistinct(F.col(id_col)).alias("n_docs"))
     doc_freq = pairs.groupBy("term").agg(F.count(F.lit(1)).alias("df"))

@@ -41,6 +41,7 @@ def main() -> int:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")  # mirror bench.py
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .appName("opt-measure")
