@@ -650,8 +650,20 @@ class SparkCompare:
             sel.append(
                 F.col(c if c in self.join_columns else f"{c}_{name}").alias(c)
             )
-        # unique rows are by definition exceptions → serve from the small cache
-        return self._exceptions.filter(F.col(self._n["merge"]) == tag).select(*sel)
+        # unique rows are by definition exceptions → serve from the small
+        # cache WHEN IT ALREADY EXISTS (report flow: _ensure_cached ran, the
+        # persisted diff answers every sample). A standalone unique-rows
+        # read should NOT build that cache: its populate pass evaluates
+        # every {col}_match expression just to persist rows this query
+        # filters on the merge indicator alone — reading the raw outer join
+        # instead lets Catalyst PRUNE all match expressions from the plan
+        # (r14; measured via the cmp_unique_rows A/B).
+        src_df = (
+            self._exceptions
+            if "_exceptions" in self.__dict__
+            else self._outer
+        )
+        return src_df.filter(F.col(self._n["merge"]) == tag).select(*sel)
 
     @cached_property
     def df1_unq_rows(self) -> DataFrame:
