@@ -3090,12 +3090,35 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # orders⋈lineitem join runs once, not twice
         .persist()
     )
-    cust = F.concat(F.lit("c:"), F.col("o_custkey").cast("string"))
-    supp = F.concat(F.lit("s:"), F.col("l_suppkey").cast("string"))
-    edges = g.select(cust.alias("src"), supp.alias("dst"), "w").unionByName(
-        g.select(supp.alias("src"), cust.alias("dst"), "w")
+    # r14 (guide §2.3, narrower shuffle keys): the walk runs on LONG node
+    # ids — customer c → 2c, supplier s → 2s+1, a bijection onto the
+    # "c:<c>"/"s:<s>" string domain — so all three iterations' joins and
+    # aggregations hash/shuffle 8-byte longs instead of variable-width
+    # strings. The output projection maps back to the exact same strings;
+    # rank_q depends only on graph structure + weights, so values are
+    # bit-identical (oracle-checked against the unchanged string-keyed
+    # DuckDB twin).
+    cust = (F.col("o_custkey").cast("long") * 2).alias("src")
+    supp = (F.col("l_suppkey").cast("long") * 2 + 1).alias("dst")
+    edges = g.select(cust, supp, "w").unionByName(
+        g.select(
+            (F.col("l_suppkey").cast("long") * 2 + 1).alias("src"),
+            (F.col("o_custkey").cast("long") * 2).alias("dst"),
+            "w",
+        )
     )
-    return pagerank(edges, weight_col="w", iterations=3)
+    ranks = pagerank(edges, weight_col="w", iterations=3)
+    return ranks.select(
+        F.when(
+            F.col("node") % 2 == 0,
+            F.concat(F.lit("c:"), F.expr("node div 2").cast("string")),
+        )
+        .otherwise(
+            F.concat(F.lit("s:"), F.expr("(node - 1) div 2").cast("string"))
+        )
+        .alias("node"),
+        "rank_q",
+    )
 
 
 def _sql_graph_pagerank() -> str:
