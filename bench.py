@@ -158,24 +158,19 @@ def main() -> None:
 
     from pyspark.sql import SparkSession
 
+    # the engine-recommended session settings (r15, moved out of this
+    # harness per the r14 verdict: the dataFrameDebugging=false driver
+    # speedup belongs to the PRODUCT's documented session surface —
+    # datacompy_spark.session has the measurements and trade-offs; the
+    # bench consumes the same recommendation users get). Correctness
+    # paths (check_oracles) deliberately keep the PySpark defaults.
+    from datacompy_spark.session import apply_recommended_conf
+
     spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        apply_recommended_conf(SparkSession.builder.master(f"local[{cpus}]"))
         .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
-        # r14: disable PySpark's per-API-call origin capture (a debugging
-        # aid that wraps EVERY DataFrame/Column op in getActiveSession +
-        # conf.get + a JVM origin set/clear — 3-4 extra py4j round trips
-        # per op). Measured on the headline compare: plan-build time
-        # 1.55 s → 0.50 s, report assembly 1.3 → 0.6 s; the effect
-        # applies to every query's build phase and is core-count- and
-        # scale-independent (pure driver-side Python cost), so it is the
-        # recommended production setting for this engine wherever
-        # call-site-enriched error messages aren't worth 3x driver
-        # latency. Correctness paths (check_oracles) deliberately keep
-        # the PySpark default.
-        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.ui.enabled", "false")
         # NTZ→TIMESTAMP normalization at the source boundary is
         # value-preserving only under a fixed UTC session tz
@@ -482,10 +477,31 @@ def main() -> None:
     # creep pass (series) — _trailing_medians is just median-of-series
     history = _trailing_values(sf)
     medians = {k: _stats.median(v) for k, v in history.items()}
+    # first-appearance fallback reference (r14 verdict item 4): a name with
+    # no trailing cross-round median had NO outlier protection, and
+    # cmp_string_timestamp_cast entered the record at 18.6 s (real ~1 s)
+    # when a stall hit both its samples — and that 18.6 s then poisons the
+    # r15 medians. The same-run sweep median is the weaker but always-
+    # available reference: a first-appearance best > 4x it gets one replay.
+    _sweep_vals = sorted(
+        v for k, v in timings.items() if v is not None and k in QUERIES
+    )
+    sweep_med = _sweep_vals[len(_sweep_vals) // 2] if _sweep_vals else None
     replayed = []
     for name, best in sorted(timings.items()):
         med = medians.get(name)
-        if best is None or med is None or name not in QUERIES:
+        if best is None or name not in QUERIES:
+            continue
+        if med is None:
+            # no cross-round history: fall back to the same-run sweep median
+            if sweep_med is None or not (best > 4.0 * sweep_med and best > 1.0):
+                continue
+            again = _replay_once(name)
+            if again is None:
+                continue
+            replayed.append(name)
+            timings[name] = round(min(timings[name], again), 4)
+            warm[name] = round(again, 4)
             continue
         # 0.5 s floor, matching _is_creeping's jitter floor — a higher
         # floor here left a (0.5, 1.0] dead band with no replay (r12 review)
@@ -644,19 +660,51 @@ def main() -> None:
         )
 
     if len(line) > 1900:  # belt-and-braces: never exceed the driver's tail
-        line = _shrunk({k: v for k, v in compact.items() if v is None or v >= 0.5})
-    if len(line) > 1900:  # registry growth can overflow even the filtered
-        # line — keep errors (None) + the slowest 60; the full set is
-        # always in BENCH_DETAIL.json
+        # STABLE selection (r14 verdict item 5 — the old slowest-60 cut
+        # churned the printed set every round: 6 fast names "dropped", 6
+        # admitted, and each new entrant arrived with no history median).
+        # Sticky rule: every name printed in the LAST same-sf round's line
+        # stays (that set IS the round-over-round comparison set), then
+        # remaining space fills with the slowest not-yet-printed names —
+        # so the set only grows toward a stable fixed point and a name
+        # leaves only when the line physically cannot hold it (fastest
+        # sticky names shed first). Full timings always in BENCH_DETAIL.
+        prev_names = set()
+        for p in _history_files(os.path.dirname(os.path.abspath(__file__))):
+            try:
+                with open(p) as fh:
+                    d = json.load(fh)
+            except Exception:  # noqa: BLE001 — history damage must not kill the record
+                continue
+            if (d.get("sf") or (d.get("parsed") or {}).get("sf")) != sf:
+                continue
+            q = d.get("queries") or (d.get("parsed") or {}).get("queries") or {}
+            if q:  # newest same-sf record wins (files sort by round)
+                prev_names = set(q)
         errs = {k: v for k, v in compact.items() if v is None}
-        slow = dict(
-            sorted(
-                ((k, v) for k, v in compact.items() if v is not None),
-                key=lambda kv: -kv[1],
-            )[:60]
+        live = {k: v for k, v in compact.items() if v is not None}
+        sticky = sorted(
+            (k for k in live if k in prev_names or k == "compare_report"),
+            key=lambda k: -live[k],
         )
-        slow["compare_report"] = compact["compare_report"]
-        line = _shrunk({**errs, **slow})
+        fill = sorted(
+            (k for k in live if k not in prev_names and k != "compare_report"),
+            key=lambda k: -live[k],
+        )
+        chosen: dict = dict(errs)
+        chosen.update({k: live[k] for k in sticky})
+        line = _shrunk(chosen)
+        while len(line) > 1900 and sticky:
+            # shed the FASTEST sticky name — deterministic, minimal churn
+            chosen.pop(sticky.pop(), None)
+            line = _shrunk(chosen)
+        for k in fill:
+            trial = dict(chosen)
+            trial[k] = live[k]
+            trial_line = _shrunk(trial)
+            if len(trial_line) > 1900:
+                break
+            chosen, line = trial, trial_line
     print(line)
     spark.stop()
 

@@ -25,6 +25,7 @@ from datacompy_spark.plans.cache import (
     release_caches,
     release_checkpoints,
 )
+from datacompy_spark.session import apply_recommended_conf, recommended_spark_conf
 
 __version__ = "0.5.0"
 __all__ = [
@@ -42,4 +43,6 @@ __all__ = [
     "columns_equal",
     "ReportData",
     "build_report_data",
+    "recommended_spark_conf",
+    "apply_recommended_conf",
 ]

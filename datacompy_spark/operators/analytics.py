@@ -850,7 +850,6 @@ def ks_drift(
         sum_cols=["ca", "cb"],
         num_partitions=num_partitions,
         checkpoint_dir=checkpoint_dir,
-        also_ranged=True,
     )
     cum = cum.select(F.col("ca_cum").alias("cum_a"), F.col("cb_cum").alias("cum_b"))
     # totals from the BARRIERED ranged frame (r14): aggregating the cumsum

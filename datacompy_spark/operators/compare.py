@@ -541,8 +541,52 @@ class SparkCompare:
         return self._outer.filter(pred).persist(StorageLevel.MEMORY_AND_DISK)
 
     def _ensure_cached(self) -> None:
-        """Kick off materialization of the exceptions cache."""
+        """Materialize the exceptions cache — and, when the statistics have
+        not been computed yet either (the report flow), ride BOTH on one
+        pass over the outer join: the statistics aggregate attaches to the
+        cache-populate action as ``DataFrame.observe`` metrics instead of
+        running as its own full-join aggregate (guide §2.4 — two ops over
+        the same frame share one pass; r15). Every outer-join row flows
+        through the CollectMetrics node on its way into the exceptions
+        filter, so the observed aggregates see exactly the rows
+        ``_stats``'s standalone aggregate would — identical values, one
+        scan+join instead of two. Standalone stats reads (``matches()``
+        with no report) keep the plain aggregate: it lets Catalyst prune
+        columns the exceptions cache would have to materialize."""
+        if "_exceptions" in self.__dict__:
+            return
+        if "_stats" not in self.__dict__:
+            try:
+                from pyspark.sql import Observation
+            except ImportError:  # pragma: no cover — very old pyspark
+                Observation = None
+            if Observation is not None:
+                from pyspark import StorageLevel
+
+                obs = Observation()
+                observed = self._outer.observe(obs, *self._stat_aggs())
+                pred = (
+                    F.col(self._n["merge"]) != "both"
+                ) | self._any_mismatch_pred()
+                exc = observed.filter(pred).persist(StorageLevel.MEMORY_AND_DISK)
+                self.__dict__["_exceptions"] = exc
+                exc.count()  # populate the cache; metrics collect in-flight
+                stats = {k: (0 if v is None else v) for k, v in obs.get.items()}
+                self._warn_if_hot_key(stats)
+                self.__dict__["_stats"] = stats
+                self._drop_unq_row_memos()
+                return
         self._exceptions  # noqa: B018 — building the property persists it
+        self._drop_unq_row_memos()
+
+    def _drop_unq_row_memos(self) -> None:
+        """Forget unique-row frames memoized BEFORE the exceptions cache
+        existed: a standalone ``df1_unq_rows`` access binds to the raw
+        outer join (prunable — the right choice without a cache), but once
+        the persisted diff exists every later read should upgrade to it
+        (r14 advice — the stale binding silently re-evaluated the join)."""
+        for k in ("df1_unq_rows", "df2_unq_rows"):
+            self.__dict__.pop(k, None)
 
     def cache_result(self) -> "SparkCompare":
         """Eagerly materialize the comparison for reuse-heavy sessions — the
@@ -593,6 +637,14 @@ class SparkCompare:
         exc = self.__dict__.get("_exceptions")
         if exc is not None:
             exc.unpersist()
+            if not self._masked_columns:
+                # also forget the memoized frames (r14 advice): post-uncache
+                # reads should re-plan from the prunable raw outer join, not
+                # filter the now-unpersisted exceptions plan. Masked compares
+                # keep their bindings — rebuilding from ``_outer`` would
+                # resurrect unmasked values through the sample paths.
+                self.__dict__.pop("_exceptions", None)
+                self._drop_unq_row_memos()
 
     # ---------------------------------------------------------- derived frames
 
@@ -682,12 +734,12 @@ class SparkCompare:
         ok = _NUMERIC_TYPES + _STRING_TYPES + (T.BooleanType,)
         return isinstance(dt1, ok) and isinstance(dt2, ok)
 
-    @cached_property
-    def _stats(self) -> Dict[str, Any]:
-        """THE single statistics action: one aggregate over the joined frame
-        computes row classes, matching-row count, and per-column
-        match/null-diff/max-diff — replacing the reference's per-column action
-        loop (``spark.py:594-636``, A1+A3+A4 in SURVEY §2.4)."""
+    def _stat_aggs(self) -> List[Column]:
+        """The statistics aggregate expressions — consumed either as ONE
+        standalone aggregate action (:attr:`_stats`) or as ``observe``
+        metrics piggybacked on the exceptions-populate pass
+        (:meth:`_ensure_cached`); both see every outer-join row, so the
+        values are identical by construction."""
         both = F.col(self._n["merge"]) == "both"
         n1, n2 = self.df1_name, self.df2_name
         aggs = [
@@ -723,7 +775,18 @@ class SparkCompare:
                     diff,
                 )
                 aggs.append(F.max(guarded).alias(f"__maxdiff__{c}"))
-        row = self._outer.agg(*aggs).collect()[0].asDict()
+        return aggs
+
+    @cached_property
+    def _stats(self) -> Dict[str, Any]:
+        """THE single statistics action: one aggregate over the joined frame
+        computes row classes, matching-row count, and per-column
+        match/null-diff/max-diff — replacing the reference's per-column action
+        loop (``spark.py:594-636``, A1+A3+A4 in SURVEY §2.4). In the report
+        flow the same expressions arrive as ``observe`` metrics on the
+        exceptions-populate pass instead (:meth:`_ensure_cached`), so this
+        aggregate never runs there."""
+        row = self._outer.agg(*self._stat_aggs()).collect()[0].asDict()
         stats = {k: (0 if v is None else v) for k, v in row.items()}
         self._warn_if_hot_key(stats)
         return stats

@@ -2087,7 +2087,18 @@ def edit_distance_cross(
         # tracked (see edit_distance_pairs): release_caches() reclaims it
         kl = tracked_persist(_ed_keys(left, id_col, text_col, prefix_len))
         kl.count()
-    kr = _ed_keys(right, id_col, text_col, prefix_len)
+    # the RIGHT (corpus) key frame feeds up to four subtrees — probe A,
+    # index B, the short route, and the verify join — and until r15 was
+    # re-derived (scan + normalize + substring over the corpus text) by
+    # each. Persist + materialize the narrow (doc_id, ≤prefix_len chars,
+    # int) projection once instead: the eager count is load-bearing here
+    # because the first real action fans out into concurrent branches
+    # (cand_a ∪ cand_b race an unpopulated cache into duplicate
+    # evaluation — the minhash lesson, inverted). At 100 TB this is
+    # rows×~80 B of MEMORY_AND_DISK cache vs 3 extra full-text passes;
+    # release_caches() reclaims it.
+    kr = tracked_persist(_ed_keys(right, id_col, text_col, prefix_len))
+    kr.count()
 
     long_l, long_r = kl.filter(F.col("ls") >= k), kr.filter(F.col("ls") >= k)
     # direction A: left is the (equal-or-)shorter side

@@ -737,7 +737,6 @@ def exact_quantiles_distributed(
         sum_cols=["c"],
         num_partitions=num_partitions,
         checkpoint_dir=checkpoint_dir,
-        also_ranged=True,
     )
     # total from the BARRIERED ranged frame (r14): an agg over `cum` would
     # re-run the offsets join + per-partition sort/window machinery just to
@@ -874,7 +873,6 @@ def group_quantiles_distributed(
         group_cols=groups,
         num_partitions=num_partitions,
         checkpoint_dir=checkpoint_dir,
-        also_ranged=True,
     )
     # per-group totals from the barriered ranged frame (r14; see
     # exact_quantiles_distributed — same reasoning, grouped)

@@ -21,6 +21,7 @@ from typing import List
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from datacompy_spark.functions.vector import (
     dot,
@@ -1241,8 +1242,15 @@ def kmeans_lloyd(
     # share ONE persisted quantized-vector frame between training and the
     # final assignment (r14): fit alone evaluated its own vq 2x per
     # iteration + once for seeding, and lloyd's final assign re-derived it
-    # again — at scale each evaluation is a full corpus scan + quantize
-    vq = _km_quantize(df, id_col, vec_col, quantum).persist()
+    # again — at scale each evaluation is a full corpus scan + quantize.
+    # tracked (r15): the RETURNED assignment consumes this cache lazily, so
+    # this function cannot unpersist it — registering it with the cache
+    # ledger lets datacompy_spark.release_caches() reclaim the corpus-width
+    # frame once the caller has materialized (the r14 leak: a bare persist
+    # pinned it for the session lifetime).
+    from datacompy_spark.plans.cache import tracked_persist
+
+    vq = tracked_persist(_km_quantize(df, id_col, vec_col, quantum))
     cents = kmeans_fit(df, id_col, vec_col, k, iters, quantum, _vq=vq)
     return _km_assign(vq, cents).select(
         F.col("vid").alias(id_col),
@@ -1267,7 +1275,11 @@ def kmeans_fit(
     the reusable quantizer for recurring ingests."""
     spark = df.sparkSession
     # `_vq` (internal): kmeans_lloyd hands in its persisted quantized frame
-    # so training + final assignment share one materialization (r14)
+    # so training + final assignment share one materialization (r14).
+    # Standalone fit OWNS its persist and can release it before returning:
+    # the returned centroid table is a driver-local createDataFrame, so
+    # nothing downstream reads vq (r15 — the leak fix's standalone half).
+    owns_vq = _vq is None
     vq = _km_quantize(df, id_col, vec_col, quantum).persist() if _vq is None else _vq
     cents = (
         vq.orderBy("vid")
@@ -1302,6 +1314,11 @@ def kmeans_fit(
             [(r["cid"], r["cq"]) for r in new_cents],
             "cid long, cq array<bigint>",
         )
+    if owns_vq:
+        # blocking: the frame is dead to this function — deterministic
+        # release beats a lingering async drop (and keeps the leak test
+        # race-free)
+        vq.unpersist(blocking=True)
     return cents
 
 
@@ -1386,40 +1403,103 @@ def semantic_decontaminate(
     corpus row; ``max_eval_cosine`` is NULL (and ``contaminated`` false)
     when the corpus vector is NULL/zero-norm or the eval set is empty.
 
-    Scale shape (same discipline as the k-means assigner): the eval side
-    is SMALL by construction (benchmark suites are thousands of vectors,
-    the corpus is billions), so eval vectors fold into ONE broadcast row
-    of array<struct(vector, norm)> with norms PRE-STAGED (Spark does not
-    eliminate subexpressions inside lambdas — staging saves |eval| norm
-    recomputations per corpus row). Each corpus row then reduces the
-    array in a narrow projection: ZERO shuffles, no groupBy state, so the
-    same operator is legal on an unbounded stream in append mode. Per-row
-    cost is |eval| sequential double folds — the exact-scan baseline; for
-    very large eval sets, prefilter candidates with the int8 route
-    (:func:`knn_int8_rerank`) before the exact pass."""
+    Scale shape: the eval side is SMALL by construction (benchmark suites
+    are thousands of vectors, the corpus is billions), so it is collected
+    to the driver ONCE at build time (bounded exactly like the previous
+    broadcast-row form — same 100-200M-vector practical ceiling) and
+    shipped to tasks inside a ``mapInArrow`` closure. Each corpus batch
+    scores against the whole eval matrix in numpy with the engine's exact
+    sequential fold order (guide §4.2 — the interpreted |eval|×dim HOF
+    fold per row was the dominant cost of this operator: every add is now
+    vectorized across the batch×eval plane while each (row, eval) pair
+    still sees the fold ``((0 + x0·y0) + x1·y1) + …`` in IEEE double, so
+    results are bit-identical to the Column-expression form and to the
+    DuckDB twin — the :func:`~datacompy_spark.functions.vector.dot_arrow`
+    precedent). Only (id, vector) enter the Python boundary; ZERO
+    shuffles, no groupBy state, so the operator stays legal on an
+    unbounded stream in append mode. Fixed-length vectors only
+    (embeddings); for very large eval sets, prefilter candidates with the
+    int8 route (:func:`knn_int8_rerank`) before the exact pass."""
     evc = eval_vec_col or vec_col
-    evals = F.broadcast(
-        eval_df.filter(F.col(evc).isNotNull()).agg(
-            F.collect_list(
-                F.struct(F.col(evc).alias("ev"), norm(F.col(evc)).alias("en"))
-            ).alias("__evals")
-        )
+    ev_rows = (
+        eval_df.filter(F.col(evc).isNotNull()).select(F.col(evc)).collect()
     )
-    vnorm = norm(F.col(vec_col))
-    staged = corpus.crossJoin(evals).select(
-        "*", vnorm.alias("__vn")
-    )
-    mx = F.array_max(
-        F.transform(
-            F.col("__evals"),
-            lambda e: F.try_divide(
-                dot(F.col(vec_col), e["ev"]), F.col("__vn") * e["en"]
-            ),
-        )
-    )
-    return staged.select(
+    null_out = [
         F.col(id_col),
-        mx.alias("max_eval_cosine"),
+        F.lit(None).cast("double").alias("max_eval_cosine"),
+        F.lit(False).alias("contaminated"),
+    ]
+    if not ev_rows:
+        # empty eval set: every row is NULL / not contaminated (matches the
+        # old broadcast-row form: array_max over an empty array)
+        return corpus.select(*null_out)
+
+    import numpy as np
+
+    E = np.array([list(r[0]) for r in ev_rows], dtype=np.float64)
+
+    def score_batches(it):
+        import pyarrow as pa
+
+        # eval norms once per task, engine fold order (column-at-a-time:
+        # each eval's norm accumulates its squared dims in index order)
+        en_acc = np.zeros(E.shape[0], dtype=np.float64)
+        for j in range(E.shape[1]):
+            en_acc += E[:, j] * E[:, j]
+        en = np.sqrt(en_acc)
+        for batch in it:
+            ids = batch.column(0)
+            va = batch.column(1).to_numpy(zero_copy_only=False)
+            n = len(va)
+            vals = np.full(n, np.nan, dtype=np.float64)
+            isnull = np.ones(n, dtype=bool)
+            live = np.fromiter(
+                (x is not None for x in va), dtype=bool, count=n
+            )
+            if live.any():
+                V = np.stack(va[live]).astype(np.float64)
+                # dots: column-at-a-time accumulation = the sequential
+                # left-to-right double fold of functions.vector.dot, per
+                # (row, eval) pair, vectorized across the batch×eval plane
+                acc = np.zeros((V.shape[0], E.shape[0]), dtype=np.float64)
+                for j in range(V.shape[1]):
+                    acc += V[:, j : j + 1] * E[:, j]
+                vn_acc = np.zeros(V.shape[0], dtype=np.float64)
+                for j in range(V.shape[1]):
+                    vn_acc += V[:, j] * V[:, j]
+                vn = np.sqrt(vn_acc)
+                den = vn[:, None] * en[None, :]
+                ok = den != 0.0  # try_divide: zero denominator -> NULL
+                cos = np.where(ok, acc / np.where(ok, den, 1.0), np.nan)
+                # array_max semantics: NULL entries skipped, NaN entries
+                # (possible only from NaN inputs) rank above everything,
+                # all-NULL -> NULL
+                has_nan = (ok & np.isnan(cos)).any(axis=1)
+                masked = np.where(ok & ~np.isnan(cos), cos, -np.inf)
+                mx = masked.max(axis=1)
+                any_ok = ok.any(axis=1)
+                # genuine NaN results stay NaN (not NULL): only rows whose
+                # entries were ALL null (den == 0 everywhere) are null
+                vals[live] = np.where(has_nan, np.nan, mx)
+                isnull[live] = ~any_ok
+            yield pa.record_batch(
+                [ids, pa.array(vals, type=pa.float64(), mask=isnull)],
+                names=[id_col, "max_eval_cosine"],
+            )
+
+    scored = corpus.select(F.col(id_col), F.col(vec_col)).mapInArrow(
+        score_batches,
+        T.StructType(
+            [
+                corpus.schema[id_col],
+                T.StructField("max_eval_cosine", T.DoubleType()),
+            ]
+        ),
+    )
+    mx = F.col("max_eval_cosine")
+    return scored.select(
+        F.col(id_col),
+        mx,
         F.coalesce(mx >= F.lit(threshold), F.lit(False)).alias("contaminated"),
     )
 

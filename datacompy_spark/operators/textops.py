@@ -633,7 +633,7 @@ def pack_sequences(
         group_cols=["grp"],
         num_partitions=num_partitions,
         checkpoint_dir=checkpoint_dir,
-    )
+    ).result
     return cum.select(
         "doc_id",
         "grp",

@@ -11,6 +11,8 @@ it introduces is bounded by the small input itself.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import DataFrame
 
 
@@ -88,6 +90,21 @@ def skew_salted_join(
     return salted_l.join(salted_r, on=keys + ["__salt"], how=how).drop("__salt")
 
 
+class PrefixSum(NamedTuple):
+    """Return contract of :func:`distributed_prefix_sum` — a static shape
+    (r14 advice: the flag-dependent DataFrame-or-tuple arity was easy to
+    misuse from new call sites)."""
+
+    #: the input with one ``<col>_cum`` running-sum column per sum col
+    result: DataFrame
+    #: the barriered range-partitioned input frame — already materialized,
+    #: so order-independent TOTALS (plain sums of ``sum_cols``) should be
+    #: aggregated from here: aggregating ``result`` re-runs the offsets
+    #: broadcast join + per-partition sort/window; aggregating the caller's
+    #: original frame re-runs everything below the barrier (r14)
+    ranged: DataFrame
+
+
 def distributed_prefix_sum(
     df: DataFrame,
     order_cols,
@@ -95,12 +112,13 @@ def distributed_prefix_sum(
     group_cols=(),
     num_partitions: int | None = None,
     checkpoint_dir: str | None = None,
-    also_ranged: bool = False,
-):
+) -> "PrefixSum":
     """Inclusive running sums of ``sum_cols`` ordered by ``order_cols``
     (within ``group_cols``) as a DISTRIBUTED two-phase prefix sum — the
     shared machinery under ``pack_sequences`` (token budgets) and
-    ``ks_drift`` (ECDFs). Appends one ``<col>_cum`` column per sum col.
+    ``ks_drift`` (ECDFs). Returns :class:`PrefixSum` — ``result`` carries
+    one ``<col>_cum`` column per sum col; ``ranged`` is the materialized
+    middle frame for order-independent totals.
 
     Why not a plain window: ``ORDER BY`` with no partition key (or one hot
     group) sorts EVERYTHING into one task. Here: range partition by
@@ -181,13 +199,4 @@ def distributed_prefix_sum(
             for c in sum_cols
         ],
     )
-    if also_ranged:
-        # r14: expose the barriered input frame so callers can compute
-        # order-independent totals (plain sums of ``sum_cols``) from it
-        # directly. Aggregating the RESULT for totals re-executes the
-        # offsets broadcast join + the per-partition sort/window a second
-        # time; aggregating the caller's ORIGINAL frame re-executes
-        # everything below the barrier. The ranged frame is the cheap,
-        # already-materialized middle ground.
-        return out, ranged
-    return out
+    return PrefixSum(result=out, ranged=ranged)

@@ -643,73 +643,21 @@ from datacompy_spark.queries_pipeline import PIPELINE_ORACLES, PIPELINE_QUERIES 
 # COVERAGE.md; tests/test_entry.py enforces oldest-first against the
 # recorded CORRECTNESS_r*.json history).
 #
-# Round-14 window (r13 sweep was all-green — fifth consecutive — so ages
-# are exactly 21 names @ r11, 50 @ r12, 50 @ r13; no new registrations).
-# Order: the 21 r11-age names deferred by the r13 window lead (their r11
-# evidence is the registry's oldest — the r13 verdict mandates they MUST
-# lead), then the first 29 of the 50 r12-age names in registry order fill
-# the window to 50. The remaining 21 r12-age names (tail below, position
-# 51+) defer to r15 and MUST lead _SWEEP_FIRST then; every deferred name
-# still gets a fresh in-round local oracle pass via check_oracles
-# --unswept. Registry holds at 121 names, so a full rotation remains 3
-# rounds (50+50+21) — COVERAGE.md contract unchanged.
+# Round-15 window (r14 sweep was all-green — sixth consecutive — so ages
+# are exactly 21 names @ r12, 50 @ r13, 50 @ r14; no new registrations).
+# Order: the 21 r12-age names deferred by the r14 window lead (their r12
+# evidence is the registry's oldest), then the first 29 of the 50
+# r13-age names in registry order fill the window to 50. The remaining
+# 21 r13-age names (tail below, position 51+) defer to r16 and MUST lead
+# _SWEEP_FIRST then; every deferred name still gets a fresh in-round
+# local oracle pass via check_oracles --unswept. Registry holds at 121
+# names, so a full rotation remains 3 rounds (50+50+21) — COVERAGE.md
+# contract unchanged. This window also driver-re-checks several
+# r14-changed paths (cmp_unique_rows, quantiles_distributed, winsorize*,
+# group_quantiles, dedup_minhash_pairs, tfidf_top_terms, editdist family)
+# whose r14 green was builder-local only (r14 verdict item 10).
 _SWEEP_FIRST = [
-    # newest driver evidence r11 — the 21 names deferred by the r13 window
-    "events_json_props",
-    "json_key_profile",
-    "events_anomaly",
-    "events_transitions",
-    "corpus_normalize",
-    "leakage_split",
-    "kmeans_assign",
-    "cluster_sample",
-    "leakage_split_fuzzy",
-    "embedding_health",
-    "bm25_search",
-    "lm_score",
-    "zorder_key",
-    "graph_pagerank",
-    "data_expectations",
-    "dup_span_removal",
-    "fk_discovery",
-    "semantic_decontaminate",
-    "vocab_coverage",
-    "html_extract",
-    "drift_ks",
-    # newest driver evidence r12 — first 29 of the 50 r12-age names in
-    # registry order fill the window to 50
-    "cmp_row_classes",
-    "cmp_struct_map",
-    "knn_pq",
-    "events_range_join",
-    "dedup_components",
-    "pii_scrub",
-    "quality_filter",
-    "hash_split",
-    "pack_sequences",
-    "table_profile",
-    "profile_compare",
-    "stream_compare",
-    "media_features",
-    "profile_quantiles",
-    "schema_compare",
-    "repetition_metrics",
-    "decontaminate",
-    "stratified_sample",
-    "dedup_collapse",
-    "embedding_centroids",
-    "corpus_mix",
-    "events_funnel",
-    "curate_corpus",
-    "cdc_delta",
-    "cdc_apply",
-    "scd2_history",
-    "events_latest_per_user",
-    "key_skew_profile",
-    "sales_by_nation",
-    # ---- position 51+: the 21 r12-age names that did not fit this
-    # round's 50 slots — they MUST lead the r15 window (their r12
-    # evidence stays the registry's oldest after the r14 sweep) ----
+    # newest driver evidence r12 — the 21 names deferred by the r14 window
     "events_retention",
     "top_parts_per_supplier",
     "drift_histogram",
@@ -731,6 +679,61 @@ _SWEEP_FIRST = [
     "group_quantiles",
     "winsorize_by_group",
     "decontaminate_editdist",
+    # newest driver evidence r13 — first 29 of the 50 r13-age names in
+    # registry order fill the window to 50
+    "cmp_column_stats",
+    "cmp_unique_rows",
+    "cmp_all_mismatch",
+    "cmp_matches_summary",
+    "cmp_dupes_by_ordinal",
+    "cmp_string_timestamp_cast",
+    "cmp_bool_numeric",
+    "cmp_array_equal",
+    "cmp_null_keys",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "knn_cosine_bruteforce",
+    "knn_lsh",
+    "text_stats",
+    "lang_id",
+    "token_count",
+    "doc_fingerprint",
+    "events_hourly_rollup",
+    "events_sessionize",
+    "cmp_ignore_flags",
+    "stream_hourly_profile",
+    "knn_ivf",
+    "cmp_rel_tol",
+    "cmp_decimal",
+    "word_frequencies",
+    "events_asof_join",
+    # ---- position 51+: the 21 r13-age names that did not fit this
+    # round's 50 slots — they MUST lead the r16 window (their r13
+    # evidence stays the registry's oldest after the r15 sweep) ----
+    "knn_recall",
+    "source_cap",
+    "join_cardinality",
+    "ngram_dup_profile",
+    "ngram_novelty",
+    "fuzzy_key_match",
+    "dedup_incremental",
+    "dataset_checksum",
+    "checksum_diff_by_month",
+    "shard_corpus",
+    "dedup_semantic",
+    "line_dedup",
+    "npmi_collocations",
+    "mad_outliers",
+    "events_attribution",
+    "temperature_mix",
+    "dsir_weights",
+    "quantile_drift",
+    "k_anonymity",
+    "knn_jaccard_graph",
+    "char_entropy",
 ]
 
 

@@ -474,7 +474,7 @@ class TestGroupQuantiles:
         )
         cum = distributed_prefix_sum(
             df, order_cols=["v"], sum_cols=["c"], group_cols=["g"]
-        )
+        ).result
         rows = {(r["g"], r["v"]): r["c_cum"] for r in cum.collect()}
         assert rows == {("a", 1.0): 1, ("a", 2.0): 2, (None, 3.0): 1, (None, 4.0): 2}
 

@@ -376,6 +376,40 @@ def test_bench_outlier_floor_has_no_dead_band_with_creep_probe():
     assert "best > 2.0 * med and best > 1.0" not in src
 
 
+def test_bench_first_appearance_outlier_fallback():
+    """r14 verdict item 4: a name with NO trailing cross-round median had
+    no outlier protection — cmp_string_timestamp_cast recorded 18.6 s
+    (real ~1 s) on its first appearance and that number entered the r15
+    history medians. The fallback replays a first-appearance best > 4x
+    the SAME-RUN sweep median; greps the live source so it cannot
+    silently regress."""
+    import inspect
+
+    import bench
+
+    src = inspect.getsource(bench.main)
+    assert "best > 4.0 * sweep_med" in src, (
+        "first-appearance outlier fallback missing — a no-history name "
+        "has no replay protection again"
+    )
+
+
+def test_bench_one_line_selection_is_sticky():
+    """r14 verdict item 5: the slowest-60 truncation churned the printed
+    query set every round (6 names 'dropped', 6 admitted, each entrant
+    with no median). Selection is now sticky: names printed in the last
+    same-sf round's line stay; remaining space fills with the slowest
+    new names; a name leaves only when the line physically cannot hold
+    it (fastest first, deterministic)."""
+    import inspect
+
+    import bench
+
+    src = inspect.getsource(bench.main)
+    assert "prev_names" in src, "sticky one-line selection removed"
+    assert "[:60]" not in src, "the churning slowest-60 cut is back"
+
+
 def test_bench_medians_nonempty_on_real_history():
     """With the actual driver-written BENCH_r*.json in the repo, the
     sf0.1 medians must be non-empty — the live guarantee that the replay

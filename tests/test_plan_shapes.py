@@ -192,6 +192,151 @@ class TestCompareTopology:
         assert new_jobs <= 8, f"stats ran {new_jobs} jobs; expected a single action"
 
 
+class TestOnePassReportStats:
+    """r15: the report flow computes the statistics aggregate as
+    ``DataFrame.observe`` metrics ON the exceptions-populate action — one
+    full-join pass instead of two. These pin (a) value equality with the
+    standalone aggregate, (b) that the stats really ride the populate
+    action (no second full-join job), and (c) the r14-advice cache-binding
+    fixes around ``_unq_rows``/``uncache``."""
+
+    def test_observed_stats_equal_plain_aggregate(self, spark, li_pair):
+        c_obs = SparkCompare(spark, *li_pair, join_columns=KEYS)
+        c_obs._ensure_cached()  # report flow entry: observe path
+        assert "_stats" in c_obs.__dict__, (
+            "stats did not ride the exceptions-populate action"
+        )
+        c_agg = SparkCompare(spark, *li_pair, join_columns=KEYS)
+        assert c_obs._stats == c_agg._stats  # plain aggregate path
+        c_obs.uncache()
+
+    def test_populate_also_fills_exceptions_cache(self, spark, li_pair):
+        spark.catalog.clearCache()
+        c = SparkCompare(spark, *li_pair, join_columns=KEYS)
+        c._ensure_cached()
+        infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        cached = [i for i in infos if i.numCachedPartitions() > 0]
+        assert cached, "exceptions cache not populated by the observe pass"
+        for i in cached:
+            assert i.numCachedPartitions() == i.numPartitions(), (
+                "partially-populated cache — the single populate action "
+                "did not cover the whole frame"
+            )
+        c.uncache()
+
+    def test_stats_then_report_still_works_two_pass(self, spark, li_pair):
+        # a user who reads stats FIRST (matches()) then reports: the stats
+        # came from the plain aggregate, the cache populates lazily — both
+        # orders must agree on every number and the rendered report
+        c1 = SparkCompare(spark, *li_pair, join_columns=KEYS)
+        _ = c1.matches()
+        rep1 = c1.report(sample_count=5)
+        c2 = SparkCompare(spark, *li_pair, join_columns=KEYS)
+        rep2 = c2.report(sample_count=5)
+        assert rep1 == rep2
+        c1.uncache(), c2.uncache()
+
+    def test_unq_rows_upgrade_to_exceptions_cache(self, spark, li_pair):
+        c = SparkCompare(spark, *li_pair, join_columns=KEYS)
+        raw = c.df1_unq_rows  # standalone: binds to the prunable raw join
+        assert "InMemoryTableScan" not in plan_of(raw)
+        c._ensure_cached()
+        upgraded = c.df1_unq_rows  # must re-bind to the persisted diff
+        assert upgraded is not raw, "stale pre-cache binding survived"
+        p = plan_of(upgraded)
+        assert "InMemoryTableScan" in p or "TableCacheQueryStage" in p, p[:500]
+        c.uncache()
+
+    def test_uncache_forgets_exceptions_binding(self, spark, li_pair):
+        c = SparkCompare(spark, *li_pair, join_columns=KEYS)
+        c.report(sample_count=3)
+        assert "_exceptions" in c.__dict__
+        c.uncache()
+        assert "_exceptions" not in c.__dict__, (
+            "post-uncache reads would filter the unpersisted exceptions "
+            "plan instead of the prunable raw outer join"
+        )
+        # and a fresh unique-rows read plans from the raw join again
+        assert "InMemoryTableScan" not in plan_of(c.df1_unq_rows)
+
+
+class TestSingleLineageMaterialization:
+    """r14 advice: ``collapse_exact_content(eager=False)`` relies on the
+    caller's FIRST action being a single-lineage descendant that populates
+    the whole persisted chain (staged → base/sigs → banded) in one pass.
+    A future reorder that fans out first would silently reintroduce the
+    duplicate-tokenize race. Pin: right after CONSTRUCTION (which runs the
+    one materializing count), every persisted frame in the session is
+    FULLY cached — a deferred or fanned-out materialization leaves the
+    chain empty or partially populated here."""
+
+    def _assert_all_persists_fully_cached(self, spark, at_least: int):
+        infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        cached = [i for i in infos if i.numCachedPartitions() > 0]
+        assert len(cached) >= at_least, (
+            f"expected >= {at_least} populated caches, got "
+            f"{[(i.id(), i.numCachedPartitions()) for i in infos]}"
+        )
+        for i in cached:
+            assert i.numCachedPartitions() == i.numPartitions(), (
+                f"RDD {i.id()} partially cached "
+                f"({i.numCachedPartitions()}/{i.numPartitions()})"
+            )
+
+    def test_minhash_build_populates_whole_chain(self, spark):
+        from datacompy_spark.operators.dedup import minhash_lsh_pairs
+
+        spark.catalog.clearCache()
+        rows = [(i, f"some document body number {i % 7} with shared words")
+                for i in range(60)]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        minhash_lsh_pairs(df, "doc_id", "text", threshold=0.5)
+        # staged (collapse), base (sketches), banded — all populated by the
+        # single banded.count() at build time
+        self._assert_all_persists_fully_cached(spark, at_least=3)
+        spark.catalog.clearCache()
+
+    def test_simhash_build_populates_whole_chain(self, spark):
+        from datacompy_spark.operators.dedup import simhash_near_dups
+
+        spark.catalog.clearCache()
+        rows = [(i, f"another body of text number {i % 5} sharing tokens")
+                for i in range(40)]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        simhash_near_dups(df, "doc_id", "text", max_hamming=3)
+        self._assert_all_persists_fully_cached(spark, at_least=2)
+        spark.catalog.clearCache()
+
+
+class TestKmeansCacheRelease:
+    """r14 verdict item 9 / advice: the shared quantized-vector frame must
+    not pin corpus-width cache for the session lifetime."""
+
+    def test_standalone_fit_releases_its_cache(self, spark, embeddings):
+        from datacompy_spark.operators.similarity import kmeans_fit
+
+        spark.catalog.clearCache()
+        cents = kmeans_fit(embeddings, "vec_id", "embedding", k=4, iters=1)
+        assert cents.count() == 4
+        infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        leaked = [i for i in infos if i.numCachedPartitions() > 0]
+        assert not leaked, f"kmeans_fit leaked persisted RDDs: {leaked}"
+
+    def test_lloyd_vq_is_ledger_tracked(self, spark, embeddings):
+        from datacompy_spark import release_caches
+        from datacompy_spark.operators.similarity import kmeans_lloyd
+
+        spark.catalog.clearCache()
+        release_caches()  # drain ledger entries from earlier tests
+        out = kmeans_lloyd(embeddings, "vec_id", "embedding", k=4, iters=1)
+        out.count()  # materialize through the shared vq cache
+        assert release_caches() >= 1, (
+            "lloyd's shared vq is not ledger-tracked — session-lifetime leak"
+        )
+        infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        assert not [i for i in infos if i.numCachedPartitions() > 0]
+
+
 class TestKnnTopology:
     def test_bruteforce_broadcasts_queries(self, spark, embeddings):
         from datacompy_spark.operators.similarity import knn_bruteforce

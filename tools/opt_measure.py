@@ -34,14 +34,14 @@ def main() -> int:
 
     from pyspark.sql import SparkSession
 
+    from datacompy_spark.session import apply_recommended_conf  # mirror bench.py
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        apply_recommended_conf(SparkSession.builder.master(f"local[{cpus}]"))
         .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
-        .config("spark.python.sql.dataFrameDebugging.enabled", "false")  # mirror bench.py
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .appName("opt-measure")
@@ -51,8 +51,32 @@ def main() -> int:
 
     from datacompy_spark.queries import QUERIES
 
-    plans_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14")
+    plans_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("SPARK_GRAFT_PLANS_DIR", "r15"),
+    )
     os.makedirs(plans_dir, exist_ok=True)
+
+    def _jobs_tasks(group: str):
+        """(jobs, tasks) attributed to a job group via statusTracker — the
+        pressure-proof A/B proxy (shared-VM wall clocks lie; task counts
+        cannot)."""
+        try:
+            tr = spark.sparkContext.statusTracker()
+            jids = tr.getJobIdsForGroup(group)
+            tasks = 0
+            for jid in jids:
+                info = tr.getJobInfo(jid)
+                if info is None:
+                    continue
+                for sid in info.stageIds:
+                    sinfo = tr.getStageInfo(sid)
+                    if sinfo is not None:
+                        tasks += sinfo.numCompletedTasks
+            return len(jids), tasks
+        except Exception:  # noqa: BLE001 — diagnostics only
+            return -1, -1
 
     for name in args.queries:
         if name not in QUERIES:
@@ -87,13 +111,19 @@ def main() -> int:
         if args.plan_only:
             continue
         runs = []
-        for _ in range(args.runs):
-            spark.sparkContext.setJobGroup(name, name)
+        for i in range(args.runs):
+            group = f"{name}#r{i}"
+            spark.sparkContext.setJobGroup(group, name)
             t0 = time.perf_counter()
             fn(spark, args.sf).count()
             runs.append(round(time.perf_counter() - t0, 3))
             spark.catalog.clearCache()
-        print(f"{name}: runs={runs} min={min(runs)} last={runs[-1]}", flush=True)
+        jobs, tasks = _jobs_tasks(f"{name}#r{args.runs - 1}")
+        print(
+            f"{name}: runs={runs} min={min(runs)} last={runs[-1]} "
+            f"jobs={jobs} tasks={tasks}",
+            flush=True,
+        )
 
     spark.stop()
     return 0
