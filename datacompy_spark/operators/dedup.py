@@ -1105,7 +1105,16 @@ def embedding_near_dups(
             for j in range(m)
         ],
     ).persist()
-    base.count()  # materialize before the self-join
+    # No eager count (r15): the feared unpopulated-cache race (both
+    # self-join sides recomputing the projection concurrently) was
+    # measured NOT to manifest — on local[32] AND on a real multi-JVM
+    # local-cluster[2,4,4096] boundary the scan input bytes are identical
+    # with and without a pre-materializing count (the join's map stages
+    # share one task pool, so the first stage populates the cache before
+    # the second reads it), while the count itself always costs one extra
+    # full-projection action. All base expressions are deterministic per
+    # row, so even a true race would only duplicate work, never diverge
+    # values.
     a = base.alias("a")
     # probe side emits its cell and every neighbor cell (3^m combos); each
     # qualifying pair meets on exactly one cell, so no candidate dedup is
@@ -1207,12 +1216,17 @@ def semantic_dedup(
     from datacompy_spark.operators.similarity import ivf_assign
 
     pivots = df.filter(F.col(id_col) % pivot_mod == 0)
-    # (vid, v, vn, cell, cell_sim) — persisted AND materialized: it feeds
-    # both sides of the pairwise self-join plus the final per-vector output,
-    # and an unpopulated cache would race all three branches into
-    # recomputing the quantizer pass
+    # (vid, v, vn, cell, cell_sim) — persisted, NOT eagerly materialized
+    # (r15): it feeds both self-join sides plus the final per-vector
+    # output, but the measured reality (local[32] and
+    # local-cluster[2,4,4096], input-bytes witness) is that the branches
+    # populate the cache on first use without duplicating the quantizer
+    # pass, while the old eager count forced a FULL-WIDTH materialization
+    # whose own scan doubled this query's input bytes (1.2 -> 0.6 MB at
+    # sf0.1 without it — the branches' column pruning is narrower than
+    # the count's). Deterministic expressions ⇒ a race could only
+    # duplicate work, never diverge values.
     assign = ivf_assign(df, pivots, id_col, vec_col).persist()
-    assign.count()
     a = assign.alias("a")
     b = assign.alias("b")
     lower_max = (
