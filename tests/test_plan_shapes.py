@@ -312,14 +312,22 @@ class TestKmeansCacheRelease:
     """r14 verdict item 9 / advice: the shared quantized-vector frame must
     not pin corpus-width cache for the session lifetime."""
 
+    # Earlier tests in the shared session leave localCheckpoint RDD blocks
+    # behind that catalog.clearCache() cannot release, so assert on the
+    # DELTA of leaked ids across the call, not on global emptiness.
+    @staticmethod
+    def _leaked_ids(spark):
+        infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        return {i.id() for i in infos if i.numCachedPartitions() > 0}
+
     def test_standalone_fit_releases_its_cache(self, spark, embeddings):
         from datacompy_spark.operators.similarity import kmeans_fit
 
         spark.catalog.clearCache()
+        before = self._leaked_ids(spark)
         cents = kmeans_fit(embeddings, "vec_id", "embedding", k=4, iters=1)
         assert cents.count() == 4
-        infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
-        leaked = [i for i in infos if i.numCachedPartitions() > 0]
+        leaked = self._leaked_ids(spark) - before
         assert not leaked, f"kmeans_fit leaked persisted RDDs: {leaked}"
 
     def test_lloyd_vq_is_ledger_tracked(self, spark, embeddings):
@@ -328,13 +336,13 @@ class TestKmeansCacheRelease:
 
         spark.catalog.clearCache()
         release_caches()  # drain ledger entries from earlier tests
+        before = self._leaked_ids(spark)
         out = kmeans_lloyd(embeddings, "vec_id", "embedding", k=4, iters=1)
         out.count()  # materialize through the shared vq cache
         assert release_caches() >= 1, (
             "lloyd's shared vq is not ledger-tracked — session-lifetime leak"
         )
-        infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
-        assert not [i for i in infos if i.numCachedPartitions() > 0]
+        assert not (self._leaked_ids(spark) - before)
 
 
 class TestKnnTopology:
